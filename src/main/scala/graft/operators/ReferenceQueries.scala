@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference engine's entire query language: two parameterized
+  * query shapes (`#query{searchCategory ∈ {"Title","Actor"}}`,
+  * `Code/master.erl:23`, `Code/clientGUI.erl:22`), rebuilt Spark-first.
+  *
+  * Semantics pinned from the reference (SURVEY.md §3):
+  *   - Title query (`Code/mapReduce.erl:21-30,44-74`): every movie ≠ T
+  *     scored by |cast(T) ∩ cast(M)|; overlap 0 dropped; level =
+  *     min(overlap, 4); results sorted by name (`Code/master.erl:340-354`).
+  *   - Actor query (`Code/mapReduce.erl:31-41,76-105` +
+  *     `Code/master.erl:282-329`): movies containing A → explode casts →
+  *     drop A → global count per co-actor → level = min(count, 4), raw
+  *     count preserved on level-4 rows (`Code/mapReduce.erl:102-103`).
+  *   - Missing title ⇒ empty actor list ⇒ every level empty
+  *     (`Code/master.erl:148-154`: `ets:lookup` miss → `[]`).
+  *
+  * Deviations (documented per SURVEY.md §7 "hard parts"): actor-query
+  * output is deterministically sorted (the reference leaves it in
+  * map-iteration order, `Code/master.erl:168-173`); intersection
+  * dedups (`array_intersect`) where the reference's list comprehension
+  * counts left-side duplicates (`Code/mapReduce.erl:150-153`) — equal
+  * on duplicate-free casts, which our view guarantees.
+  */
+object ReferenceQueries {
+
+  /** Title query as one job, no driver-side collect.
+    *
+    * The reference does a master-side hash lookup title→cast and
+    * broadcasts the probe list inside the query record to every worker
+    * (`Code/master.erl:148-160,194-203`). Spark-first: the probe is a
+    * 1-row DataFrame broadcast-joined against all movies — the same
+    * broadcast-hash pattern, but it stays distributed (no `.collect()`;
+    * at 100 TB the probe lookup is a parquet point-read with predicate
+    * pushdown, not a driver materialization).
+    *
+    * Single pass: `least(common, 4)` replaces the reference's four
+    * re-scoring scans per level (`Code/mapReduce.erl:52-72`, §4.2).
+    */
+  def titleLevels(spark: SparkSession, sfDir: String, searchTitle: String): DataFrame = {
+    import spark.implicits._
+    val movies = Tables.movies(spark, sfDir)
+    val probe = movies
+      .filter($"title" === lit(searchTitle))
+      .select($"actors".as("probe_actors"))
+    movies
+      .filter($"title" =!= lit(searchTitle)) // P3: exclude searched movie
+      .join(broadcast(probe))                // J1+J2: broadcast 1-row build side
+      .withColumn("common", size(array_intersect($"actors", $"probe_actors"))) // J3/U2
+      .filter($"common" >= 1)                                 // P6: overlap 0 dropped
+      .withColumn("level", least($"common", lit(4)).cast("bigint")) // A2
+      .select($"title".as("name"), $"common".cast("bigint").as("cnt"), $"level")
+      .orderBy($"level", $"name")                             // O1
+  }
+
+  def titleLevelsSql(searchTitle: String): String =
+    s"""WITH movies AS (${Tables.moviesSql}),
+       |probe AS (SELECT actors AS probe_actors FROM movies WHERE title = '$searchTitle')
+       |SELECT m.title AS name,
+       |       CAST(len(list_intersect(m.actors, p.probe_actors)) AS BIGINT) AS cnt,
+       |       CAST(LEAST(len(list_intersect(m.actors, p.probe_actors)), 4) AS BIGINT) AS level
+       |FROM movies m CROSS JOIN probe p
+       |WHERE m.title <> '$searchTitle'
+       |  AND len(list_intersect(m.actors, p.probe_actors)) >= 1
+       |ORDER BY level, name""".stripMargin
+
+  /** Actor query: semi-join filter → explode → global count → bucket.
+    * The reference's 48-line two-phase partial/final merge
+    * (`Code/master.erl:282-329`) collapses into Spark's partial+final
+    * hash aggregate — map-side combine makes the shuffle carry one row
+    * per (partition, co-actor), exactly the reference's per-partition
+    * counts map (`Code/mapReduce.erl:86-90`).
+    */
+  def actorCoactors(spark: SparkSession, sfDir: String, actor: String): DataFrame = {
+    import spark.implicits._
+    Tables.movies(spark, sfDir)
+      .filter(array_contains($"actors", lit(actor)))      // P4/J4: semi-join on 1-row set
+      .select(explode($"actors").as("name"))              // UDTF-shaped flatten
+      .filter($"name" =!= lit(actor))                     // P5: drop the searched actor
+      .groupBy($"name")
+      .agg(count(lit(1)).as("cnt"))                       // A1+A3 partial+final
+      .withColumn("level", least($"cnt", lit(4)).cast("bigint")) // A2 + determine_level
+      .select($"name", $"cnt", $"level")
+      .orderBy($"level", $"name") // deviation: reference leaves Actor output unsorted
+  }
+
+  def actorCoactorsSql(actor: String): String =
+    s"""WITH movies AS (${Tables.moviesSql}),
+       |co AS (SELECT unnest(actors) AS name FROM movies WHERE list_contains(actors, '$actor'))
+       |SELECT name, COUNT(*) AS cnt,
+       |       CAST(LEAST(COUNT(*), 4) AS BIGINT) AS level
+       |FROM co WHERE name <> '$actor'
+       |GROUP BY name ORDER BY level, name""".stripMargin
+
+  /** Per-level histogram with sorted member list — the presentation
+    * aggregate behind the reference's graph boxes
+    * (`Code/movie_graph.erl:37-39`, `Code/actor_graph.erl:37-39`, A5/A6).
+    * `collect_list` is bounded here (members of one level at one probe),
+    * so it is presentation-safe, not a hot-path pattern.
+    */
+  def levelHistogram(spark: SparkSession, sfDir: String, searchTitle: String): DataFrame = {
+    import spark.implicits._
+    titleLevels(spark, sfDir, searchTitle)
+      .groupBy($"level")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(sort_array(collect_list($"name")), ",").as("members"))
+      .orderBy($"level")
+  }
+
+  def levelHistogramSql(searchTitle: String): String =
+    s"""WITH base AS (${titleLevelsSql(searchTitle)})
+       |SELECT level, COUNT(*) AS n,
+       |       string_agg(name, ',' ORDER BY name) AS members
+       |FROM base GROUP BY level ORDER BY level""".stripMargin
+}

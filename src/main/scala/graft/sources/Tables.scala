@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Parquet star-schema loader + the derived "movies" view.
+  *
+  * The reference engine's single logical table is
+  * `(id, title, actors: array<string>)` (`Code/mapReduce.erl:14`,
+  * `Code/server.erl:23`). The harness ships a TPC-H-ish star schema
+  * instead of the IMDb CSV, so reference-parity queries run on a view
+  * where an order plays a movie and its distinct parts play the cast
+  * (SURVEY.md §7 / FIXTURES.md §3).
+  *
+  * 100 TB posture: the view is ONE wide shuffle (hash partition on
+  * `l_orderkey`, map-side partial `collect_set`), after which every
+  * reference query is shuffle-free scan+filter or a keyed aggregate.
+  * On a real cluster this view would be materialized once to parquet
+  * bucketed by `id`; here we `.cache()` it per (session, sfDir) so
+  * repeated queries in one Verify/Bench run don't repeat the shuffle —
+  * the same role ETS snapshots play in the reference
+  * (`Code/server.erl:121`), minus the per-query disk reload it does
+  * (`Code/mapReduce.erl:23,33`, a §4.2 inefficiency we drop).
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame   = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame   = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame   = table(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  // Cache key includes the session so a stopped session's plans are
+  // never reused by a later one.
+  private val movieCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Movies view: `(id: bigint, title: string, actors: array<string>)`.
+    *
+    * `collect_set` (not `collect_list`+`array_distinct`): map-side
+    * partial aggregation dedups before the shuffle, so shuffled bytes
+    * are bounded by distinct parts per order. Array element ORDER is
+    * nondeterministic — by design, no query may depend on it; only
+    * set-wise ops (`array_intersect`, `array_contains`, `size`,
+    * `explode`) touch `actors`.
+    */
+  def movies(spark: SparkSession, sfDir: String): DataFrame =
+    movieCache.getOrElseUpdate((spark, sfDir), {
+      import spark.implicits._
+      lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_partkey")
+        .groupBy($"l_orderkey".as("id"))
+        .agg(collect_set($"l_partkey".cast("string")).as("actors"))
+        .withColumn("title", concat(lit("order-"), $"id"))
+        .select($"id", $"title", $"actors")
+        .cache()
+    })
+
+  /** DuckDB mirror of [[movies]] as a CTE body (FIXTURES.md §3). */
+  val moviesSql: String =
+    """SELECT l_orderkey AS id,
+      |       'order-' || l_orderkey AS title,
+      |       list_distinct(list(CAST(l_partkey AS VARCHAR))) AS actors
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle differential check.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Reads <verifyOutDir>/<name>/ parquet (Spark result) and
+<verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the
+sfDir parquet tables registered as views, and compares as
+column-name-sorted, row-sorted value multisets.
+
+Dev-only tool (driver-side python); the shipped Scala library does
+not depend on it.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return [c for c in sorted(cols)], sorted(out)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            s = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+            scols = [d[0] for d in con.description]
+            o = con.execute(sql).fetchall()
+            ocols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon(scols, s)
+        oc, orr = canon(ocols, o)
+        if sc != oc:
+            print(f"FAIL {name}: columns spark={sc} oracle={oc}")
+            n_fail += 1
+        elif sr != orr:
+            diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+            print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orr)} first diffs={diff}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
