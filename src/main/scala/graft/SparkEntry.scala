@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.ReferenceQueries
+import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,6 +28,11 @@ object SparkEntry {
     "ref_title_missing" -> ((s, d) => ReferenceQueries.titleLevels(s, d, "order-no-such")),
     "ref_actor_coactors" -> ((s, d) => ReferenceQueries.actorCoactors(s, d, "7")),
     "ref_level_histogram" -> ((s, d) => ReferenceQueries.levelHistogram(s, d, "order-1")),
+    // — sources / sinks / ETL (SURVEY §2.1, §3.3) —
+    "src_csv_roundtrip" -> ((s, d) => Ingest.csvRoundTrip(s, d)),
+    "src_parquet_roundtrip" -> ((s, d) => Ingest.parquetRoundTrip(s, d)),
+    "src_ingest_limit" -> ((s, d) => Ingest.ingestLimit(s, d)),
+    "src_repartition" -> ((s, d) => Ingest.repartitionBalance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +42,9 @@ object SparkEntry {
     "ref_title_missing" -> ReferenceQueries.titleLevelsSql("order-no-such"),
     "ref_actor_coactors" -> ReferenceQueries.actorCoactorsSql("7"),
     "ref_level_histogram" -> ReferenceQueries.levelHistogramSql("order-1"),
+    "src_csv_roundtrip" -> Ingest.csvRoundTripSql,
+    "src_parquet_roundtrip" -> Ingest.parquetRoundTripSql,
+    "src_ingest_limit" -> Ingest.ingestLimitSql(),
+    "src_repartition" -> Ingest.repartitionBalanceSql,
   )
 }

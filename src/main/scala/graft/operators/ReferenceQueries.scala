@@ -41,12 +41,22 @@ object ReferenceQueries {
     * Single pass: `least(common, 4)` replaces the reference's four
     * re-scoring scans per level (`Code/mapReduce.erl:52-72`, §4.2).
     */
-  def titleLevels(spark: SparkSession, sfDir: String, searchTitle: String): DataFrame = {
+  def titleLevels(spark: SparkSession, sfDir: String, searchTitle: String): DataFrame =
+    titleLevelsOn(Tables.movies(spark, sfDir), searchTitle)
+
+  /** Same query over any `(id, title, actors)` DataFrame (spec entry
+    * point for the golden fixtures of FIXTURES.md §1). */
+  def titleLevelsOn(movies: DataFrame, searchTitle: String): DataFrame = {
+    val spark = movies.sparkSession
     import spark.implicits._
-    val movies = Tables.movies(spark, sfDir)
+    // Duplicate titles: the reference's master lookup table is an ETS
+    // `set` keyed by title, so the last CSV row wins
+    // (`Code/csv_to_ets.erl:23-24,53`). limit(1) keeps the probe
+    // single-row (which row is unspecified, as is "last" post-shuffle).
     val probe = movies
       .filter($"title" === lit(searchTitle))
       .select($"actors".as("probe_actors"))
+      .limit(1)
     movies
       .filter($"title" =!= lit(searchTitle)) // P3: exclude searched movie
       .join(broadcast(probe))                // J1+J2: broadcast 1-row build side
@@ -75,9 +85,13 @@ object ReferenceQueries {
     * per (partition, co-actor), exactly the reference's per-partition
     * counts map (`Code/mapReduce.erl:86-90`).
     */
-  def actorCoactors(spark: SparkSession, sfDir: String, actor: String): DataFrame = {
+  def actorCoactors(spark: SparkSession, sfDir: String, actor: String): DataFrame =
+    actorCoactorsOn(Tables.movies(spark, sfDir), actor)
+
+  def actorCoactorsOn(movies: DataFrame, actor: String): DataFrame = {
+    val spark = movies.sparkSession
     import spark.implicits._
-    Tables.movies(spark, sfDir)
+    movies
       .filter(array_contains($"actors", lit(actor)))      // P4/J4: semi-join on 1-row set
       .select(explode($"actors").as("name"))              // UDTF-shaped flatten
       .filter($"name" =!= lit(actor))                     // P5: drop the searched actor

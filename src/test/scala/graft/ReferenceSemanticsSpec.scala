@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.ReferenceQueries
+import org.apache.spark.sql.DataFrame
+
+/** Pins the reference's query semantics on the golden `movies_tiny`
+  * fixture (FIXTURES.md §1): level bucketing, self-exclusion,
+  * missing-key emptiness, cap-at-4 with raw count preserved,
+  * duplicate-title probe collapse.
+  */
+class ReferenceSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tiny: DataFrame = Seq(
+    ("1", "M1", Seq("A", "B", "C", "D", "E")),
+    ("2", "M2", Seq("A", "B", "C", "D", "X")),
+    ("3", "M3", Seq("A", "B", "C", "Y", "Z")),
+    ("4", "M4", Seq("A", "B", "P", "Q", "R")),
+    ("5", "M5", Seq("A", "S", "T", "U", "V")),
+    ("6", "M6", Seq("W", "S", "T", "U", "V"))
+  ).toDF("id", "title", "actors")
+
+  test("title query: levels = min(overlap,4), zero-overlap dropped, self excluded") {
+    val got = ReferenceQueries.titleLevelsOn(tiny, "M1")
+      .select("name", "cnt", "level").as[(String, Long, Long)].collect().toList
+    // Expected per FIXTURES.md: M2→4 common→level4, M3→3, M4→2, M5→1, M6 dropped
+    assert(got == List(("M5", 1L, 1L), ("M4", 2L, 2L), ("M3", 3L, 3L), ("M2", 4L, 4L)))
+    assert(!got.exists(_._1 == "M1"), "searched movie must be excluded (mapReduce.erl:49)")
+    assert(!got.exists(_._1 == "M6"), "overlap 0 is dropped, not level 0")
+  }
+
+  test("title query: overlap 5+ still caps at level 4 but keeps raw cnt") {
+    val withClone = tiny.union(Seq(("7", "M7", Seq("A", "B", "C", "D", "E"))).toDF)
+    val row = ReferenceQueries.titleLevelsOn(withClone, "M1")
+      .filter($"name" === "M7").select("cnt", "level").as[(Long, Long)].head()
+    assert(row == ((5L, 4L)), "level caps at 4 (mapReduce.erl:52-53); raw count preserved")
+  }
+
+  test("title query: missing title ⇒ empty result (master.erl:148-154)") {
+    assert(ReferenceQueries.titleLevelsOn(tiny, "NoSuchMovie").count() == 0)
+  }
+
+  test("title query: duplicate titles collapse to a single probe (ETS set semantics)") {
+    val dup = tiny.union(Seq(("9", "M1", Seq("Z", "Q"))).toDF)
+    val got = ReferenceQueries.titleLevelsOn(dup, "M1")
+    // one probe row only: each candidate movie appears at most once
+    val names = got.select("name").as[String].collect()
+    assert(names.distinct.length == names.length,
+      "duplicate probe rows must not fan out candidates")
+  }
+
+  test("actor query: per-coactor global count, capped level, self excluded") {
+    val got = ReferenceQueries.actorCoactorsOn(tiny, "A")
+      .select("name", "cnt", "level").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("B") == ((4L, 4L)), "B shares M1-M4 = 4 → level4, raw cnt kept (master.erl:326-329)")
+    assert(got("C") == ((3L, 3L)))
+    assert(got("D") == ((2L, 2L)))
+    for (a <- Seq("E", "X", "Y", "Z", "P", "Q", "R", "S", "T", "U", "V"))
+      assert(got(a) == ((1L, 1L)), s"$a should be level1")
+    assert(!got.contains("A"), "searched actor excluded (mapReduce.erl:84)")
+    assert(!got.contains("W"), "W never co-stars with A")
+    assert(got.size == 14)
+  }
+
+  test("actor query: unknown actor ⇒ empty") {
+    assert(ReferenceQueries.actorCoactorsOn(tiny, "Nobody").count() == 0)
+  }
+
+  test("level histogram groups and sorts members per level") {
+    val hist = ReferenceQueries.levelHistogram(spark, sf, "order-1")
+    val levels = hist.select("level").as[Long].collect()
+    assert(levels.sameElements(levels.sorted))
+  }
+}
