@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.ReferenceQueries
+import graft.operators.{ReferenceQueries, Relational}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,6 +33,29 @@ object SparkEntry {
     "src_parquet_roundtrip" -> ((s, d) => Ingest.parquetRoundTrip(s, d)),
     "src_ingest_limit" -> ((s, d) => Ingest.ingestLimit(s, d)),
     "src_repartition" -> ((s, d) => Ingest.repartitionBalance(s, d)),
+    // — relational capability surface (SURVEY §2.3/§2.5 gaps, §7 phase 3) —
+    "rel_pricing_summary" -> (Relational.pricingSummary _),
+    "rel_join_revenue_segment" -> (Relational.joinRevenueBySegment _),
+    "rel_join_broadcast_nation" -> (Relational.joinBroadcastNation _),
+    "rel_join_left_outer_hist" -> (Relational.joinLeftOuterHistogram _),
+    "rel_join_semi" -> (Relational.joinSemi _),
+    "rel_join_anti" -> (Relational.joinAnti _),
+    "rel_join_full_outer" -> (Relational.joinFullOuter _),
+    "rel_window_top_per_segment" -> (Relational.windowTopPerSegment _),
+    "rel_window_lag_prev_order" -> (Relational.windowLagPrevOrder _),
+    "rel_window_running_sum" -> (Relational.windowRunningSum _),
+    "rel_agg_rollup" -> (Relational.aggRollup _),
+    "rel_agg_cube" -> (Relational.aggCube _),
+    "rel_set_intersect" -> (Relational.setIntersect _),
+    "rel_set_except" -> (Relational.setExcept _),
+    "rel_union_branches" -> (Relational.unionBranches _),
+    "rel_topk_orders" -> ((s, d) => Relational.topKOrders(s, d)),
+    "rel_distinct_pairs" -> (Relational.distinctPairs _),
+    "rel_string_functions" -> (Relational.stringFunctions _),
+    "rel_math_functions" -> (Relational.mathFunctions _),
+    "rel_date_trunc_monthly" -> (Relational.dateTruncMonthly _),
+    "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
+    "rel_events_tumbling_hourly" -> (Relational.eventsTumblingHourly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +69,27 @@ object SparkEntry {
     "src_parquet_roundtrip" -> Ingest.parquetRoundTripSql,
     "src_ingest_limit" -> Ingest.ingestLimitSql(),
     "src_repartition" -> Ingest.repartitionBalanceSql,
+    "rel_pricing_summary" -> Relational.pricingSummarySql,
+    "rel_join_revenue_segment" -> Relational.joinRevenueBySegmentSql,
+    "rel_join_broadcast_nation" -> Relational.joinBroadcastNationSql,
+    "rel_join_left_outer_hist" -> Relational.joinLeftOuterHistogramSql,
+    "rel_join_semi" -> Relational.joinSemiSql,
+    "rel_join_anti" -> Relational.joinAntiSql,
+    "rel_join_full_outer" -> Relational.joinFullOuterSql,
+    "rel_window_top_per_segment" -> Relational.windowTopPerSegmentSql,
+    "rel_window_lag_prev_order" -> Relational.windowLagPrevOrderSql,
+    "rel_window_running_sum" -> Relational.windowRunningSumSql,
+    "rel_agg_rollup" -> Relational.aggRollupSql,
+    "rel_agg_cube" -> Relational.aggCubeSql,
+    "rel_set_intersect" -> Relational.setIntersectSql,
+    "rel_set_except" -> Relational.setExceptSql,
+    "rel_union_branches" -> Relational.unionBranchesSql,
+    "rel_topk_orders" -> Relational.topKOrdersSql(),
+    "rel_distinct_pairs" -> Relational.distinctPairsSql,
+    "rel_string_functions" -> Relational.stringFunctionsSql,
+    "rel_math_functions" -> Relational.mathFunctionsSql,
+    "rel_date_trunc_monthly" -> Relational.dateTruncMonthlySql,
+    "rel_json_extract_events" -> Relational.jsonExtractEventsSql,
+    "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
   )
 }

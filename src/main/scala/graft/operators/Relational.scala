@@ -1,0 +1,468 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Capability queries over the star schema — the relational surface
+  * the reference engine LACKS (SURVEY.md §2.3/§2.5 "not present":
+  * general equi/outer/semi/anti joins, windows, grouping sets, set
+  * ops, top-k, date/JSON functions). Added per §7 phase 3 so a user
+  * of the reference switching to this engine gets the full surface.
+  *
+  * Oracle-parity rules used throughout (driver hash-compares):
+  *  - money math is decimal-before-aggregate (exact, engine-neutral),
+  *    cast to double only at the very end;
+  *  - doubles are only emitted raw when copied unmodified from the
+  *    source (bit-identical in both engines) or derived from exact
+  *    integers/decimals;
+  *  - every window ORDER BY ends in a unique key so ties are
+  *    deterministic;
+  *  - timestamps leave as formatted strings (engine timestamp
+  *    precisions differ: parquet ns vs Spark µs).
+  *
+  * 100 TB notes are on each operator.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary: the canonical partial+final
+    * hash aggregate. At scale: one shuffle of (flag,status) partials —
+    * 6 groups regardless of input size; AQE coalesces the tiny
+    * post-shuffle stage. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** 3-way equi-join customer⋈orders⋈lineitem → revenue by segment.
+    * At scale: orders⋈lineitem is the big shuffle join on orderkey
+    * (co-partitioned if both bucketed by orderkey); customer side
+    * joins on custkey. AQE picks broadcast for the dimension side
+    * when it fits; we don't force it so Catalyst's stats decide. */
+  def joinRevenueBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val joinRevenueBySegmentSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Explicit broadcast-hash join: 25-row nation dim against customer.
+    * The `broadcast()` hint is the J2 pattern at real scale — ships
+    * the dim to every executor, zero shuffle on the fact side. */
+  def joinBroadcastNation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec($"c_acctbal")).cast("double").as("total_bal"))
+      .orderBy($"n_name")
+  }
+
+  val joinBroadcastNationSql: String =
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Left-outer join keeping order-less customers, folded to a
+    * histogram (orders-per-customer → #customers) so output stays
+    * O(groups) at any scale. */
+  def joinLeftOuterHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders")) // count(col) skips nulls → 0 for orderless
+      .groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_orders")
+  }
+
+  val joinLeftOuterHistogramSql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT n_orders, COUNT(*) AS n_customers
+      |FROM per_cust GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  /** Left-semi join: customers having at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"),
+        min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT COUNT(*) AS n_with_orders, MIN(c_custkey) AS min_key,
+      |       MAX(c_custkey) AS max_key
+      |FROM customer WHERE EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full-outer join on the supplier/customer nation sets — covers the
+    * remaining outer-join shape; folded to per-nation presence flags. */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cn = Tables.customer(spark, sfDir)
+      .groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(spark, sfDir)
+      .groupBy($"s_nationkey".as("nk2")).agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, $"nk" === $"nk2", "full_outer")
+      .select(
+        coalesce($"nk", $"nk2").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  val joinFullOuterSql: String =
+    """WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+      |     sn AS (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT CAST(COALESCE(nk, nk2) AS INT) AS nationkey,
+      |       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM cn FULL OUTER JOIN sn ON nk = nk2 ORDER BY nationkey""".stripMargin
+
+  /** Window: rank/row_number — top-3 customers by balance per segment.
+    * ORDER BY ends in the unique custkey so ranks are deterministic.
+    * At scale: one hash-partition shuffle on the window key; the
+    * rank<=3 filter runs inside WindowExec (WindowGroupLimit pushes
+    * the limit into the sort at exec time in Spark 3.5+). */
+  def windowTopPerSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"c_mktsegment", $"rnk".cast("bigint").as("rnk"), $"c_custkey", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"rnk")
+  }
+
+  val windowTopPerSegmentSql: String =
+    """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |              ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** Window: lag — previous order price per customer (first 50
+    * customers keep the output bounded). Doubles pass through
+    * unmodified → bit-identical. */
+  def windowLagPrevOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .filter($"o_custkey" < 50)
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"prev_price")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowLagPrevOrderSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Window: running frame sum (rowsBetween unbounded→current) of
+    * quantity per supplier; decimal accumulation keeps it exact. */
+  def windowRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_suppkey" <= 3)
+      .withColumn("running_qty", sum(dec($"l_quantity")).over(w).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val windowRunningSumSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Grouping sets: ROLLUP over (returnflag, linestatus) with
+    * GROUPING flags distinguishing subtotal rows from data NULLs. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        grouping($"l_returnflag").cast("bigint").as("g_flag"),
+        grouping($"l_linestatus").cast("bigint").as("g_status"))
+      .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+  }
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  /** Grouping sets: CUBE over (orderstatus, orderpriority). */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("bigint").as("g_status"),
+        grouping($"o_orderpriority").cast("bigint").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val aggCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Set op: INTERSECT of key sets (customers that ordered ∩ positive
+    * balance); distinct semantics per ANSI. */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ordered = Tables.orders(spark, sfDir).select($"o_custkey".as("custkey"))
+    val positive = Tables.customer(spark, sfDir)
+      .filter($"c_acctbal" > 0).select($"c_custkey".as("custkey"))
+    ordered.intersect(positive).orderBy($"custkey")
+  }
+
+  val setIntersectSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY custkey""".stripMargin
+
+  /** Set op: EXCEPT — customer keys that never ordered. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir).select($"c_custkey".as("custkey"))
+      .except(Tables.orders(spark, sfDir).select($"o_custkey"))
+      .orderBy($"custkey")
+  }
+
+  val setExceptSql: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin
+
+  /** U1: UNION ALL then distinct aggregation across two branches. */
+  def unionBranches(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hi = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 100000).select($"o_custkey".as("custkey"))
+    val lo = Tables.customer(spark, sfDir)
+      .filter($"c_acctbal" < 0).select($"c_custkey".as("custkey"))
+    hi.union(lo)
+      .agg(count(lit(1)).as("n_all"), count_distinct($"custkey").as("n_distinct"))
+  }
+
+  val unionBranchesSql: String =
+    """WITH u AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+      |  UNION ALL
+      |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |SELECT COUNT(*) AS n_all, COUNT(DISTINCT custkey) AS n_distinct FROM u""".stripMargin
+
+  /** Top-K: global order-by-limit with unique tiebreak; at scale this
+    * is TakeOrderedAndProject (per-partition heap + driver merge of
+    * K), not a full sort. */
+  def topKOrders(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(k)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  def topKOrdersSql(k: Int = 10): String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT $k""".stripMargin
+
+  /** DISTINCT projection (hash-dedup on the pair). */
+  def distinctPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_linestatus").distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val distinctPairsSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Scalar string functions (F-category): upper/substr/length/
+    * concat_ws per brand, exact-integer derived averages. */
+  def stringFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        min(upper($"p_name")).as("min_name_up"),
+        max(substring($"p_type", 1, 5)).as("max_type5"),
+        sum(length($"p_name")).cast("double").as("sum_name_len"))
+      .withColumn("brand_tag", concat_ws("#", lit("brand"), $"p_brand"))
+      .orderBy($"p_brand")
+  }
+
+  val stringFunctionsSql: String =
+    """SELECT p_brand, COUNT(*) AS n, MIN(UPPER(p_name)) AS min_name_up,
+      |  MAX(SUBSTRING(p_type, 1, 5)) AS max_type5,
+      |  CAST(SUM(LENGTH(p_name)) AS DOUBLE) AS sum_name_len,
+      |  'brand' || '#' || p_brand AS brand_tag
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Scalar math functions per-row (no double summation → exact):
+    * abs/floor/ceil/sqrt/mod on a bounded key range. */
+  def mathFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .filter($"p_partkey" < 20)
+      .select(
+        $"p_partkey",
+        abs($"p_retailprice").as("abs_price"),
+        floor($"p_retailprice").cast("bigint").as("floor_price"),
+        ceil($"p_retailprice").cast("bigint").as("ceil_price"),
+        sqrt($"p_size".cast("double")).as("sqrt_size"),
+        ($"p_partkey" % 7).cast("bigint").as("key_mod7"))
+      .orderBy($"p_partkey")
+  }
+
+  val mathFunctionsSql: String =
+    """SELECT p_partkey, ABS(p_retailprice) AS abs_price,
+      |  CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+      |  CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+      |  SQRT(CAST(p_size AS DOUBLE)) AS sqrt_size,
+      |  CAST(p_partkey % 7 AS BIGINT) AS key_mod7
+      |FROM part WHERE p_partkey < 20 ORDER BY p_partkey""".stripMargin
+
+  /** Date functions: orders per month (date_trunc), emitted as DATE. */
+  def dateTruncMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("month_total"))
+      .orderBy($"month")
+  }
+
+  val dateTruncMonthlySql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** JSON extraction from events.props (`{"k": 87}`) via
+    * get_json_object; oracle mirrors with a regexp so the check does
+    * not depend on DuckDB's json extension. */
+  def jsonExtractEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
+      .groupBy(($"k" % 10).as("k_mod10"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"k_mod10")
+  }
+
+  val jsonExtractEventsSql: String =
+    """SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS k_mod10,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k_mod10""".stripMargin
+
+  /** Batch tumbling window over the event stream table — the same
+    * `window()` construct the streaming path uses (§2.7 extension),
+    * verified here in batch where DuckDB can mirror it with
+    * time_bucket. Window bounds leave as strings (ns vs µs parquet
+    * precision). */
+  def eventsTumblingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val eventsTumblingHourlySql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+      |         '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+}

@@ -35,7 +35,15 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame   = table(spark, d, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+    * long (legacy conf) and truncate ns→µs explicitly — the same
+    * truncation Spark applies to µs-representable timestamps. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
