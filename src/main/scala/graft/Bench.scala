@@ -1,18 +1,42 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
+  * and prints one JSON line.
+  *
+  * Bench fidelity (round-1 verdict items):
+  *  - Full materialization via the `noop` sink — `count()` let
+  *    Catalyst prune columns and drop top-level sorts, undercounting
+  *    real query work. The noop write executes the whole physical
+  *    plan (all columns, all sorts) and discards rows executor-side.
+  *  - The movies view is built+cached BEFORE timing, and one untimed
+  *    warm-up pass runs first, so no single query's number carries
+  *    JVM warm-up or another query's cache build.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warm: build + cache the movies view, then one full untimed pass.
+    graft.sources.Tables.movies(spark, sfDir).count()
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -23,8 +23,12 @@ object TextFunctions {
   /** Tokenize a comma-separated cast string into a trimmed array —
     * the reference's `tokenize_actors` (`Code/mapReduce.erl:140-143`),
     * run ONCE at ingest instead of per-query (§4.2 inefficiency).
-    * Empty fragments (trailing commas, ",,") are dropped like
-    * Erlang's `string:tokens` which never yields empty tokens.
+    *
+    * Intentional deviation: the reference uses
+    * `string:split(..., ",", all)` which KEEPS empty fragments, so on
+    * casts with trailing commas / ",," it can count "" as a common
+    * actor. We drop empty fragments — a documented improvement, not
+    * parity (an empty-string actor is always a data bug).
     */
   def tokenizeActors(c: Column): Column =
     filter(transform(split(c, ","), trimU _), x => length(x) > 0)

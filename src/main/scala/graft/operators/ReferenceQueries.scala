@@ -47,16 +47,25 @@ object ReferenceQueries {
   /** Same query over any `(id, title, actors)` DataFrame (spec entry
     * point for the golden fixtures of FIXTURES.md §1). */
   def titleLevelsOn(movies: DataFrame, searchTitle: String): DataFrame = {
+    // P8 input validation — the reference rejects empty search text
+    // GUI-side (`Code/clientGUI.erl:81-84`); here it is an API
+    // precondition of the query builder.
+    require(searchTitle.trim.nonEmpty, "searchTitle must be non-empty")
     val spark = movies.sparkSession
     import spark.implicits._
     // Duplicate titles: the reference's master lookup table is an ETS
     // `set` keyed by title, so the last CSV row wins
-    // (`Code/csv_to_ets.erl:23-24,53`). limit(1) keeps the probe
-    // single-row (which row is unspecified, as is "last" post-shuffle).
+    // (`Code/csv_to_ets.erl:23-24,53`). "Last" is file order, which a
+    // distributed read doesn't define, so the deterministic analogue
+    // is highest-id wins — pinned identically in [[titleLevelsSql]]
+    // so a duplicate-title probe stays oracle-comparable. The sort
+    // runs on a frame already filtered to one title (≈1 row).
     val probe = movies
       .filter($"title" === lit(searchTitle))
-      .select($"actors".as("probe_actors"))
+      .select($"id", $"actors".as("probe_actors"))
+      .orderBy($"id".desc)
       .limit(1)
+      .select($"probe_actors")
     movies
       .filter($"title" =!= lit(searchTitle)) // P3: exclude searched movie
       .join(broadcast(probe))                // J1+J2: broadcast 1-row build side
@@ -69,7 +78,8 @@ object ReferenceQueries {
 
   def titleLevelsSql(searchTitle: String): String =
     s"""WITH movies AS (${Tables.moviesSql}),
-       |probe AS (SELECT actors AS probe_actors FROM movies WHERE title = '$searchTitle')
+       |probe AS (SELECT actors AS probe_actors FROM movies
+       |          WHERE title = '$searchTitle' ORDER BY id DESC LIMIT 1)
        |SELECT m.title AS name,
        |       CAST(len(list_intersect(m.actors, p.probe_actors)) AS BIGINT) AS cnt,
        |       CAST(LEAST(len(list_intersect(m.actors, p.probe_actors)), 4) AS BIGINT) AS level
@@ -89,6 +99,7 @@ object ReferenceQueries {
     actorCoactorsOn(Tables.movies(spark, sfDir), actor)
 
   def actorCoactorsOn(movies: DataFrame, actor: String): DataFrame = {
+    require(actor.trim.nonEmpty, "actor must be non-empty") // P8
     val spark = movies.sparkSession
     import spark.implicits._
     movies

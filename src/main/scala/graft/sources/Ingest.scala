@@ -141,8 +141,16 @@ object Ingest {
       |       CAST(COUNT(*) AS BIGINT) AS n_ids
       |FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey)""".stripMargin
 
-  /** Distinct scratch dir per (sf, kind) so concurrent Verify runs on
-    * different SFs never collide. */
-  private def roundTripDir(sfDir: String, kind: String): String =
-    s"/tmp/graft_roundtrip_${kind}_${math.abs(sfDir.hashCode)}"
+  // Per-JVM token: two concurrent Verify/Bench runs — even on the SAME
+  // sfDir — get disjoint scratch dirs, so one run's overwrite can never
+  // race another's re-read. Stable within a JVM so repeated calls in
+  // one run reuse (overwrite) the same dir instead of leaking a new
+  // one per invocation.
+  private val runToken: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Distinct scratch dir per (run, sf, kind). */
+  private def roundTripDir(sfDir: String, kind: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+    s"$tmp/graft_roundtrip_${runToken}_${kind}_${sfDir.hashCode.toHexString}"
+  }
 }

@@ -40,16 +40,33 @@ object Tables {
     * long (legacy conf) and truncate ns→µs explicitly — the same
     * truncation Spark applies to µs-representable timestamps. */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
+    // Scope the legacy flag to this schema resolution: parquet→catalyst
+    // schema conversion happens eagerly in `spark.read.parquet`, so
+    // restoring the previous value right after keeps the session-wide
+    // conf untouched for later reads in the same session.
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try table(spark, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
   // Cache key includes the session so a stopped session's plans are
-  // never reused by a later one.
+  // never reused by a later one. Entries for stopped sessions are
+  // evicted on access so a long-lived JVM embedding the library does
+  // not leak storage memory / session objects across sessions.
   private val movieCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def evictStopped(): Unit =
+    movieCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) movieCache.remove(k)
+    }
 
   /** Movies view: `(id: bigint, title: string, actors: array<string>)`.
     *
@@ -60,7 +77,8 @@ object Tables {
     * set-wise ops (`array_intersect`, `array_contains`, `size`,
     * `explode`) touch `actors`.
     */
-  def movies(spark: SparkSession, sfDir: String): DataFrame =
+  def movies(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
     movieCache.getOrElseUpdate((spark, sfDir), {
       import spark.implicits._
       lineitem(spark, sfDir)
@@ -71,6 +89,7 @@ object Tables {
         .select($"id", $"title", $"actors")
         .cache()
     })
+  }
 
   /** DuckDB mirror of [[movies]] as a CTE body (FIXTURES.md §3). */
   val moviesSql: String =
