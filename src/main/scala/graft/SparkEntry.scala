@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ReferenceQueries, Relational}
+import graft.operators.{ReferenceQueries, Relational, TextAnalytics}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -56,6 +56,13 @@ object SparkEntry {
     "rel_date_trunc_monthly" -> (Relational.dateTruncMonthly _),
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
     "rel_events_tumbling_hourly" -> (Relational.eventsTumblingHourly _),
+    // — LLM-pipeline: text analysis over documents (round-2 north star) —
+    "llm_text_stats" -> (TextAnalytics.textStats _),
+    "llm_top_terms" -> ((s, d) => TextAnalytics.topTerms(s, d)),
+    "llm_lang_id" -> (TextAnalytics.langId _),
+    "llm_quality_score" -> (TextAnalytics.qualityScore _),
+    "llm_token_count" -> (TextAnalytics.tokenCount _),
+    "llm_fingerprint" -> (TextAnalytics.fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +98,11 @@ object SparkEntry {
     "rel_date_trunc_monthly" -> Relational.dateTruncMonthlySql,
     "rel_json_extract_events" -> Relational.jsonExtractEventsSql,
     "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
+    "llm_text_stats" -> TextAnalytics.textStatsSql,
+    "llm_top_terms" -> TextAnalytics.topTermsSql(),
+    "llm_lang_id" -> TextAnalytics.langIdSql,
+    "llm_quality_score" -> TextAnalytics.qualityScoreSql,
+    "llm_token_count" -> TextAnalytics.tokenCountSql,
+    "llm_fingerprint" -> TextAnalytics.fingerprintSql,
   )
 }

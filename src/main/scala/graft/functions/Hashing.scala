@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-neutral deterministic hashing for dedup / LSH operators.
+  *
+  * The driver differentially checks every query against DuckDB, so any
+  * hash that feeds a checked result must produce IDENTICAL values in
+  * both engines. Spark's `hash`/`xxhash64` and DuckDB's `hash` are
+  * different algorithms; `md5` is the one digest both implement
+  * bit-identically. We take the first 8 hex chars (32 bits) parsed as
+  * an unsigned int — small enough that sums of millions of them stay
+  * inside a BIGINT, large enough for MinHash/LSH discrimination.
+  *
+  * All compositions are codegen'd built-ins (no UDFs); `md5` +
+  * `conv` + `substring` stay inside whole-stage codegen.
+  */
+object Hashing {
+
+  /** 32-bit salted hash of a string column: distinct salts give
+    * independent hash functions (the MinHash "permutation" family). */
+  def md5i32(c: Column, salt: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 8), 16, 10).cast("long")
+
+  /** Same, with the salt itself a column (per-row hash family index —
+    * used when the family is joined in as data, e.g. LSH planes). */
+  def md5i32(c: Column, salt: Column): Column =
+    conv(substring(md5(concat(salt.cast("string"), lit(":"), c)), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[md5i32]] for oracle SQL: `salt` and `expr`
+    * are SQL fragments. */
+  def md5i32Sql(expr: String, salt: String): String =
+    s"('0x' || substr(md5($salt || ':' || $expr), 1, 8))::BIGINT"
+
+  def md5i32Sql(expr: String, salt: Int): String = md5i32Sql(expr, s"'$salt'")
+}

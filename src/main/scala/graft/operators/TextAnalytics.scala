@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.functions.Hashing._
+import graft.functions.TextAnalysis._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface the reference lacks entirely (its
+  * only text op is splitting a cast string on ",",
+  * `Code/mapReduce.erl:140-143`): corpus statistics, top terms,
+  * language ID, quality scoring, token accounting, fingerprinting.
+  *
+  * Scale posture (100 TB): every query is scan → per-row codegen'd
+  * scalar work → one partial+final hash aggregate on a low-cardinality
+  * key (lang / quality bucket / term). No joins, no UDFs, no driver
+  * materialization; `explode`d term streams shrink map-side before the
+  * shuffle. Top-N finishes with TakeOrderedAndProject, not a global
+  * sort.
+  */
+object TextAnalytics {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  // ---------------------------------------------------------------
+  // llm_text_stats — per-language corpus statistics
+  // ---------------------------------------------------------------
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .withColumn("n_tokens", size(tokens($"text")).cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        sum($"n_tokens").cast("long").as("total_tokens"),
+        (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
+        min($"n_chars").cast("long").as("min_chars"),
+        max($"n_chars").cast("long").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  val textStatsSql: String =
+    s"""WITH d AS (SELECT lang, n_chars, len($tokensSql) AS n_tokens FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_top_terms — global top-20 terms
+  // ---------------------------------------------------------------
+
+  /** explode → partial+final count → top-N. The final `orderBy+limit`
+    * compiles to TakeOrderedAndProject (per-partition heap + driver
+    * merge of N rows), not a global sort — the safe top-k shape at
+    * any corpus size. */
+  def topTerms(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term")
+      .limit(k)
+  }
+
+  def topTermsSql(k: Int = 20): String =
+    s"""SELECT term, COUNT(*) AS n
+       |FROM (SELECT unnest($tokensSql) AS term FROM documents)
+       |GROUP BY term ORDER BY n DESC, term LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_lang_id — stopword-marker language ID vs the labeled column
+  // ---------------------------------------------------------------
+
+  /** Confusion matrix of the marker heuristic against the `lang`
+    * label. Scoring is a per-row intersect against literal arrays —
+    * zero joins; honest on this synthetic corpus (word-salad text
+    * mostly scores as English or unknown regardless of label). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dt = array_distinct(tokens($"text"))
+    val s = langMarkers.map { case (l, _) => l -> langScore(dt, l) }.toMap
+    val predicted =
+      when(s("en") === 0 && s("es") === 0 && s("de") === 0 &&
+        s("fr") === 0 && s("zh") === 0, lit("und"))
+        .when(s("en") >= s("es") && s("en") >= s("de") &&
+          s("en") >= s("fr") && s("en") >= s("zh"), lit("en"))
+        .when(s("es") >= s("de") && s("es") >= s("fr") && s("es") >= s("zh"), lit("es"))
+        .when(s("de") >= s("fr") && s("de") >= s("zh"), lit("de"))
+        .when(s("fr") >= s("zh"), lit("fr"))
+        .otherwise(lit("zh"))
+    docs(spark, sfDir)
+      .withColumn("predicted", predicted)
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val langIdSql: String = {
+    val dt = s"list_distinct($tokensSql)"
+    def sc(l: String) = langScoreSql("dt", l)
+    s"""WITH d AS (SELECT lang, $dt AS dt FROM documents),
+       |scored AS (SELECT lang,
+       |  ${sc("en")} AS s_en, ${sc("es")} AS s_es, ${sc("de")} AS s_de,
+       |  ${sc("fr")} AS s_fr, ${sc("zh")} AS s_zh FROM d)
+       |SELECT lang,
+       |  CASE
+       |    WHEN s_en=0 AND s_es=0 AND s_de=0 AND s_fr=0 AND s_zh=0 THEN 'und'
+       |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_fr >= s_zh THEN 'fr'
+       |    ELSE 'zh'
+       |  END AS predicted,
+       |  COUNT(*) AS n_docs
+       |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_quality_score — heuristic quality buckets
+  // ---------------------------------------------------------------
+
+  /** Length / word-shape / stopword-ratio heuristics folded into a
+    * quality bucket, reported as a bucket histogram. All features are
+    * integer-derived so the double ratios are bit-identical across
+    * engines. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nWords   = regexp_count($"text", lit("\\w+")).cast("long")
+    val nPunct   = regexp_count($"text", lit("[.,;:!?]")).cast("long")
+    val wordChars = length(regexp_replace(lower($"text"), "\\W+", "")).cast("long")
+    val stopHits = langScore(array_distinct(tokens($"text")), "en").cast("long")
+    val featured = docs(spark, sfDir)
+      .withColumn("n_words", nWords)
+      .withColumn("n_punct", nPunct)
+      .withColumn("mean_wlen",
+        wordChars.cast("double") / greatest(nWords, lit(1L)))
+      .withColumn("stop_hits", stopHits)
+    val quality =
+      when($"n_words" >= 30 && $"mean_wlen" >= 3.0 && $"mean_wlen" <= 8.0
+        && $"stop_hits" > 0, lit("good"))
+        .when($"n_words" >= 10, lit("fair"))
+        .otherwise(lit("poor"))
+    featured
+      .withColumn("quality", quality)
+      .groupBy($"quality")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum($"n_words").cast("double") / count(lit(1))).as("avg_words"),
+        sum($"n_punct").cast("long").as("total_punct"))
+      .orderBy($"quality")
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH f AS (SELECT
+       |  len(regexp_extract_all(text, '\\w+')) AS n_words,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |  length(regexp_replace(lower(text), '\\W+', '', 'g'))::DOUBLE
+       |    / greatest(len(regexp_extract_all(text, '\\w+')), 1) AS mean_wlen,
+       |  ${langScoreSql(s"list_distinct($tokensSql)", "en")} AS stop_hits
+       |  FROM documents)
+       |SELECT CASE
+       |    WHEN n_words >= 30 AND mean_wlen >= 3.0 AND mean_wlen <= 8.0
+       |         AND stop_hits > 0 THEN 'good'
+       |    WHEN n_words >= 10 THEN 'fair'
+       |    ELSE 'poor' END AS quality,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_words,
+       |  CAST(SUM(n_punct) AS BIGINT) AS total_punct
+       |FROM f GROUP BY 1 ORDER BY quality""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_token_count — per-document token accounting
+  // ---------------------------------------------------------------
+
+  /** Whitespace tokens, word tokens, and a BPE-ish subword count
+    * (greedy ≤4-char word chunks — the standard "chars/4" budget
+    * estimate, computed exactly). Pure per-row codegen; at 100 TB
+    * this is the map side of any token-budget accounting job. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir).select(
+      $"doc_id",
+      regexp_count($"text", lit("\\S+")).cast("long").as("ws_tokens"),
+      regexp_count($"text", lit("\\w+")).cast("long").as("word_tokens"),
+      regexp_count($"text", lit("\\w{1,4}")).cast("long").as("subword_tokens"),
+      $"n_chars".cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS word_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w{1,4}')) AS BIGINT) AS subword_tokens,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_fingerprint — shingle-hash document fingerprints
+  // ---------------------------------------------------------------
+
+  /** Rolling word-3-gram hash fingerprint per document: the min hash
+    * (winnowing-style representative), the exact sum (order-free
+    * checksum; 32-bit values keep any realistic document far inside
+    * BIGINT), and the shingle count. Shingle duplicates are kept so
+    * repeated passages weight the checksum. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .select($"doc_id", md5i32($"sh", 0).as("h"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        min($"h").as("fp_min"),
+        sum($"h").cast("long").as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM t),
+       |h AS (SELECT doc_id, ${md5i32Sql("sh", 0)} AS h FROM sh)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  MIN(h) AS fp_min, CAST(SUM(h) AS BIGINT) AS fp_sum
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}
