@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ReferenceQueries, Relational, TextAnalytics}
+import graft.operators.{Dedup, ReferenceQueries, Relational, TextAnalytics}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -63,6 +63,11 @@ object SparkEntry {
     "llm_quality_score" -> (TextAnalytics.qualityScore _),
     "llm_token_count" -> (TextAnalytics.tokenCount _),
     "llm_fingerprint" -> (TextAnalytics.fingerprint _),
+    // — LLM-pipeline: deduplication over documents —
+    "llm_dedup_exact" -> (Dedup.dedupExact _),
+    "llm_dedup_minhash" -> ((s, d) => Dedup.minHashNearDups(s, d)),
+    "llm_dedup_simhash" -> ((s, d) => Dedup.simHashNearDups(s, d)),
+    "llm_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,5 +109,9 @@ object SparkEntry {
     "llm_quality_score" -> TextAnalytics.qualityScoreSql,
     "llm_token_count" -> TextAnalytics.tokenCountSql,
     "llm_fingerprint" -> TextAnalytics.fingerprintSql,
+    "llm_dedup_exact" -> Dedup.dedupExactSql,
+    "llm_dedup_minhash" -> Dedup.minHashNearDupsSql(),
+    "llm_dedup_simhash" -> Dedup.simHashNearDupsSql(),
+    "llm_dedup_ngram" -> Dedup.ngramJaccardPairsSql(),
   )
 }

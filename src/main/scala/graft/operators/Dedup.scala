@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.functions.Hashing._
+import graft.functions.TextAnalysis._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — exact,
+  * MinHash+LSH near-dup, SimHash, and inverted-index n-gram Jaccard.
+  * The reference has no dedup at all (its ETS `set` keyed by title,
+  * `Code/csv_to_ets.erl:23-24`, collapses duplicate KEYS as a side
+  * effect; it never compares content) — this is the training-data-
+  * pipeline surface built Spark-first.
+  *
+  * Scale posture (100 TB), the part that matters:
+  *  - NO all-pairs comparison anywhere. Candidate pairs come from
+  *    equi-joins on bucket keys — MinHash band signatures, SimHash
+  *    pigeonhole bytes, shared (frequency-capped) shingles — so the
+  *    candidate set is bucket-bounded, not O(n²).
+  *  - Signatures are one explode + one partial+final hash aggregate
+  *    (min/sum over shingle hashes): linear, shuffle on doc_id only.
+  *  - Every hash is the engine-neutral md5-based 32-bit family
+  *    ([[graft.functions.Hashing]]), so the DuckDB oracle can replay
+  *    the IDENTICAL pipeline — candidates and all — making even the
+  *    probabilistic operators differentially checkable.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------
+
+  /** Exact-dedup a frame on a content hash of `key`, keeping the
+    * lowest `idCol` per group (deterministic survivor). One shuffle
+    * on the 128-bit content hash; survivors + group sizes out. */
+  def exactDedupGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(key).as("content_hash"))
+      .agg(min(idCol).as("survivor_id"), count(lit(1)).as("group_size"))
+
+  /** Oracle-checked query: the documents corpus unioned with a
+    * deterministic 10% shifted copy (id + 1,000,000) so the dedup has
+    * real duplicates to collapse; reports the collapse arithmetic. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val dupes = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val groups = exactDedupGroups(base.union(dupes), $"text", $"doc_id")
+    groups.agg(
+      sum($"group_size").cast("long").as("n_in"),
+      count(lit(1)).as("n_out"),
+      sum(when($"group_size" > 1, 1L).otherwise(0L)).cast("long").as("dup_groups"),
+      sum($"group_size" - 1).cast("long").as("rows_removed"),
+      min($"survivor_id").cast("long").as("min_survivor"))
+  }
+
+  val dedupExactSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |), g AS (
+      |  SELECT md5(text) AS content_hash, MIN(doc_id) AS survivor_id,
+      |         COUNT(*) AS group_size
+      |  FROM all_docs GROUP BY md5(text)
+      |)
+      |SELECT CAST(SUM(group_size) AS BIGINT) AS n_in,
+      |       COUNT(*) AS n_out,
+      |       CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+      |       CAST(SUM(group_size - 1) AS BIGINT) AS rows_removed,
+      |       CAST(MIN(survivor_id) AS BIGINT) AS min_survivor
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Shared shingle-set frame
+  // ---------------------------------------------------------------
+
+  /** `(doc_id, shs: array<string>)` — DISTINCT word-3-gram shingles
+    * per document (set semantics for Jaccard). Docs too short to
+    * shingle are dropped on both engines. */
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", array_distinct(shingles(tokens($"text"), 3)).as("shs"))
+      .filter(size($"shs") > 0)
+  }
+
+  private val shingleSetsSql: String =
+    s"""SELECT doc_id, list_distinct(${shingles3Sql("ts")}) AS shs
+       |FROM (SELECT doc_id, $tokensSql AS ts FROM documents)
+       |WHERE len(ts) >= 3""".stripMargin
+
+  /** Exact Jaccard of two shingle-array columns (int division →
+    * bit-identical double on both engines). */
+  private def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    inter.cast("double") / (size(sa) + size(sb) - inter)
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + banded LSH near-dup
+  // ---------------------------------------------------------------
+
+  val MinHashFns = 16 // 4 bands × 4 rows
+  val Bands = 4
+  val RowsPerBand: Int = MinHashFns / Bands
+
+  /** MinHash signatures: one explode, one aggregate — `numHashes`
+    * min-columns over the salted hash family. Linear in corpus size;
+    * the shuffle key is doc_id. */
+  def minHashSignatures(shingleSets: DataFrame, numHashes: Int = MinHashFns): DataFrame = {
+    val spark = shingleSets.sparkSession
+    import spark.implicits._
+    val exploded = shingleSets.select($"doc_id", explode($"shs").as("sh"))
+    val mins = (0 until numHashes).map(i => min(md5i32($"sh", i)).as(s"h$i"))
+    exploded.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** `(doc_id, band, bsig)` — signature split into `bands` band keys.
+    * Same-bucket docs are near-dup CANDIDATES; everything else is
+    * never compared (the not-all-pairs guarantee). */
+  def bandedBuckets(sig: DataFrame, bands: Int = Bands, rows: Int = RowsPerBand): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    (0 until bands).map { b =>
+      val cols = (0 until rows).map(j => col(s"h${b * rows + j}").cast("string"))
+      sig.select($"doc_id", lit(b).as("band"), concat_ws("-", cols: _*).as("bsig"))
+    }.reduce(_ union _)
+  }
+
+  /** Verified near-duplicate pairs: banded-bucket candidates,
+    * then exact Jaccard ≥ `threshold` over the shingle sets.
+    * The self-join is an equi-join on (band, bsig) — shuffle-bounded
+    * by bucket sizes, O(n²) only within a bucket (near-identical docs
+    * by construction). */
+  def minHashNearDups(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val sets = shingleSets(spark, sfDir).cache()
+    val buckets = bandedBuckets(minHashSignatures(sets))
+    val cand = buckets.as("ba")
+      .join(buckets.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bsig") === col("bb.bsig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sets.select($"doc_id".as("a"), $"shs".as("sa")), "a")
+      .join(sets.select($"doc_id".as("b"), $"shs".as("sb")), "b")
+      .withColumn("jaccard", jaccard($"sa", $"sb"))
+      .filter($"jaccard" >= threshold)
+      .select($"a".cast("long").as("doc_a"), $"b".cast("long").as("doc_b"), $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def minHashNearDupsSql(threshold: Double = 0.8): String = {
+    val hashes = (0 until MinHashFns)
+      .map(i => s"MIN(${md5i32Sql("sh", i)}) AS h$i").mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { b =>
+      val sigExpr = (0 until RowsPerBand)
+        .map(j => s"h${b * RowsPerBand + j}::VARCHAR").mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sets AS ($shingleSetsSql),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+       |sig AS (SELECT doc_id,
+       |  $hashes
+       |  FROM e GROUP BY doc_id),
+       |buckets AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+       |  FROM buckets ba JOIN buckets bb
+       |    ON ba.band = bb.band AND ba.bsig = bb.bsig AND ba.doc_id < bb.doc_id
+       |), verified AS (
+       |  SELECT c.a, c.b,
+       |    len(list_intersect(sa.shs, sb.shs))::DOUBLE
+       |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.a
+       |  JOIN sets sb ON sb.doc_id = c.b
+       |)
+       |SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b, jaccard
+       |FROM verified WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // SimHash near-dup (pigeonhole-banded Hamming join)
+  // ---------------------------------------------------------------
+
+  /** 32-bit SimHash per doc: bit j is the sign of Σ±1 over shingle
+    * hashes' bit j. One explode + one aggregate (32 sums), then a
+    * pure projection — linear. */
+  def simHashSignatures(shingleSets: DataFrame): DataFrame = {
+    val spark = shingleSets.sparkSession
+    import spark.implicits._
+    val e = shingleSets
+      .select($"doc_id", explode($"shs").as("sh"))
+      .select($"doc_id", md5i32($"sh", 99).as("h"))
+    val bitSums = (0 until 32).map(j =>
+      sum(shiftright($"h", j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    val simhash = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    e.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`,
+    * found via the pigeonhole principle: split the 32-bit signature
+    * into 4 bytes; any pair within Hamming 3 must agree on ≥1 whole
+    * byte, so candidates come from equi-joins on (byte_idx, byte) —
+    * never all pairs. */
+  def simHashNearDups(spark: SparkSession, sfDir: String,
+                      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sig = simHashSignatures(shingleSets(spark, sfDir))
+    val bytes = (0 until 4).map { k =>
+      sig.select($"doc_id", $"simhash", lit(k).as("k"),
+        shiftright($"simhash", k * 8).bitwiseAND(lit(255L)).as("byte"))
+    }.reduce(_ union _)
+    bytes.as("xa")
+      .join(bytes.as("xb"),
+        col("xa.k") === col("xb.k") && col("xa.byte") === col("xb.byte") &&
+          col("xa.doc_id") < col("xb.doc_id"))
+      .select(col("xa.doc_id").as("doc_a"), col("xb.doc_id").as("doc_b"),
+        col("xa.simhash").as("sim_a"), col("xb.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a".cast("long"), $"doc_b".cast("long"), $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def simHashNearDupsSql(maxHamming: Int = 3): String = {
+    val bitSums = (0 until 32)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n  ")
+    val simhash = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sets AS ($shingleSetsSql),
+       |h AS (SELECT doc_id, ${md5i32Sql("sh", 99)} AS h
+       |      FROM (SELECT doc_id, unnest(shs) AS sh FROM sets)),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $simhash AS simhash FROM bits),
+       |bytes AS (
+       |  SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS byte
+       |  FROM sig, range(4) t(k)
+       |), cand AS (
+       |  SELECT DISTINCT xa.doc_id AS doc_a, xb.doc_id AS doc_b,
+       |         xa.simhash AS sim_a, xb.simhash AS sim_b
+       |  FROM bytes xa JOIN bytes xb
+       |    ON xa.k = xb.k AND xa.byte = xb.byte AND xa.doc_id < xb.doc_id
+       |)
+       |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       |       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Inverted-index n-gram Jaccard near-dup
+  // ---------------------------------------------------------------
+
+  /** Exact n-gram Jaccard via inverted index: candidates are pairs
+    * sharing ≥1 shingle (equi-join on the shingle), with a document-
+    * frequency cap dropping ubiquitous shingles — the standard
+    * anti-skew guard that bounds the per-shingle join fan-out at
+    * cap². Jaccard is computed over the CAPPED shingle sets (the cap
+    * is part of the operator's contract, mirrored in the oracle). */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+                        threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = shingleSets(spark, sfDir).select($"doc_id", explode($"shs").as("sh"))
+    val capped = e.join(
+      e.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= dfCap).select($"sh"),
+      "sh")
+    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = capped.select($"doc_id".as("a"), $"sh")
+      .join(capped.select($"doc_id".as("b"), $"sh"), "sh")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("a"), $"sz".as("sza")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"sz".as("szb")), "b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"sza" + $"szb" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"a".cast("long").as("doc_a"), $"b".cast("long").as("doc_b"), $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def ngramJaccardPairsSql(threshold: Double = 0.5, dfCap: Int = 50): String =
+    s"""WITH sets AS ($shingleSetsSql),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+       |capped AS (
+       |  SELECT e.doc_id, e.sh FROM e
+       |  JOIN (SELECT sh FROM e GROUP BY sh HAVING COUNT(*) <= $dfCap) ok
+       |    ON e.sh = ok.sh
+       |), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+       |inter AS (
+       |  SELECT ca.doc_id AS a, cb.doc_id AS b, COUNT(*) AS inter
+       |  FROM capped ca JOIN capped cb ON ca.sh = cb.sh AND ca.doc_id < cb.doc_id
+       |  GROUP BY ca.doc_id, cb.doc_id
+       |)
+       |SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b,
+       |       inter::DOUBLE / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  test("exactDedupGroups keeps min-id survivor and counts group sizes") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactDedupGroups(df, $"text", $"doc_id")
+      .orderBy($"survivor_id").collect()
+    assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs (100% recall here)") {
+    import spark.implicits._
+    // Brute force ground truth at test scale ONLY (the operator never
+    // does this): all-pairs shingle Jaccard >= 0.8.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sets = docs.select($"doc_id",
+      array_distinct(graft.functions.TextAnalysis.shingles(
+        graft.functions.TextAnalysis.tokens($"text"), 3)).as("shs"))
+      .filter(size($"shs") > 0)
+    val brute = sets.select($"doc_id".as("a"), $"shs".as("sa"))
+      .crossJoin(sets.select($"doc_id".as("b"), $"shs".as("sb")))
+      .filter($"a" < $"b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")))
+      .withColumn("j", $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
+      .filter($"j" >= 0.8)
+      .select($"a", $"b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+    assert(lsh.nonEmpty) // the fixture plants near-dups; empty would mean a broken pipeline
+  }
+
+  test("candidate generation is bucket-bounded, not all-pairs") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    val sets = docs.select($"doc_id",
+      array_distinct(graft.functions.TextAnalysis.shingles(
+        graft.functions.TextAnalysis.tokens($"text"), 3)).as("shs"))
+      .filter(size($"shs") > 0)
+    val buckets = Dedup.bandedBuckets(Dedup.minHashSignatures(sets))
+    val nCandidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    // all-pairs would be n*(n-1)/2; buckets must cut that by >10x
+    assert(nCandidates * 10 < n * (n - 1) / 2,
+      s"candidates $nCandidates not bucket-bounded vs n=$n")
+  }
+
+  test("simhash approximates the verified near-dup set (bounded errors)") {
+    import spark.implicits._
+    val sim = Dedup.simHashNearDups(spark, sf)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.5)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash is a signature-distance heuristic, not a verified
+    // operator (that's MinHash+verify): on the planted ~0.98-jaccard
+    // pairs it must recover most pairs with few spurious ones.
+    val recall = sim.intersect(verified).size.toDouble / verified.size
+    assert(recall >= 0.7, s"simhash recall $recall too low")
+    assert(sim.diff(verified).size <= 2,
+      s"simhash false positives: ${sim.diff(verified)}")
+  }
+}
