@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, ReferenceQueries, Relational, TextAnalytics}
+import graft.operators.{Dedup, ReferenceQueries, Relational, Similarity, TextAnalytics}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -68,6 +68,10 @@ object SparkEntry {
     "llm_dedup_minhash" -> ((s, d) => Dedup.minHashNearDups(s, d)),
     "llm_dedup_simhash" -> ((s, d) => Dedup.simHashNearDups(s, d)),
     "llm_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // — LLM-pipeline: similarity search over embeddings —
+    "llm_knn_exact" -> ((s, d) => Similarity.knnExact(s, d)),
+    "llm_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
+    "llm_embed_neardup" -> ((s, d) => Similarity.embedNearDups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +117,8 @@ object SparkEntry {
     "llm_dedup_minhash" -> Dedup.minHashNearDupsSql(),
     "llm_dedup_simhash" -> Dedup.simHashNearDupsSql(),
     "llm_dedup_ngram" -> Dedup.ngramJaccardPairsSql(),
+    "llm_knn_exact" -> Similarity.knnExactSql(),
+    "llm_knn_lsh" -> Similarity.knnLshSql(),
+    "llm_embed_neardup" -> Similarity.embedNearDupsSql(),
   )
 }

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`): brute-force cosine top-k as
+  * the exact baseline, and random-hyperplane LSH for the bucketed
+  * scale path. The reference has nothing vector-shaped; this is the
+  * training-data-pipeline extension surface.
+  *
+  * Scale posture (100 TB):
+  *  - Exact top-k: probes are broadcast (small side), the corpus is
+  *    scanned once, and ranking is a per-probe bounded heap
+  *    (`row_number <= k` over a window keyed by probe) — linear in
+  *    corpus size, never corpus×corpus.
+  *  - LSH: signatures are per-row scalar work (no join, no shuffle);
+  *    candidates come from equi-joins on (band, bucket) keys, so the
+  *    compared set is bucket-bounded. Banding (4 bands × 4 planes)
+  *    trades recall versus bucket size exactly like MinHash banding.
+  *  - Cosines are computed in DOUBLE after an explicit element cast
+  *    (`zip_with` + sequential `aggregate` fold — deterministic
+  *    summation order), emitted rounded to 6 decimals so both engines
+  *    hash identically; ranks tie-break on `vec_id`.
+  *
+  * The LSH hyperplane weights are derived from the engine-neutral md5
+  * family (`w(p,d) = md5_32("p:d") % 2001 - 1000`) in the JVM and
+  * inlined as literals into BOTH the Spark plan and the oracle SQL —
+  * the differential check then covers the dot/sign/bucket/rank
+  * pipeline with a shared, reproducible plane family.
+  */
+object Similarity {
+
+  // -- engine-neutral double-precision cosine ----------------------
+
+  private def vd(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Cosine over pre-cast double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // -- LSH plane family (JVM-side md5, mirrored into oracle SQL) ---
+
+  val NumPlanes = 16
+  val PlaneBands = 4
+  val PlanesPerBand: Int = NumPlanes / PlaneBands
+  val Dims = 64
+
+  /** w(p,d) ∈ [-1000, 1000] from the md5_32 family — identical to
+    * what `Hashing.md5i32(lit(s"$p:$d"), …)` would compute in-plan. */
+  private[graft] def planeWeight(p: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % 2001L - 1000L
+  }
+
+  private def planeArray(p: Int): Column =
+    array((0 until Dims).map(d => lit(planeWeight(p, d).toDouble)): _*)
+
+  private def planeSqlList(p: Int): String =
+    (0 until Dims).map(d => s"${planeWeight(p, d)}.0").mkString("[", ", ", "]")
+
+  /** Per-row LSH signature bits and per-band bucket keys.
+    * `bucket_b = Σ_j bit(b*r+j) << j` — a pure projection, no shuffle. */
+  def withLshBuckets(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bits = (0 until NumPlanes).map(p => (dot($"v", planeArray(p)) >= 0).cast("long"))
+    val withBands = (0 until PlaneBands).foldLeft(e) { (df, b) =>
+      val key = (0 until PlanesPerBand)
+        .map(j => bits(b * PlanesPerBand + j) * (1L << j))
+        .reduce(_ + _)
+      df.withColumn(s"bucket$b", key)
+    }
+    withBands
+  }
+
+  private def embDouble(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir).select($"vec_id", vd($"embedding").as("v"))
+  }
+
+  // ---------------------------------------------------------------
+  // llm_knn_exact — brute-force cosine top-k (the exact baseline)
+  // ---------------------------------------------------------------
+
+  def knnExact(spark: SparkSession, sfDir: String,
+               numProbes: Int = 5, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, sfDir)
+    val probes = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val ranked = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cosine", round(cosine($"v", $"pv"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" <= k)
+    ranked.select($"probe_id", $"rank".cast("long").as("rank"),
+      $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  def knnExactSql(numProbes: Int = 5, k: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
+       |scored AS (
+       |  SELECT probe_id, vec_id, round(list_cosine_similarity(v, pv), 6) AS cosine
+       |  FROM e, probes WHERE vec_id <> probe_id
+       |), ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_knn_lsh — bucketed approximate top-k
+  // ---------------------------------------------------------------
+
+  /** Approximate top-k: only candidates sharing ≥1 LSH band bucket
+    * with the probe are scored. At scale the scan-side never
+    * materializes corpus×probes — candidates per probe are bounded by
+    * bucket occupancy. */
+  def knnLsh(spark: SparkSession, sfDir: String,
+             numProbes: Int = 20, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = withLshBuckets(embDouble(spark, sfDir))
+    // band-keyed long form: (vec_id, v, band, bucket)
+    val banded = (0 until PlaneBands).map { b =>
+      e.select($"vec_id", $"v", lit(b).as("band"), col(s"bucket$b").as("bucket"))
+    }.reduce(_ union _)
+    val probes = banded.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"band", $"bucket")
+    val cand = banded.join(probes, Seq("band", "bucket"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"pv", $"vec_id", $"v")
+      .distinct() // a pair may collide in several bands
+    cand
+      .withColumn("cosine", round(cosine($"v", $"pv"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  private def bucketExprSql(b: Int): String =
+    (0 until PlanesPerBand).map { j =>
+      val p = b * PlanesPerBand + j
+      s"(CASE WHEN list_dot_product(v, ${planeSqlList(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def knnLshSql(numProbes: Int = 20, k: Int = 5): String = {
+    val bandSelects = (0 until PlaneBands).map { b =>
+      s"SELECT vec_id, v, $b AS band, ${bucketExprSql(b)} AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS ($bandSelects),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, band, bucket
+       |           FROM banded WHERE vec_id < $numProbes),
+       |cand AS (
+       |  SELECT DISTINCT c.probe_id, c.pv, b.vec_id, b.v
+       |  FROM banded b JOIN (SELECT * FROM probes) c
+       |    ON b.band = c.band AND b.bucket = c.bucket AND b.vec_id <> c.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, vec_id,
+       |         round(list_cosine_similarity(v, pv), 6) AS cosine,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY round(list_cosine_similarity(v, pv), 6) DESC, vec_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_embed_neardup — embedding-cosine near-duplicate pairs
+  // ---------------------------------------------------------------
+
+  /** All pairs with cosine ≥ `threshold`, candidates from shared LSH
+    * band buckets (a < b). The embedding-space sibling of MinHash
+    * near-dedup: same banded-bucket candidate structure, cosine
+    * instead of Jaccard as the verifier. */
+  def embedNearDups(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val e = withLshBuckets(embDouble(spark, sfDir))
+    val banded = (0 until PlaneBands).map { b =>
+      e.select($"vec_id", $"v", lit(b).as("band"), col(s"bucket$b").as("bucket"))
+    }.reduce(_ union _)
+    val cand = banded.as("ea")
+      .join(banded.as("eb"),
+        col("ea.band") === col("eb.band") && col("ea.bucket") === col("eb.bucket") &&
+          col("ea.vec_id") < col("eb.vec_id"))
+      .select(col("ea.vec_id").as("a"), col("ea.v").as("va"),
+        col("eb.vec_id").as("b"), col("eb.v").as("vb"))
+      .distinct()
+    cand
+      .withColumn("cosine", round(cosine($"va", $"vb"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def embedNearDupsSql(threshold: Double = 0.4): String = {
+    val bandSelects = (0 until PlaneBands).map { b =>
+      s"SELECT vec_id, v, $b AS band, ${bucketExprSql(b)} AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT ea.vec_id AS a, ea.v AS va, eb.vec_id AS b, eb.v AS vb
+       |  FROM banded ea JOIN banded eb
+       |    ON ea.band = eb.band AND ea.bucket = eb.bucket AND ea.vec_id < eb.vec_id
+       |)
+       |SELECT a AS vec_a, b AS vec_b, round(list_cosine_similarity(va, vb), 6) AS cosine
+       |FROM cand WHERE round(list_cosine_similarity(va, vb), 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+}

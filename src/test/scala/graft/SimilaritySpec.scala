@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  test("cosine matches a hand-computed value and is 1.0 on itself") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 1.0, 2.0))).toDF("a", "b")
+    val Array(cos, self) = df.select(
+      Similarity.cosine($"a", $"b"),
+      Similarity.cosine($"a", $"a")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(cos - 8.0 / 9.0) < 1e-12) // (2+2+4)/(3*3)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("plane weights are md5-derived and bounded") {
+    val w = for (p <- 0 until Similarity.NumPlanes; d <- 0 until Similarity.Dims)
+      yield Similarity.planeWeight(p, d)
+    assert(w.forall(x => x >= -1000 && x <= 1000))
+    assert(w.distinct.size > 100) // not degenerate
+  }
+
+  test("LSH top-k achieves reasonable recall vs exact top-k") {
+    import spark.implicits._
+    val k = 5
+    val exact = Similarity.knnExact(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    // Random 64-dim data is the adversarial case for LSH; the banded
+    // buckets must still recover a meaningful fraction of true
+    // neighbors while comparing far fewer candidates than brute force.
+    assert(recall >= 0.2, s"LSH recall $recall vs exact top-$k")
+  }
+
+  test("LSH candidate set is bucket-bounded (far below corpus x probes)") {
+    import spark.implicits._
+    val e = Similarity.withLshBuckets(
+      graft.sources.Tables.embeddings(spark, sf)
+        .select($"vec_id", transform($"embedding", _.cast("double")).as("v")))
+    val n = e.count()
+    val banded = (0 until Similarity.PlaneBands).map { b =>
+      e.select($"vec_id", lit(b).as("band"), col(s"bucket$b").as("bucket"))
+    }.reduce(_ union _)
+    val probes = banded.filter($"vec_id" < 20)
+      .select($"vec_id".as("probe_id"), $"band", $"bucket")
+    val nCand = banded.join(probes, Seq("band", "bucket"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id").distinct().count()
+    assert(nCand * 2 < n * 20, s"candidates $nCand not bounded vs ${n * 20} brute")
+  }
+}
