@@ -56,6 +56,8 @@ object SparkEntry {
     "rel_date_trunc_monthly" -> (Relational.dateTruncMonthly _),
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
     "rel_events_tumbling_hourly" -> (Relational.eventsTumblingHourly _),
+    "rel_events_sliding" -> (graft.streaming.EventStreams.eventsSliding _),
+    "rel_events_session" -> (graft.streaming.EventStreams.eventsSession _),
     // — LLM-pipeline: text analysis over documents (round-2 north star) —
     "llm_text_stats" -> (TextAnalytics.textStats _),
     "llm_top_terms" -> ((s, d) => TextAnalytics.topTerms(s, d)),
@@ -107,6 +109,8 @@ object SparkEntry {
     "rel_date_trunc_monthly" -> Relational.dateTruncMonthlySql,
     "rel_json_extract_events" -> Relational.jsonExtractEventsSql,
     "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
+    "rel_events_sliding" -> graft.streaming.EventStreams.eventsSlidingSql,
+    "rel_events_session" -> graft.streaming.EventStreams.eventsSessionSql,
     "llm_text_stats" -> TextAnalytics.textStatsSql,
     "llm_top_terms" -> TextAnalytics.topTermsSql(),
     "llm_lang_id" -> TextAnalytics.langIdSql,

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table — the
+  * streaming extension the reference lacks entirely (SURVEY.md §2.7:
+  * no streams anywhere in the Erlang system).
+  *
+  * Design: each windowed aggregation is ONE transform function over a
+  * DataFrame, applied unchanged to a batch frame (oracle-checkable by
+  * DuckDB) and to a streaming frame behind `withWatermark` (checked by
+  * the stream-equals-batch spec). That equivalence is Spark's own
+  * contract for windowed aggregates — the batch twin IS the
+  * correctness oracle for the stream.
+  *
+  * Scale posture: streaming aggregation state is keyed by
+  * (window, key) — bounded by watermark eviction; tumbling/sliding
+  * windows shuffle once on the window key, session windows shuffle on
+  * `user_id` then merge per-key sorted runs. No per-event driver work.
+  */
+object EventStreams {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events parquet directory.
+    * The driver's events.parquet stores TIMESTAMP(NANOS), which the
+    * streaming parquet reader also needs the legacy conf for; the
+    * stream keeps the ns→µs truncation of [[Tables.events]]. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = StructType(eventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // -- shared transforms (batch twin == streaming body) ------------
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingHourly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  /** Sliding 1-hour windows every 15 minutes per event type: each
+    * event lands in exactly 4 overlapping windows. */
+  def slidingHourly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  /** 30-minute-gap session windows per user (a new session starts
+    * when the gap since the previous event is >= 30 min —
+    * `session_window`'s contract). ONE stateful aggregation, so it is
+    * directly runnable as a watermarked stream. */
+  def sessionCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("session_events"))
+  }
+
+  /** Per-user session statistics — the stateless rollup of
+    * [[sessionCounts]] (in streaming this second aggregate would be a
+    * second stateful operator; keep it batch-side or in the sink). */
+  def sessionStatsPerUser(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    sessionCounts(events)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"session_events").cast("long").as("n_events"),
+        max($"session_events").cast("long").as("max_session_events"))
+  }
+
+  // -- batch twins (oracle-checked) --------------------------------
+
+  def eventsSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    slidingHourly(Tables.events(spark, sfDir))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** DuckDB mirror: each event belongs to the 4 slide-aligned windows
+    * starting at time_bucket(15min, ts) - k·15min, k ∈ 0..3. */
+  val eventsSlidingSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+      |                  - k * INTERVAL 15 MINUTE,
+      |                '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events, range(4) t(k)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def eventsSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionStatsPerUser(Tables.events(spark, sfDir))
+      .orderBy($"user_id")
+  }
+
+  /** DuckDB mirror via gaps-and-islands: session boundary when the
+    * in-user gap is >= 30 minutes (matches session_window: an event
+    * at exactly previous_ts + gap starts a NEW session). */
+  val eventsSessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |), per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS session_events
+      |  FROM sessions GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(session_events) AS BIGINT) AS n_events,
+      |  CAST(MAX(session_events) AS BIGINT) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+}

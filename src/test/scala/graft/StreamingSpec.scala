@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-vs-batch equivalence: the same transform body run over a
+  * watermarked stream must converge to the batch answer once all data
+  * is processed — Spark's contract for windowed aggregations, and our
+  * oracle for the streaming path (DuckDB can't run streams).
+  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def eventRows(limit: Int): Seq[Ev] = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id").limit(limit)
+      .as[Ev].collect().toSeq
+  }
+
+  private def runStream(rows: Seq[Ev], name: String)
+                       (transform: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two batches so the watermark actually advances mid-stream
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val q = transform(mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+
+  test("tumbling hourly: stream == batch") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    val batch = EventStreams.tumblingHourly(rows.toDF())
+    val stream = runStream(rows, "s_tumbling")(EventStreams.tumblingHourly)
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("sliding 1h/15min: stream == batch") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    val batch = EventStreams.slidingHourly(rows.toDF())
+    val stream = runStream(rows, "s_sliding")(EventStreams.slidingHourly)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("session windows per user: stream == batch") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    val batch = EventStreams.sessionCounts(rows.toDF())
+    val stream = runStream(rows, "s_session")(EventStreams.sessionCounts)
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("file-based events stream source reads the real parquet") {
+    import spark.implicits._
+    // file-stream sources need a directory; stage the single parquet
+    // file into a scratch dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStreams.readEventsStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = EventStreams.tumblingHourly(stream.withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("s_file").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s_file")
+    val want = EventStreams.tumblingHourly(graft.sources.Tables.events(spark, sf))
+    assert(canon(got) == canon(want))
+  }
+}
