@@ -28,6 +28,8 @@ object SparkEntry {
     "ref_title_missing" -> ((s, d) => ReferenceQueries.titleLevels(s, d, "order-no-such")),
     "ref_actor_coactors" -> ((s, d) => ReferenceQueries.actorCoactors(s, d, "7")),
     "ref_level_histogram" -> ((s, d) => ReferenceQueries.levelHistogram(s, d, "order-1")),
+    "ref_title_levels_bucketed" -> ((s, d) => ReferenceQueries.titleLevelsBucketed(s, d, "order-1")),
+    "ref_title_dup_probe" -> (ReferenceQueries.titleDupProbe _),
     // — sources / sinks / ETL (SURVEY §2.1, §3.3) —
     "src_csv_roundtrip" -> ((s, d) => Ingest.csvRoundTrip(s, d)),
     "src_parquet_roundtrip" -> ((s, d) => Ingest.parquetRoundTrip(s, d)),
@@ -83,6 +85,8 @@ object SparkEntry {
     "ref_title_missing" -> ReferenceQueries.titleLevelsSql("order-no-such"),
     "ref_actor_coactors" -> ReferenceQueries.actorCoactorsSql("7"),
     "ref_level_histogram" -> ReferenceQueries.levelHistogramSql("order-1"),
+    "ref_title_levels_bucketed" -> ReferenceQueries.titleLevelsSql("order-1"),
+    "ref_title_dup_probe" -> ReferenceQueries.titleDupProbeSql,
     "src_csv_roundtrip" -> Ingest.csvRoundTripSql,
     "src_parquet_roundtrip" -> Ingest.parquetRoundTripSql,
     "src_ingest_limit" -> Ingest.ingestLimitSql(),

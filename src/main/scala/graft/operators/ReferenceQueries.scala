@@ -76,8 +76,47 @@ object ReferenceQueries {
       .orderBy($"level", $"name")                             // O1
   }
 
+  /** Title query routed through the bucketed materialized view
+    * ([[Tables.moviesBucketed]]) — identical semantics, but the probe
+    * lookup is a bucket-pruned point read (1 of 16 buckets) instead
+    * of a full view scan: the plan every title probe should have at
+    * real scale. Same oracle as [[titleLevels]]. */
+  def titleLevelsBucketed(spark: SparkSession, sfDir: String, searchTitle: String): DataFrame =
+    titleLevelsOn(Tables.moviesBucketed(spark, sfDir), searchTitle)
+
+  /** Duplicate-title probe semantics pinned by an oracle query: the
+    * reference's ETS `set` keyed by title keeps one row per title,
+    * last insert wins (`Code/csv_to_ets.erl:23-24,53`); our
+    * deterministic analogue is highest-id wins. Runs on a literal
+    * frame (sfDir unused) so the duplicate actually exists. */
+  def titleDupProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val movies = Seq(
+      (1L, "m", Seq("a", "b", "c")),
+      (2L, "m", Seq("c", "d")), // duplicate title, higher id: this probe wins
+      (3L, "x", Seq("c", "e")),
+      (4L, "y", Seq("a", "b")),
+      (5L, "z", Seq("c", "d", "e"))
+    ).toDF("id", "title", "actors")
+    titleLevelsOn(movies, "m")
+  }
+
+  val titleDupProbeMoviesSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'm', ['a','b','c']),
+      |  (2, 'm', ['c','d']),
+      |  (3, 'x', ['c','e']),
+      |  (4, 'y', ['a','b']),
+      |  (5, 'z', ['c','d','e'])) AS t(id, title, actors)""".stripMargin
+
+  def titleDupProbeSql: String = titleLevelsSqlOn(titleDupProbeMoviesSql, "m")
+
   def titleLevelsSql(searchTitle: String): String =
-    s"""WITH movies AS (${Tables.moviesSql}),
+    titleLevelsSqlOn(Tables.moviesSql, searchTitle)
+
+  /** [[titleLevelsSql]] over any movies CTE body. */
+  def titleLevelsSqlOn(moviesCte: String, searchTitle: String): String =
+    s"""WITH movies AS ($moviesCte),
        |probe AS (SELECT actors AS probe_actors FROM movies
        |          WHERE title = '$searchTitle' ORDER BY id DESC LIMIT 1)
        |SELECT m.title AS name,

@@ -91,6 +91,35 @@ object Tables {
     })
   }
 
+  /** Movies view MATERIALIZED as a bucketed table — the documented
+    * 100 TB posture made code: the view is written once, bucketed +
+    * sorted by `title`, so a title point-probe prunes to ONE bucket
+    * file (plan shows `SelectedBucketsCount: 1 out of N`) instead of
+    * scanning the whole view, and any title-keyed join co-locates
+    * without a shuffle. On a real cluster this is the parquet
+    * warehouse table every query reads; here it lands in the session
+    * warehouse dir once per (session, sfDir).
+    */
+  def moviesBucketed(spark: SparkSession, sfDir: String, buckets: Int = 16): DataFrame = {
+    val name = s"graft_movies_${sfDir.hashCode.toHexString}"
+    if (!spark.catalog.tableExists(name)) {
+      // external-table path keyed by a per-JVM token: the in-memory
+      // catalog forgets tables across JVMs while their directories
+      // survive, so a fixed managed location would collide on rerun
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${runToken}_$name"
+      movies(spark, sfDir).write
+        .bucketBy(buckets, "title")
+        .sortBy("title")
+        .mode("overwrite")
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
+  private lazy val runToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** DuckDB mirror of [[movies]] as a CTE body (FIXTURES.md §3). */
   val moviesSql: String =
     """SELECT l_orderkey AS id,

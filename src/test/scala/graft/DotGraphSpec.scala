@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.ReferenceQueries
+import graft.sinks.DotGraph
+import org.scalatest.funsuite.AnyFunSuite
+
+class DotGraphSpec extends AnyFunSuite with SparkSpec {
+
+  test("golden DOT output matches the reference graph shape") {
+    import spark.implicits._
+    val movies = Seq(
+      (1L, "root", Seq("a", "b", "c", "d", "e")),
+      (2L, "one", Seq("a", "x1", "x2")),  // overlap 1
+      (3L, "four", Seq("a", "b", "c", "d")), // overlap 4
+      (4L, "also-one", Seq("e", "y1"))    // overlap 1
+    ).toDF("id", "title", "actors")
+    val dot = DotGraph.fromLevels(
+      ReferenceQueries.titleLevelsOn(movies, "root"), "root")
+    val expected =
+      """digraph MovieGraph {
+        |  rankdir=LR;
+        |  "level0" [label="root", shape=box, style=filled, fillcolor=lightblue];
+        |  "level1" [label="Count: 2\nalso-one\none", shape=box, style=filled, fillcolor=lightgrey];
+        |  "level2" [label="Count: 0", shape=box, style=filled, fillcolor=lightgrey];
+        |  "level3" [label="Count: 0", shape=box, style=filled, fillcolor=lightgrey];
+        |  "level4" [label="Count: 1\nfour", shape=box, style=filled, fillcolor=lightgrey];
+        |  "level0" -> "level1";
+        |  "level1" -> "level2";
+        |  "level2" -> "level3";
+        |  "level3" -> "level4";
+        |}
+        |""".stripMargin
+    assert(dot == expected)
+  }
+
+  test("quotes in titles are escaped") {
+    val dot = DotGraph.levelBoxDot("""the "quoted" one""", Map(1 -> Seq("""a"b""")))
+    assert(dot.contains("""label="the \"quoted\" one""""))
+    assert(dot.contains("""Count: 1\na\"b"""))
+  }
+
+  test("writeDotFile round-trips") {
+    val p = java.nio.file.Files.createTempFile("graft_dot", ".dot")
+    DotGraph.writeDotFile("digraph X {}\n", p.toString)
+    assert(java.nio.file.Files.readString(p) == "digraph X {}\n")
+  }
+}
