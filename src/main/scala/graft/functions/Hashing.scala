@@ -34,4 +34,23 @@ object Hashing {
     s"('0x' || substr(md5($salt || ':' || $expr), 1, 8))::BIGINT"
 
   def md5i32Sql(expr: String, salt: Int): String = md5i32Sql(expr, s"'$salt'")
+
+  /** Affine MinHash family from ONE digest: `h_i = (a + i·b) mod 2^32`
+    * with `a`,`b` the first/second 32 bits of md5 (`b` forced odd).
+    * One md5 per value instead of one per hash function — the i-th
+    * hash is two arithmetic ops, which matters when the family is
+    * 16-wide over billions of shingles. */
+  def md5PairA(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def md5PairB(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long").bitwiseOR(lit(1L))
+
+  def affine32(a: Column, b: Column, i: Int): Column =
+    (a + lit(i.toLong) * b).bitwiseAND(lit(4294967295L))
+
+  val md5PairASql: String = "('0x' || substr(md5(sh), 1, 8))::BIGINT"
+  val md5PairBSql: String = "(('0x' || substr(md5(sh), 9, 8))::BIGINT | 1)"
+  def affine32Sql(a: String, b: String, i: Int): String =
+    s"(($a + $i * $b) & 4294967295)"
 }

@@ -107,13 +107,17 @@ object Dedup {
   val RowsPerBand: Int = MinHashFns / Bands
 
   /** MinHash signatures: one explode, one aggregate — `numHashes`
-    * min-columns over the salted hash family. Linear in corpus size;
-    * the shuffle key is doc_id. */
+    * min-columns over the affine hash family `h_i = (a + i·b) mod
+    * 2^32` derived from a SINGLE md5 per shingle (16× fewer digests
+    * than a salted-md5-per-function family at the same independence
+    * class). Linear in corpus size; the shuffle key is doc_id. */
   def minHashSignatures(shingleSets: DataFrame, numHashes: Int = MinHashFns): DataFrame = {
     val spark = shingleSets.sparkSession
     import spark.implicits._
     val exploded = shingleSets.select($"doc_id", explode($"shs").as("sh"))
-    val mins = (0 until numHashes).map(i => min(md5i32($"sh", i)).as(s"h$i"))
+      .withColumn("ha", md5PairA($"sh"))
+      .withColumn("hb", md5PairB($"sh"))
+    val mins = (0 until numHashes).map(i => min(affine32($"ha", $"hb", i)).as(s"h$i"))
     exploded.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -156,7 +160,8 @@ object Dedup {
 
   def minHashNearDupsSql(threshold: Double = 0.8): String = {
     val hashes = (0 until MinHashFns)
-      .map(i => s"MIN(${md5i32Sql("sh", i)}) AS h$i").mkString(",\n  ")
+      .map(i => s"MIN(${affine32Sql(md5PairASql, md5PairBSql, i)}) AS h$i")
+      .mkString(",\n  ")
     val bandSelects = (0 until Bands).map { b =>
       val sigExpr = (0 until RowsPerBand)
         .map(j => s"h${b * RowsPerBand + j}::VARCHAR").mkString(" || '-' || ")

@@ -85,6 +85,39 @@ object Similarity {
     Tables.embeddings(spark, sfDir).select($"vec_id", vd($"embedding").as("v"))
   }
 
+  // Normalized vectors and LSH buckets are CACHED per (session, sf):
+  // without the materialization barrier, projection collapse inlines
+  // the normalize-transform into every downstream consumer (16 plane
+  // dots, both join sides, every union branch) and the expression
+  // tree explodes combinatorially. Materializing once is also the
+  // 100 TB posture — a signature/normalized table is written once and
+  // reused by every probe batch, never recomputed per query.
+  private val normCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unit-normalized vectors: cosine becomes a single dot product —
+    * one array fold per candidate instead of three. The norm is
+    * computed once per ROW (not inside the per-element lambda). */
+  private def embNormed(spark: SparkSession, sfDir: String): DataFrame =
+    normCache.getOrElseUpdate((spark, sfDir), {
+      import spark.implicits._
+      embDouble(spark, sfDir)
+        .withColumn("nrm", sqrt(dot($"v", $"v")))
+        .select($"vec_id", transform($"v", _ / $"nrm").as("v"))
+        .cache()
+    })
+
+  private def embBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    bucketCache.getOrElseUpdate((spark, sfDir),
+      withLshBuckets(embNormed(spark, sfDir)).cache())
+
+  private val embNormedSql: String =
+    """SELECT vec_id,
+      |  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+      |FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)""".stripMargin
+
   // ---------------------------------------------------------------
   // llm_knn_exact — brute-force cosine top-k (the exact baseline)
   // ---------------------------------------------------------------
@@ -92,11 +125,11 @@ object Similarity {
   def knnExact(spark: SparkSession, sfDir: String,
                numProbes: Int = 5, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val e = embDouble(spark, sfDir)
+    val e = embNormed(spark, sfDir)
     val probes = e.filter($"vec_id" < numProbes)
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
     val ranked = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
-      .withColumn("cosine", round(cosine($"v", $"pv"), 6))
+      .withColumn("cosine", round(dot($"v", $"pv"), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
       .filter($"rank" <= k)
@@ -106,10 +139,10 @@ object Similarity {
   }
 
   def knnExactSql(numProbes: Int = 5, k: Int = 10): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS ($embNormedSql),
        |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
        |scored AS (
-       |  SELECT probe_id, vec_id, round(list_cosine_similarity(v, pv), 6) AS cosine
+       |  SELECT probe_id, vec_id, round(list_dot_product(v, pv), 6) AS cosine
        |  FROM e, probes WHERE vec_id <> probe_id
        |), ranked AS (
        |  SELECT probe_id, vec_id, cosine,
@@ -130,19 +163,28 @@ object Similarity {
   def knnLsh(spark: SparkSession, sfDir: String,
              numProbes: Int = 20, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val e = withLshBuckets(embDouble(spark, sfDir))
+    val e = embBucketed(spark, sfDir)
     // band-keyed long form: (vec_id, v, band, bucket)
     val banded = (0 until PlaneBands).map { b =>
       e.select($"vec_id", $"v", lit(b).as("band"), col(s"bucket$b").as("bucket"))
     }.reduce(_ union _)
     val probes = banded.filter($"vec_id" < numProbes)
-      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"band", $"bucket")
-    val cand = banded.join(probes, Seq("band", "bucket"))
+      .select($"vec_id".as("probe_id"), $"band", $"bucket")
+    // dedup multi-band collisions on ID PAIRS (narrow rows), then join
+    // the vectors back — never shuffle 64-double arrays through the
+    // distinct
+    val candIds = banded.select($"vec_id", $"band", $"bucket")
+      .join(probes, Seq("band", "bucket"))
       .filter($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"pv", $"vec_id", $"v")
-      .distinct() // a pair may collide in several bands
+      .select($"probe_id", $"vec_id")
+      .distinct()
+    val e0 = embNormed(spark, sfDir)
+    val cand = candIds
+      .join(e0.select($"vec_id", $"v"), "vec_id")
+      .join(broadcast(e0.filter($"vec_id" < numProbes)
+        .select($"vec_id".as("probe_id"), $"v".as("pv"))), "probe_id")
     cand
-      .withColumn("cosine", round(cosine($"v", $"pv"), 6))
+      .withColumn("cosine", round(dot($"v", $"pv"), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
       .filter($"rank" <= k)
@@ -161,7 +203,7 @@ object Similarity {
     val bandSelects = (0 until PlaneBands).map { b =>
       s"SELECT vec_id, v, $b AS band, ${bucketExprSql(b)} AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS ($embNormedSql),
        |banded AS ($bandSelects),
        |probes AS (SELECT vec_id AS probe_id, v AS pv, band, bucket
        |           FROM banded WHERE vec_id < $numProbes),
@@ -171,9 +213,9 @@ object Similarity {
        |    ON b.band = c.band AND b.bucket = c.bucket AND b.vec_id <> c.probe_id
        |), ranked AS (
        |  SELECT probe_id, vec_id,
-       |         round(list_cosine_similarity(v, pv), 6) AS cosine,
+       |         round(list_dot_product(v, pv), 6) AS cosine,
        |         row_number() OVER (PARTITION BY probe_id
-       |           ORDER BY round(list_cosine_similarity(v, pv), 6) DESC, vec_id) AS rank
+       |           ORDER BY round(list_dot_product(v, pv), 6) DESC, vec_id) AS rank
        |  FROM cand
        |)
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
@@ -191,19 +233,25 @@ object Similarity {
   def embedNearDups(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
-    val e = withLshBuckets(embDouble(spark, sfDir))
+    val e = embBucketed(spark, sfDir)
     val banded = (0 until PlaneBands).map { b =>
       e.select($"vec_id", $"v", lit(b).as("band"), col(s"bucket$b").as("bucket"))
     }.reduce(_ union _)
-    val cand = banded.as("ea")
-      .join(banded.as("eb"),
+    // self-join on narrow (band, bucket, id) rows; dedup ID pairs,
+    // then join both vectors back for the verify step
+    val keys = banded.select($"vec_id", $"band", $"bucket")
+    val candIds = keys.as("ea")
+      .join(keys.as("eb"),
         col("ea.band") === col("eb.band") && col("ea.bucket") === col("eb.bucket") &&
           col("ea.vec_id") < col("eb.vec_id"))
-      .select(col("ea.vec_id").as("a"), col("ea.v").as("va"),
-        col("eb.vec_id").as("b"), col("eb.v").as("vb"))
+      .select(col("ea.vec_id").as("a"), col("eb.vec_id").as("b"))
       .distinct()
+    val e0 = embNormed(spark, sfDir)
+    val cand = candIds
+      .join(e0.select($"vec_id".as("a"), $"v".as("va")), "a")
+      .join(e0.select($"vec_id".as("b"), $"v".as("vb")), "b")
     cand
-      .withColumn("cosine", round(cosine($"va", $"vb"), 6))
+      .withColumn("cosine", round(dot($"va", $"vb"), 6))
       .filter($"cosine" >= threshold)
       .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
       .orderBy($"vec_a", $"vec_b")
@@ -213,15 +261,15 @@ object Similarity {
     val bandSelects = (0 until PlaneBands).map { b =>
       s"SELECT vec_id, v, $b AS band, ${bucketExprSql(b)} AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS ($embNormedSql),
        |banded AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT ea.vec_id AS a, ea.v AS va, eb.vec_id AS b, eb.v AS vb
        |  FROM banded ea JOIN banded eb
        |    ON ea.band = eb.band AND ea.bucket = eb.bucket AND ea.vec_id < eb.vec_id
        |)
-       |SELECT a AS vec_a, b AS vec_b, round(list_cosine_similarity(va, vb), 6) AS cosine
-       |FROM cand WHERE round(list_cosine_similarity(va, vb), 6) >= $threshold
+       |SELECT a AS vec_a, b AS vec_b, round(list_dot_product(va, vb), 6) AS cosine
+       |FROM cand WHERE round(list_dot_product(va, vb), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 }
