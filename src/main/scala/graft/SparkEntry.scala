@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, ReferenceQueries, Relational, Similarity, TextAnalytics}
+import graft.operators.{Dedup, Multimodal, ReferenceQueries, Relational, Similarity, TextAnalytics}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -76,6 +76,10 @@ object SparkEntry {
     "llm_knn_exact" -> ((s, d) => Similarity.knnExact(s, d)),
     "llm_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
     "llm_embed_neardup" -> ((s, d) => Similarity.embedNearDups(s, d)),
+    // — LLM-pipeline: multimodal binary columns —
+    "llm_multimodal_meta" -> (Multimodal.assetMeta _),
+    // decode stage is a documented stub → no SQL oracle, rows-only check
+    "llm_multimodal_decode" -> (Multimodal.decodeStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,5 +132,6 @@ object SparkEntry {
     "llm_knn_exact" -> Similarity.knnExactSql(),
     "llm_knn_lsh" -> Similarity.knnLshSql(),
     "llm_embed_neardup" -> Similarity.embedNearDupsSql(),
+    "llm_multimodal_meta" -> Multimodal.assetMetaSql,
   )
 }
