@@ -58,6 +58,8 @@ object SparkEntry {
     "rel_date_trunc_monthly" -> (Relational.dateTruncMonthly _),
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
     "rel_events_tumbling_hourly" -> (Relational.eventsTumblingHourly _),
+    "rel_quantiles" -> (Relational.quantiles _),
+    "llm_hash_sample" -> ((s, d) => Relational.hashSample(s, d)),
     "rel_events_sliding" -> (graft.streaming.EventStreams.eventsSliding _),
     "rel_events_session" -> (graft.streaming.EventStreams.eventsSession _),
     // — LLM-pipeline: text analysis over documents (round-2 north star) —
@@ -117,6 +119,8 @@ object SparkEntry {
     "rel_date_trunc_monthly" -> Relational.dateTruncMonthlySql,
     "rel_json_extract_events" -> Relational.jsonExtractEventsSql,
     "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
+    "rel_quantiles" -> Relational.quantilesSql,
+    "llm_hash_sample" -> Relational.hashSampleSql(),
     "rel_events_sliding" -> graft.streaming.EventStreams.eventsSlidingSql,
     "rel_events_session" -> graft.streaming.EventStreams.eventsSessionSql,
     "llm_text_stats" -> TextAnalytics.textStatsSql,

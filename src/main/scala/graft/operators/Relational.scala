@@ -465,4 +465,56 @@ object Relational {
       |  event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Exact (interpolated) per-group percentiles — Spark `percentile`
+    * ≡ DuckDB `quantile_cont` (both linear interpolation over the
+    * sorted group). Rounded to 4 decimals: the interpolation
+    * arithmetic `(1-f)·a + f·b` may associate differently across
+    * engines. At scale: exact percentile sorts per group — acceptable
+    * for bounded groups; unbounded cardinalities should switch to
+    * `percentile_approx` (documented tradeoff, not oracle-comparable
+    * because the sketch is engine-specific). */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val quantilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Deterministic hash sampling — the reproducible TABLESAMPLE a
+    * training pipeline needs (`sample()` is seed-dependent AND
+    * partition-layout-dependent; a content-hash predicate is neither):
+    * keep rows where md5_32(text) mod 100 < pct. Embarrassingly
+    * parallel, pushes down as a scan filter. */
+  def hashSample(spark: SparkSession, sfDir: String, pct: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(graft.functions.Hashing.md5i32($"text", 5) % 100 < pct)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"n_chars").cast("long").as("sampled_chars"))
+      .orderBy($"lang")
+  }
+
+  def hashSampleSql(pct: Int = 20): String =
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+       |FROM documents
+       |WHERE ${graft.functions.Hashing.md5i32Sql("text", 5)} % 100 < $pct
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -37,7 +37,16 @@ object Similarity {
 
   private def vd(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Codegen'd dot product ([[graft.functions.DotProduct]]) — same
+    * left-to-right double summation as the higher-order-function fold
+    * (bit-identical; pinned by SimilaritySpec), minus the interpreted
+    * lambda dispatch per element. */
   private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
+
+  /** The built-in fold equivalent, kept as the reference
+    * implementation for the equivalence spec. */
+  private[graft] def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   /** Cosine over pre-cast double arrays. */

@@ -16,6 +16,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("codegen'd DotProduct is bit-identical to the higher-order fold") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val probe = e.limit(1).select($"v".as("pv"))
+    val diff = e.crossJoin(probe)
+      .select(
+        graft.functions.VectorExpressions.dot_product($"v", $"pv").as("fast"),
+        graft.operators.Similarity.foldDot($"v", $"pv").as("ref"))
+      .filter($"fast" =!= $"ref") // exact double equality, not approximate
+      .count()
+    assert(diff == 0)
+  }
+
   test("plane weights are md5-derived and bounded") {
     val w = for (p <- 0 until Similarity.NumPlanes; d <- 0 until Similarity.Dims)
       yield Similarity.planeWeight(p, d)
