@@ -142,7 +142,10 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
     val sets = shingleSets(spark, sfDir).cache()
-    val buckets = bandedBuckets(minHashSignatures(sets))
+    // cache the signature frame: the 4 band branches × 2 join sides
+    // would otherwise re-run the explode+16-min aggregation 8 times
+    // (one row of 16 longs per doc — bounded)
+    val buckets = bandedBuckets(minHashSignatures(sets).cache())
     val cand = buckets.as("ba")
       .join(buckets.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.bsig") === col("bb.bsig") &&
@@ -219,7 +222,8 @@ object Dedup {
   def simHashNearDups(spark: SparkSession, sfDir: String,
                       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val sig = simHashSignatures(shingleSets(spark, sfDir))
+    // cached for the same multi-branch reuse reason as MinHash
+    val sig = simHashSignatures(shingleSets(spark, sfDir)).cache()
     val bytes = (0 until 4).map { k =>
       sig.select($"doc_id", $"simhash", lit(k).as("k"),
         shiftright($"simhash", k * 8).bitwiseAND(lit(255L)).as("byte"))
@@ -280,9 +284,11 @@ object Dedup {
                         threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
     import spark.implicits._
     val e = shingleSets(spark, sfDir).select($"doc_id", explode($"shs").as("sh"))
+    // capped posting list feeds the size aggregate and BOTH sides of
+    // the pair join — cache it once
     val capped = e.join(
       e.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= dfCap).select($"sh"),
-      "sh")
+      "sh").cache()
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.select($"doc_id".as("a"), $"sh")
       .join(capped.select($"doc_id".as("b"), $"sh"), "sh")
