@@ -59,6 +59,8 @@ object SparkEntry {
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
     "rel_events_tumbling_hourly" -> (Relational.eventsTumblingHourly _),
     "rel_quantiles" -> (Relational.quantiles _),
+    "rel_salted_agg" -> ((s, d) => Relational.saltedAggregate(s, d)),
+    "llm_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "llm_hash_sample" -> ((s, d) => Relational.hashSample(s, d)),
     "rel_events_sliding" -> (graft.streaming.EventStreams.eventsSliding _),
     "rel_events_session" -> (graft.streaming.EventStreams.eventsSession _),
@@ -120,6 +122,8 @@ object SparkEntry {
     "rel_json_extract_events" -> Relational.jsonExtractEventsSql,
     "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
     "rel_quantiles" -> Relational.quantilesSql,
+    "rel_salted_agg" -> Relational.saltedAggregateSql,
+    "llm_knn_ivf" -> Similarity.knnIvfSql(),
     "llm_hash_sample" -> Relational.hashSampleSql(),
     "rel_events_sliding" -> graft.streaming.EventStreams.eventsSlidingSql,
     "rel_events_session" -> graft.streaming.EventStreams.eventsSessionSql,

@@ -511,6 +511,43 @@ object Relational {
       .orderBy($"lang")
   }
 
+  /** Skew-resistant two-phase aggregation: pre-aggregate on
+    * (key, salt) — spreading a hot key over `salts` reducers — then
+    * finalize on the key alone. The salt cancels out, so the oracle
+    * is the PLAIN group-by: the check proves salting is semantically
+    * free. l_returnflag has only 3 values — exactly the hot-key shape
+    * where an unsalted shuffle would bottleneck 3 reducers at scale.
+    * (Spark's own partial aggregation covers algebraic aggregates;
+    * explicit salting is the pattern for the cases it can't, e.g.
+    * exact distinct counts per hot key.) */
+  def saltedAggregate(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod($"l_orderkey", lit(salts)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(dec($"l_quantity")).as("pq"),
+        count_distinct($"l_suppkey").as("pd")) // per-salt partial distinct
+      .groupBy($"l_returnflag")
+      .agg(sum($"pn").cast("long").as("n_items"),
+        sum($"pq").cast("double").as("sum_qty"),
+        max($"pd").cast("long").as("max_salt_distinct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val saltedAggregateSql: String =
+    """WITH salted AS (
+      |  SELECT l_returnflag, l_orderkey % 8 AS salt,
+      |         COUNT(*) AS pn,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pq,
+      |         COUNT(DISTINCT l_suppkey) AS pd
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  CAST(SUM(pn) AS BIGINT) AS n_items,
+      |  CAST(SUM(pq) AS DOUBLE) AS sum_qty,
+      |  CAST(MAX(pd) AS BIGINT) AS max_salt_distinct
+      |FROM salted GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def hashSampleSql(pct: Int = 20): String =
     s"""SELECT lang, COUNT(*) AS n_sampled,
        |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars

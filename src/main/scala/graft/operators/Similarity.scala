@@ -281,4 +281,91 @@ object Similarity {
        |FROM cand WHERE round(list_dot_product(va, vb), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // llm_knn_ivf — inverted-file (coarse-quantizer) approximate top-k
+  // ---------------------------------------------------------------
+
+  val IvfCells = 16
+  val IvfNProbe = 2
+
+  /** IVF ANN: the second scale path next to LSH. Corpus vectors are
+    * assigned to their nearest "centroid" cell once; a probe searches
+    * only its `nprobe` nearest cells. Candidates per probe are
+    * bounded by cell occupancy (n/cells · nprobe in expectation) and
+    * the cell assignment is an embarrassingly parallel argmax against
+    * a broadcast centroid table.
+    *
+    * Centroid selection is a deterministic hash-ranked sample of the
+    * corpus (stand-in for a k-means training step, which is an
+    * offline job at real scale; the INDEX STRUCTURE — assignment,
+    * inverted cells, nprobe search — is the operator under test and
+    * is exactly mirrored in the oracle). */
+  def knnIvf(spark: SparkSession, sfDir: String,
+             numProbes: Int = 20, k: Int = 5,
+             cells: Int = IvfCells, nprobe: Int = IvfNProbe): DataFrame = {
+    import spark.implicits._
+    val e = embNormed(spark, sfDir)
+    val centroids = e
+      .withColumn("h", graft.functions.Hashing.md5i32($"vec_id".cast("string"), 11))
+      .orderBy($"h", $"vec_id")
+      .limit(cells)
+      .select($"vec_id".as("cell"), $"v".as("cv"))
+    val scored = e.join(broadcast(centroids))
+      .withColumn("cos_c", round(dot($"v", $"cv"), 6))
+    val assign = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cell")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cell")
+    val probeCells = assign.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+      .join(broadcast(centroids))
+      .withColumn("cos_c", round(dot($"pv", $"cv"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cos_c".desc, $"cell")))
+      .filter($"rn" <= nprobe)
+      .select($"probe_id", $"pv", $"cell")
+    probeCells.join(assign, "cell")
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("cosine", round(dot($"v", $"pv"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  def knnIvfSql(numProbes: Int = 20, k: Int = 5,
+                cells: Int = IvfCells, nprobe: Int = IvfNProbe): String =
+    s"""WITH e AS ($embNormedSql),
+       |centroids AS (
+       |  SELECT vec_id AS cell, v AS cv FROM e
+       |  ORDER BY ${graft.functions.Hashing.md5i32Sql("vec_id::VARCHAR", 11)}, vec_id
+       |  LIMIT $cells
+       |), assign AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC, c.cell) AS rn
+       |    FROM e, centroids c)
+       |  WHERE rn = 1
+       |), probe_cells AS (
+       |  SELECT probe_id, pv, cell FROM (
+       |    SELECT a.vec_id AS probe_id, a.v AS pv, c.cell,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(list_dot_product(a.v, c.cv), 6) DESC, c.cell) AS rn
+       |    FROM assign a, centroids c WHERE a.vec_id < $numProbes)
+       |  WHERE rn <= $nprobe
+       |), ranked AS (
+       |  SELECT p.probe_id, a.vec_id,
+       |         round(list_dot_product(a.v, p.pv), 6) AS cosine,
+       |         row_number() OVER (PARTITION BY p.probe_id
+       |           ORDER BY round(list_dot_product(a.v, p.pv), 6) DESC, a.vec_id) AS rank
+       |  FROM probe_cells p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.probe_id
+       |)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
 }

@@ -53,6 +53,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.2, s"LSH recall $recall vs exact top-$k")
   }
 
+  test("IVF top-k achieves reasonable recall vs exact top-k") {
+    import spark.implicits._
+    val k = 5
+    val exact = Similarity.knnExact(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // nprobe=2 of 16 hash-sampled cells on random data — the floor is
+    // deliberately loose; the structure (bounded cells) is the point
+    assert(recall >= 0.1, s"IVF recall $recall vs exact top-$k")
+    assert(ivf.size == exact.size) // both return full k per probe
+  }
+
   test("LSH candidate set is bucket-bounded (far below corpus x probes)") {
     import spark.implicits._
     val e = Similarity.withLshBuckets(

@@ -73,6 +73,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("streaming exact dedup: duplicated stream converges to batch distinct") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = eventRows(400)
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id") // bounded dedup state
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows); q.processAllAvailable()
+      mem.addData(rows); q.processAllAvailable() // full duplicate batch
+    } finally q.stop()
+    val got = spark.table("s_dedup")
+    val want = rows.toDF().groupBy($"event_type").agg(count(lit(1)).as("n"))
+    assert(canon(got) == canon(want))
+  }
+
   test("file-based events stream source reads the real parquet") {
     import spark.implicits._
     // file-stream sources need a directory; stage the single parquet
