@@ -76,6 +76,7 @@ object SparkEntry {
     "llm_dedup_minhash" -> ((s, d) => Dedup.minHashNearDups(s, d)),
     "llm_dedup_simhash" -> ((s, d) => Dedup.simHashNearDups(s, d)),
     "llm_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "llm_dedup_cluster" -> (Dedup.nearDupClusters _),
     // — LLM-pipeline: similarity search over embeddings —
     "llm_knn_exact" -> ((s, d) => Similarity.knnExact(s, d)),
     "llm_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "llm_dedup_minhash" -> Dedup.minHashNearDupsSql(),
     "llm_dedup_simhash" -> Dedup.simHashNearDupsSql(),
     "llm_dedup_ngram" -> Dedup.ngramJaccardPairsSql(),
+    "llm_dedup_cluster" -> Dedup.nearDupClustersSql(),
     "llm_knn_exact" -> Similarity.knnExactSql(),
     "llm_knn_lsh" -> Similarity.knnLshSql(),
     "llm_embed_neardup" -> Similarity.embedNearDupsSql(),

@@ -304,6 +304,76 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------
+  // Near-dup clustering (connected components over verified pairs)
+  // ---------------------------------------------------------------
+
+  /** Connected components over a pair frame `(doc_a, doc_b)` via
+    * iterative min-label propagation — the "apply" step of near-dedup
+    * (a real pipeline drops all but one representative per cluster,
+    * not per pair). Each iteration is one join+aggregate over the
+    * edge set (distributed; the driver only checks the convergence
+    * scalar); iterations are bounded by cluster diameter, which for
+    * near-dup graphs is tiny. Returns `(doc_id, cluster)` with
+    * cluster = min doc_id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .union(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+      .cache()
+    var labels = edges.select($"a".as("id")).distinct()
+      .select($"id", $"id".as("label"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges.join(labels, edges("a") === labels("id"))
+        .select($"b".as("id"), $"label")
+      val next = labels.union(propagated)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .cache()
+      // convergence: the sum of labels strictly decreases until fixpoint
+      val before = labels.agg(sum($"label")).head().getLong(0)
+      val after = next.agg(sum($"label")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = before == after
+      iter += 1
+    }
+    labels
+  }
+
+  /** Oracle-checked clustering of the MinHash near-dup pairs:
+    * per-cluster size and id range. */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    connectedComponents(minHashNearDups(spark, sfDir))
+      .withColumnRenamed("label", "cluster")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"id").cast("long").as("min_doc"),
+        max($"id").cast("long").as("max_doc"))
+      .orderBy($"cluster")
+  }
+
+  /** DuckDB mirror: transitive closure by recursive CTE, cluster =
+    * min reachable id — the same fixpoint the propagation loop
+    * computes. */
+  def nearDupClustersSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE pairs AS (${minHashNearDupsSql(threshold)}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+       |), cc AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id)
+       |SELECT cluster, COUNT(*) AS n_docs,
+       |  CAST(MIN(id) AS BIGINT) AS min_doc,
+       |  CAST(MAX(id) AS BIGINT) AS max_doc
+       |FROM cc GROUP BY cluster ORDER BY cluster""".stripMargin
+
   def ngramJaccardPairsSql(threshold: Double = 0.5, dfCap: Int = 50): String =
     s"""WITH sets AS ($shingleSetsSql),
        |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),

@@ -57,6 +57,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"candidates $nCandidates not bucket-bounded vs n=$n")
   }
 
+  test("connected components merge transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11 → clusters {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash approximates the verified near-dup set (bounded errors)") {
     import spark.implicits._
     val sim = Dedup.simHashNearDups(spark, sf)
