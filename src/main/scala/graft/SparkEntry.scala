@@ -60,6 +60,7 @@ object SparkEntry {
     "rel_events_tumbling_hourly" -> (Relational.eventsTumblingHourly _),
     "rel_quantiles" -> (Relational.quantiles _),
     "rel_salted_agg" -> ((s, d) => Relational.saltedAggregate(s, d)),
+    "rel_asof_join" -> (Relational.asofJoin _),
     "llm_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "llm_hash_sample" -> ((s, d) => Relational.hashSample(s, d)),
     "rel_events_sliding" -> (graft.streaming.EventStreams.eventsSliding _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
     "rel_quantiles" -> Relational.quantilesSql,
     "rel_salted_agg" -> Relational.saltedAggregateSql,
+    "rel_asof_join" -> Relational.asofJoinSql,
     "llm_knn_ivf" -> Similarity.knnIvfSql(),
     "llm_hash_sample" -> Relational.hashSampleSql(),
     "rel_events_sliding" -> graft.streaming.EventStreams.eventsSlidingSql,

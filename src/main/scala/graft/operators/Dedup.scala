@@ -325,6 +325,9 @@ object Dedup {
     var labels = edges.select($"a".as("id")).distinct()
       .select($"id", $"id".as("label"))
       .cache()
+    // convergence scalar: the label sum strictly decreases until the
+    // fixpoint — ONE driver job per iteration (previous sum carried)
+    var prevSum = labels.agg(sum($"label")).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -333,12 +336,11 @@ object Dedup {
       val next = labels.union(propagated)
         .groupBy($"id").agg(min($"label").as("label"))
         .cache()
-      // convergence: the sum of labels strictly decreases until fixpoint
-      val before = labels.agg(sum($"label")).head().getLong(0)
-      val after = next.agg(sum($"label")).head().getLong(0)
+      val nextSum = next.agg(sum($"label")).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = before == after
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels

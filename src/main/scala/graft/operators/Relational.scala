@@ -511,6 +511,41 @@ object Relational {
       .orderBy($"lang")
   }
 
+  /** As-of join, composed from window functions — the Spark-first
+    * answer to the "operator Spark lacks" case (extension ladder tier
+    * (a): compose built-ins; no custom plan node needed). Each click
+    * event picks up the most recent PRIOR error value of the same
+    * user: tag the unioned stream, then `last(..., ignoreNulls)` over
+    * rows preceding. One shuffle on user_id; per-partition sorted
+    * scan — the same cost profile a native as-of join operator would
+    * have. Ties break on event_id so both engines order identically. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "error"))
+      .withColumn("last_err",
+        last(when($"event_type" === "error", $"value"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        $"value", $"last_err")
+      .orderBy($"event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, user_id,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  value, last_err
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
+      |  FROM events WHERE event_type IN ('click', 'error'))
+      |WHERE event_type = 'click' ORDER BY event_id""".stripMargin
+
   /** Skew-resistant two-phase aggregation: pre-aggregate on
     * (key, salt) — spreading a hot key over `salts` reducers — then
     * finalize on the key alone. The salt cancels out, so the oracle
