@@ -35,6 +35,8 @@ object SparkEntry {
     "src_parquet_roundtrip" -> ((s, d) => Ingest.parquetRoundTrip(s, d)),
     "src_ingest_limit" -> ((s, d) => Ingest.ingestLimit(s, d)),
     "src_repartition" -> ((s, d) => Ingest.repartitionBalance(s, d)),
+    "src_json_roundtrip" -> (Ingest.jsonRoundTrip _),
+    "src_orc_roundtrip" -> (Ingest.orcRoundTrip _),
     // — relational capability surface (SURVEY §2.3/§2.5 gaps, §7 phase 3) —
     "rel_pricing_summary" -> (Relational.pricingSummary _),
     "rel_join_revenue_segment" -> (Relational.joinRevenueBySegment _),
@@ -72,6 +74,8 @@ object SparkEntry {
     "llm_quality_score" -> (TextAnalytics.qualityScore _),
     "llm_token_count" -> (TextAnalytics.tokenCount _),
     "llm_fingerprint" -> (TextAnalytics.fingerprint _),
+    // HLL sketch is engine-specific → no SQL oracle, rows-only check
+    "llm_approx_distinct" -> ((s, d) => TextAnalytics.approxDistinct(s, d)),
     // — LLM-pipeline: deduplication over documents —
     "llm_dedup_exact" -> (Dedup.dedupExact _),
     "llm_dedup_minhash" -> ((s, d) => Dedup.minHashNearDups(s, d)),
@@ -101,6 +105,8 @@ object SparkEntry {
     "src_parquet_roundtrip" -> Ingest.parquetRoundTripSql,
     "src_ingest_limit" -> Ingest.ingestLimitSql(),
     "src_repartition" -> Ingest.repartitionBalanceSql,
+    "src_json_roundtrip" -> Ingest.jsonRoundTripSql,
+    "src_orc_roundtrip" -> Ingest.orcRoundTripSql,
     "rel_pricing_summary" -> Relational.pricingSummarySql,
     "rel_join_revenue_segment" -> Relational.joinRevenueBySegmentSql,
     "rel_join_broadcast_nation" -> Relational.joinBroadcastNationSql,

@@ -226,6 +226,24 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
+  /** HyperLogLog++ approximate distinct-shingle counts per language,
+    * next to the exact count. The sketch is engine-specific, so this
+    * query has NO SQL oracle (driver rows-only check); the error
+    * bound is pinned by spec instead. At 100 TB the approx column is
+    * the only affordable one — the sketch is fixed-size per group and
+    * merges associatively across partitions, where exact distinct
+    * must shuffle every distinct value. */
+  def approxDistinct(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"lang", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .groupBy($"lang")
+      .agg(
+        approx_count_distinct($"sh", rsd).as("approx_shingles"),
+        count_distinct($"sh").as("exact_shingles"))
+      .orderBy($"lang")
+  }
+
   val fingerprintSql: String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
        |sh AS (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM t),

@@ -100,6 +100,41 @@ object Ingest {
       |       CAST(MAX(id) AS BIGINT) AS max_id
       |FROM m""".stripMargin
 
+  /** Snapshot round-trip through JSON-lines — same losslessness
+    * contract as the parquet snapshot (S5) over the row-oriented
+    * text format a pipeline exchanges with external tools. */
+  def jsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = roundTripDir(sfDir, "json")
+    Tables.movies(spark, sfDir).write.mode("overwrite").json(tmp)
+    spark.read.json(tmp)
+      .select($"id", size($"actors").as("n"))
+      .agg(
+        count(lit(1)).as("n_movies"),
+        sum($"n").cast("bigint").as("total_cast"),
+        min($"id").cast("bigint").as("min_id"),
+        max($"id").cast("bigint").as("max_id"))
+  }
+
+  val jsonRoundTripSql: String = parquetRoundTripSql
+
+  /** Snapshot round-trip through ORC — the second columnar snapshot
+    * format Spark ships natively; same aggregate contract. */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = roundTripDir(sfDir, "orc")
+    Tables.movies(spark, sfDir).write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .select($"id", size($"actors").as("n"))
+      .agg(
+        count(lit(1)).as("n_movies"),
+        sum($"n").cast("bigint").as("total_cast"),
+        min($"id").cast("bigint").as("min_id"),
+        max($"id").cast("bigint").as("max_id"))
+  }
+
+  val orcRoundTripSql: String = parquetRoundTripSql
+
   /** S3/O3: the reference's first-85,000-rows ingest cap
     * (`Code/csv_to_ets.erl:21`). File order is not defined across a
     * distributed read, so the deterministic analogue is key order:

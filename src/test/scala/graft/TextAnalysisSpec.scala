@@ -51,6 +51,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("HLL approximate distinct is within 5% of exact") {
+    import spark.implicits._
+    val bad = TextAnalytics.approxDistinct(spark, sf)
+      .filter(abs($"approx_shingles" - $"exact_shingles")
+        > $"exact_shingles" * 0.05)
+      .count()
+    assert(bad == 0)
+  }
+
   test("token counts are consistent: subword >= word >= ws tokens") {
     import spark.implicits._
     val bad = TextAnalytics.tokenCount(spark, sf)
