@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table — the
@@ -21,6 +22,16 @@ import org.apache.spark.sql.types._
   * windows shuffle once on the window key, session windows shuffle on
   * `user_id` then merge per-key sorted runs. No per-event driver work.
   */
+/** Input row for the custom-state sessionizer. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Per-user open-session state buffer. */
+case class SessionAgg(start: Long, last: Long, n: Long)
+
+/** One closed session (epoch-millis bounds; end = last event + gap,
+  * matching `session_window`'s contract). */
+case class SessionRow(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
 object EventStreams {
 
   private def dec(c: Column) = c.cast("decimal(18,2)")
@@ -101,6 +112,64 @@ object EventStreams {
       .agg(count(lit(1)).as("n_sessions"),
         sum($"session_events").cast("long").as("n_events"),
         max($"session_events").cast("long").as("max_session_events"))
+  }
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-stateful-processing tier below `session_window`, for
+    * session logic the built-in can't express (e.g. emitting rich
+    * per-session records, per-key adaptive gaps). State per user is
+    * ONE open-session buffer; sessions close either when a later
+    * event arrives past the gap, or when the event-time timeout
+    * fires after the watermark passes `last + gap`.
+    *
+    * Equivalence with the built-in (`sessionCounts`) is pinned by
+    * StreamingSpec. Streaming-only: batch mode restricts
+    * flatMapGroupsWithState to NoTimeout, and the batch answer is
+    * `session_window` anyway. */
+  def sessionizeWithState(events: Dataset[SessionEvent],
+                          gapMs: Long = 30L * 60 * 1000): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(user: Long, s: SessionAgg): SessionRow =
+      SessionRow(user, s.start, s.last + gapMs, s.n)
+
+    def fn(user: Long, rows: Iterator[SessionEvent],
+           state: GroupState[SessionAgg]): Iterator[SessionRow] = {
+      if (state.hasTimedOut) {
+        val out = close(user, state.get)
+        state.remove()
+        Iterator.single(out)
+      } else {
+        // the iterator is unordered within the micro-batch
+        val ts = rows.map(_.ts.getTime).toSeq.sorted
+        var open = state.getOption
+        val closed = Seq.newBuilder[SessionRow]
+        ts.foreach { t =>
+          open match {
+            case Some(s) if t - s.last >= gapMs =>
+              closed += close(user, s)
+              open = Some(SessionAgg(t, t, 1))
+            case Some(s) =>
+              open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            case None =>
+              open = Some(SessionAgg(t, t, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // timeout must stay above the current watermark: a session
+          // already overdue fires at the next watermark advance
+          state.setTimeoutTimestamp(
+            math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1000))
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   // -- batch twins (oracle-checked) --------------------------------

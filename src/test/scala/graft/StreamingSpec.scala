@@ -94,6 +94,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(canon(got) == canon(want))
   }
 
+  test("flatMapGroupsWithState sessionizer matches built-in session windows") {
+    import graft.streaming.{SessionEvent, SessionRow}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = eventRows(600)
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeWithState(
+      mem.toDS().withWatermark("ts", "10 seconds"))
+      .writeStream.format("memory").queryName("s_custom_session")
+      .outputMode("append").start()
+    val data = rows.map(r => SessionEvent(r.user_id, r.ts))
+    val maxTs = rows.map(_.ts.getTime).max
+    // far-future flush sentinels advance the watermark so idle users'
+    // open sessions hit their event-time timeout and emit
+    val flushTs = maxTs + 10L * 24 * 3600 * 1000
+    val sentinels = data.map(_.user_id).distinct
+      .map(u => SessionEvent(u, new java.sql.Timestamp(flushTs)))
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      mem.addData(sentinels); q.processAllAvailable()
+      mem.addData(sentinels.map(s => SessionEvent(s.user_id,
+        new java.sql.Timestamp(flushTs + 3600 * 1000)))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_custom_session").as[SessionRow]
+      .filter($"start_ms" < maxTs + 1) // drop sentinel sessions
+      .collect()
+      .map(r => (r.user_id, r.start_ms, r.end_ms, r.n_events)).toSet
+    val want = EventStreams.sessionCounts(rows.toDF())
+      .select($"user_id", $"sw.start".as("s"), $"sw.end".as("e"), $"session_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("file-based events stream source reads the real parquet") {
     import spark.implicits._
     // file-stream sources need a directory; stage the single parquet
