@@ -326,8 +326,11 @@ object Dedup {
       .select($"id", $"id".as("label"))
       .cache()
     // convergence scalar: the label sum strictly decreases until the
-    // fixpoint — ONE driver job per iteration (previous sum carried)
-    var prevSum = labels.agg(sum($"label")).head().getLong(0)
+    // fixpoint — ONE driver job per iteration (previous sum carried).
+    // coalesce: sum over an EMPTY pair frame is NULL, not 0.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -336,7 +339,7 @@ object Dedup {
       val next = labels.union(propagated)
         .groupBy($"id").agg(min($"label").as("label"))
         .cache()
-      val nextSum = next.agg(sum($"label")).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Dedup, ReferenceQueries}
+import graft.functions.TextAnalysis._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate inputs must degrade to empty results, not errors — the
+  * behavior a pipeline stage needs when an upstream filter leaves
+  * nothing. */
+class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
+
+  test("near-dedup over an empty corpus yields no pairs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val sets = empty.select($"doc_id",
+      array_distinct(shingles(tokens($"text"), 3)).as("shs"))
+      .filter(size($"shs") > 0)
+    assert(Dedup.minHashSignatures(sets).count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("title query over an empty movies frame is empty, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Seq[String])].toDF("id", "title", "actors")
+    assert(ReferenceQueries.titleLevelsOn(empty, "anything").count() == 0)
+    assert(ReferenceQueries.actorCoactorsOn(empty, "anybody").count() == 0)
+  }
+
+  test("documents shorter than the shingle width produce no shingles") {
+    import spark.implicits._
+    val got = Seq("one", "two words", "").toDF("text")
+      .select(shingles(tokens($"text"), 3).as("s"))
+      .select(size($"s")).as[Int].collect()
+    assert(got.toSeq == Seq(0, 0, 0))
+  }
+
+  test("empty search input is rejected up front (P8)") {
+    import spark.implicits._
+    val m = Seq((1L, "t", Seq("a"))).toDF("id", "title", "actors")
+    intercept[IllegalArgumentException](ReferenceQueries.titleLevelsOn(m, "  "))
+    intercept[IllegalArgumentException](ReferenceQueries.actorCoactorsOn(m, ""))
+  }
+}
