@@ -33,6 +33,21 @@ class DotGraphSpec extends AnyFunSuite with SparkSpec {
     assert(dot == expected)
   }
 
+  test("actor query renders through the same level-box graph (actor_graph.erl parity)") {
+    import spark.implicits._
+    val movies = Seq(
+      (1L, "m1", Seq("a", "b")),
+      (2L, "m2", Seq("a", "b", "c")),
+      (3L, "m3", Seq("a", "b"))
+    ).toDF("id", "title", "actors")
+    val dot = DotGraph.fromLevels(
+      ReferenceQueries.actorCoactorsOn(movies, "a"), "a")
+    // b co-stars in 3 movies -> level 3; c in 1 -> level 1
+    assert(dot.contains(""""level3" [label="Count: 1\nb""""))
+    assert(dot.contains(""""level1" [label="Count: 1\nc""""))
+    assert(dot.contains(""""level0" [label="a""""))
+  }
+
   test("quotes in titles are escaped") {
     val dot = DotGraph.levelBoxDot("""the "quoted" one""", Map(1 -> Seq("""a"b""")))
     assert(dot.contains("""label="the \"quoted\" one""""))
