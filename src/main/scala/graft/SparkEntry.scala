@@ -63,6 +63,9 @@ object SparkEntry {
     "rel_quantiles" -> (Relational.quantiles _),
     "rel_salted_agg" -> ((s, d) => Relational.saltedAggregate(s, d)),
     "rel_asof_join" -> (Relational.asofJoin _),
+    "rel_pivot" -> (Relational.pivotReturnFlag _),
+    "rel_unpivot" -> (Relational.unpivotNationStats _),
+    "rel_array_functions" -> (Relational.arrayFunctions _),
     "llm_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "llm_hash_sample" -> ((s, d) => Relational.hashSample(s, d)),
     "rel_events_sliding" -> (graft.streaming.EventStreams.eventsSliding _),
@@ -132,6 +135,9 @@ object SparkEntry {
     "rel_quantiles" -> Relational.quantilesSql,
     "rel_salted_agg" -> Relational.saltedAggregateSql,
     "rel_asof_join" -> Relational.asofJoinSql,
+    "rel_pivot" -> Relational.pivotReturnFlagSql,
+    "rel_unpivot" -> Relational.unpivotNationStatsSql,
+    "rel_array_functions" -> Relational.arrayFunctionsSql,
     "llm_knn_ivf" -> Similarity.knnIvfSql(),
     "llm_hash_sample" -> Relational.hashSampleSql(),
     "rel_events_sliding" -> graft.streaming.EventStreams.eventsSlidingSql,

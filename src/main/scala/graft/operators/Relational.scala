@@ -511,6 +511,86 @@ object Relational {
       .orderBy($"lang")
   }
 
+  /** PIVOT: revenue quantity per order priority, fanned wide over the
+    * three return flags. Spark compiles `.pivot` with an explicit
+    * value list into a single pass of conditional aggregates — same
+    * shape as the oracle's CASE mirror, no extra shuffle vs the plain
+    * group-by. Always pass the value list at scale (otherwise Spark
+    * runs a distinct-collect job first). */
+  def pivotReturnFlag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec($"l_quantity")).cast("double"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val pivotReturnFlagSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): wide per-nation balance stats back to long
+    * (stat, value) rows via `stack` — constant fan-out projection,
+    * no shuffle beyond the source aggregate. */
+  def unpivotNationStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .groupBy($"c_nationkey")
+      .agg(
+        sum(dec($"c_acctbal")).cast("double").as("total_bal"),
+        min(dec($"c_acctbal")).cast("double").as("min_bal"),
+        max(dec($"c_acctbal")).cast("double").as("max_bal"))
+      .select($"c_nationkey".cast("long").as("nationkey"),
+        expr("stack(3, 'total_bal', total_bal, 'min_bal', min_bal, 'max_bal', max_bal) AS (stat, value)"))
+      .orderBy($"nationkey", $"stat")
+  }
+
+  val unpivotNationStatsSql: String =
+    """WITH wide AS (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |    CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+      |    CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, stat, value FROM (
+      |  SELECT c_nationkey, 'total_bal' AS stat, total_bal AS value FROM wide
+      |  UNION ALL SELECT c_nationkey, 'min_bal', min_bal FROM wide
+      |  UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM wide)
+      |ORDER BY nationkey, stat""".stripMargin
+
+  /** Array-function surface over the movies cast arrays: sort, size,
+    * slice, membership, join — per-row codegen'd array ops (first 20
+    * ids keep the checked output bounded). */
+  def arrayFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.movies(spark, sfDir)
+      .filter($"id" <= 20)
+      .select(
+        $"id",
+        size($"actors").cast("long").as("n_cast"),
+        sort_array($"actors").getItem(0).as("first_actor"),
+        element_at(sort_array($"actors"), -1).as("last_actor"),
+        array_join(slice(sort_array($"actors"), 1, 3), ",").as("top3"),
+        array_contains($"actors", "1").cast("long").as("has_part_1"))
+      .orderBy($"id")
+  }
+
+  val arrayFunctionsSql: String =
+    s"""WITH movies AS (${Tables.moviesSql})
+       |SELECT id, CAST(len(actors) AS BIGINT) AS n_cast,
+       |  list_sort(actors)[1] AS first_actor,
+       |  list_sort(actors)[-1] AS last_actor,
+       |  array_to_string(list_sort(actors)[1:3], ',') AS top3,
+       |  CAST(CASE WHEN list_contains(actors, '1') THEN 1 ELSE 0 END AS BIGINT) AS has_part_1
+       |FROM movies WHERE id <= 20 ORDER BY id""".stripMargin
+
   /** As-of join, composed from window functions — the Spark-first
     * answer to the "operator Spark lacks" case (extension ladder tier
     * (a): compose built-ins; no custom plan node needed). Each click
