@@ -64,6 +64,7 @@ object SparkEntry {
     "rel_salted_agg" -> ((s, d) => Relational.saltedAggregate(s, d)),
     "rel_asof_join" -> (Relational.asofJoin _),
     "rel_pivot" -> (Relational.pivotReturnFlag _),
+    "rel_sql_subqueries" -> (Relational.sqlSubqueries _),
     "rel_unpivot" -> (Relational.unpivotNationStats _),
     "rel_array_functions" -> (Relational.arrayFunctions _),
     "llm_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "rel_salted_agg" -> Relational.saltedAggregateSql,
     "rel_asof_join" -> Relational.asofJoinSql,
     "rel_pivot" -> Relational.pivotReturnFlagSql,
+    "rel_sql_subqueries" -> Relational.sqlSubqueriesSql,
     "rel_unpivot" -> Relational.unpivotNationStatsSql,
     "rel_array_functions" -> Relational.arrayFunctionsSql,
     "llm_knn_ivf" -> Similarity.knnIvfSql(),

@@ -511,6 +511,31 @@ object Relational {
       .orderBy($"lang")
   }
 
+  /** SQL-text front end + subquery surface: the same ANSI SQL a
+    * reference user would write runs through `spark.sql` — correlated
+    * EXISTS (Catalyst rewrites to a left-semi join) and a scalar
+    * subquery (broadcast one-row aggregate). The oracle is the
+    * IDENTICAL statement, proving the SQL entry point needs no
+    * dialect translation for this shape. Decimal average keeps the
+    * threshold comparison exact on both engines. */
+  def sqlSubqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(sqlSubqueriesText)
+  }
+
+  private val sqlSubqueriesText: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+      |                   FROM customer)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val sqlSubqueriesSql: String = sqlSubqueriesText
+
   /** PIVOT: revenue quantity per order priority, fanned wide over the
     * three return flags. Spark compiles `.pivot` with an explicit
     * value list into a single pass of conditional aggregates — same
