@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** User-facing facade: the library's operator surface over CALLER
+  * frames, independent of the test harness's `(spark, sfDir)` layout.
+  * A user of the reference engine switches by pointing these at their
+  * own tables:
+  *
+  * {{{
+  *   import graft.Graft
+  *   val movies = Graft.readMoviesCsv(spark, "imdb.csv")   // (id, title, actors)
+  *   Graft.titleLevels(movies, "The Matrix")               // the Title query
+  *   Graft.actorCoactors(movies, "Keanu Reeves")           // the Actor query
+  *   Graft.dotGraph(Graft.titleLevels(movies, t), t)       // the PNG-able DOT text
+  *
+  *   val docs = spark.read.parquet("docs")                  // (doc_id, text)
+  *   Graft.nearDupPairs(docs)                               // MinHash+LSH, verified
+  *   Graft.dedupClusters(Graft.nearDupPairs(docs))          // survivors per cluster
+  *   Graft.knn(spark.read.parquet("emb"), numProbes = 8)    // cosine top-k
+  * }}}
+  *
+  * Every delegate is documented (semantics, oracle, 100 TB posture)
+  * at its implementation site.
+  */
+object Graft {
+
+  // -- reference-parity queries ------------------------------------
+
+  /** Quote-aware CSV → `(id, title, actors: array<string>)`. */
+  def readMoviesCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+                    hasHeader: Boolean = true): DataFrame =
+    sources.Ingest.readMoviesCsv(spark, path, hasHeader)
+
+  /** Movies sharing cast with `title`, leveled by overlap (≤4). */
+  def titleLevels(movies: DataFrame, title: String): DataFrame =
+    operators.ReferenceQueries.titleLevelsOn(movies, title)
+
+  /** Co-actors of `actor`, leveled by shared-movie count (≤4). */
+  def actorCoactors(movies: DataFrame, actor: String): DataFrame =
+    operators.ReferenceQueries.actorCoactorsOn(movies, actor)
+
+  /** Reference-shaped DOT digraph text for a leveled result. */
+  def dotGraph(levels: DataFrame, rootLabel: String): String =
+    sinks.DotGraph.fromLevels(levels, rootLabel)
+
+  // -- dedup over (doc_id, text) frames ----------------------------
+
+  /** Exact dedup groups on a content hash; min-`idCol` survivor. */
+  def exactDedupGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    operators.Dedup.exactDedupGroups(df, key, idCol)
+
+  /** Verified near-duplicate pairs via banded MinHash LSH. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    operators.Dedup.minHashNearDupsOf(docs, threshold)
+
+  /** SimHash candidate pairs within a Hamming radius. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.Dedup.simHashNearDupsOf(docs, maxHamming)
+
+  /** Exhaustive n-gram Jaccard pairs (inverted index, df cap). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        dfCap: Int = 50): DataFrame =
+    operators.Dedup.ngramJaccardPairsOf(docs, threshold, dfCap)
+
+  /** Connected components over a pair frame → `(id, label)`. */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    operators.Dedup.connectedComponents(pairs)
+
+  // -- similarity over (vec_id, embedding) frames ------------------
+
+  /** Unit-normalize embeddings (cache if reused). */
+  def normalize(embeddings: DataFrame): DataFrame =
+    operators.Similarity.normalizeOf(embeddings)
+
+  /** Exact cosine top-k of the first `numProbes` ids vs the corpus. */
+  def knn(embeddings: DataFrame, numProbes: Int = 5, k: Int = 10): DataFrame =
+    operators.Similarity.knnExactOf(embeddings, numProbes, k)
+
+  // -- streaming transforms (apply to batch or watermarked stream) --
+
+  def tumblingHourly(events: DataFrame): DataFrame =
+    streaming.EventStreams.tumblingHourly(events)
+
+  def slidingHourly(events: DataFrame): DataFrame =
+    streaming.EventStreams.slidingHourly(events)
+
+  def sessionCounts(events: DataFrame): DataFrame =
+    streaming.EventStreams.sessionCounts(events)
+}

@@ -78,13 +78,18 @@ object Dedup {
 
   /** `(doc_id, shs: array<string>)` — DISTINCT word-3-gram shingles
     * per document (set semantics for Jaccard). Docs too short to
-    * shingle are dropped on both engines. */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame = {
+    * shingle are dropped on both engines. Frame-parametric: `docs`
+    * needs `doc_id` and `text` columns. */
+  def shingleSetsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    docs
       .select($"doc_id", array_distinct(shingles(tokens($"text"), 3)).as("shs"))
       .filter(size($"shs") > 0)
   }
+
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    shingleSetsOf(Tables.documents(spark, sfDir))
 
   private val shingleSetsSql: String =
     s"""SELECT doc_id, list_distinct(${shingles3Sql("ts")}) AS shs
@@ -139,9 +144,14 @@ object Dedup {
     * by bucket sizes, O(n²) only within a bucket (near-identical docs
     * by construction). */
   def minHashNearDups(spark: SparkSession, sfDir: String,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8): DataFrame =
+    minHashNearDupsOf(Tables.documents(spark, sfDir), threshold)
+
+  /** [[minHashNearDups]] over any `(doc_id, text)` frame. */
+  def minHashNearDupsOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val sets = shingleSets(spark, sfDir).cache()
+    val sets = shingleSetsOf(docs).cache()
     // cache the signature frame: the 4 band branches × 2 join sides
     // would otherwise re-run the explode+16-min aggregation 8 times
     // (one row of 16 longs per doc — bounded)
@@ -220,10 +230,15 @@ object Dedup {
     * byte, so candidates come from equi-joins on (byte_idx, byte) —
     * never all pairs. */
   def simHashNearDups(spark: SparkSession, sfDir: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3): DataFrame =
+    simHashNearDupsOf(Tables.documents(spark, sfDir), maxHamming)
+
+  /** [[simHashNearDups]] over any `(doc_id, text)` frame. */
+  def simHashNearDupsOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     // cached for the same multi-branch reuse reason as MinHash
-    val sig = simHashSignatures(shingleSets(spark, sfDir)).cache()
+    val sig = simHashSignatures(shingleSetsOf(docs)).cache()
     val bytes = (0 until 4).map { k =>
       sig.select($"doc_id", $"simhash", lit(k).as("k"),
         shiftright($"simhash", k * 8).bitwiseAND(lit(255L)).as("byte"))
@@ -281,9 +296,15 @@ object Dedup {
     * cap². Jaccard is computed over the CAPPED shingle sets (the cap
     * is part of the operator's contract, mirrored in the oracle). */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-                        threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
+                        threshold: Double = 0.5, dfCap: Int = 50): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, sfDir), threshold, dfCap)
+
+  /** [[ngramJaccardPairs]] over any `(doc_id, text)` frame. */
+  def ngramJaccardPairsOf(docs: DataFrame,
+                          threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val e = shingleSets(spark, sfDir).select($"doc_id", explode($"shs").as("sh"))
+    val e = shingleSetsOf(docs).select($"doc_id", explode($"shs").as("sh"))
     // capped posting list feeds the size aggregate and BOTH sides of
     // the pair join — cache it once
     val capped = e.join(

@@ -110,13 +110,8 @@ object Similarity {
     * one array fold per candidate instead of three. The norm is
     * computed once per ROW (not inside the per-element lambda). */
   private def embNormed(spark: SparkSession, sfDir: String): DataFrame =
-    normCache.getOrElseUpdate((spark, sfDir), {
-      import spark.implicits._
-      embDouble(spark, sfDir)
-        .withColumn("nrm", sqrt(dot($"v", $"v")))
-        .select($"vec_id", transform($"v", _ / $"nrm").as("v"))
-        .cache()
-    })
+    normCache.getOrElseUpdate((spark, sfDir),
+      normalizeOf(Tables.embeddings(spark, sfDir)).cache())
 
   private def embBucketed(spark: SparkSession, sfDir: String): DataFrame =
     bucketCache.getOrElseUpdate((spark, sfDir),
@@ -131,10 +126,27 @@ object Similarity {
   // llm_knn_exact — brute-force cosine top-k (the exact baseline)
   // ---------------------------------------------------------------
 
-  def knnExact(spark: SparkSession, sfDir: String,
-               numProbes: Int = 5, k: Int = 10): DataFrame = {
+  /** Unit-normalize any `(vec_id, embedding: array<float|double>)`
+    * frame — the frame-parametric entry; cache the result if reused. */
+  def normalizeOf(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = embNormed(spark, sfDir)
+    embeddings.select($"vec_id", vd($"embedding").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+      .select($"vec_id", transform($"v", _ / $"nrm").as("v"))
+  }
+
+  /** [[knnExact]] over any embeddings frame (normalizes inline). */
+  def knnExactOf(embeddings: DataFrame, numProbes: Int = 5, k: Int = 10): DataFrame =
+    knnExactNormed(normalizeOf(embeddings), numProbes, k)
+
+  def knnExact(spark: SparkSession, sfDir: String,
+               numProbes: Int = 5, k: Int = 10): DataFrame =
+    knnExactNormed(embNormed(spark, sfDir), numProbes, k)
+
+  private def knnExactNormed(e: DataFrame, numProbes: Int, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val probes = e.filter($"vec_id" < numProbes)
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
     val ranked = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
