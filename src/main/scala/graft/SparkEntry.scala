@@ -86,6 +86,8 @@ object SparkEntry {
     "llm_dedup_simhash" -> ((s, d) => Dedup.simHashNearDups(s, d)),
     "llm_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "llm_dedup_cluster" -> (Dedup.nearDupClusters _),
+    "llm_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
+    "llm_data_quality" -> (TextAnalytics.dataQuality _),
     // — LLM-pipeline: similarity search over embeddings —
     "llm_knn_exact" -> ((s, d) => Similarity.knnExact(s, d)),
     "llm_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -155,6 +157,8 @@ object SparkEntry {
     "llm_dedup_simhash" -> Dedup.simHashNearDupsSql(),
     "llm_dedup_ngram" -> Dedup.ngramJaccardPairsSql(),
     "llm_dedup_cluster" -> Dedup.nearDupClustersSql(),
+    "llm_dedup_incremental" -> Dedup.incrementalNearDupsSql(),
+    "llm_data_quality" -> TextAnalytics.dataQualitySql,
     "llm_knn_exact" -> Similarity.knnExactSql(),
     "llm_knn_lsh" -> Similarity.knnLshSql(),
     "llm_embed_neardup" -> Similarity.embedNearDupsSql(),

@@ -326,6 +326,71 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Incremental near-dedup (new batch vs existing corpus)
+  // ---------------------------------------------------------------
+
+  /** The production dedup shape: an incoming BATCH is checked against
+    * the EXISTING corpus (not against itself) — candidates are an
+    * asymmetric equi-join of batch band buckets against corpus band
+    * buckets, so cost scales with batch × bucket-occupancy, never
+    * corpus². At real scale the corpus side's signatures/buckets are
+    * a materialized table maintained across batches. Here the split
+    * is deterministic (doc_id >= `splitAt` = the incoming batch). */
+  def incrementalNearDups(spark: SparkSession, sfDir: String,
+                          splitAt: Long = 400, threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val sets = shingleSets(spark, sfDir).cache()
+    val buckets = bandedBuckets(minHashSignatures(sets).cache())
+    val corpusB = buckets.filter($"doc_id" < splitAt)
+    val batchB = buckets.filter($"doc_id" >= splitAt)
+    val cand = batchB.as("nb")
+      .join(corpusB.as("cb"),
+        col("nb.band") === col("cb.band") && col("nb.bsig") === col("cb.bsig"))
+      .select(col("nb.doc_id").as("new_id"), col("cb.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(sets.select($"doc_id".as("new_id"), $"shs".as("sa")), "new_id")
+      .join(sets.select($"doc_id".as("corpus_id"), $"shs".as("sb")), "corpus_id")
+      .withColumn("jaccard", jaccard($"sa", $"sb"))
+      .filter($"jaccard" >= threshold)
+      .select($"new_id".cast("long"), $"corpus_id".cast("long"), $"jaccard")
+      .orderBy($"new_id", $"corpus_id")
+  }
+
+  def incrementalNearDupsSql(splitAt: Long = 400, threshold: Double = 0.8): String = {
+    val hashes = (0 until MinHashFns)
+      .map(i => s"MIN(${affine32Sql(md5PairASql, md5PairBSql, i)}) AS h$i")
+      .mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { b =>
+      val sigExpr = (0 until RowsPerBand)
+        .map(j => s"h${b * RowsPerBand + j}::VARCHAR").mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sets AS ($shingleSetsSql),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+       |sig AS (SELECT doc_id,
+       |  $hashes
+       |  FROM e GROUP BY doc_id),
+       |buckets AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+       |  FROM buckets nb JOIN buckets cb
+       |    ON nb.band = cb.band AND nb.bsig = cb.bsig
+       |  WHERE nb.doc_id >= $splitAt AND cb.doc_id < $splitAt
+       |), verified AS (
+       |  SELECT c.new_id, c.corpus_id,
+       |    len(list_intersect(sa.shs, sb.shs))::DOUBLE
+       |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.new_id
+       |  JOIN sets sb ON sb.doc_id = c.corpus_id
+       |)
+       |SELECT CAST(new_id AS BIGINT) AS new_id,
+       |       CAST(corpus_id AS BIGINT) AS corpus_id, jaccard
+       |FROM verified WHERE jaccard >= $threshold ORDER BY new_id, corpus_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Near-dup clustering (connected components over verified pairs)
   // ---------------------------------------------------------------
 

@@ -244,6 +244,39 @@ object TextAnalytics {
       .orderBy($"lang")
   }
 
+  /** Data-quality constraint check — the expectation gate a pipeline
+    * runs before accepting a batch: key uniqueness, non-null/non-empty
+    * payloads, metadata consistency (n_chars == length(text)), domain
+    * membership. One scan, one row of violation counts; zero means
+    * the batch passes. All counts are exact and engine-neutral. */
+  def dataQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir)
+    val dupKeys = d.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1).agg(coalesce(sum($"c"), lit(0L)).as("v")).select($"v")
+    val rowChecks = d.agg(
+      sum(when($"text".isNull || length($"text") === 0, 1L).otherwise(0L))
+        .cast("long").as("empty_text"),
+      sum(when($"n_chars" =!= length($"text"), 1L).otherwise(0L))
+        .cast("long").as("bad_n_chars"),
+      sum(when(!$"lang".isin("en", "es", "de", "fr", "zh"), 1L).otherwise(0L))
+        .cast("long").as("bad_lang"),
+      count(lit(1)).as("n_rows"))
+    rowChecks.join(dupKeys.select($"v".as("dup_key_rows")))
+  }
+
+  val dataQualitySql: String =
+    """WITH dup AS (
+      |  SELECT COALESCE(SUM(c), 0) AS dup_key_rows FROM (
+      |    SELECT COUNT(*) AS c FROM documents GROUP BY doc_id HAVING COUNT(*) > 1))
+      |SELECT
+      |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+      |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_chars,
+      |  CAST(SUM(CASE WHEN lang NOT IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+      |  COUNT(*) AS n_rows,
+      |  CAST((SELECT dup_key_rows FROM dup) AS BIGINT) AS dup_key_rows
+      |FROM documents""".stripMargin
+
   val fingerprintSql: String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
        |sh AS (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM t),
