@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lower-cased word tokens, in document order (duplicates kept). */
+  /** Lower-cased word tokens, in document order (duplicates kept).
+    * Unicode letter/digit classes, NOT `\w`: Java's ASCII-only `\w`
+    * never matches CJK text, which would make the zh language-ID
+    * branch structurally unreachable. `\p{L}`/`\p{N}` agree between
+    * Java regex (Spark) and RE2 (DuckDB). */
   def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("\\w+"), lit(0))
+    regexp_extract_all(lower(c), lit("[\\p{L}\\p{N}_]+"), lit(0))
 
-  val tokensSql = "regexp_extract_all(lower(text), '\\w+')"
+  val tokensSql = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')"
 
   /** Word n-gram shingles over an in-order token array, duplicates
     * KEPT (fingerprint sums weight repeated shingles). Token count

@@ -171,7 +171,11 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  def minHashNearDupsSql(threshold: Double = 0.8): String = {
+  /** Shared oracle-SQL scaffolding: the sets→exploded→signature→
+    * banded-buckets CTE chain used by every MinHash-based oracle —
+    * declared ONCE so band count / hash family changes cannot
+    * silently diverge between the self-join and incremental mirrors. */
+  private def minHashBucketsCtes: String = {
     val hashes = (0 until MinHashFns)
       .map(i => s"MIN(${affine32Sql(md5PairASql, md5PairBSql, i)}) AS h$i")
       .mkString(",\n  ")
@@ -180,12 +184,16 @@ object Dedup {
         .map(j => s"h${b * RowsPerBand + j}::VARCHAR").mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""WITH sets AS ($shingleSetsSql),
+    s"""sets AS ($shingleSetsSql),
        |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
        |sig AS (SELECT doc_id,
        |  $hashes
        |  FROM e GROUP BY doc_id),
-       |buckets AS ($bandSelects),
+       |buckets AS ($bandSelects)""".stripMargin
+  }
+
+  def minHashNearDupsSql(threshold: Double = 0.8): String = {
+    s"""WITH $minHashBucketsCtes,
        |cand AS (
        |  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
        |  FROM buckets ba JOIN buckets bb
@@ -358,20 +366,7 @@ object Dedup {
   }
 
   def incrementalNearDupsSql(splitAt: Long = 400, threshold: Double = 0.8): String = {
-    val hashes = (0 until MinHashFns)
-      .map(i => s"MIN(${affine32Sql(md5PairASql, md5PairBSql, i)}) AS h$i")
-      .mkString(",\n  ")
-    val bandSelects = (0 until Bands).map { b =>
-      val sigExpr = (0 until RowsPerBand)
-        .map(j => s"h${b * RowsPerBand + j}::VARCHAR").mkString(" || '-' || ")
-      s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH sets AS ($shingleSetsSql),
-       |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
-       |sig AS (SELECT doc_id,
-       |  $hashes
-       |  FROM e GROUP BY doc_id),
-       |buckets AS ($bandSelects),
+    s"""WITH $minHashBucketsCtes,
        |cand AS (
        |  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
        |  FROM buckets nb JOIN buckets cb

@@ -97,9 +97,11 @@ object Multimodal {
   private[graft] def decodeOne(assetId: Long, kind: String, bytes: Array[Byte],
                                    width: Int, height: Int, nFrames: Int): DecodedAsset = {
     val n = math.min(width * height, MaxPixels)
-    val px = Array.tabulate(n) { i =>
-      (bytes(i % bytes.length) & 0xff) / 255.0f
-    }
+    // empty payloads are legal (dataQuality counts them) — decode to
+    // zeros rather than dividing by a zero-length modulus
+    val px =
+      if (bytes.isEmpty) Array.fill(n)(0.0f)
+      else Array.tabulate(n)(i => (bytes(i % bytes.length) & 0xff) / 255.0f)
     DecodedAsset(assetId, kind, width, height, nFrames, px)
   }
 

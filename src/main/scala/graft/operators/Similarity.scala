@@ -106,16 +106,28 @@ object Similarity {
   private val bucketCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // same leak guard as Tables.movieCache: drop entries whose session
+  // stopped, so an embedding JVM doesn't pin dead sessions' storage
+  private def evictStopped(): Unit =
+    Seq(normCache, bucketCache).foreach(c =>
+      c.keys.foreach { case k @ (s, _) =>
+        if (s.sparkContext.isStopped) c.remove(k)
+      })
+
   /** Unit-normalized vectors: cosine becomes a single dot product —
     * one array fold per candidate instead of three. The norm is
     * computed once per ROW (not inside the per-element lambda). */
-  private def embNormed(spark: SparkSession, sfDir: String): DataFrame =
+  private def embNormed(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
     normCache.getOrElseUpdate((spark, sfDir),
       normalizeOf(Tables.embeddings(spark, sfDir)).cache())
+  }
 
-  private def embBucketed(spark: SparkSession, sfDir: String): DataFrame =
+  private def embBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
     bucketCache.getOrElseUpdate((spark, sfDir),
       withLshBuckets(embNormed(spark, sfDir)).cache())
+  }
 
   private val embNormedSql: String =
     """SELECT vec_id,

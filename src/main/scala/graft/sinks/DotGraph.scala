@@ -20,7 +20,10 @@ import org.apache.spark.sql.DataFrame
   */
 object DotGraph {
 
-  private def esc(s: String): String = s.replace("\"", "\\\"")
+  // backslash first, then quotes — otherwise a trailing backslash in
+  // a title escapes the label's closing quote and the DOT is invalid
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** DOT digraph from per-level member lists. All four levels are
     * emitted even when empty — the reference's master always returns

@@ -176,16 +176,11 @@ object Ingest {
       |       CAST(COUNT(*) AS BIGINT) AS n_ids
       |FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey)""".stripMargin
 
-  // Per-JVM token: two concurrent Verify/Bench runs — even on the SAME
-  // sfDir — get disjoint scratch dirs, so one run's overwrite can never
-  // race another's re-read. Stable within a JVM so repeated calls in
-  // one run reuse (overwrite) the same dir instead of leaking a new
-  // one per invocation.
-  private val runToken: String = java.util.UUID.randomUUID().toString.take(8)
-
-  /** Distinct scratch dir per (run, sf, kind). */
+  /** Distinct scratch dir per (run, sf, kind) — the shared
+    * [[RunToken]] keeps concurrent runs on the SAME sfDir disjoint
+    * while repeated calls in one run reuse (overwrite) the same dir. */
   private def roundTripDir(sfDir: String, kind: String): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
-    s"$tmp/graft_roundtrip_${runToken}_${kind}_${sfDir.hashCode.toHexString}"
+    s"$tmp/graft_roundtrip_${RunToken.value}_${kind}_${sfDir.hashCode.toHexString}"
   }
 }

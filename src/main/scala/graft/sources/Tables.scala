@@ -101,12 +101,15 @@ object Tables {
     * warehouse dir once per (session, sfDir).
     */
   def moviesBucketed(spark: SparkSession, sfDir: String, buckets: Int = 16): DataFrame = {
-    val name = s"graft_movies_${sfDir.hashCode.toHexString}"
+    // bucket count is part of the table identity — asking for a new
+    // layout must never silently return an existing different one
+    val name = s"graft_movies_${sfDir.hashCode.toHexString}_b$buckets"
     if (!spark.catalog.tableExists(name)) {
-      // external-table path keyed by a per-JVM token: the in-memory
-      // catalog forgets tables across JVMs while their directories
-      // survive, so a fixed managed location would collide on rerun
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${runToken}_$name"
+      // external-table path keyed by the per-JVM RunToken: the
+      // in-memory catalog forgets tables across JVMs while their
+      // directories survive, so a fixed managed location would
+      // collide on rerun
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$name"
       movies(spark, sfDir).write
         .bucketBy(buckets, "title")
         .sortBy("title")
@@ -116,9 +119,6 @@ object Tables {
     }
     spark.table(name)
   }
-
-  private lazy val runToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
 
   /** DuckDB mirror of [[movies]] as a CTE body (FIXTURES.md §3). */
   val moviesSql: String =

@@ -47,7 +47,12 @@ object EventStreams {
   /** File-based streaming source over an events parquet directory.
     * The driver's events.parquet stores TIMESTAMP(NANOS), which the
     * streaming parquet reader also needs the legacy conf for; the
-    * stream keeps the ns→µs truncation of [[Tables.events]]. */
+    * stream keeps the ns→µs truncation of [[Tables.events]].
+    *
+    * NOTE: unlike the batch reader, the flag must STAY set for the
+    * stream's lifetime (every micro-batch re-reads parquet footers),
+    * so this intentionally leaves it on session-wide — documented
+    * session-level side effect of running a nanos-parquet stream. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
@@ -150,8 +155,16 @@ object EventStreams {
             case Some(s) if t - s.last >= gapMs =>
               closed += close(user, s)
               open = Some(SessionAgg(t, t, 1))
+            case Some(s) if s.start - t >= gapMs =>
+              // late-but-in-watermark event BEFORE the open session by
+              // more than the gap: it forms its own (already closed)
+              // session — the open session's start proves no neighbor
+              closed += close(user, SessionAgg(t, t, 1))
             case Some(s) =>
-              open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+              // merge, extending the start DOWN for late events inside
+              // the gap — session_window would have merged them too
+              open = Some(SessionAgg(math.min(s.start, t),
+                math.max(s.last, t), s.n + 1))
             case None =>
               open = Some(SessionAgg(t, t, 1))
           }

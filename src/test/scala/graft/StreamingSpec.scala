@@ -132,6 +132,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("sessionizer merges a late-but-in-watermark event, extending start down") {
+    import graft.streaming.{SessionEvent, SessionRow}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeWithState(
+      mem.toDS().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("s_late_session")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens u=1 at 10:00:05
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:00:05")))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE event at 10:00:00 — inside the gap,
+      // inside the watermark: must merge and lower the session start
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // flush sentinels close the session via event-time timeout
+      mem.addData(SessionEvent(1L, t("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, t("2024-01-10 02:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("s_late_session").as[SessionRow]
+      .filter($"start_ms" < t("2024-01-02 00:00:00").getTime)
+      .collect()
+    assert(sessions.length == 1)
+    assert(sessions.head.start_ms == t("2024-01-01 10:00:00").getTime)
+    assert(sessions.head.n_events == 2)
+  }
+
   test("file-based events stream source reads the real parquet") {
     import spark.implicits._
     // file-stream sources need a directory; stage the single parquet
