@@ -88,6 +88,7 @@ object SparkEntry {
     "llm_dedup_cluster" -> (Dedup.nearDupClusters _),
     "llm_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
     "llm_data_quality" -> (TextAnalytics.dataQuality _),
+    "llm_tfidf" -> ((s, d) => TextAnalytics.tfidf(s, d)),
     // — LLM-pipeline: similarity search over embeddings —
     "llm_knn_exact" -> ((s, d) => Similarity.knnExact(s, d)),
     "llm_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "llm_dedup_cluster" -> Dedup.nearDupClustersSql(),
     "llm_dedup_incremental" -> Dedup.incrementalNearDupsSql(),
     "llm_data_quality" -> TextAnalytics.dataQualitySql,
+    "llm_tfidf" -> TextAnalytics.tfidfSql(),
     "llm_knn_exact" -> Similarity.knnExactSql(),
     "llm_knn_lsh" -> Similarity.knnLshSql(),
     "llm_embed_neardup" -> Similarity.embedNearDupsSql(),

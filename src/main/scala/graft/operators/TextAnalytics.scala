@@ -244,6 +244,49 @@ object TextAnalytics {
       .orderBy($"lang")
   }
 
+  /** TF-IDF: top-3 characteristic terms per document. Term
+    * frequencies and document frequencies are two hash aggregates
+    * (term-per-doc, then term); idf joins back by term — at corpus
+    * scale the df table is small (vocabulary-sized) and broadcasts.
+    * Scores rounded to 4 decimals: `ln` is the one non-exact scalar
+    * here and libm implementations may differ in the last ulp. */
+  def tfidf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val terms = docs(spark, sfDir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs(spark, sfDir).count() // corpus size: one scalar, computed once
+    tf.join(broadcast(df), "term")
+      .withColumn("score",
+        round($"tf" * log(lit(n + 1.0) / ($"df" + 1.0)), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"term")))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  def tfidfSql(k: Int = 3): String =
+    s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS score
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+       |), ranked AS (
+       |  SELECT doc_id, term, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+       |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   /** Data-quality constraint check — the expectation gate a pipeline
     * runs before accepting a batch: key uniqueness, non-null/non-empty
     * payloads, metadata consistency (n_chars == length(text)), domain
