@@ -89,6 +89,8 @@ object SparkEntry {
     "llm_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
     "llm_data_quality" -> (TextAnalytics.dataQuality _),
     "llm_tfidf" -> ((s, d) => TextAnalytics.tfidf(s, d)),
+    "llm_stratified_sample" -> ((s, d) => TextAnalytics.stratifiedSample(s, d)),
+    "llm_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // — LLM-pipeline: similarity search over embeddings —
     "llm_knn_exact" -> ((s, d) => Similarity.knnExact(s, d)),
     "llm_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -161,6 +163,8 @@ object SparkEntry {
     "llm_dedup_incremental" -> Dedup.incrementalNearDupsSql(),
     "llm_data_quality" -> TextAnalytics.dataQualitySql,
     "llm_tfidf" -> TextAnalytics.tfidfSql(),
+    "llm_stratified_sample" -> TextAnalytics.stratifiedSampleSql(),
+    "llm_dedup_apply" -> Dedup.dedupApplySql(),
     "llm_knn_exact" -> Similarity.knnExactSql(),
     "llm_knn_lsh" -> Similarity.knnLshSql(),
     "llm_embed_neardup" -> Similarity.embedNearDupsSql(),

@@ -333,6 +333,41 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** End-to-end dedup application: near-dup pairs → connected
+    * components → keep only cluster survivors (min id) → anti-join
+    * the drop-list against the corpus. The complete "dedup this
+    * corpus" answer, reported per language. The drop-list is tiny
+    * relative to the corpus (non-survivor ids only) so the anti-join
+    * broadcasts at any scale. */
+  def dedupApply(spark: SparkSession, sfDir: String,
+                 threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val cc = connectedComponents(minHashNearDups(spark, sfDir, threshold))
+    val drop = cc.filter($"id" =!= $"label").select($"id".as("doc_id"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_surviving"),
+        sum($"n_chars").cast("long").as("surviving_chars"))
+      .orderBy($"lang")
+  }
+
+  def dedupApplySql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE pairs AS (${minHashNearDupsSql(threshold)}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+       |), cc AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+       |drop_ids AS (SELECT id FROM cc WHERE id <> cluster)
+       |SELECT lang, COUNT(*) AS n_surviving,
+       |  CAST(SUM(n_chars) AS BIGINT) AS surviving_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.id = d.doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------
   // Incremental near-dedup (new batch vs existing corpus)
   // ---------------------------------------------------------------

@@ -287,6 +287,30 @@ object TextAnalytics {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
        |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  /** Stratified deterministic sampling: N docs per language, ranked
+    * by content hash — the balanced-sample builder for training
+    * mixes. Reproducible across runs/engines and partition layouts
+    * (unlike `sampleBy`); one window per stratum key. */
+  def stratifiedSample(spark: SparkSession, sfDir: String, perLang: Int = 20): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang")
+          .orderBy(md5i32($"text", 7), $"doc_id")))
+      .filter($"rk" <= perLang)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  def stratifiedSampleSql(perLang: Int = 20): String =
+    s"""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${md5i32Sql("text", 7)}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $perLang ORDER BY lang, rk""".stripMargin
+
   /** Data-quality constraint check — the expectation gate a pipeline
     * runs before accepting a batch: key uniqueness, non-null/non-empty
     * payloads, metadata consistency (n_chars == length(text)), domain
