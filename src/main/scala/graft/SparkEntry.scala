@@ -34,6 +34,7 @@ object SparkEntry {
     "src_csv_roundtrip" -> ((s, d) => Ingest.csvRoundTrip(s, d)),
     "src_parquet_roundtrip" -> ((s, d) => Ingest.parquetRoundTrip(s, d)),
     "src_ingest_limit" -> ((s, d) => Ingest.ingestLimit(s, d)),
+    "src_ingest_limit_file" -> ((s, d) => Ingest.ingestLimitFileOrder(s, d)),
     "src_repartition" -> ((s, d) => Ingest.repartitionBalance(s, d)),
     "src_json_roundtrip" -> (Ingest.jsonRoundTrip _),
     "src_orc_roundtrip" -> (Ingest.orcRoundTrip _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "src_csv_roundtrip" -> Ingest.csvRoundTripSql,
     "src_parquet_roundtrip" -> Ingest.parquetRoundTripSql,
     "src_ingest_limit" -> Ingest.ingestLimitSql(),
+    "src_ingest_limit_file" -> Ingest.ingestLimitFileOrderSql(),
     "src_repartition" -> Ingest.repartitionBalanceSql,
     "src_json_roundtrip" -> Ingest.jsonRoundTripSql,
     "src_orc_roundtrip" -> Ingest.orcRoundTripSql,
@@ -139,7 +141,7 @@ object SparkEntry {
     "rel_json_extract_events" -> Relational.jsonExtractEventsSql,
     "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
     "rel_quantiles" -> Relational.quantilesSql,
-    "rel_salted_agg" -> Relational.saltedAggregateSql,
+    "rel_salted_agg" -> Relational.saltedAggregateSql(),
     "rel_asof_join" -> Relational.asofJoinSql,
     "rel_pivot" -> Relational.pivotReturnFlagSql,
     "rel_sql_subqueries" -> Relational.sqlSubqueriesSql,

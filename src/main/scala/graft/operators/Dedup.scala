@@ -28,6 +28,33 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // ---------------------------------------------------------------
+  // Intermediate-frame cache
+  // ---------------------------------------------------------------
+
+  // Shingle-set / signature / posting-list frames are re-read by
+  // several branches of one query (band union × both join sides), so
+  // they must be cached — but these operators are exposed to library
+  // users via the Graft facade, and a bare `.cache()` per call would
+  // leak one storage entry per invocation in a long-lived session.
+  // Keyed cache instead (same pattern as Similarity.normCache): key =
+  // (session, stage, canonicalized-input-plan hash), so repeated calls
+  // over the same input REUSE one cached frame; stopped sessions are
+  // evicted on every access.
+  private val frameCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
+  private def evictStopped(): Unit =
+    frameCache.keys.foreach { case k @ (s, _, _) =>
+      if (s.sparkContext.isStopped) frameCache.remove(k)
+    }
+
+  private def cached(stage: String, df: DataFrame): DataFrame = {
+    evictStopped()
+    val key = (df.sparkSession, stage, df.queryExecution.analyzed.semanticHash())
+    frameCache.getOrElseUpdate(key, df.cache())
+  }
+
+  // ---------------------------------------------------------------
   // Exact dedup
   // ---------------------------------------------------------------
 
@@ -151,11 +178,11 @@ object Dedup {
   def minHashNearDupsOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sets = shingleSetsOf(docs).cache()
+    val sets = cached("shingle-sets", shingleSetsOf(docs))
     // cache the signature frame: the 4 band branches × 2 join sides
     // would otherwise re-run the explode+16-min aggregation 8 times
     // (one row of 16 longs per doc — bounded)
-    val buckets = bandedBuckets(minHashSignatures(sets).cache())
+    val buckets = bandedBuckets(cached("minhash-sig", minHashSignatures(sets)))
     val cand = buckets.as("ba")
       .join(buckets.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.bsig") === col("bb.bsig") &&
@@ -246,7 +273,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     // cached for the same multi-branch reuse reason as MinHash
-    val sig = simHashSignatures(shingleSetsOf(docs)).cache()
+    val sig = cached("simhash-sig", simHashSignatures(shingleSetsOf(docs)))
     val bytes = (0 until 4).map { k =>
       sig.select($"doc_id", $"simhash", lit(k).as("k"),
         shiftright($"simhash", k * 8).bitwiseAND(lit(255L)).as("byte"))
@@ -315,9 +342,9 @@ object Dedup {
     val e = shingleSetsOf(docs).select($"doc_id", explode($"shs").as("sh"))
     // capped posting list feeds the size aggregate and BOTH sides of
     // the pair join — cache it once
-    val capped = e.join(
+    val capped = cached(s"ngram-capped-$dfCap", e.join(
       e.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= dfCap).select($"sh"),
-      "sh").cache()
+      "sh"))
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.select($"doc_id".as("a"), $"sh")
       .join(capped.select($"doc_id".as("b"), $"sh"), "sh")
@@ -382,8 +409,8 @@ object Dedup {
   def incrementalNearDups(spark: SparkSession, sfDir: String,
                           splitAt: Long = 400, threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
-    val sets = shingleSets(spark, sfDir).cache()
-    val buckets = bandedBuckets(minHashSignatures(sets).cache())
+    val sets = cached("shingle-sets", shingleSets(spark, sfDir))
+    val buckets = bandedBuckets(cached("minhash-sig", minHashSignatures(sets)))
     val corpusB = buckets.filter($"doc_id" < splitAt)
     val batchB = buckets.filter($"doc_id" >= splitAt)
     val cand = batchB.as("nb")
@@ -425,22 +452,38 @@ object Dedup {
   // ---------------------------------------------------------------
 
   /** Connected components over a pair frame `(doc_a, doc_b)` via
-    * iterative min-label propagation — the "apply" step of near-dedup
-    * (a real pipeline drops all but one representative per cluster,
-    * not per pair). Each iteration is one join+aggregate over the
-    * edge set (distributed; the driver only checks the convergence
-    * scalar); iterations are bounded by cluster diameter, which for
-    * near-dup graphs is tiny. Returns `(doc_id, cluster)` with
-    * cluster = min doc_id reachable. */
+    * min-label propagation WITH pointer doubling — the "apply" step
+    * of near-dedup (a real pipeline drops all but one representative
+    * per cluster, not per pair). Each iteration propagates labels
+    * along edges AND adopts the label of one's current label
+    * (label-to-label join), so the reach of the minimum label at
+    * least doubles per iteration: convergence in O(log diameter)
+    * iterations, not O(diameter) — `maxIter = 20` covers any graph a
+    * real corpus could produce (diameter ≈ 2^19). Each iteration is
+    * two joins + one aggregate over the edge/label sets (distributed;
+    * the driver only sees the convergence scalar). If the loop ever
+    * hits `maxIter` without converging it FAILS LOUDLY rather than
+    * returning partial labels a downstream dedup would silently act
+    * on. Returns `(id, label)` with label = min doc_id reachable,
+    * lineage-truncated via an eager `localCheckpoint` so every
+    * intermediate cache can be released here (at cluster scale with
+    * flaky executors, swap for a reliable `checkpoint` dir). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
       .union(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
       .cache()
+    // each iteration references `labels` three times (carry-over, edge
+    // probe, BOTH sides of the doubling self-join), so lineage would
+    // grow exponentially under plain .cache(); an eager localCheckpoint
+    // materializes AND truncates the plan each round — constant-size
+    // plans, and dropped frames' blocks are reclaimed by the
+    // ContextCleaner (at cluster scale with flaky executors, swap for
+    // a reliable checkpoint dir)
     var labels = edges.select($"a".as("id")).distinct()
       .select($"id", $"id".as("label"))
-      .cache()
+      .localCheckpoint(eager = true)
     // convergence scalar: the label sum strictly decreases until the
     // fixpoint — ONE driver job per iteration (previous sum carried).
     // coalesce: sum over an EMPTY pair frame is NULL, not 0.
@@ -450,17 +493,27 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val propagated = edges.join(labels, edges("a") === labels("id"))
+      val viaEdges = edges.join(labels, edges("a") === labels("id"))
         .select($"b".as("id"), $"label")
-      val next = labels.union(propagated)
+      // pointer doubling: every label value is itself a vertex id, so
+      // l1.label = l2.id is a total inner join
+      val viaLabels = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.label").as("label"))
+      val next = labels.union(viaEdges).union(viaLabels)
         .groupBy($"id").agg(min($"label").as("label"))
-        .cache()
+        .localCheckpoint(eager = true)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
+    }
+    edges.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          s"(graph diameter > 2^${maxIter - 1}?) — refusing to return partial labels")
     }
     labels
   }

@@ -19,16 +19,21 @@ case class DecodedAsset(asset_id: Long, kind: String,
   * derivation is mirrored in the DuckDB oracle, so the metadata query
   * stays differentially checked.
   *
-  * THE DECODE IS A STUB: this container has no image/audio codecs, so
-  * `decodeOne` fabricates pixels deterministically from the payload
-  * bytes. Everything AROUND the stub is the real 100 TB plumbing and
-  * is what this module demonstrates:
+  * THE IMAGE DECODE IS REAL: image assets carry genuine PNG payloads
+  * (encoded per-partition from a deterministic per-asset pattern —
+  * see [[encodePng]]) and `decodeOne` runs them through
+  * `javax.imageio` (pure-JVM, no container codecs needed); the spec
+  * pins exact decoded pixel values, and PNG round-trips losslessly so
+  * the decode is exactly checkable. Audio/video decode REMAINS A STUB
+  * (no ffmpeg-class codecs exist in this container): those payloads
+  * get deterministic fabricated samples, loudly documented.
+  * Everything around decode is the real 100 TB plumbing:
   *  - binary payloads stay opaque columns until the decode stage (no
   *    accidental string conversions, no driver materialization);
-  *  - decode runs via `mapPartitions` — the per-PARTITION shape a real
-  *    codec needs (init the decoder once per partition, stream rows
-  *    through it, bounded memory per row batch), the Scala analogue
-  *    of `mapInPandas` batch decoding;
+  *  - encode and decode run via `mapPartitions` — the per-PARTITION
+  *    shape a real codec needs (init the decoder once per partition,
+  *    stream rows through it, bounded memory per row batch), the
+  *    Scala analogue of `mapInPandas` batch decoding;
   *  - downstream resize / frame-sample are pure columnar math over
   *    the decoded arrays and stay in the distributed plan.
   */
@@ -88,24 +93,88 @@ object Multimodal {
       |FROM a GROUP BY kind ORDER BY kind""".stripMargin
 
   // ---------------------------------------------------------------
-  // decode (STUB) via mapPartitions
+  // encode / decode via mapPartitions (images REAL, audio/video stub)
   // ---------------------------------------------------------------
 
-  /** STUB standing in for a real codec: deterministic fake pixels
-    * from the payload bytes (`pixel[i] = byte[i mod len] / 255`).
-    * Shape honors the metadata (w×h, capped at [[MaxPixels]]). */
-  private[graft] def decodeOne(assetId: Long, kind: String, bytes: Array[Byte],
-                                   width: Int, height: Int, nFrames: Int): DecodedAsset = {
-    val n = math.min(width * height, MaxPixels)
-    // empty payloads are legal (dataQuality counts them) — decode to
-    // zeros rather than dividing by a zero-length modulus
-    val px =
-      if (bytes.isEmpty) Array.fill(n)(0.0f)
-      else Array.tabulate(n)(i => (bytes(i % bytes.length) & 0xff) / 255.0f)
-    DecodedAsset(assetId, kind, width, height, nFrames, px)
+  /** Deterministic per-asset grayscale test pattern — the ground
+    * truth the PNG encode/decode round-trip is checked against. */
+  private[graft] def patternValue(assetId: Long, x: Int, y: Int): Int =
+    (((x * 7 + y * 13 + assetId) % 256) + 256).toInt % 256
+
+  /** Encode the asset's test pattern as a REAL PNG via
+    * `javax.imageio` (pure-JVM codec, present in every JRE). */
+  private[graft] def encodePng(assetId: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = patternValue(assetId, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Distributed decode: one "codec" per partition, rows streamed
+  /** Decode one asset.
+    *
+    * `kind == "image"`: REAL decode — `javax.imageio.ImageIO.read`
+    * over the PNG payload; pixels are the blue-channel luminance of
+    * the decoded raster in row-major order (the payloads are
+    * grayscale so all channels agree), capped at [[MaxPixels]].
+    * Undecodable image bytes fail loudly rather than fabricating.
+    *
+    * `kind == "audio" | "video"`: STUB — this container has no
+    * ffmpeg-class codecs, so samples are fabricated deterministically
+    * from the payload bytes (`sample[i] = byte[i mod len] / 255`),
+    * shaped by the metadata (w×h, capped). */
+  private[graft] def decodeOne(assetId: Long, kind: String, bytes: Array[Byte],
+                                   width: Int, height: Int, nFrames: Int): DecodedAsset = {
+    if (kind == "image") {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"asset $assetId: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = math.min(w * h, MaxPixels)
+      val px = Array.tabulate(n)(i => (img.getRGB(i % w, i / w) & 0xff) / 255.0f)
+      DecodedAsset(assetId, kind, w, h, nFrames, px)
+    } else {
+      val n = math.min(width * height, MaxPixels)
+      // empty payloads are legal (dataQuality counts them) — decode to
+      // zeros rather than dividing by a zero-length modulus
+      val px =
+        if (bytes.isEmpty) Array.fill(n)(0.0f)
+        else Array.tabulate(n)(i => (bytes(i % bytes.length) & 0xff) / 255.0f)
+      DecodedAsset(assetId, kind, width, height, nFrames, px)
+    }
+  }
+
+  /** [[assets]] with image payloads replaced by REAL PNG bytes —
+    * encoded distributed, one encoder scope per partition (the write
+    * side of the codec plumbing). Audio/video keep their opaque
+    * byte payloads. */
+  def assetsWithImagePayloads(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = assets(spark, sfDir)
+      .select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
+    val images = base.filter($"kind" === "image")
+      .as[(Long, String, Array[Byte], Int, Int, Int)]
+      .mapPartitions { rows =>
+        // real pipeline: initialize the encoder ONCE here, close after
+        rows.map { case (id, kind, _, w, h, f) =>
+          (id, kind, encodePng(id, w, h), w, h, f)
+        }
+      }
+      .toDF("asset_id", "kind", "bytes", "width", "height", "n_frames")
+    images.unionByName(base.filter($"kind" =!= "image"))
+  }
+
+  /** Distributed decode: one codec scope per partition, rows streamed
     * through it — the shape a real decoder (libjpeg/ffmpeg handle,
     * model session) requires. */
   def decodeAssets(assets: DataFrame): Dataset[DecodedAsset] = {
@@ -158,13 +227,14 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // llm_multimodal_decode — decode→resize stats (rows-only check:
-  // the stub decode is not SQL-expressible; the spec pins its values)
+  // llm_multimodal_decode — encode→decode→resize stats (rows-only
+  // check: a binary codec pipeline is not SQL-expressible; the spec
+  // pins decoded pixel values exactly instead)
   // ---------------------------------------------------------------
 
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pooled = resizePooled(decodeAssets(assets(spark, sfDir)))
+    val pooled = resizePooled(decodeAssets(assetsWithImagePayloads(spark, sfDir)))
     pooled
       .select($"asset_id", $"kind", aggregate($"pixels", lit(0.0d),
         (acc, x) => acc + x).as("pix_sum"), size($"pixels").as("n_px"))

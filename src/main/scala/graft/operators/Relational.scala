@@ -675,18 +675,21 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
-  val saltedAggregateSql: String =
-    """WITH salted AS (
-      |  SELECT l_returnflag, l_orderkey % 8 AS salt,
-      |         COUNT(*) AS pn,
-      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pq,
-      |         COUNT(DISTINCT l_suppkey) AS pd
-      |  FROM lineitem GROUP BY 1, 2)
-      |SELECT l_returnflag,
-      |  CAST(SUM(pn) AS BIGINT) AS n_items,
-      |  CAST(SUM(pq) AS DOUBLE) AS sum_qty,
-      |  CAST(MAX(pd) AS BIGINT) AS max_salt_distinct
-      |FROM salted GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  // parameterized like the other *Sql mirrors: max_salt_distinct
+  // genuinely depends on the salt count, so a hard-coded modulus would
+  // silently break the differential check for salts != 8
+  def saltedAggregateSql(salts: Int = 8): String =
+    s"""WITH salted AS (
+       |  SELECT l_returnflag, l_orderkey % $salts AS salt,
+       |         COUNT(*) AS pn,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pq,
+       |         COUNT(DISTINCT l_suppkey) AS pd
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT l_returnflag,
+       |  CAST(SUM(pn) AS BIGINT) AS n_items,
+       |  CAST(SUM(pq) AS DOUBLE) AS sum_qty,
+       |  CAST(MAX(pd) AS BIGINT) AS max_salt_distinct
+       |FROM salted GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   def hashSampleSql(pct: Int = 20): String =
     s"""SELECT lang, COUNT(*) AS n_sampled,

@@ -226,21 +226,32 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
-  /** HyperLogLog++ approximate distinct-shingle counts per language,
-    * next to the exact count. The sketch is engine-specific, so this
-    * query has NO SQL oracle (driver rows-only check); the error
-    * bound is pinned by spec instead. At 100 TB the approx column is
-    * the only affordable one — the sketch is fixed-size per group and
-    * merges associatively across partitions, where exact distinct
-    * must shuffle every distinct value. */
+  /** HyperLogLog++ approximate distinct-shingle counts per language.
+    * The sketch is engine-specific, so this query has NO SQL oracle
+    * (driver rows-only check); the ≤5% error bound vs exact
+    * `count_distinct` is pinned by `TextAnalyticsSpec` at test scale
+    * instead. The production query ships the sketch ONLY: it is
+    * fixed-size per group and merges associatively across partitions,
+    * where an exact distinct must shuffle every distinct shingle —
+    * unaffordable at 100 TB. */
   def approxDistinct(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame = {
     import spark.implicits._
     docs(spark, sfDir)
       .select($"lang", explode(shingles(tokens($"text"), 3)).as("sh"))
       .groupBy($"lang")
-      .agg(
-        approx_count_distinct($"sh", rsd).as("approx_shingles"),
-        count_distinct($"sh").as("exact_shingles"))
+      .agg(approx_count_distinct($"sh", rsd).as("approx_shingles"))
+      .orderBy($"lang")
+  }
+
+  /** Exact twin of [[approxDistinct]] for the spec's error-bound
+    * check only — never shipped as a query (the exact distinct is the
+    * scale-killer the sketch exists to avoid). */
+  def exactDistinctShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"lang", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .groupBy($"lang")
+      .agg(count_distinct($"sh").as("exact_shingles"))
       .orderBy($"lang")
   }
 
@@ -248,8 +259,11 @@ object TextAnalytics {
     * frequencies and document frequencies are two hash aggregates
     * (term-per-doc, then term); idf joins back by term — at corpus
     * scale the df table is small (vocabulary-sized) and broadcasts.
-    * Scores rounded to 4 decimals: `ln` is the one non-exact scalar
-    * here and libm implementations may differ in the last ulp. */
+    * The corpus size `n` stays IN-PLAN as a broadcast 1-row cross
+    * join (mirroring the oracle's `n` CTE) — no eager driver action
+    * fires at query-construction time. Scores rounded to 4 decimals:
+    * `ln` is the one non-exact scalar here and libm implementations
+    * may differ in the last ulp. */
   def tfidf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val terms = docs(spark, sfDir)
@@ -257,10 +271,11 @@ object TextAnalytics {
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = terms.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = docs(spark, sfDir).count() // corpus size: one scalar, computed once
+    val n = docs(spark, sfDir).agg(count(lit(1)).cast("double").as("n"))
     tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
       .withColumn("score",
-        round($"tf" * log(lit(n + 1.0) / ($"df" + 1.0)), 4))
+        round($"tf" * log(($"n" + 1.0) / ($"df" + 1.0)), 4))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"score".desc, $"term")))

@@ -15,8 +15,11 @@ import org.apache.spark.sql.DataFrame
   * the reference, both deterministic improvements: nodes are emitted
   * in level order (digraph:vertices order is unspecified ETS order),
   * and members are sorted (the reference emits map-iteration order).
-  * PNG rendering (`os:cmd("dot -Tpng …")`) is the caller's concern —
-  * the engine emits DOT text.
+  * PNG rendering (`os:cmd("dot -Tpng …")`, movie_graph.erl:91-93) is
+  * available as an OPT-IN: [[writeDotFileRendered]] shells out to
+  * `dot` exactly like the reference when the binary is on PATH, and
+  * degrades to DOT-text-only when it isn't (this engine never
+  * requires Graphviz to answer queries).
   */
 object DotGraph {
 
@@ -64,5 +67,31 @@ object DotGraph {
   def writeDotFile(dot: String, path: String): Unit = {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), dot)
     ()
+  }
+
+  /** True when the Graphviz `dot` binary is runnable on PATH. */
+  def dotAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("dot", "-V")
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      p.waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+
+  /** Full S7 parity: write the DOT file, then render `<path>.png` via
+    * `dot -Tpng` when Graphviz is available (the reference shells out
+    * unconditionally, `Code/movie_graph.erl:91-93`). Returns the PNG
+    * path if rendered, None when `dot` is absent — never fails the
+    * query path over a missing presentation tool. */
+  def writeDotFileRendered(dot: String, path: String): Option[String] = {
+    writeDotFile(dot, path)
+    if (!dotAvailable) None
+    else {
+      val png = s"$path.png"
+      val p = new ProcessBuilder("dot", "-Tpng", "-o", png, path)
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      if (p.waitFor() == 0) Some(png) else None
+    }
   }
 }

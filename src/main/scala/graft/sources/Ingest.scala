@@ -24,14 +24,31 @@ object Ingest {
     * quoting; variable arity becomes trailing nulls which we drop.
     * Returns `(id, title, actors: array<string>)`.
     */
-  def readMoviesCsv(spark: SparkSession, path: String, hasHeader: Boolean = true): DataFrame = {
-    import spark.implicits._
-    val raw = spark.read
+  def readMoviesCsv(spark: SparkSession, path: String, hasHeader: Boolean = true): DataFrame =
+    parseMovies(rawMoviesCsv(spark, path, hasHeader))
+
+  /** S3 in its ORIGINAL file-order semantics: parse only the first `n`
+    * CSV data lines of the file, in file order — the reference's
+    * 85,000-line ingest cap (`Code/csv_to_ets.erl:21,33-39`). Valid
+    * for a single input file, where Spark orders a split file's scan
+    * partitions by byte offset so `limit(n)` takes the leading lines
+    * exactly; for multi-file distributed reads "file order" is
+    * undefined and [[ingestLimit]]'s key-order analogue applies. The
+    * cap is applied BEFORE the blank-line filter, matching the
+    * reference (it counts raw lines read, then drops bad ones). */
+  def readMoviesCsvCapped(spark: SparkSession, path: String, n: Int,
+                          hasHeader: Boolean = true): DataFrame =
+    parseMovies(rawMoviesCsv(spark, path, hasHeader).limit(n))
+
+  private def rawMoviesCsv(spark: SparkSession, path: String, hasHeader: Boolean): DataFrame =
+    spark.read
       .option("header", hasHeader.toString)
       .option("quote", "\"")
       .option("escape", "\"") // RFC "" escaping, dataAnalyze.erl:84-87
       .option("mode", "PERMISSIVE")
       .csv(path)
+
+  private def parseMovies(raw: DataFrame): DataFrame = {
     val cols = raw.columns
     val actorCols = array(cols.drop(2).map(c => col(c)): _*)
     raw
@@ -156,6 +173,38 @@ object Ingest {
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM first_n""".stripMargin
+
+  /** S3 end-to-end in FILE order: stage the movies view as ONE
+    * title-sorted CSV file (deterministic file order the oracle can
+    * replay), then ingest through [[readMoviesCsvCapped]] — the cap
+    * applied to leading file lines exactly as `csv_to_ets.erl:21`
+    * does, not to sorted keys. */
+  def ingestLimitFileOrder(spark: SparkSession, sfDir: String, n: Int = 100): DataFrame = {
+    import spark.implicits._
+    val tmp = roundTripDir(sfDir, "caplimit")
+    moviesAsCsvShape(Tables.movies(spark, sfDir))
+      .orderBy($"title")
+      .coalesce(1) // single part-file: file order == title order
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    readMoviesCsvCapped(spark, tmp, n)
+      .select($"title", tokenizeActors(col("actors")(0)).as("cast"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"title").as("first_title"),
+        max($"title").as("last_title"),
+        sum(size($"cast")).cast("bigint").as("total_cast"))
+  }
+
+  def ingestLimitFileOrderSql(n: Int = 100): String =
+    s"""WITH m AS (
+       |  SELECT 'order-' || l_orderkey AS title, COUNT(DISTINCT l_partkey) AS n
+       |  FROM lineitem GROUP BY l_orderkey
+       |), first_n AS (SELECT * FROM m ORDER BY title LIMIT $n)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       MIN(title) AS first_title,
+       |       MAX(title) AS last_title,
+       |       CAST(SUM(n) AS BIGINT) AS total_cast
        |FROM first_n""".stripMargin
 
   /** X1/O2: the reference shuffles rows randomly and deals equal

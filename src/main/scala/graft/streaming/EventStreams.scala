@@ -25,8 +25,13 @@ import org.apache.spark.sql.types._
 /** Input row for the custom-state sessionizer. */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
 
-/** Per-user open-session state buffer. */
+/** One session interval (epoch millis). */
 case class SessionAgg(start: Long, last: Long, n: Long)
+
+/** Per-user sessionizer state: EVERY session the watermark hasn't
+  * passed yet — the open tail plus any gap-separated predecessors
+  * that a late-but-in-watermark event could still merge into. */
+case class SessionList(sessions: Seq[SessionAgg])
 
 /** One closed session (epoch-millis bounds; end = last event + gap,
   * matching `session_window`'s contract). */
@@ -49,16 +54,37 @@ object EventStreams {
     * streaming parquet reader also needs the legacy conf for; the
     * stream keeps the ns→µs truncation of [[Tables.events]].
     *
-    * NOTE: unlike the batch reader, the flag must STAY set for the
-    * stream's lifetime (every micro-batch re-reads parquet footers),
-    * so this intentionally leaves it on session-wide — documented
-    * session-level side effect of running a nanos-parquet stream. */
+    * Unlike the batch reader (which save/restores around schema
+    * resolution), the flag must STAY set for the stream's lifetime —
+    * every micro-batch re-reads parquet footers. A
+    * StreamingQueryListener restores the prior value once the last
+    * active query on the session terminates, so the side effect is
+    * scoped to "while a nanos-parquet stream is running" instead of
+    * session-forever. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
       case f => f
     })
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    if (prev != "true") {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
+      val restorer = new StreamingQueryListener {
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          // conservative: another concurrent stream may also need the
+          // flag, so only restore once the session runs no streams
+          if (spark.streams.active.isEmpty) {
+            spark.conf.set(key, prev)
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(restorer)
+    }
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
@@ -122,13 +148,25 @@ object EventStreams {
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * arbitrary-stateful-processing tier below `session_window`, for
     * session logic the built-in can't express (e.g. emitting rich
-    * per-session records, per-key adaptive gaps). State per user is
-    * ONE open-session buffer; sessions close either when a later
-    * event arrives past the gap, or when the event-time timeout
-    * fires after the watermark passes `last + gap`.
+    * per-session records, per-key adaptive gaps).
+    *
+    * Emission follows `session_window`'s own rule: a session is final
+    * only once the watermark passes its end (`last + gap`) — until
+    * then it stays in state, because a late-but-in-watermark event can
+    * still merge into it (extend it, or bridge it with a neighbor).
+    * So per-user state is the LIST of unemitted sessions, and every
+    * micro-batch runs one gaps-and-islands pass over
+    * (held sessions ++ new events): late events merge with earlier
+    * sessions — including sessions a previous batch already separated
+    * — exactly as the built-in would. Ripe islands (end ≤ watermark)
+    * are emitted; Spark drops rows older than the watermark before
+    * this function, so a ripe island can never grow — emission is
+    * safe and exactly-once. The event-time timeout flushes ripe
+    * sessions of users with no new data.
     *
     * Equivalence with the built-in (`sessionCounts`) is pinned by
-    * StreamingSpec. Streaming-only: batch mode restricts
+    * StreamingSpec, including multi-late-event and cross-batch merge
+    * cases. Streaming-only: batch mode restricts
     * flatMapGroupsWithState to NoTimeout, and the batch answer is
     * `session_window` anyway. */
   def sessionizeWithState(events: Dataset[SessionEvent],
@@ -139,45 +177,39 @@ object EventStreams {
     def close(user: Long, s: SessionAgg): SessionRow =
       SessionRow(user, s.start, s.last + gapMs, s.n)
 
+    // gaps-and-islands over session intervals sorted by start: merge
+    // when the next interval starts within the gap of the current
+    // island's end (also covers full overlap). Returns islands in
+    // ascending start order.
+    def islands(items: Seq[SessionAgg]): Seq[SessionAgg] =
+      items.sortBy(s => (s.start, s.last))
+        .foldLeft(List.empty[SessionAgg]) {
+          case (head :: tail, it) if it.start - head.last < gapMs =>
+            SessionAgg(head.start, math.max(head.last, it.last),
+              head.n + it.n) :: tail
+          case (acc, it) => it :: acc
+        }.reverse
+
     def fn(user: Long, rows: Iterator[SessionEvent],
-           state: GroupState[SessionAgg]): Iterator[SessionRow] = {
-      if (state.hasTimedOut) {
-        val out = close(user, state.get)
-        state.remove()
-        Iterator.single(out)
+           state: GroupState[SessionList]): Iterator[SessionRow] = {
+      // one body for both triggers: on timeout `rows` is empty and the
+      // held sessions are re-partitioned against the advanced watermark
+      val wm = state.getCurrentWatermarkMs()
+      val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val incoming = rows.map(e =>
+        SessionAgg(e.ts.getTime, e.ts.getTime, 1)).toSeq
+      val merged = islands(held ++ incoming)
+      val (ripe, open) = merged.partition(_.last + gapMs <= wm)
+      if (open.nonEmpty) {
+        state.update(SessionList(open))
+        // flush when the earliest unemitted session ripens; must stay
+        // strictly above the current watermark
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.last + gapMs).min, wm + 1000))
       } else {
-        // the iterator is unordered within the micro-batch
-        val ts = rows.map(_.ts.getTime).toSeq.sorted
-        var open = state.getOption
-        val closed = Seq.newBuilder[SessionRow]
-        ts.foreach { t =>
-          open match {
-            case Some(s) if t - s.last >= gapMs =>
-              closed += close(user, s)
-              open = Some(SessionAgg(t, t, 1))
-            case Some(s) if s.start - t >= gapMs =>
-              // late-but-in-watermark event BEFORE the open session by
-              // more than the gap: it forms its own (already closed)
-              // session — the open session's start proves no neighbor
-              closed += close(user, SessionAgg(t, t, 1))
-            case Some(s) =>
-              // merge, extending the start DOWN for late events inside
-              // the gap — session_window would have merged them too
-              open = Some(SessionAgg(math.min(s.start, t),
-                math.max(s.last, t), s.n + 1))
-            case None =>
-              open = Some(SessionAgg(t, t, 1))
-          }
-        }
-        open.foreach { s =>
-          state.update(s)
-          // timeout must stay above the current watermark: a session
-          // already overdue fires at the next watermark advance
-          state.setTimeoutTimestamp(
-            math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1000))
-        }
-        closed.result().iterator
+        state.remove()
       }
+      ripe.map(close(user, _)).iterator
     }
 
     events

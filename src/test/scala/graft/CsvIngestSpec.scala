@@ -60,6 +60,33 @@ class CsvIngestSpec extends SparkSpec {
     assert(df.head() == Seq("A", "B", "C"))
   }
 
+  test("capped read takes the FIRST n file lines, not the n smallest keys") {
+    // ids deliberately unordered: a key-order cap would pick 1 and 2;
+    // the reference's csv_to_ets.erl cap must pick 9 and 5
+    val path = writeCsv(Seq(
+      "MovieID,Title,Actor1",
+      "9,Ninth,A",
+      "5,Fifth,B",
+      "1,First,C",
+      "2,Second,D"))
+    val got = Ingest.readMoviesCsvCapped(spark, path, 2)
+      .select($"id").as[String].collect().toSet
+    assert(got == Set("9", "5"))
+  }
+
+  test("cap counts raw lines BEFORE the blank-line filter (csv_to_ets.erl order)") {
+    val path = writeCsv(Seq(
+      "MovieID,Title,Actor1",
+      "9,Ninth,A",
+      ",,", // blank-ish line inside the capped window
+      "5,Fifth,B",
+      "1,First,C"))
+    // cap=3 covers lines {9, blank, 5}; the filter then drops the blank
+    val got = Ingest.readMoviesCsvCapped(spark, path, 3)
+      .select($"id").as[String].collect().toSet
+    assert(got == Set("9", "5"))
+  }
+
   test("csv round-trip over the movies view is lossless at sf0.001") {
     val rt = Ingest.csvRoundTrip(spark, sf)
     val direct = graft.sources.Tables.movies(spark, sf)

@@ -66,6 +66,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: 100-node chain (diameter >> 20) converges exactly") {
+    import spark.implicits._
+    // pointer doubling must reach the fixpoint in O(log diameter)
+    // iterations — the old edge-only propagation would need 100 and
+    // previously returned WRONG partial labels silently at maxIter=20
+    val pairs = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 101)
+    assert(cc.values.forall(_ == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("connected components fail loudly instead of returning partial labels") {
+    import spark.implicits._
+    // maxIter = 1 cannot converge a 5-node chain — must throw, never
+    // hand back labels a downstream dedupApply would silently act on
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    }
+  }
+
   test("simhash approximates the verified near-dup set (bounded errors)") {
     import spark.implicits._
     val sim = Dedup.simHashNearDups(spark, sf)

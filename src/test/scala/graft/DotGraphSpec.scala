@@ -59,4 +59,19 @@ class DotGraphSpec extends AnyFunSuite with SparkSpec {
     DotGraph.writeDotFile("digraph X {}\n", p.toString)
     assert(java.nio.file.Files.readString(p) == "digraph X {}\n")
   }
+
+  test("rendered write emits DOT always, PNG exactly when dot is on PATH") {
+    val p = java.nio.file.Files.createTempFile("graft_dot_png", ".dot")
+    val png = DotGraph.writeDotFileRendered("digraph X { a -> b; }\n", p.toString)
+    // the DOT text is written unconditionally — full S7 text parity
+    assert(java.nio.file.Files.readString(p) == "digraph X { a -> b; }\n")
+    if (DotGraph.dotAvailable) {
+      // real render: file exists and carries the PNG magic
+      assert(png.isDefined)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(png.get))
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    } else {
+      assert(png.isEmpty) // graceful degrade, never an error
+    }
+  }
 }

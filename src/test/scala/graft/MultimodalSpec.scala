@@ -6,27 +6,71 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
-  test("decode stub is deterministic and shape-honoring") {
-    val d = Multimodal.decodeOne(7L, "image", "ab".getBytes("UTF-8"), 3, 2, 1)
-    assert(d.pixels.length == 6) // w*h under the cap
-    // pixel[i] = byte[i mod 2]/255 -> a,b,a,b,a,b
-    val a = 'a'.toInt / 255.0f
-    val b = 'b'.toInt / 255.0f
-    assert(d.pixels.toSeq == Seq(a, b, a, b, a, b))
-    // cap applies
-    val big = Multimodal.decodeOne(8L, "image", "x".getBytes, 100, 100, 1)
+  test("image decode is REAL: javax.imageio round-trips exact pixel values") {
+    // encode the deterministic pattern as a genuine PNG, decode it
+    // back through ImageIO, and pin every pixel against the pattern
+    val bytes = Multimodal.encodePng(7L, 5, 3)
+    // PNG magic proves these are real encoded bytes, not a fake
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte
+      && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+    val d = Multimodal.decodeOne(7L, "image", bytes, 5, 3, 1)
+    assert(d.width == 5 && d.height == 3 && d.pixels.length == 15)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(d.pixels(y * 5 + x) == Multimodal.patternValue(7L, x, y) / 255.0f)
+    // undecodable image payloads fail loudly, never fabricate
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeOne(9L, "image", "not a png".getBytes, 3, 2, 1)
+    }
+  }
+
+  test("image decode caps pixel payloads at MaxPixels") {
+    val big = Multimodal.decodeOne(8L, "image", Multimodal.encodePng(8L, 100, 100), 100, 100, 1)
     assert(big.pixels.length == Multimodal.MaxPixels)
   }
 
+  test("audio/video decode stub is deterministic and shape-honoring") {
+    val d = Multimodal.decodeOne(7L, "audio", "ab".getBytes("UTF-8"), 3, 2, 1)
+    assert(d.pixels.length == 6) // w*h under the cap
+    // sample[i] = byte[i mod 2]/255 -> a,b,a,b,a,b
+    val a = 'a'.toInt / 255.0f
+    val b = 'b'.toInt / 255.0f
+    assert(d.pixels.toSeq == Seq(a, b, a, b, a, b))
+  }
+
+  test("distributed encode+decode round-trips every image asset exactly") {
+    import spark.implicits._
+    val withPng = Multimodal.assetsWithImagePayloads(spark, sf)
+    val images = withPng.filter($"kind" === "image")
+    val decoded = Multimodal.decodeAssets(images.repartition(4))
+    // spot-check full pixel equality on a handful of assets
+    val sample = decoded.filter(_.asset_id < 30).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { d =>
+      val n = math.min(d.width * d.height, Multimodal.MaxPixels)
+      assert(d.pixels.length == n)
+      var i = 0
+      while (i < n) {
+        assert(d.pixels(i) ==
+          Multimodal.patternValue(d.asset_id, i % d.width, i / d.width) / 255.0f)
+        i += 1
+      }
+    }
+    // decoded geometry equals the metadata geometry for ALL images
+    val bad = decoded.toDF()
+      .join(images.select($"asset_id", $"width".as("mw"), $"height".as("mh")), "asset_id")
+      .filter($"width" =!= $"mw" || $"height" =!= $"mh").count()
+    assert(bad == 0)
+  }
+
   test("distributed decode preserves row count and runs per-partition") {
-    val assets = Multimodal.assets(spark, sf)
+    val assets = Multimodal.assetsWithImagePayloads(spark, sf)
     val decoded = Multimodal.decodeAssets(assets.repartition(4))
     assert(decoded.count() == assets.count())
   }
 
   test("resize pools to the fixed grid") {
     import spark.implicits._
-    val assets = Multimodal.assets(spark, sf).limit(10)
+    val assets = Multimodal.assetsWithImagePayloads(spark, sf).limit(10)
     val pooled = Multimodal.resizePooled(Multimodal.decodeAssets(assets))
     val sizes = pooled.select(size($"pixels")).distinct().as[Int].collect()
     assert(sizes.toSeq == Seq(64)) // 8x8 for every asset
@@ -34,7 +78,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   test("frame sampling keeps every 4th frame of video assets only") {
     import spark.implicits._
-    val assets = Multimodal.assets(spark, sf)
+    val assets = Multimodal.assetsWithImagePayloads(spark, sf)
     val decoded = Multimodal.decodeAssets(assets)
     val frames = Multimodal.frameSample(decoded, stride = 4)
     val kinds = frames.join(assets.select($"asset_id", $"kind"), "asset_id")

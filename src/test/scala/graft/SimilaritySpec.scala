@@ -16,6 +16,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("16 distinct DotProducts in ONE projection compile under codegen") {
+    import spark.implicits._
+    // regression: fixed local names ('n'/'sum') in doGenCode collide
+    // when several DotProducts land unbraced in one generated scope
+    // (withLshBuckets emits 16) — janino rejects the stage and Spark
+    // silently interprets. fallback=false turns that silence into a
+    // test failure.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(1.0, 2.0), 1L)).toDF("a", "id")
+      // distinct right-hand sides so subexpression elimination can't
+      // collapse the 16 expressions into one
+      val cols = (0 until 16).map { i =>
+        graft.functions.VectorExpressions
+          .dot_product($"a", array(lit(i.toDouble), lit(i + 1.0))).as(s"d$i")
+      }
+      val row = df.select(cols: _*).head()
+      (0 until 16).foreach { i =>
+        assert(row.getDouble(i) == 1.0 * i + 2.0 * (i + 1))
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("codegen'd DotProduct is bit-identical to the higher-order fold") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, sf)

@@ -164,6 +164,108 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(sessions.head.n_events == 2)
   }
 
+  test("sessionizer merges multiple late singletons into ONE session") {
+    import graft.streaming.{SessionEvent, SessionRow}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeWithState(
+      mem.toDS().withWatermark("ts", "6 hours"))
+      .writeStream.format("memory").queryName("s_late_multi")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens u=1 at 12:00
+      mem.addData(SessionEvent(1L, t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 2: TWO late events, both >= gap before the open session,
+      // but within the gap of EACH OTHER — session_window merges them
+      // into one 2-event session; emitting two singletons is the bug
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00")),
+        SessionEvent(1L, t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, t("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, t("2024-01-10 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_late_multi").as[SessionRow]
+      .filter($"start_ms" < t("2024-01-02 00:00:00").getTime)
+      .collect().map(r => (r.start_ms, r.end_ms, r.n_events)).toSet
+    val gap = 30L * 60 * 1000
+    assert(got == Set(
+      (t("2024-01-01 10:00:00").getTime, t("2024-01-01 10:10:00").getTime + gap, 2L),
+      (t("2024-01-01 12:00:00").getTime, t("2024-01-01 12:00:00").getTime + gap, 1L)))
+  }
+
+  test("sessionizer merges a late event into a session separated in an EARLIER batch") {
+    import graft.streaming.{SessionEvent, SessionRow}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeWithState(
+      mem.toDS().withWatermark("ts", "6 hours"))
+      .writeStream.format("memory").queryName("s_late_bridge")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(1L, t("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      // 10:00 is its own island, gap-separated from 11:30 — but the
+      // watermark hasn't passed it, so it must STAY unemitted...
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // ...because this 10:20 event bridges into it a batch later
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, t("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, t("2024-01-10 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_late_bridge").as[SessionRow]
+      .filter($"start_ms" < t("2024-01-02 00:00:00").getTime)
+      .collect().map(r => (r.start_ms, r.end_ms, r.n_events)).toSet
+    val gap = 30L * 60 * 1000
+    assert(got == Set(
+      (t("2024-01-01 10:00:00").getTime, t("2024-01-01 10:20:00").getTime + gap, 2L),
+      (t("2024-01-01 11:30:00").getTime, t("2024-01-01 11:30:00").getTime + gap, 1L)))
+  }
+
+  test("checkpointed file stream restarts with exactly-once output") {
+    import spark.implicits._
+    // recovery, not just semantics: run a checkpointed stream over one
+    // staged file, STOP the query, stage a second file, restart the
+    // same (source, checkpoint, sink) triple. The restarted stream
+    // must resume from the checkpoint — the first file is NOT
+    // reprocessed, the second is NOT lost — so every event lands in
+    // the sink exactly once per staged copy.
+    val in = java.nio.file.Files.createTempDirectory("graft_ck_in")
+    val ck = java.nio.file.Files.createTempDirectory("graft_ck_meta")
+    val out = java.nio.file.Files.createTempDirectory("graft_ck_out")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, in.resolve("e1.parquet"))
+    def run(): Unit = {
+      val q = EventStreams.readEventsStream(spark, in.toString)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // processes e1, checkpoint records it
+    java.nio.file.Files.copy(src, in.resolve("e2.parquet"))
+    run() // restart: must process ONLY e2
+    val got = spark.read.parquet(out.toString)
+    val batch = graft.sources.Tables.events(spark, sf)
+    assert(got.count() == 2 * batch.count())
+    // exactly-once per staged copy: every event_id exactly twice
+    // (reprocessing e1 would make 3+, losing e2 would make 1)
+    val bad = got.groupBy($"event_id").agg(count(lit(1)).as("n"))
+      .filter($"n" =!= 2).count()
+    assert(bad == 0)
+  }
+
   test("file-based events stream source reads the real parquet") {
     import spark.implicits._
     // file-stream sources need a directory; stage the single parquet

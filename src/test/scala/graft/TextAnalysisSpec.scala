@@ -53,7 +53,11 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
 
   test("HLL approximate distinct is within 5% of exact") {
     import spark.implicits._
+    // the shipped query is sketch-only (exact distinct is the
+    // scale-killer it replaces) — the error bound is pinned HERE
+    // against the test-only exact twin
     val bad = TextAnalytics.approxDistinct(spark, sf)
+      .join(TextAnalytics.exactDistinctShingles(spark, sf), "lang")
       .filter(abs($"approx_shingles" - $"exact_shingles")
         > $"exact_shingles" * 0.05)
       .count()
