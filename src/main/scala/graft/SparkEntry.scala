@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, ReferenceQueries, Relational, Similarity, TextAnalytics}
+import graft.operators.{Clustering, Dedup, Multimodal, ReferenceQueries, Relational, Similarity, TextAnalytics}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -72,6 +72,7 @@ object SparkEntry {
     "llm_hash_sample" -> ((s, d) => Relational.hashSample(s, d)),
     "rel_events_sliding" -> (graft.streaming.EventStreams.eventsSliding _),
     "rel_events_session" -> (graft.streaming.EventStreams.eventsSession _),
+    "rel_events_attribution" -> (graft.streaming.EventStreams.eventsAttribution _),
     // — LLM-pipeline: text analysis over documents (round-2 north star) —
     "llm_text_stats" -> (TextAnalytics.textStats _),
     "llm_top_terms" -> ((s, d) => TextAnalytics.topTerms(s, d)),
@@ -89,6 +90,9 @@ object SparkEntry {
     "llm_dedup_cluster" -> (Dedup.nearDupClusters _),
     "llm_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
     "llm_data_quality" -> (TextAnalytics.dataQuality _),
+    "llm_repetition" -> ((s, d) => TextAnalytics.repetitionSignals(s, d)),
+    "llm_unigram_logprob" -> (TextAnalytics.unigramLogprob _),
+    "llm_source_cap" -> ((s, d) => TextAnalytics.sourceCap(s, d)),
     "llm_tfidf" -> ((s, d) => TextAnalytics.tfidf(s, d)),
     "llm_stratified_sample" -> ((s, d) => TextAnalytics.stratifiedSample(s, d)),
     "llm_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
@@ -96,6 +100,10 @@ object SparkEntry {
     "llm_knn_exact" -> ((s, d) => Similarity.knnExact(s, d)),
     "llm_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
     "llm_embed_neardup" -> ((s, d) => Similarity.embedNearDups(s, d)),
+    // — LLM-pipeline: clustering (trained k-means + consumers) —
+    "llm_kmeans" -> (Clustering.kmeans _),
+    "llm_knn_ivf_kmeans" -> ((s, d) => Similarity.knnIvfKmeans(s, d)),
+    "llm_semdedup" -> ((s, d) => Clustering.semDedup(s, d)),
     // — LLM-pipeline: multimodal binary columns —
     "llm_multimodal_meta" -> (Multimodal.assetMeta _),
     // decode stage is a documented stub → no SQL oracle, rows-only check
@@ -151,6 +159,7 @@ object SparkEntry {
     "llm_hash_sample" -> Relational.hashSampleSql(),
     "rel_events_sliding" -> graft.streaming.EventStreams.eventsSlidingSql,
     "rel_events_session" -> graft.streaming.EventStreams.eventsSessionSql,
+    "rel_events_attribution" -> graft.streaming.EventStreams.eventsAttributionSql,
     "llm_text_stats" -> TextAnalytics.textStatsSql,
     "llm_top_terms" -> TextAnalytics.topTermsSql(),
     "llm_lang_id" -> TextAnalytics.langIdSql,
@@ -164,12 +173,18 @@ object SparkEntry {
     "llm_dedup_cluster" -> Dedup.nearDupClustersSql(),
     "llm_dedup_incremental" -> Dedup.incrementalNearDupsSql(),
     "llm_data_quality" -> TextAnalytics.dataQualitySql,
+    "llm_repetition" -> TextAnalytics.repetitionSignalsSql(),
+    "llm_unigram_logprob" -> TextAnalytics.unigramLogprobSql,
+    "llm_source_cap" -> TextAnalytics.sourceCapSql(),
     "llm_tfidf" -> TextAnalytics.tfidfSql(),
     "llm_stratified_sample" -> TextAnalytics.stratifiedSampleSql(),
     "llm_dedup_apply" -> Dedup.dedupApplySql(),
     "llm_knn_exact" -> Similarity.knnExactSql(),
     "llm_knn_lsh" -> Similarity.knnLshSql(),
     "llm_embed_neardup" -> Similarity.embedNearDupsSql(),
+    "llm_kmeans" -> Clustering.kmeansSql(),
+    "llm_knn_ivf_kmeans" -> Similarity.knnIvfKmeansSql(),
+    "llm_semdedup" -> Clustering.semDedupSql(),
     "llm_multimodal_meta" -> Multimodal.assetMetaSql,
   )
 }

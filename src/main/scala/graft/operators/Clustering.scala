@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's) over the `embeddings` table, plus the
+  * two pipeline operators built on the trained model: IVF centroid
+  * training (the step `Similarity.knnIvf` documents as a stand-in) and
+  * SemDeDup-style cluster-scoped semantic deduplication.
+  *
+  * The reference has nothing vector-shaped (its data kernels are
+  * ~30-line map/reduce folds, `Code/mapReduce.erl:109-170`); this is
+  * the training-data-pipeline extension surface.
+  *
+  * Algorithm (engine-neutral, differentially checkable):
+  *  - init: the `k` corpus vectors with the smallest salted content
+  *    hash (`md5i32(vec_id)`), ranked — deterministic across engines,
+  *    partition layouts, and runs; cells are numbered 0..k-1 in rank
+  *    order.
+  *  - assign: plain Lloyd's on unit-normalized input — each vector goes
+  *    to the centroid minimizing squared Euclidean distance, i.e.
+  *    maximizing `dot(v,c) - ||c||²/2` (the `||v||²` term is constant
+  *    per row). Scores are rounded to 6 decimals before comparison and
+  *    ties break to the LOWEST cell, so both engines make identical
+  *    choices even when last-ulp doubles differ.
+  *  - update: per-dimension member mean, rounded to 6 decimals — the
+  *    rounding re-synchronizes the two engines after their (order-
+  *    dependent) floating sums.
+  *  - fixed iteration count: `Iters` rounds, then one final assignment
+  *    for membership counts. A cell that loses all members drops out
+  *    (standard Lloyd's behavior, identical in both engines).
+  *
+  * Scale posture (100 TB):
+  *  - Assignment is MAP-SIDE ONLY: the k·d centroid matrix is inlined
+  *    as literals (broadcast-equivalent), each row computes k codegen'd
+  *    [[graft.functions.DotProduct]] scores and an argmax — zero
+  *    shuffle, zero join. This is the shape MLlib's KMeans uses.
+  *  - The update step shuffles k·d (cell, dim) partial means — the
+  *    aggregate is partial+final, so executors pre-combine; the shuffle
+  *    payload is O(k·d·partitions), independent of corpus size.
+  *  - The driver materializes exactly k·d rounded doubles per
+  *    iteration (the centroid matrix — the canonical Lloyd's driver
+  *    footprint), never corpus rows.
+  */
+object Clustering {
+
+  val K = 8
+  val Iters = 3
+  val InitSalt = 13
+  val Dims = 64
+
+  /** Trained centroid: cell id, per-dim values (rounded to 6 dp after
+    * each mean update; init vectors are the raw normalized input). */
+  final case class Centroid(cell: Int, cv: Array[Double])
+
+  // Trained models are tiny (k·d doubles) and depend only on the input
+  // path, so cache driver-side by sfDir — no session resources held.
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Centroid]]
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
+
+  private def litArray(xs: Array[Double]): Column =
+    array(xs.toIndexedSeq.map(lit(_)): _*)
+
+  /** `round(dot(v, c) - ||c||²/2, 6)` — the assignment score. The
+    * `||c||²/2` term is computed driver-side from the same centroid
+    * values the oracle's `list_dot_product(cv, cv)` sees; both engines
+    * round the combined score to 6 dp before comparing. */
+  private def score(v: Column, c: Centroid): Column = {
+    val half = c.cv.foldLeft(0.0)((s, x) => s + x * x) / 2.0
+    round(dot(v, litArray(c.cv)) - lit(half), 6)
+  }
+
+  /** Map-side argmax cell assignment: first-wins over cells in
+    * ascending id order == "ORDER BY score DESC, cell" in the oracle. */
+  private def assignCell(v: Column, centroids: Seq[Centroid]): Column = {
+    val cs = centroids.sortBy(_.cell)
+    val scores = cs.map(c => score(v, c))
+    val best = greatest(scores: _*)
+    coalesce(cs.zip(scores).map { case (c, s) =>
+      when(s === best, lit(c.cell))
+    }: _*)
+  }
+
+  /** One Lloyd's update: per-dim member means (rounded), collected as
+    * the next centroid matrix. `posexplode` is 0-based; dims are
+    * published 1-based to match the oracle's `generate_subscripts`. */
+  private def updateCentroids(e: DataFrame, centroids: Seq[Centroid]): Seq[Centroid] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = e
+      .withColumn("cell", assignCell($"v", centroids))
+      .select($"cell", posexplode($"v").as(Seq("dim", "val")))
+      .groupBy($"cell", $"dim")
+      .agg(round(avg($"val"), 6).as("m"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
+      val cv = new Array[Double](Dims)
+      rs.foreach(r => cv(r.getInt(1)) = r.getDouble(2))
+      Centroid(cell, cv)
+    }.sortBy(_.cell)
+  }
+
+  /** Train on any `(vec_id, v: array<double>)` unit-normalized frame.
+    * Runs `iters` full Lloyd's rounds; each round is one corpus scan
+    * (map-side assign) + one k·d-group aggregate. */
+  def trainKmeansOf(e: DataFrame, k: Int = K, iters: Int = Iters): Seq[Centroid] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val init = e
+      .withColumn("h", Hashing.md5i32($"vec_id".cast("string"), InitSalt))
+      .orderBy($"h", $"vec_id")
+      .limit(k)
+      .select($"v")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => Centroid(i, r.getSeq[Double](0).toArray) }
+      .toSeq
+    (1 to iters).foldLeft(init)((cs, _) => updateCentroids(e, cs))
+  }
+
+  /** Cached trained model for the standard embeddings table. */
+  def kmeansModel(spark: SparkSession, sfDir: String): Seq[Centroid] =
+    modelCache.getOrElseUpdate(sfDir,
+      trainKmeansOf(Similarity.normalized(spark, sfDir)))
+
+  /** Mean squared distance to the assigned centroid (the Lloyd's
+    * objective): with unit-norm rows, `d² = 1 − 2·score`. Exposed for
+    * model-quality monitoring and the convergence spec. */
+  def wcssOf(e: DataFrame, model: Seq[Centroid]): Double = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cs = model.sortBy(_.cell)
+    val best = greatest(cs.map(c => score($"v", c)): _*)
+    e.agg(avg(lit(1.0) - lit(2.0) * best)).head().getDouble(0)
+  }
+
+  // ---------------------------------------------------------------
+  // llm_kmeans — trained centroids + final membership counts
+  // ---------------------------------------------------------------
+
+  /** Final model as rows: (cell, dim [1-based], cval, n_members). The
+    * per-dim rows pin every centroid component against the oracle's
+    * replay of the identical training run. */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val model = kmeansModel(spark, sfDir)
+    val e = Similarity.normalized(spark, sfDir)
+    val sizes = e
+      .withColumn("cell", assignCell($"v", model))
+      .groupBy($"cell").agg(count(lit(1)).as("n_members"))
+    val centroidRows = model.flatMap(c =>
+      c.cv.zipWithIndex.map { case (x, d) => (c.cell, d + 1, x) })
+    spark.createDataFrame(centroidRows).toDF("cell", "dim", "cval")
+      .join(broadcast(sizes), "cell")
+      .select($"cell", $"dim", $"cval", $"n_members")
+      .orderBy($"cell", $"dim")
+  }
+
+  /** Oracle CTE chain replaying the training run: init pick, then per
+    * iteration an assign CTE (cross join + rank window — semantically
+    * identical to the map-side argmax) and a mean-update CTE. */
+  private[operators] def kmeansChainSql(k: Int, iters: Int): String = {
+    val init =
+      s"""c0 AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+         |  FROM (SELECT vec_id, v, ${Hashing.md5i32Sql("vec_id::VARCHAR", InitSalt)} AS h
+         |        FROM e ORDER BY h, vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""s$t AS (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |         round(list_dot_product(e.v, c.cv)
+         |               - 0.5 * list_dot_product(c.cv, c.cv), 6) AS score
+         |  FROM e, c${t - 1} c),
+         |a$t AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY score DESC, cell) AS rn
+         |    FROM s$t) WHERE rn = 1),
+         |m$t AS (
+         |  SELECT cell, dim, round(avg(val), 6) AS m FROM (
+         |    SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+         |    FROM a$t) GROUP BY cell, dim),
+         |c$t AS (SELECT cell, list(m ORDER BY dim) AS cv FROM m$t GROUP BY cell)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  def kmeansSql(k: Int = K, iters: Int = Iters): String =
+    s"""WITH e AS (${Similarity.normalizedSql}),
+       |${kmeansChainSql(k, iters)},
+       |sf AS (
+       |  SELECT e.vec_id, c.cell,
+       |         round(list_dot_product(e.v, c.cv)
+       |               - 0.5 * list_dot_product(c.cv, c.cv), 6) AS score
+       |  FROM e, c$iters c),
+       |af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rn FROM sf) WHERE rn = 1),
+       |sizes AS (SELECT cell, COUNT(*) AS n_members FROM af GROUP BY cell)
+       |SELECT m.cell::INT AS cell, m.dim::INT AS dim, m.m AS cval, s.n_members
+       |FROM m$iters m JOIN sizes s USING (cell)
+       |ORDER BY cell, dim""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_semdedup — cluster-scoped semantic near-dedup (SemDeDup shape)
+  // ---------------------------------------------------------------
+
+  /** Semantic near-duplicate pairs, candidates scoped to a shared
+    * k-means cell (the SemDeDup recipe: cluster the corpus, compare
+    * only within clusters). Complements the LSH-banded
+    * [[Similarity.embedNearDups]]: candidate structure comes from the
+    * trained partition of the space, so cost is Σ_cells |cell|²/2
+    * instead of bucket-collision-bounded — and the same cells feed the
+    * IVF index, so the clustering is trained once and reused.
+    *
+    * Pairs are verified with exact cosine ≥ `threshold`; the min-id
+    * member of each pair is the canonical survivor (`vec_a < vec_b`),
+    * so `vec_b` rows form the drop list. */
+  def semDedup(spark: SparkSession, sfDir: String,
+               threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val model = kmeansModel(spark, sfDir)
+    val e = Similarity.normalized(spark, sfDir)
+    val assigned = e.withColumn("cell", assignCell($"v", model))
+    // narrow self-join on cell ids first; vectors ride along (cell
+    // occupancy bounds the pair fan-out, as in the LSH variants)
+    val pairs = assigned.select($"cell", $"vec_id", $"v").as("a")
+      .join(assigned.select($"cell", $"vec_id", $"v").as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")), 6).as("cosine"))
+    pairs.filter($"cosine" >= threshold)
+      .select($"cell", $"vec_a", $"vec_b", $"cosine")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def semDedupSql(k: Int = K, iters: Int = Iters,
+                  threshold: Double = 0.4): String =
+    s"""WITH e AS (${Similarity.normalizedSql}),
+       |${kmeansChainSql(k, iters)},
+       |sf AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |         round(list_dot_product(e.v, c.cv)
+       |               - 0.5 * list_dot_product(c.cv, c.cv), 6) AS score
+       |  FROM e, c$iters c),
+       |af AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rn FROM sf) WHERE rn = 1)
+       |SELECT a.cell::INT AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_dot_product(a.v, b.v), 6) AS cosine
+       |FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v), 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

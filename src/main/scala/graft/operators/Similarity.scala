@@ -123,6 +123,12 @@ object Similarity {
       normalizeOf(Tables.embeddings(spark, sfDir)).cache())
   }
 
+  /** Package-level accessors for operators built on the normalized
+    * embedding frame (k-means / SemDeDup in [[Clustering]]). */
+  private[operators] def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    embNormed(spark, sfDir)
+  private[operators] def normalizedSql: String = embNormedSql
+
   private def embBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     evictStopped()
     bucketCache.getOrElseUpdate((spark, sfDir),
@@ -335,6 +341,31 @@ object Similarity {
       .orderBy($"h", $"vec_id")
       .limit(cells)
       .select($"vec_id".as("cell"), $"v".as("cv"))
+    ivfSearch(e, centroids, numProbes, k, nprobe)
+  }
+
+  /** IVF over PROPERLY TRAINED centroids — [[Clustering.kmeansModel]]
+    * replaces the hash-ranked sample with real Lloyd's output, closing
+    * the "k-means stand-in" documented on [[knnIvf]]. The trained
+    * matrix is k·d driver-side doubles, inlined as a local relation
+    * and broadcast — the index structure (assignment, inverted cells,
+    * nprobe search) is shared with [[knnIvf]] via [[ivfSearch]]. */
+  def knnIvfKmeans(spark: SparkSession, sfDir: String,
+                   numProbes: Int = 20, k: Int = 5,
+                   nprobe: Int = IvfNProbe): DataFrame = {
+    import spark.implicits._
+    val model = Clustering.kmeansModel(spark, sfDir)
+    val centroids = model.map(c => (c.cell, c.cv)).toDF("cell", "cv")
+    ivfSearch(embNormed(spark, sfDir), centroids, numProbes, k, nprobe)
+  }
+
+  /** The IVF index search given a `(cell, cv)` centroid frame: assign
+    * corpus vectors to nearest cells, probe the `nprobe` nearest cells
+    * per query, rank candidates by exact cosine. */
+  private def ivfSearch(e: DataFrame, centroids: DataFrame,
+                        numProbes: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val scored = e.join(broadcast(centroids))
       .withColumn("cos_c", round(dot($"v", $"cv"), 6))
     val assign = scored
@@ -368,7 +399,23 @@ object Similarity {
        |  SELECT vec_id AS cell, v AS cv FROM e
        |  ORDER BY ${graft.functions.Hashing.md5i32Sql("vec_id::VARCHAR", 11)}, vec_id
        |  LIMIT $cells
-       |), assign AS (
+       |), ${ivfSearchSql(numProbes, k, nprobe)}""".stripMargin
+
+  /** [[knnIvfKmeans]] oracle: the k-means training chain supplies the
+    * `centroids` CTE; the search SQL is shared with [[knnIvfSql]]. */
+  def knnIvfKmeansSql(numProbes: Int = 20, k: Int = 5,
+                      kCells: Int = Clustering.K,
+                      iters: Int = Clustering.Iters,
+                      nprobe: Int = IvfNProbe): String =
+    s"""WITH e AS ($embNormedSql),
+       |${Clustering.kmeansChainSql(kCells, iters)},
+       |centroids AS (SELECT cell, cv FROM c$iters),
+       |${ivfSearchSql(numProbes, k, nprobe)}""".stripMargin
+
+  /** Search-stage SQL shared by both IVF oracles; expects CTEs `e`
+    * (vec_id, v) and `centroids` (cell, cv) to be in scope. */
+  private def ivfSearchSql(numProbes: Int, k: Int, nprobe: Int): String =
+    s"""assign AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT e.vec_id, e.v, c.cell,
        |           row_number() OVER (PARTITION BY e.vec_id
@@ -393,3 +440,4 @@ object Similarity {
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
 }
+

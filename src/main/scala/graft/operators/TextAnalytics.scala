@@ -366,4 +366,155 @@ object TextAnalytics {
        |SELECT doc_id, COUNT(*) AS n_shingles,
        |  MIN(h) AS fp_min, CAST(SUM(h) AS BIGINT) AS fp_sum
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_repetition — Gopher-style repetition signals
+  // ---------------------------------------------------------------
+
+  /** Per-document repetition diagnostics (the Gopher/C4 family of
+    * filters, adapted to line-less documents): top-word fraction,
+    * duplicate-word fraction, duplicate-3-gram fraction, and the
+    * resulting keep/flag decision. The flag is computed FROM the
+    * rounded fractions so both engines branch on identical doubles.
+    *
+    * Scale: two explode→count aggregates keyed by doc_id (partial
+    * aggregation shrinks each before its shuffle) joined back on
+    * doc_id — per-document state never exceeds its distinct-term
+    * count, and no global structure exists at all. */
+  def repetitionSignals(spark: SparkSession, sfDir: String,
+                        topWordMax: Double = 0.09,
+                        dup3gramMax: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val t = docs(spark, sfDir).select($"doc_id", tokens($"text").as("ts"))
+    val wStats = t.select($"doc_id", explode($"ts").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").cast("long").as("max_c"))
+    val shStats = t.select($"doc_id", explode(shingles($"ts", 3)).as("sh"))
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").cast("long").as("n_sh"),
+        count(lit(1)).as("d_sh"))
+    val scored = wStats.join(shStats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        round($"max_c".cast("double") / $"n_words", 6).as("top_word_frac"),
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_words", 6)
+          .as("dup_word_frac"),
+        coalesce(round(lit(1.0) - $"d_sh".cast("double") / $"n_sh", 6), lit(0.0))
+          .as("dup_3gram_frac"))
+    scored
+      .withColumn("flagged",
+        when($"top_word_frac" > topWordMax || $"dup_3gram_frac" > dup3gramMax, 1L)
+          .otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
+  def repetitionSignalsSql(topWordMax: Double = 0.09,
+                           dup3gramMax: Double = 0.6): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
+       |         CAST(MAX(c) AS BIGINT) AS max_c
+       |  FROM (SELECT doc_id, term, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(ts) AS term FROM t) GROUP BY doc_id, term)
+       |  GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh, COUNT(*) AS d_sh
+       |  FROM (SELECT doc_id, sh, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM t)
+       |        GROUP BY doc_id, sh)
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT w.doc_id,
+       |    round(max_c::DOUBLE / n_words, 6) AS top_word_frac,
+       |    round(1.0 - n_distinct::DOUBLE / n_words, 6) AS dup_word_frac,
+       |    COALESCE(round(1.0 - d_sh::DOUBLE / n_sh, 6), 0.0) AS dup_3gram_frac
+       |  FROM w LEFT JOIN s ON w.doc_id = s.doc_id)
+       |SELECT doc_id, top_word_frac, dup_word_frac, dup_3gram_frac,
+       |  CAST(CASE WHEN top_word_frac > $topWordMax
+       |             OR dup_3gram_frac > $dup3gramMax
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_unigram_logprob — corpus-LM surprisal scoring
+  // ---------------------------------------------------------------
+
+  /** Per-document average unigram surprisal (−ln p(w) under the
+    * corpus's own unigram distribution) and the derived perplexity —
+    * the model-free stand-in for LM-based quality scoring: boilerplate
+    * and repetitive documents score low, rare-token documents high.
+    *
+    * Scale: the unigram table is vocabulary-sized → broadcast join;
+    * the corpus token total stays in-plan as a broadcast 1-row cross
+    * join (no driver action at plan-build). Perplexity is derived from
+    * the ROUNDED mean so the one libm-sensitive step (`exp`) consumes
+    * identical inputs in both engines. */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = docs(spark, sfDir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val freq = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = terms.agg(count(lit(1)).cast("double").as("tot"))
+    terms.join(broadcast(freq), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("surprisal", -log($"cnt" / $"tot"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg($"surprisal"), 4).as("avg_surprisal"))
+      .withColumn("ppl", round(exp($"avg_surprisal"), 4))
+      .orderBy($"doc_id")
+  }
+
+  val unigramLogprobSql: String =
+    s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+       |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM terms),
+       |s AS (SELECT doc_id, -ln(cnt / tot) AS surprisal
+       |      FROM terms JOIN freq USING (term) CROSS JOIN tot),
+       |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |             round(avg(surprisal), 4) AS avg_surprisal
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, avg_surprisal, round(exp(avg_surprisal), 4) AS ppl
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_source_cap — per-source document caps with budget accounting
+  // ---------------------------------------------------------------
+
+  /** Per-source (per-host/per-domain in a crawl) document cap: keep at
+    * most `cap` docs per source, chosen by deterministic content-hash
+    * rank, and account the surviving token budget. The standard
+    * anti-domination guard in crawl curation — one window per source
+    * key, reproducible across engines and partition layouts. */
+  def sourceCap(spark: SparkSession, sfDir: String, cap: Int = 15): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source")
+          .orderBy(md5i32($"text", 21), $"doc_id")))
+      .withColumn("ws_tokens", regexp_count($"text", lit("\\S+")).cast("long"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"rk" <= cap, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when($"rk" <= cap, $"ws_tokens").otherwise(0L)).cast("long")
+          .as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  def sourceCapSql(cap: Int = 15): String =
+    s"""WITH r AS (
+       |  SELECT source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ${md5i32Sql("text", 21)}, doc_id) AS rk,
+       |         len(regexp_extract_all(text, '\\S+')) AS ws_tokens
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN rk <= $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN rk <= $cap THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
 }

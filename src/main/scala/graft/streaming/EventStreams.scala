@@ -217,6 +217,28 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Click→purchase attribution pairs: every purchase within 30
+    * minutes AFTER a click by the same user, attributed to that click.
+    * ONE transform for both modes — as a stream-stream inner join the
+    * time bound plus per-side watermarks let Spark evict join state
+    * (clicks older than watermark−30min can never match again); as a
+    * batch join it is the oracle-checked twin. State is keyed by
+    * user_id and bounded by (watermark window × per-user event rate) —
+    * the production attribution-join shape. */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(
+      col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
   // -- batch twins (oracle-checked) --------------------------------
 
   def eventsSliding(spark: SparkSession, sfDir: String): DataFrame = {
@@ -235,6 +257,27 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events, range(4) t(k)
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    attributionPairs(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "purchase"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        sum(dec($"purchase_value")).cast("double").as("attributed_value"))
+      .orderBy($"user_id")
+  }
+
+  val eventsAttributionSql: String =
+    """SELECT c.user_id, COUNT(*) AS n_attributed,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
   def eventsSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

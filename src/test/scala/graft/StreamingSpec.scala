@@ -266,6 +266,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("stream-stream attribution join: stream == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // inner stream-stream join with a time-bound condition: every
+    // click×purchase match must be emitted exactly once, including
+    // pairs whose two sides arrive in DIFFERENT micro-batches (join
+    // state holds the unmatched side until the watermark passes).
+    val rows = eventRows(800)
+    val clicks = rows.filter(_.event_type == "click")
+    val purchases = rows.filter(_.event_type == "purchase")
+    val batch = EventStreams.attributionPairs(clicks.toDF(), purchases.toDF())
+
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    val joined = EventStreams.attributionPairs(
+      memC.toDF().withWatermark("ts", "1 hour"),
+      memP.toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory")
+      .queryName("s_attr").outputMode("append").start()
+    try {
+      // purchases lag their clicks by a batch: cross-batch matches
+      val (c1, c2) = clicks.splitAt(clicks.size / 2)
+      val (p1, p2) = purchases.splitAt(purchases.size / 3)
+      memC.addData(c1); memP.addData(p1); q.processAllAvailable()
+      memC.addData(c2); memP.addData(p2); q.processAllAvailable()
+    } finally q.stop()
+    assert(canon(spark.table("s_attr")) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("file-based events stream source reads the real parquet") {
     import spark.implicits._
     // file-stream sources need a directory; stage the single parquet

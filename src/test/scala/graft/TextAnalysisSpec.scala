@@ -71,4 +71,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("repetition signals: one row per doc, fractions in [0,1]") {
+    import spark.implicits._
+    val rep = TextAnalytics.repetitionSignals(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rep.count() == docs)
+    val bad = rep.filter(
+      !($"top_word_frac".between(0, 1) && $"dup_word_frac".between(0, 1) &&
+        $"dup_3gram_frac".between(0, 1)) ||
+        !$"flagged".isin(0L, 1L)).count()
+    assert(bad == 0)
+    // duplicate-word fraction must exceed the 3-gram fraction on
+    // word-salad text (3-grams are much more distinctive than words)
+    val inverted = rep.filter($"dup_3gram_frac" > $"dup_word_frac").count()
+    assert(inverted < docs / 10)
+    rep.unpersist()
+  }
+
+  test("unigram logprob: surprisal positive, ppl = exp(mean), bounded by vocab") {
+    import spark.implicits._
+    val lp = TextAnalytics.unigramLogprob(spark, sf).cache()
+    val vocab = TextAnalytics.tfidf(spark, sf).select($"term").distinct().count()
+    val bad = lp.filter($"avg_surprisal" <= 0 ||
+      abs($"ppl" - exp($"avg_surprisal")) > 1e-3).count()
+    assert(bad == 0)
+    // per-doc ppl is unbounded (a doc of corpus-rare tokens scores
+    // high), but the TOKEN-WEIGHTED corpus mean surprisal is the
+    // corpus unigram entropy, which cannot exceed ln(vocab)
+    val h = lp.agg(
+      (sum($"n_tokens" * $"avg_surprisal") / sum($"n_tokens")).as("h"))
+      .head().getDouble(0)
+    assert(h <= math.log(vocab.toDouble) + 1e-3,
+      s"corpus entropy $h above ln($vocab)")
+    lp.unpersist()
+  }
+
+  test("source cap: kept counts within cap and within doc counts") {
+    import spark.implicits._
+    val cap = 15
+    val sc = TextAnalytics.sourceCap(spark, sf, cap).cache()
+    val bad = sc.filter($"n_kept" > cap || $"n_kept" > $"n_docs" ||
+      ($"n_docs" >= cap && $"n_kept" =!= cap)).count()
+    assert(bad == 0)
+    // budget accounting: kept tokens never exceed the corpus total
+    val total = TextAnalytics.tokenCount(spark, sf)
+      .agg(sum($"ws_tokens")).head().getLong(0)
+    val kept = sc.agg(sum($"kept_tokens")).head().getLong(0)
+    assert(kept <= total && kept > 0)
+    sc.unpersist()
+  }
 }
