@@ -77,6 +77,31 @@ object Graft {
   def knn(embeddings: DataFrame, numProbes: Int = 5, k: Int = 10): DataFrame =
     operators.Similarity.knnExactOf(embeddings, numProbes, k)
 
+  // -- clustering over (vec_id, embedding) frames ------------------
+
+  /** Distributed Lloyd's k-means over raw embeddings; returns the
+    * trained centroid matrix (k·d doubles). */
+  def trainKmeans(embeddings: DataFrame, k: Int = operators.Clustering.K,
+                  iters: Int = operators.Clustering.Iters)
+      : Seq[operators.Clustering.Centroid] =
+    operators.Clustering.trainKmeansOf(
+      operators.Similarity.normalizeOf(embeddings), k, iters)
+
+  /** Lloyd's objective (mean squared distance to assigned centroid)
+    * of a model over a corpus — for training/monitoring loops. */
+  def kmeansObjective(embeddings: DataFrame,
+                      model: Seq[operators.Clustering.Centroid]): Double =
+    operators.Clustering.wcssOf(
+      operators.Similarity.normalizeOf(embeddings), model)
+
+  /** SemDeDup-style semantic near-dup pairs, candidates scoped to
+    * shared k-means cells of `model`. */
+  def semanticDedupPairs(embeddings: DataFrame,
+                         model: Seq[operators.Clustering.Centroid],
+                         threshold: Double = 0.4): DataFrame =
+    operators.Clustering.semDedupOf(
+      operators.Similarity.normalizeOf(embeddings), model, threshold)
+
   // -- streaming transforms (apply to batch or watermarked stream) --
 
   def tumblingHourly(events: DataFrame): DataFrame =
@@ -87,4 +112,8 @@ object Graft {
 
   def sessionCounts(events: DataFrame): DataFrame =
     streaming.EventStreams.sessionCounts(events)
+
+  /** Stream-stream (or batch) click→purchase attribution pairs. */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    streaming.EventStreams.attributionPairs(clicks, purchases)
 }

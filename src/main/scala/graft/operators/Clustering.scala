@@ -98,7 +98,9 @@ object Clustering {
       .agg(round(avg($"val"), 6).as("m"))
       .collect()
     rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
-      val cv = new Array[Double](Dims)
+      // dims come from the data (0-based posexplode), not a constant —
+      // the facade trains on caller frames of any width
+      val cv = new Array[Double](rs.map(_.getInt(1)).max + 1)
       rs.foreach(r => cv(r.getInt(1)) = r.getDouble(2))
       Centroid(cell, cv)
     }.sortBy(_.cell)
@@ -221,12 +223,22 @@ object Clustering {
     *
     * Pairs are verified with exact cosine ≥ `threshold`; the min-id
     * member of each pair is the canonical survivor (`vec_a < vec_b`),
-    * so `vec_b` rows form the drop list. */
+    * so `vec_b` rows form the drop list.
+    *
+    * The self-join key is `cell`, so parallelism == k: at corpus scale
+    * k must grow with the data (SemDeDup uses tens of thousands of
+    * clusters at web scale) to keep cells bounded and the join
+    * skew-free — k is a capacity knob, not a constant. */
   def semDedup(spark: SparkSession, sfDir: String,
-               threshold: Double = 0.4): DataFrame = {
+               threshold: Double = 0.4): DataFrame =
+    semDedupOf(Similarity.normalized(spark, sfDir),
+      kmeansModel(spark, sfDir), threshold)
+
+  /** Frame-parametric core: `e` must be unit-normalized `(vec_id, v)`. */
+  def semDedupOf(e: DataFrame, model: Seq[Centroid],
+                 threshold: Double): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val model = kmeansModel(spark, sfDir)
-    val e = Similarity.normalized(spark, sfDir)
     val assigned = e.withColumn("cell", assignCell($"v", model))
     // narrow self-join on cell ids first; vectors ride along (cell
     // occupancy bounds the pair fan-out, as in the LSH variants)
