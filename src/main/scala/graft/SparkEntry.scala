@@ -38,6 +38,7 @@ object SparkEntry {
     "src_repartition" -> ((s, d) => Ingest.repartitionBalance(s, d)),
     "src_json_roundtrip" -> (Ingest.jsonRoundTrip _),
     "src_orc_roundtrip" -> (Ingest.orcRoundTrip _),
+    "src_partitioned_snapshot" -> ((s, d) => Ingest.partitionedSnapshot(s, d)),
     // — relational capability surface (SURVEY §2.3/§2.5 gaps, §7 phase 3) —
     "rel_pricing_summary" -> (Relational.pricingSummary _),
     "rel_join_revenue_segment" -> (Relational.joinRevenueBySegment _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "rel_events_tumbling_hourly" -> (Relational.eventsTumblingHourly _),
     "rel_quantiles" -> (Relational.quantiles _),
     "rel_salted_agg" -> ((s, d) => Relational.saltedAggregate(s, d)),
+    "rel_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
     "rel_asof_join" -> (Relational.asofJoin _),
     "rel_pivot" -> (Relational.pivotReturnFlag _),
     "rel_sql_subqueries" -> (Relational.sqlSubqueries _),
@@ -126,6 +128,7 @@ object SparkEntry {
     "src_repartition" -> Ingest.repartitionBalanceSql,
     "src_json_roundtrip" -> Ingest.jsonRoundTripSql,
     "src_orc_roundtrip" -> Ingest.orcRoundTripSql,
+    "src_partitioned_snapshot" -> Ingest.partitionedSnapshotSql(),
     "rel_pricing_summary" -> Relational.pricingSummarySql,
     "rel_join_revenue_segment" -> Relational.joinRevenueBySegmentSql,
     "rel_join_broadcast_nation" -> Relational.joinBroadcastNationSql,
@@ -150,6 +153,7 @@ object SparkEntry {
     "rel_events_tumbling_hourly" -> Relational.eventsTumblingHourlySql,
     "rel_quantiles" -> Relational.quantilesSql,
     "rel_salted_agg" -> Relational.saltedAggregateSql(),
+    "rel_salted_join" -> Relational.saltedJoinSql,
     "rel_asof_join" -> Relational.asofJoinSql,
     "rel_pivot" -> Relational.pivotReturnFlagSql,
     "rel_sql_subqueries" -> Relational.sqlSubqueriesSql,

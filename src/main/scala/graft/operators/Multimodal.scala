@@ -19,14 +19,19 @@ case class DecodedAsset(asset_id: Long, kind: String,
   * derivation is mirrored in the DuckDB oracle, so the metadata query
   * stays differentially checked.
   *
-  * THE IMAGE DECODE IS REAL: image assets carry genuine PNG payloads
-  * (encoded per-partition from a deterministic per-asset pattern —
-  * see [[encodePng]]) and `decodeOne` runs them through
-  * `javax.imageio` (pure-JVM, no container codecs needed); the spec
-  * pins exact decoded pixel values, and PNG round-trips losslessly so
-  * the decode is exactly checkable. Audio/video decode REMAINS A STUB
-  * (no ffmpeg-class codecs exist in this container): those payloads
-  * get deterministic fabricated samples, loudly documented.
+  * ALL THREE DECODES ARE REAL — no fabricated pixels anywhere:
+  *  - image: genuine PNG payloads ([[encodePng]]) decoded through
+  *    `javax.imageio` (pure-JVM codec in every JRE);
+  *  - audio: genuine 16-bit PCM WAV payloads ([[encodeWav]]) decoded
+  *    through `javax.sound.sampled.AudioSystem` (pure-JVM WAV codec);
+  *  - video: a length-prefixed PNG-frame container ([[encodeFramedPngs]])
+  *    decoded frame-by-frame through `ImageIO`. Real video CONTAINERS
+  *    (mp4/mkv) need ffmpeg-class codecs this environment lacks, so
+  *    the container format is this honest homemade framing — but the
+  *    per-frame codec work and the frame-walk are real, and specs pin
+  *    exact decoded values for every modality.
+  * Undecodable payloads fail loudly in all three paths — the decoder
+  * never fabricates.
   * Everything around decode is the real 100 TB plumbing:
   *  - binary payloads stay opaque columns until the decode stage (no
   *    accidental string conversions, no driver materialization);
@@ -121,58 +126,161 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode one asset.
+  /** Deterministic signed-16-bit test waveform — the ground truth the
+    * WAV encode/decode round-trip is checked against. */
+  private[graft] def sampleValue(assetId: Long, i: Int): Int = {
+    val v = (i.toLong * 131L + assetId * 7919L) % 65536L
+    (((v + 65536L) % 65536L) - 32768L).toInt
+  }
+
+  /** Encode the asset's test waveform as a REAL 16-bit PCM mono WAV
+    * via `javax.sound.sampled` (pure-JVM codec, present in every
+    * JRE). `nSamples` follows the metadata geometry (w·h). */
+  private[graft] def encodeWav(assetId: Long, sampleRate: Int,
+                               nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = sampleValue(assetId, i)
+      data(2 * i) = (s & 0xff).toByte          // little-endian PCM
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-frame pattern id: distinct deterministic pattern per frame. */
+  private[graft] def frameId(assetId: Long, f: Int): Long =
+    assetId * 131L + f
+
+  /** Encode a video asset as a length-prefixed sequence of REAL PNG
+    * frames — the honest stand-in container (real mp4/mkv demuxing
+    * needs ffmpeg-class codecs this environment lacks; the per-frame
+    * codec work below is genuine). */
+  private[graft] def encodeFramedPngs(assetId: Long, width: Int, height: Int,
+                                      nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < nFrames) {
+      val png = encodePng(frameId(assetId, f), width, height)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Decode one asset — REAL decode on every path, loud failure on
+    * undecodable payloads (the decoder never fabricates).
     *
-    * `kind == "image"`: REAL decode — `javax.imageio.ImageIO.read`
-    * over the PNG payload; pixels are the blue-channel luminance of
-    * the decoded raster in row-major order (the payloads are
-    * grayscale so all channels agree), capped at [[MaxPixels]].
-    * Undecodable image bytes fail loudly rather than fabricating.
+    * `image`: `javax.imageio.ImageIO.read` over the PNG payload;
+    * pixels are the blue-channel luminance of the decoded raster in
+    * row-major order (payloads are grayscale so all channels agree),
+    * capped at [[MaxPixels]].
     *
-    * `kind == "audio" | "video"`: STUB — this container has no
-    * ffmpeg-class codecs, so samples are fabricated deterministically
-    * from the payload bytes (`sample[i] = byte[i mod len] / 255`),
-    * shaped by the metadata (w×h, capped). */
+    * `audio`: `javax.sound.sampled.AudioSystem` over the WAV payload;
+    * pixels are the PCM samples normalized to [-1, 1), capped.
+    *
+    * `video`: walk the length-prefixed PNG frames, `ImageIO`-decode
+    * each, concatenate lumas; STOP READING once the cap is reached
+    * (bounded work per row — the codec analogue of a decode budget). */
   private[graft] def decodeOne(assetId: Long, kind: String, bytes: Array[Byte],
                                    width: Int, height: Int, nFrames: Int): DecodedAsset = {
-    if (kind == "image") {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      require(img != null, s"asset $assetId: payload is not a decodable image")
-      val w = img.getWidth
-      val h = img.getHeight
-      val n = math.min(w * h, MaxPixels)
-      val px = Array.tabulate(n)(i => (img.getRGB(i % w, i / w) & 0xff) / 255.0f)
-      DecodedAsset(assetId, kind, w, h, nFrames, px)
-    } else {
-      val n = math.min(width * height, MaxPixels)
-      // empty payloads are legal (dataQuality counts them) — decode to
-      // zeros rather than dividing by a zero-length modulus
-      val px =
-        if (bytes.isEmpty) Array.fill(n)(0.0f)
-        else Array.tabulate(n)(i => (bytes(i % bytes.length) & 0xff) / 255.0f)
-      DecodedAsset(assetId, kind, width, height, nFrames, px)
+    kind match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"asset $assetId: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = math.min(w * h, MaxPixels)
+        val px = Array.tabulate(n)(i => (img.getRGB(i % w, i / w) & 0xff) / 255.0f)
+        DecodedAsset(assetId, kind, w, h, nFrames, px)
+
+      case "audio" =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"asset $assetId: payload is not decodable audio", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian,
+          s"asset $assetId: expected 16-bit mono little-endian PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val n = math.min(data.length / 2, MaxPixels)
+        val px = Array.tabulate(n) { i =>
+          ((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort / 32768.0f
+        }
+        DecodedAsset(assetId, kind, width, height, nFrames, px)
+
+      case "video" =>
+        val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+        val out = new scala.collection.mutable.ArrayBuffer[Float](MaxPixels)
+        var w = width
+        var h = height
+        var remaining = nFrames
+        while (remaining > 0 && out.length < MaxPixels && dis.available() >= 4) {
+          val len = dis.readInt()
+          val frame = new Array[Byte](len)
+          dis.readFully(frame)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+          require(img != null, s"asset $assetId: undecodable video frame")
+          w = img.getWidth
+          h = img.getHeight
+          var i = 0
+          val fn = w * h
+          while (i < fn && out.length < MaxPixels) {
+            out += (img.getRGB(i % w, i / w) & 0xff) / 255.0f
+            i += 1
+          }
+          remaining -= 1
+        }
+        DecodedAsset(assetId, kind, w, h, nFrames, out.toArray)
+
+      case other =>
+        throw new IllegalArgumentException(s"asset $assetId: unknown kind $other")
     }
   }
 
-  /** [[assets]] with image payloads replaced by REAL PNG bytes —
+  /** [[assets]] with every payload replaced by REAL encoded bytes —
+    * PNG for images, 16-bit PCM WAV for audio, framed PNGs for video —
     * encoded distributed, one encoder scope per partition (the write
-    * side of the codec plumbing). Audio/video keep their opaque
-    * byte payloads. */
-  def assetsWithImagePayloads(spark: SparkSession, sfDir: String): DataFrame = {
+    * side of the codec plumbing). */
+  def assetsWithRealPayloads(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = assets(spark, sfDir)
-      .select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
-    val images = base.filter($"kind" === "image")
-      .as[(Long, String, Array[Byte], Int, Int, Int)]
+    assets(spark, sfDir)
+      .select($"asset_id", $"kind", $"width", $"height", $"sample_rate", $"n_frames")
+      .as[(Long, String, Int, Int, Int, Int)]
       .mapPartitions { rows =>
-        // real pipeline: initialize the encoder ONCE here, close after
-        rows.map { case (id, kind, _, w, h, f) =>
-          (id, kind, encodePng(id, w, h), w, h, f)
+        // real pipeline: initialize the encoders ONCE here, close after
+        rows.map { case (id, kind, w, h, sr, f) =>
+          val bytes = kind match {
+            case "image" => encodePng(id, w, h)
+            case "audio" => encodeWav(id, sr, w * h)
+            case _       => encodeFramedPngs(id, w, h, f)
+          }
+          (id, kind, bytes, w, h, f)
         }
       }
       .toDF("asset_id", "kind", "bytes", "width", "height", "n_frames")
-    images.unionByName(base.filter($"kind" =!= "image"))
   }
+
+  /** Former name of [[assetsWithRealPayloads]], kept for callers from
+    * the image-only round. */
+  @deprecated("use assetsWithRealPayloads — all modalities are real now", "round3")
+  def assetsWithImagePayloads(spark: SparkSession, sfDir: String): DataFrame =
+    assetsWithRealPayloads(spark, sfDir)
 
   /** Distributed decode: one codec scope per partition, rows streamed
     * through it — the shape a real decoder (libjpeg/ffmpeg handle,
@@ -234,7 +342,7 @@ object Multimodal {
 
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pooled = resizePooled(decodeAssets(assetsWithImagePayloads(spark, sfDir)))
+    val pooled = resizePooled(decodeAssets(assetsWithRealPayloads(spark, sfDir)))
     pooled
       .select($"asset_id", $"kind", aggregate($"pixels", lit(0.0d),
         (acc, x) => acc + x).as("pix_sum"), size($"pixels").as("n_px"))

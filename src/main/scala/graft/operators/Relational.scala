@@ -691,6 +691,40 @@ object Relational {
        |  CAST(MAX(pd) AS BIGINT) AS max_salt_distinct
        |FROM salted GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Skew-safe replicated join — the join-side sibling of
+    * [[saltedAggregate]]: when one join key dominates (a hot customer,
+    * a default-key sink) and the build side is too big to broadcast,
+    * the fact side salts its key into `salts` sub-keys and the
+    * dimension replicates `salts`× (sequence-explode), so a hot key's
+    * rows spread over `salts` reducers instead of one straggler. Each
+    * fact row carries exactly ONE salt and meets exactly ONE replica,
+    * so the result is EXACTLY the plain join — the oracle is the
+    * unsalted SQL. `shuffle_hash` hint keeps the demo honest: without
+    * it AQE would broadcast the small test-scale dimension and never
+    * exercise the salted shuffle (at 100 TB the hint is unnecessary —
+    * a non-broadcastable dimension shuffles by itself). */
+  def saltedJoin(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_totalprice",
+        pmod($"o_orderkey", lit(salts)).as("o_salt"))
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("c_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      .hint("shuffle_hash")
+    o.join(c, $"o_custkey" === $"c_custkey" && $"o_salt" === $"c_salt")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def hashSampleSql(pct: Int = 20): String =
     s"""SELECT lang, COUNT(*) AS n_sampled,
        |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars

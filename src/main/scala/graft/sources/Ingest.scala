@@ -228,6 +228,44 @@ object Ingest {
   /** Distinct scratch dir per (run, sf, kind) — the shared
     * [[RunToken]] keeps concurrent runs on the SAME sfDir disjoint
     * while repeated calls in one run reuse (overwrite) the same dir. */
+  /** Date-partitioned snapshot + pruned read: orders written
+    * `partitionBy(month)` — the time-series layout at 100 TB — then
+    * read back with a single-month predicate. The month filter is a
+    * PARTITION filter: the scan prunes to one directory before any
+    * file IO (pinned by `PartitionPruneSpec`), where an unpartitioned
+    * snapshot would scan every file. The aggregate proves the
+    * partitioned layout is lossless; the oracle applies the same
+    * month predicate to the raw table. */
+  def partitionedSnapshot(spark: SparkSession, sfDir: String,
+                          month: String = "1996-06"): DataFrame = {
+    import spark.implicits._
+    partitionedOrders(spark, sfDir)
+      .filter($"o_month" === month)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total_price"),
+        count_distinct($"o_custkey").cast("long").as("n_customers"))
+  }
+
+  /** The month-partitioned snapshot read frame (write-once per run). */
+  private[graft] def partitionedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = roundTripDir(sfDir, "bymonth")
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      Tables.orders(spark, sfDir)
+        .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+    }
+    spark.read.parquet(tmp)
+  }
+
+  def partitionedSnapshotSql(month: String = "1996-06"): String =
+    s"""SELECT COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+       |FROM orders
+       |WHERE strftime(o_orderdate::TIMESTAMP, '%Y-%m') = '$month'""".stripMargin
+
   private def roundTripDir(sfDir: String, kind: String): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
     s"$tmp/graft_roundtrip_${RunToken.value}_${kind}_${sfDir.hashCode.toHexString}"

@@ -28,18 +28,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(big.pixels.length == Multimodal.MaxPixels)
   }
 
-  test("audio/video decode stub is deterministic and shape-honoring") {
-    val d = Multimodal.decodeOne(7L, "audio", "ab".getBytes("UTF-8"), 3, 2, 1)
-    assert(d.pixels.length == 6) // w*h under the cap
-    // sample[i] = byte[i mod 2]/255 -> a,b,a,b,a,b
-    val a = 'a'.toInt / 255.0f
-    val b = 'b'.toInt / 255.0f
-    assert(d.pixels.toSeq == Seq(a, b, a, b, a, b))
+  test("audio decode is REAL: javax.sound round-trips exact PCM samples") {
+    val bytes = Multimodal.encodeWav(7L, 8000, 6)
+    // RIFF magic proves these are real encoded WAV bytes, not a fake
+    assert(bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte
+      && bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
+    val d = Multimodal.decodeOne(7L, "audio", bytes, 3, 2, 1)
+    assert(d.pixels.length == 6)
+    for (i <- 0 until 6)
+      assert(d.pixels(i) == Multimodal.sampleValue(7L, i) / 32768.0f)
+    // undecodable audio payloads fail loudly, never fabricate
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeOne(9L, "audio", "not a wav".getBytes, 3, 2, 1)
+    }
+  }
+
+  test("video decode is REAL: framed PNGs round-trip exact per-frame pixels") {
+    val bytes = Multimodal.encodeFramedPngs(5L, 4, 3, 2)
+    val d = Multimodal.decodeOne(5L, "video", bytes, 4, 3, 2)
+    assert(d.width == 4 && d.height == 3 && d.pixels.length == 24)
+    for (f <- 0 until 2; y <- 0 until 3; x <- 0 until 4)
+      assert(d.pixels(f * 12 + y * 4 + x) ==
+        Multimodal.patternValue(Multimodal.frameId(5L, f), x, y) / 255.0f)
+  }
+
+  test("video decode stops reading frames at the pixel cap") {
+    val bytes = Multimodal.encodeFramedPngs(6L, 64, 48, 4)
+    val d = Multimodal.decodeOne(6L, "video", bytes, 64, 48, 4)
+    assert(d.pixels.length == Multimodal.MaxPixels)
   }
 
   test("distributed encode+decode round-trips every image asset exactly") {
     import spark.implicits._
-    val withPng = Multimodal.assetsWithImagePayloads(spark, sf)
+    val withPng = Multimodal.assetsWithRealPayloads(spark, sf)
     val images = withPng.filter($"kind" === "image")
     val decoded = Multimodal.decodeAssets(images.repartition(4))
     // spot-check full pixel equality on a handful of assets
@@ -63,14 +84,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("distributed decode preserves row count and runs per-partition") {
-    val assets = Multimodal.assetsWithImagePayloads(spark, sf)
+    val assets = Multimodal.assetsWithRealPayloads(spark, sf)
     val decoded = Multimodal.decodeAssets(assets.repartition(4))
     assert(decoded.count() == assets.count())
   }
 
   test("resize pools to the fixed grid") {
     import spark.implicits._
-    val assets = Multimodal.assetsWithImagePayloads(spark, sf).limit(10)
+    val assets = Multimodal.assetsWithRealPayloads(spark, sf).limit(10)
     val pooled = Multimodal.resizePooled(Multimodal.decodeAssets(assets))
     val sizes = pooled.select(size($"pixels")).distinct().as[Int].collect()
     assert(sizes.toSeq == Seq(64)) // 8x8 for every asset
@@ -78,7 +99,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   test("frame sampling keeps every 4th frame of video assets only") {
     import spark.implicits._
-    val assets = Multimodal.assetsWithImagePayloads(spark, sf)
+    val assets = Multimodal.assetsWithRealPayloads(spark, sf)
     val decoded = Multimodal.decodeAssets(assets)
     val frames = Multimodal.frameSample(decoded, stride = 4)
     val kinds = frames.join(assets.select($"asset_id", $"kind"), "asset_id")
