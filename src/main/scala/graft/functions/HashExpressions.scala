@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd salted 32-bit MD5 hash: `md5(prefix ++ value)` read
+  * directly as an unsigned 32-bit big-endian int at byte `offset`.
+  *
+  * Semantically IDENTICAL to the built-in composition
+  * `conv(substring(md5(concat(lit(prefix), c)), 8*offset/4+1, 8), 16, 10)`
+  * (the first 8 hex chars ARE the first 4 digest bytes big-endian) —
+  * pinned by a bit-equality spec — but skips the 32-char hex string
+  * materialization, the substring copy, and the base-16 reparse that
+  * the built-in path pays PER ROW. The dedup/fingerprint operators
+  * evaluate this on every shingle (millions per document batch), so
+  * the saved allocations are the hot path. The digest instance is
+  * thread-local: one per executor thread, not one per row.
+  *
+  * DuckDB oracles are unchanged — the hex-substring formulation there
+  * produces the same values by construction.
+  */
+case class Md5Int32(child: Expression, prefix: String, offset: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_i32 expects a string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Int32.hash(prefix, offset, s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pref = ctx.addReferenceObj("md5prefix", prefix, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Int32.hash($pref, $offset, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd word n-gram shingling over an `array<string>` column:
+  * element i of the output is `arr[i] ++ " " ++ … ++ arr[i+n-1]`, in
+  * order, duplicates kept; fewer than n tokens ⇒ empty array.
+  *
+  * Semantically IDENTICAL to the higher-order-function formulation
+  * (`transform(sequence(…), i => array_join(slice(…), " "))`) — spec-
+  * pinned — but higher-order functions are CodegenFallback: every
+  * shingle paid interpreted lambda dispatch plus a slice copy and a
+  * generic array_join. One document yields hundreds of shingles and
+  * the dedup/fingerprint operators shingle every document, so this is
+  * the hottest scalar loop in the library. Here it is one
+  * `UTF8String.concatWs` per shingle inside whole-stage codegen.
+  */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    Shingles.eval(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Shingles.eval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Shingles {
+  private val Space = UTF8String.fromString(" ")
+
+  def eval(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = arr.numElements()
+    val out = new Array[AnyRef](math.max(0, len - n + 1))
+    var i = 0
+    while (i < out.length) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column-level entry point. */
+  def shingles_expr(toks: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(Shingles(GraftSqlBridge.toExpression(toks), n))
+}
+
+object Md5Int32 {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Unsigned 32-bit big-endian read of digest bytes [offset, offset+4). */
+  def hash(prefix: String, offset: Int, value: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    if (prefix.nonEmpty) md.update(prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(value.getBytes)
+    val d = md.digest()
+    ((d(offset) & 0xffL) << 24) | ((d(offset + 1) & 0xffL) << 16) |
+      ((d(offset + 2) & 0xffL) << 8) | (d(offset + 3) & 0xffL)
+  }
+
+  /** Column-level entry point. */
+  def md5_i32(c: Column, prefix: String, offset: Int = 0): Column =
+    GraftSqlBridge.toColumn(Md5Int32(GraftSqlBridge.toExpression(c), prefix, offset))
+}

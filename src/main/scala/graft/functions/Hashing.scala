@@ -13,15 +13,20 @@ import org.apache.spark.sql.functions._
   * an unsigned int — small enough that sums of millions of them stay
   * inside a BIGINT, large enough for MinHash/LSH discrimination.
   *
-  * All compositions are codegen'd built-ins (no UDFs); `md5` +
-  * `conv` + `substring` stay inside whole-stage codegen.
+  * The hot single-salt paths ride the custom codegen'd [[Md5Int32]]
+  * expression (digest → long directly, thread-local digest instance);
+  * the column-salt variant and the affine family stay codegen'd
+  * built-ins. No UDFs anywhere.
   */
 object Hashing {
 
   /** 32-bit salted hash of a string column: distinct salts give
-    * independent hash functions (the MinHash "permutation" family). */
+    * independent hash functions (the MinHash "permutation" family).
+    * Backed by the codegen'd [[Md5Int32]] expression — identical
+    * values to the hex-substring composition (spec-pinned), minus the
+    * per-row hex materialization + reparse. */
   def md5i32(c: Column, salt: Int): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 8), 16, 10).cast("long")
+    Md5Int32.md5_i32(c, s"$salt:")
 
   /** Same, with the salt itself a column (per-row hash family index —
     * used when the family is joined in as data, e.g. LSH planes). */
@@ -41,10 +46,10 @@ object Hashing {
     * hash is two arithmetic ops, which matters when the family is
     * 16-wide over billions of shingles. */
   def md5PairA(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    Md5Int32.md5_i32(c, "")
 
   def md5PairB(c: Column): Column =
-    conv(substring(md5(c), 9, 8), 16, 10).cast("long").bitwiseOR(lit(1L))
+    Md5Int32.md5_i32(c, "", offset = 4).bitwiseOR(lit(1L))
 
   def affine32(a: Column, b: Column, i: Int): Column =
     (a + lit(i.toLong) * b).bitwiseAND(lit(4294967295L))

@@ -29,9 +29,19 @@ object TextAnalysis {
 
   /** Word n-gram shingles over an in-order token array, duplicates
     * KEPT (fingerprint sums weight repeated shingles). Token count
-    * < n ⇒ empty array. The `when` guard matters: Spark's `sequence`
-    * happily generates a descending range for start > stop. */
+    * < n ⇒ empty array. Backed by the codegen'd
+    * [[graft.functions.Shingles]] expression — the higher-order
+    * formulation ([[shinglesHof]]) is CodegenFallback and paid
+    * interpreted lambda dispatch per shingle on the hottest loop in
+    * the library; equivalence is spec-pinned. */
   def shingles(toks: Column, n: Int): Column =
+    graft.functions.Shingles.shingles_expr(toks, n)
+
+  /** The built-in higher-order formulation, kept as the reference
+    * implementation for the equivalence spec. The `when` guard
+    * matters: Spark's `sequence` happily generates a descending range
+    * for start > stop. */
+  private[graft] def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))

@@ -23,6 +23,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("Md5Int32 expression == hex-substring built-in composition, incl. unicode") {
+    import spark.implicits._
+    // the codegen'd digest-to-long path must be bit-identical to the
+    // conv(substring(md5(...))) formulation the DuckDB oracles use
+    val data = Seq("abc", "", "héllo wörld", "的是在了我", "a b c d e",
+      "x" * 500).toDF("s")
+    val bad = data.select(
+      md5i32($"s", 7).as("n1"),
+      conv(substring(md5(concat(lit("7:"), $"s")), 1, 8), 16, 10)
+        .cast("long").as("o1"),
+      md5PairA($"s").as("n2"),
+      conv(substring(md5($"s"), 1, 8), 16, 10).cast("long").as("o2"),
+      md5PairB($"s").as("n3"),
+      conv(substring(md5($"s"), 9, 8), 16, 10).cast("long")
+        .bitwiseOR(lit(1L)).as("o3"))
+      .filter($"n1" =!= $"o1" || $"n2" =!= $"o2" || $"n3" =!= $"o3")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("Shingles expression == higher-order formulation on real docs") {
+    import spark.implicits._
+    // the codegen'd shingler must produce byte-identical arrays to
+    // the transform/slice/array_join composition it replaced
+    val bad = graft.sources.Tables.documents(spark, sf)
+      .select(tokens($"text").as("ts"))
+      .filter(!(shingles($"ts", 3) <=> graft.functions.TextAnalysis.shinglesHof($"ts", 3)) ||
+        !(shingles($"ts", 2) <=> graft.functions.TextAnalysis.shinglesHof($"ts", 2)))
+      .count()
+    assert(bad == 0)
+  }
+
   test("shingles: 3-grams in order, duplicates kept, short docs empty") {
     import spark.implicits._
     val got = Seq("a b c d a b c", "a b", "").toDF("text")
