@@ -75,14 +75,20 @@ object Clustering {
   }
 
   /** Map-side argmax cell assignment: first-wins over cells in
-    * ascending id order == "ORDER BY score DESC, cell" in the oracle. */
+    * ascending id order == "ORDER BY score DESC, cell" in the oracle.
+    * A single-centroid model assigns unconditionally (`greatest`
+    * needs ≥ 2 arguments). */
   private def assignCell(v: Column, centroids: Seq[Centroid]): Column = {
+    require(centroids.nonEmpty, "k-means model has no centroids")
     val cs = centroids.sortBy(_.cell)
-    val scores = cs.map(c => score(v, c))
-    val best = greatest(scores: _*)
-    coalesce(cs.zip(scores).map { case (c, s) =>
-      when(s === best, lit(c.cell))
-    }: _*)
+    if (cs.length == 1) lit(cs.head.cell)
+    else {
+      val scores = cs.map(c => score(v, c))
+      val best = greatest(scores: _*)
+      coalesce(cs.zip(scores).map { case (c, s) =>
+        when(s === best, lit(c.cell))
+      }: _*)
+    }
   }
 
   /** One Lloyd's update: per-dim member means (rounded), collected as
@@ -121,6 +127,9 @@ object Clustering {
       .zipWithIndex
       .map { case (r, i) => Centroid(i, r.getSeq[Double](0).toArray) }
       .toSeq
+    // rejected up front (P8 convention): an empty corpus has no model,
+    // and failing here beats an opaque analysis error downstream
+    require(init.nonEmpty, "k-means requires a non-empty corpus")
     (1 to iters).foldLeft(init)((cs, _) => updateCentroids(e, cs))
   }
 
@@ -135,8 +144,10 @@ object Clustering {
   def wcssOf(e: DataFrame, model: Seq[Centroid]): Double = {
     val spark = e.sparkSession
     import spark.implicits._
+    require(model.nonEmpty, "k-means model has no centroids")
     val cs = model.sortBy(_.cell)
-    val best = greatest(cs.map(c => score($"v", c)): _*)
+    val scores = cs.map(c => score($"v", c))
+    val best = if (scores.length == 1) scores.head else greatest(scores: _*)
     e.agg(avg(lit(1.0) - lit(2.0) * best)).head().getDouble(0)
   }
 

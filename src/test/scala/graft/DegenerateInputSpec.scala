@@ -28,6 +28,31 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(ReferenceQueries.actorCoactorsOn(empty, "anybody").count() == 0)
   }
 
+  test("k-means degrades gracefully on tiny corpora, rejects empty ones") {
+    import spark.implicits._
+    import graft.operators.{Clustering, Similarity}
+    // corpus smaller than k: the model just has corpus-many centroids
+    val tiny = Similarity.normalizeOf(Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding"))
+    val m3 = Clustering.trainKmeansOf(tiny, k = 8, iters = 2)
+    assert(m3.nonEmpty && m3.length <= 3)
+    assert(Clustering.wcssOf(tiny, m3) >= -1e-9)
+    // single-vector corpus: one centroid, unconditional assignment
+    val one = Similarity.normalizeOf(
+      Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val m1 = Clustering.trainKmeansOf(one, k = 8, iters = 1)
+    assert(m1.length == 1)
+    assert(Clustering.semDedupOf(one, m1, 0.5).count() == 0)
+    // empty corpus: rejected up front with a clear message
+    val empty = Similarity.normalizeOf(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Clustering.trainKmeansOf(empty)
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
+
   test("documents shorter than the shingle width produce no shingles") {
     import spark.implicits._
     val got = Seq("one", "two words", "").toDF("text")

@@ -296,6 +296,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("foreachBatch ingest dedups each micro-batch against the corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the production dedup-on-ingest shape: every micro-batch is
+    // near-dedup-checked against the accumulated survivor corpus via
+    // the SAME MinHash operator the batch pipeline uses, and only
+    // survivors are appended. foreachBatch is the escape hatch for
+    // sinks/logic Structured Streaming can't express natively.
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_fb_corpus").toString
+    def corpus(): org.apache.spark.sql.DataFrame =
+      try spark.read.parquet(corpusDir)
+      catch { case _: Throwable => Seq.empty[(Long, String)].toDF("doc_id", "text") }
+
+    def base(i: Int) = s"unique base document number $i with plenty of distinct words " +
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    val batches = Seq(
+      Seq((1L, base(1)), (2L, base(2)), (3L, base(3))),
+      Seq((11L, base(1) + " tail"), (4L, base(4)), (13L, base(3) + " tail")),
+      Seq((24L, base(4) + " tail"), (5L, base(5))))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val all = corpus().select($"doc_id", $"text")
+          .unionByName(batch.select($"doc_id", $"text"))
+        // ids increase over time, so a batch doc near-dupping ANY
+        // earlier doc appears as doc_b of a pair
+        val drop = graft.operators.Dedup.minHashNearDupsOf(all, threshold = 0.8)
+          .select($"doc_b".as("doc_id")).distinct()
+        batch.join(drop, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(corpusDir)
+      }
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val survivors = corpus().select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L, 5L),
+      s"expected the five base docs, got $survivors")
+  }
+
   test("file-based events stream source reads the real parquet") {
     import spark.implicits._
     // file-stream sources need a directory; stage the single parquet
