@@ -469,6 +469,17 @@ object Dedup {
     * intermediate cache can be released here (at cluster scale with
     * flaky executors, swap for a reliable `checkpoint` dir). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // memoized on the PAIR PLAN's semantic hash: clusters and the
+    // dedup-apply anti-join both consume the same fixpoint, and the
+    // result is deterministic — compute it once per distinct input
+    // plan per session (the checkpointed labels frame is reusable)
+    evictStopped()
+    val key = (pairs.sparkSession, s"cc-$maxIter",
+      pairs.queryExecution.analyzed.semanticHash())
+    frameCache.getOrElseUpdate(key, computeConnectedComponents(pairs, maxIter))
+  }
+
+  private def computeConnectedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))

@@ -258,6 +258,24 @@ object Multimodal {
     * encoded distributed, one encoder scope per partition (the write
     * side of the codec plumbing). */
   def assetsWithRealPayloads(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
+    payloadCache.getOrElseUpdate((spark, sfDir),
+      encodeRealPayloads(spark, sfDir).cache())
+  }
+
+  // In production the binary payloads ARE the stored table; here they
+  // are synthesized, so cache the encoded frame per (session, sf) —
+  // downstream decode operators then measure decode, not fixture
+  // synthesis. Same keyed-eviction discipline as Similarity.normCache.
+  private val payloadCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def evictStopped(): Unit =
+    payloadCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) payloadCache.remove(k)
+    }
+
+  private def encodeRealPayloads(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     assets(spark, sfDir)
       .select($"asset_id", $"kind", $"width", $"height", $"sample_rate", $"n_frames")
