@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * expressions with the SQL function registry, so a session built
@@ -23,5 +24,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(args.head, args(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingles(tokens, n) takes exactly 2 arguments")
+        Shingles(args.head, litInt(args(1), "shingles n"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("md5_i32"),
+      new ExpressionInfo(classOf[Md5Int32].getName, "md5_i32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "md5_i32(value, prefix[, offset]) takes 2 or 3 arguments")
+        val prefix = args(1) match {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"md5_i32 prefix must be a string literal, got $other")
+        }
+        val offset = if (args.length == 3) litInt(args(2), "md5_i32 offset") else 0
+        Md5Int32(args.head, prefix, offset)
+      }))
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

@@ -29,6 +29,17 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .head().getDouble(0)
       assert(got == 11.0)
+      // the round-3 kernels are SQL-callable too
+      val sh = spark.sql(
+        "SELECT shingles(array('a','b','c','d'), 3) AS s")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+      val h = spark.sql("SELECT md5_i32('abc', '7:') AS h").head().getLong(0)
+      val ref = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("7:abc".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8), 16)
+      assert(h == ref)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
