@@ -95,6 +95,7 @@ object SparkEntry {
     "llm_repetition" -> ((s, d) => TextAnalytics.repetitionSignals(s, d)),
     "llm_unigram_logprob" -> (TextAnalytics.unigramLogprob _),
     "llm_source_cap" -> ((s, d) => TextAnalytics.sourceCap(s, d)),
+    "llm_decontaminate" -> ((s, d) => TextAnalytics.decontaminate(s, d)),
     "llm_tfidf" -> ((s, d) => TextAnalytics.tfidf(s, d)),
     "llm_stratified_sample" -> ((s, d) => TextAnalytics.stratifiedSample(s, d)),
     "llm_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
@@ -180,6 +181,7 @@ object SparkEntry {
     "llm_repetition" -> TextAnalytics.repetitionSignalsSql(),
     "llm_unigram_logprob" -> TextAnalytics.unigramLogprobSql,
     "llm_source_cap" -> TextAnalytics.sourceCapSql(),
+    "llm_decontaminate" -> TextAnalytics.decontaminateSql(),
     "llm_tfidf" -> TextAnalytics.tfidfSql(),
     "llm_stratified_sample" -> TextAnalytics.stratifiedSampleSql(),
     "llm_dedup_apply" -> Dedup.dedupApplySql(),

@@ -52,6 +52,14 @@ object TextAnalysis {
   def shingles3Sql(ts: String): String =
     s"[$ts[i] || ' ' || $ts[i+1] || ' ' || $ts[i+2] for i in range(1, len($ts) - 1)]"
 
+  /** DuckDB mirror for arbitrary n: list slices are inclusive on both
+    * ends (`ts[i : i+n-1]` is n elements) joined by `string_agg`;
+    * fewer than n tokens ⇒ empty range ⇒ empty list, matching the
+    * expression. */
+  def shinglesNSql(ts: String, n: Int): String =
+    s"[list_aggregate($ts[i:i+${n - 1}], 'string_agg', ' ') " +
+      s"for i in range(1, len($ts) - ${n - 2})]"
+
   /** Tiny per-language stopword marker lists for the n-gram/stopword
     * language-ID heuristic. Short by design: at 100 TB the scoring is
     * a per-row `array_intersect` against a literal array — no join,

@@ -506,6 +506,62 @@ object TextAnalytics {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------
+  // llm_decontaminate — train/eval n-gram overlap check
+  // ---------------------------------------------------------------
+
+  /** Decontamination: flag corpus documents sharing ANY distinct
+    * word-`n`-gram with a held-out benchmark set — the standard
+    * strict train/eval overlap rule (LLM evals are decontaminated by
+    * exactly this n-gram containment test). The benchmark here is a
+    * deterministic hash-ranked sample standing in for an external
+    * eval suite.
+    *
+    * Scale: the benchmark n-gram set is eval-suite-sized (thousands
+    * of docs), so it BROADCASTS; the corpus side is one shingle scan
+    * streamed against the broadcast hash set — no corpus-side
+    * shuffle at all until the tiny flagged aggregate. This is the
+    * asymmetric sibling of n-gram dedup (corpus×corpus). */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    benchK: Int = 25, n: Int = 5,
+                    minShared: Long = 1L): DataFrame = {
+    import spark.implicits._
+    val grams = docs(spark, sfDir)
+      .select($"doc_id",
+        explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
+    val benchIds = docs(spark, sfDir)
+      .withColumn("h", md5i32($"text", 31))
+      .orderBy($"h", $"doc_id")
+      .limit(benchK)
+      .select($"doc_id".as("bench_id"))
+    val benchGrams = grams
+      .join(broadcast(benchIds), grams("doc_id") === benchIds("bench_id"))
+      .select($"bench_id", $"g")
+    val corpusGrams = grams
+      .join(broadcast(benchIds), grams("doc_id") === benchIds("bench_id"), "left_anti")
+    corpusGrams
+      .join(broadcast(benchGrams), "g")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter($"shared_ngrams" >= minShared)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  def decontaminateSql(benchK: Int = 25, n: Int = 5,
+                       minShared: Long = 1L): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM t),
+       |bench AS (SELECT doc_id AS bench_id FROM (
+       |  SELECT doc_id, ${md5i32Sql("text", 31)} AS h
+       |  FROM documents ORDER BY h, doc_id LIMIT $benchK)),
+       |bg AS (SELECT bench_id, g FROM g JOIN bench ON g.doc_id = bench.bench_id),
+       |cg AS (SELECT doc_id, g FROM g
+       |       WHERE doc_id NOT IN (SELECT bench_id FROM bench))
+       |SELECT doc_id, bench_id, COUNT(*) AS shared_ngrams
+       |FROM cg JOIN bg USING (g)
+       |GROUP BY doc_id, bench_id HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   def sourceCapSql(cap: Int = 15): String =
     s"""WITH r AS (
        |  SELECT source,

@@ -139,6 +139,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     lp.unpersist()
   }
 
+  test("decontamination: shared-ngram counts verified against plain Scala") {
+    import spark.implicits._
+    val flagged = TextAnalytics.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.nonEmpty, "no contamination found at test scale")
+    val ids = flagged.flatMap(t => Seq(t._1, t._2)).distinct
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def grams5(s: String): Set[String] =
+      "[\\p{L}\\p{N}_]+".r.findAllIn(s.toLowerCase).toSeq
+        .sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    flagged.foreach { case (doc, bench, shared) =>
+      assert(doc != bench, "benchmark doc flagged against itself")
+      val want = grams5(texts(doc)).intersect(grams5(texts(bench))).size
+      assert(shared == want, s"pair ($doc,$bench): got $shared want $want")
+    }
+  }
+
   test("source cap: kept counts within cap and within doc counts") {
     import spark.implicits._
     val cap = 15
