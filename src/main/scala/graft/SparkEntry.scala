@@ -109,7 +109,8 @@ object SparkEntry {
     "llm_semdedup" -> ((s, d) => Clustering.semDedup(s, d)),
     // — LLM-pipeline: multimodal binary columns —
     "llm_multimodal_meta" -> (Multimodal.assetMeta _),
-    // decode stage is a documented stub → no SQL oracle, rows-only check
+    // binary codec pipeline isn't SQL-expressible → no SQL oracle,
+    // rows-only check; decoded values are pinned exactly by spec
     "llm_multimodal_decode" -> (Multimodal.decodeStats _),
   )
 

@@ -29,7 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "shingles(tokens, n) takes exactly 2 arguments")
-        Shingles(args.head, litInt(args(1), "shingles n"))
+        val n = litInt(args(1), "shingles n")
+        require(n >= 1, s"shingles n must be >= 1, got $n")
+        Shingles(args.head, n)
       }))
     e.injectFunction((
       new FunctionIdentifier("md5_i32"),
@@ -43,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"md5_i32 prefix must be a string literal, got $other")
         }
         val offset = if (args.length == 3) litInt(args(2), "md5_i32 offset") else 0
+        // md5 digests are 16 bytes; a 4-byte read needs offset <= 12
+        require(offset >= 0 && offset <= 12,
+          s"md5_i32 offset must be in [0, 12], got $offset")
         Md5Int32(args.head, prefix, offset)
       }))
   }

@@ -74,11 +74,12 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(a: Any): Any =
-    Shingles.eval(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    Shingles.evalShingles(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Shingles.eval($c, $n);")
+      s"${ev.value} = graft.functions.Shingles.evalShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -87,7 +88,12 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
 object Shingles {
   private val Space = UTF8String.fromString(" ")
 
-  def eval(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int)
+  // named evalShingles, NOT eval: the case class inherits
+  // Expression.eval, and the name clash makes scalac skip the static
+  // forwarder the generated Java source calls — janino then rejects
+  // the stage and Spark silently de-codegens it (caught by the
+  // codegen-engagement spec)
+  def evalShingles(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val len = arr.numElements()
     val out = new Array[AnyRef](math.max(0, len - n + 1))

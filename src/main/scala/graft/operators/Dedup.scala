@@ -40,19 +40,13 @@ object Dedup {
   // (session, stage, canonicalized-input-plan hash), so repeated calls
   // over the same input REUSE one cached frame; stopped sessions are
   // evicted on every access.
-  private val frameCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), DataFrame]
+  // shared bounded session cache (stopped-session + FIFO eviction) —
+  // a long-lived ingest loop with changing input plans stays bounded
+  private val frameCache = new graft.util.FrameCache()
 
-  private def evictStopped(): Unit =
-    frameCache.keys.foreach { case k @ (s, _, _) =>
-      if (s.sparkContext.isStopped) frameCache.remove(k)
-    }
-
-  private def cached(stage: String, df: DataFrame): DataFrame = {
-    evictStopped()
-    val key = (df.sparkSession, stage, df.queryExecution.analyzed.semanticHash())
-    frameCache.getOrElseUpdate(key, df.cache())
-  }
+  private def cached(stage: String, df: DataFrame): DataFrame =
+    frameCache.getOrElseUpdate(df.sparkSession,
+      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
 
   // ---------------------------------------------------------------
   // Exact dedup
@@ -472,11 +466,11 @@ object Dedup {
     // memoized on the PAIR PLAN's semantic hash: clusters and the
     // dedup-apply anti-join both consume the same fixpoint, and the
     // result is deterministic — compute it once per distinct input
-    // plan per session (the checkpointed labels frame is reusable)
-    evictStopped()
-    val key = (pairs.sparkSession, s"cc-$maxIter",
-      pairs.queryExecution.analyzed.semanticHash())
-    frameCache.getOrElseUpdate(key, computeConnectedComponents(pairs, maxIter))
+    // plan per session. unpersistOnEvict=false: the labels frame is a
+    // localCheckpoint, unrecoverable if unpersisted under a holder
+    frameCache.getOrElseUpdate(pairs.sparkSession,
+      s"cc-$maxIter:${pairs.queryExecution.analyzed.semanticHash()}",
+      unpersistOnEvict = false)(computeConnectedComponents(pairs, maxIter))
   }
 
   private def computeConnectedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {

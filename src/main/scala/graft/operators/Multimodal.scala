@@ -246,6 +246,12 @@ object Multimodal {
           }
           remaining -= 1
         }
+        // fail-loud contract: a payload that ends before the metadata's
+        // frame count (and before the decode budget) is corrupt — the
+        // image/audio paths throw for the same class of input
+        require(remaining == 0 || out.length >= MaxPixels,
+          s"asset $assetId: video payload ended after " +
+            s"${nFrames - remaining}/$nFrames frames")
         DecodedAsset(assetId, kind, w, h, nFrames, out.toArray)
 
       case other =>
@@ -257,23 +263,15 @@ object Multimodal {
     * PNG for images, 16-bit PCM WAV for audio, framed PNGs for video —
     * encoded distributed, one encoder scope per partition (the write
     * side of the codec plumbing). */
-  def assetsWithRealPayloads(spark: SparkSession, sfDir: String): DataFrame = {
-    evictStopped()
-    payloadCache.getOrElseUpdate((spark, sfDir),
-      encodeRealPayloads(spark, sfDir).cache())
-  }
-
   // In production the binary payloads ARE the stored table; here they
   // are synthesized, so cache the encoded frame per (session, sf) —
   // downstream decode operators then measure decode, not fixture
-  // synthesis. Same keyed-eviction discipline as Similarity.normCache.
-  private val payloadCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // synthesis. Shared bounded session cache (graft.util.FrameCache).
+  def assetsWithRealPayloads(spark: SparkSession, sfDir: String): DataFrame =
+    payloadCache.getOrElseUpdate(spark, s"payload:$sfDir")(
+      encodeRealPayloads(spark, sfDir).cache())
 
-  private def evictStopped(): Unit =
-    payloadCache.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) payloadCache.remove(k)
-    }
+  private val payloadCache = new graft.util.FrameCache()
 
   private def encodeRealPayloads(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

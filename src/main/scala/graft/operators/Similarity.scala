@@ -101,27 +101,15 @@ object Similarity {
   // tree explodes combinatorially. Materializing once is also the
   // 100 TB posture — a signature/normalized table is written once and
   // reused by every probe batch, never recomputed per query.
-  private val normCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  // same leak guard as Tables.movieCache: drop entries whose session
-  // stopped, so an embedding JVM doesn't pin dead sessions' storage
-  private def evictStopped(): Unit =
-    Seq(normCache, bucketCache).foreach(c =>
-      c.keys.foreach { case k @ (s, _) =>
-        if (s.sparkContext.isStopped) c.remove(k)
-      })
+  // shared bounded session cache (stopped-session + FIFO eviction)
+  private val frameCache = new graft.util.FrameCache()
 
   /** Unit-normalized vectors: cosine becomes a single dot product —
     * one array fold per candidate instead of three. The norm is
     * computed once per ROW (not inside the per-element lambda). */
-  private def embNormed(spark: SparkSession, sfDir: String): DataFrame = {
-    evictStopped()
-    normCache.getOrElseUpdate((spark, sfDir),
+  private def embNormed(spark: SparkSession, sfDir: String): DataFrame =
+    frameCache.getOrElseUpdate(spark, s"norm:$sfDir")(
       normalizeOf(Tables.embeddings(spark, sfDir)).cache())
-  }
 
   /** Package-level accessors for operators built on the normalized
     * embedding frame (k-means / SemDeDup in [[Clustering]]). */
@@ -129,11 +117,9 @@ object Similarity {
     embNormed(spark, sfDir)
   private[operators] def normalizedSql: String = embNormedSql
 
-  private def embBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    evictStopped()
-    bucketCache.getOrElseUpdate((spark, sfDir),
+  private def embBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    frameCache.getOrElseUpdate(spark, s"buckets:$sfDir")(
       withLshBuckets(embNormed(spark, sfDir)).cache())
-  }
 
   private val embNormedSql: String =
     """SELECT vec_id,

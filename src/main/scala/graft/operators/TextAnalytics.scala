@@ -526,19 +526,21 @@ object TextAnalytics {
                     benchK: Int = 25, n: Int = 5,
                     minShared: Long = 1L): DataFrame = {
     import spark.implicits._
-    val grams = docs(spark, sfDir)
-      .select($"doc_id",
-        explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
+    def gramsOf(d: DataFrame) = d.select($"doc_id",
+      explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
     val benchIds = docs(spark, sfDir)
       .withColumn("h", md5i32($"text", 31))
       .orderBy($"h", $"doc_id")
       .limit(benchK)
       .select($"doc_id".as("bench_id"))
-    val benchGrams = grams
-      .join(broadcast(benchIds), grams("doc_id") === benchIds("bench_id"))
-      .select($"bench_id", $"g")
-    val corpusGrams = grams
-      .join(broadcast(benchIds), grams("doc_id") === benchIds("bench_id"), "left_anti")
+    // shingle the benchK docs AFTER the id join — the explode blocks
+    // filter pushdown, so deriving both sides from one corpus-wide
+    // gram frame would tokenize the whole corpus twice
+    val benchGrams = gramsOf(docs(spark, sfDir)
+      .join(broadcast(benchIds), $"doc_id" === $"bench_id"))
+      .select($"doc_id".as("bench_id"), $"g")
+    val corpusGrams = gramsOf(docs(spark, sfDir)
+      .join(broadcast(benchIds), $"doc_id" === $"bench_id", "left_anti"))
     corpusGrams
       .join(broadcast(benchGrams), "g")
       .groupBy($"doc_id", $"bench_id")

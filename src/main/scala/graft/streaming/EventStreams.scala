@@ -61,29 +61,55 @@ object EventStreams {
     * active query on the session terminates, so the side effect is
     * scoped to "while a nanos-parquet stream is running" instead of
     * session-forever. */
+  // nanosAsLong restore bookkeeping: QueryTerminated events arrive
+  // ASYNCHRONOUSLY, so a restorer registered by an earlier stream can
+  // fire between a new stream's construction (which saw the flag
+  // already true and registered nothing) and its start — restoring
+  // the flag under the new stream's feet. A per-session build counter,
+  // with builder and listener serialized on a per-session monitor,
+  // closes the race: the listener only restores when NO build has
+  // happened since it last looked.
+  private val nanosMonitors =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Object]
+  private val nanosBuilds =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Long]
+
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
       case f => f
     })
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.get(key, "false")
-    spark.conf.set(key, "true")
-    if (prev != "true") {
-      import org.apache.spark.sql.streaming.StreamingQueryListener
-      import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
-      val restorer = new StreamingQueryListener {
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-          // conservative: another concurrent stream may also need the
-          // flag, so only restore once the session runs no streams
-          if (spark.streams.active.isEmpty) {
-            spark.conf.set(key, prev)
-            spark.streams.removeListener(this)
-          }
+    val mon = nanosMonitors.getOrElseUpdate(spark, new Object)
+    mon.synchronized {
+      nanosBuilds.put(spark, nanosBuilds.getOrElse(spark, 0L) + 1L)
+      val prev = spark.conf.get(key, "false")
+      spark.conf.set(key, "true")
+      if (prev != "true") {
+        import org.apache.spark.sql.streaming.StreamingQueryListener
+        import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
+        val restorer = new StreamingQueryListener {
+          private var seenBuilds = nanosBuilds(spark)
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            mon.synchronized {
+              val builds = nanosBuilds.getOrElse(spark, 0L)
+              if (builds != seenBuilds) {
+                // a nanos stream was built since the last look — it may
+                // not be started yet, so the flag must stay up; wait
+                // for a later termination
+                seenBuilds = builds
+              } else if (spark.streams.active.isEmpty) {
+                spark.conf.set(key, prev)
+                spark.streams.removeListener(this)
+                nanosBuilds.remove(spark)
+                nanosMonitors.remove(spark)
+              }
+            }
+        }
+        spark.streams.addListener(restorer)
       }
-      spark.streams.addListener(restorer)
     }
     spark.readStream
       .schema(rawSchema)

@@ -43,6 +43,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("shingle + hash kernels actually whole-stage-compile (no silent fallback)") {
+    import spark.implicits._
+    // a generated-code bug (e.g. calling a static forwarder scalac
+    // never emitted) makes janino reject the stage and Spark silently
+    // run it interpreted — results stay right, the optimization
+    // silently dies. fallback=false turns that into a hard error.
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val n = graft.sources.Tables.documents(spark, sf)
+        .select(explode(shingles(tokens($"text"), 3)).as("sh"))
+        .select(md5i32($"sh", 0).as("h"), md5PairA($"sh").as("a"),
+          md5PairB($"sh").as("b"))
+        .agg(sum($"h" + $"a" + $"b")).head().getLong(0)
+      assert(n != 0)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("Shingles expression == higher-order formulation on real docs") {
     import spark.implicits._
     // the codegen'd shingler must produce byte-identical arrays to
