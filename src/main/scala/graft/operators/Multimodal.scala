@@ -98,7 +98,7 @@ object Multimodal {
       |FROM a GROUP BY kind ORDER BY kind""".stripMargin
 
   // ---------------------------------------------------------------
-  // encode / decode via mapPartitions (images REAL, audio/video stub)
+  // encode / decode via mapPartitions (REAL codecs for all three kinds)
   // ---------------------------------------------------------------
 
   /** Deterministic per-asset grayscale test pattern — the ground
