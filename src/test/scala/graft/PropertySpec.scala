@@ -64,4 +64,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         assert(base == re)
       }
   }
+
+  test("hash-driven dedup pipeline is invariant under repartitioning") {
+    import spark.implicits._
+    // the dedup/sampling operators derive EVERYTHING from content
+    // hashes, so any partition layout must give byte-identical answers
+    // — the distributed-correctness property that lets a 1000-executor
+    // cluster and local[4] agree
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val docs = (1L to 40L).map { i =>
+      if (i % 5 == 0) (i, base + s" variant") // clusters of near-dups
+      else (i, base.split(" ").map(w => s"$w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.minHashNearDupsOf(d, threshold = 0.8)
+        .collect().map(_.toSeq).toSeq
+    def ngrams(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.ngramJaccardPairsOf(d, threshold = 0.8, dfCap = 1000)
+        .collect().map(_.toSeq).toSeq
+    val (p1, p13) = (pairs(docs.repartition(1)), pairs(docs.repartition(13)))
+    assert(p1 == p13 && p1.nonEmpty)
+    val (g1, g13) = (ngrams(docs.repartition(1)), ngrams(docs.repartition(13)))
+    assert(g1 == g13 && g1.nonEmpty)
+  }
 }
