@@ -48,6 +48,7 @@ object SparkEntry {
     "rel_join_anti" -> (Relational.joinAnti _),
     "rel_join_full_outer" -> (Relational.joinFullOuter _),
     "rel_window_top_per_segment" -> (Relational.windowTopPerSegment _),
+    "rel_topk_per_key_native" -> ((s, d) => Relational.topKPerKeyNative(s, d)),
     "rel_window_lag_prev_order" -> (Relational.windowLagPrevOrder _),
     "rel_window_running_sum" -> (Relational.windowRunningSum _),
     "rel_agg_rollup" -> (Relational.aggRollup _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "rel_join_anti" -> Relational.joinAntiSql,
     "rel_join_full_outer" -> Relational.joinFullOuterSql,
     "rel_window_top_per_segment" -> Relational.windowTopPerSegmentSql,
+    "rel_topk_per_key_native" -> Relational.windowTopPerSegmentSql,
     "rel_window_lag_prev_order" -> Relational.windowLagPrevOrderSql,
     "rel_window_running_sum" -> Relational.windowRunningSumSql,
     "rel_agg_rollup" -> Relational.aggRollupSql,

@@ -203,6 +203,28 @@ object Relational {
       |  FROM customer) t
       |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
 
+  /** [[windowTopPerSegment]] via the custom whole-operator tier
+    * ([[graft.plans.TopKPerKey]]): per-group bounded heaps instead of
+    * the window's full per-partition sort — one shuffle on the key,
+    * NO SortExec below the operator, O(n log k) comparisons. The
+    * surviving ≤ k·segments rows then take their rank through a tiny
+    * window (sorting k rows per group, not the group). Oracle: the
+    * identical SQL as the window formulation — both must produce the
+    * same rows. */
+  def topKPerKeyNative(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val top = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
+      c, Seq(c("c_mktsegment")),
+      Seq(c("c_acctbal").desc, c("c_custkey").asc), k)
+    top
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)).cast("bigint"))
+      .select($"c_mktsegment", $"rnk", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"rnk")
+  }
+
   /** Window: lag — previous order price per customer (first 50
     * customers keep the output bounded). Doubles pass through
     * unmodified → bit-identical. */

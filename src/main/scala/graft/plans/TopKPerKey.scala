@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator tier of the extension ladder — a custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan` (SURVEY §2.8 tier c):
+  * per-key top-k WITHOUT sorting.
+  *
+  * The built-in route (`row_number().over(Window.partitionBy(key)
+  * .orderBy(...)) <= k`) plans as Exchange → FULL SORT of every
+  * partition → Window → Filter: at 100 TB the sort materializes and
+  * orders every row of every group even though only k per group
+  * survive. This operator keeps a bounded k-row heap per key instead:
+  * one scan after the key exchange, O(n log k) comparisons, O(keys·k)
+  * memory, no SortExec anywhere below it. This is semantics the
+  * DataFrame surface genuinely cannot express — `limit` is global,
+  * windows must sort — which is the bar the build brief sets for
+  * dropping to a custom physical operator.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                      child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"topKPerKey k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Planner strategy: register via `spark.experimental.extraStrategies`
+  * (works on any live session) or a `SparkSessionExtensions`
+  * `injectPlannerStrategy`. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical per-key top-k: requires clustering on `keys` (Spark
+  * inserts the exchange), then one pass per partition maintaining a
+  * k-row max-heap per key — the heap root is the WORST kept row, so a
+  * new row displaces it only when it sorts strictly earlier. Rows and
+  * keys are copied on retention (the input iterator reuses buffers). */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // local copies: referencing case-class fields inside the closure
+    // would capture `this` (a SparkPlan — not serializable)
+    val childOutput = child.output
+    val localKeys = keys
+    val localOrder = order
+    val localK = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(localKeys, childOutput)
+      val ord = RowOrdering.create(localOrder, childOutput)
+      // max-heap via reversed comparator: peek() = worst retained row
+      val heapCmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](localK, heapCmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < localK) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

@@ -14,4 +14,29 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Per-key top-k via the custom [[graft.plans.TopKPerKey]] operator
+    * (whole-operator extension tier): registers the planner strategy
+    * on the session (idempotent) and wraps the frame's analyzed plan.
+    * `order` accepts `col.desc` / `col.asc` columns; bare columns
+    * default to ascending. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val strategy = graft.plans.TopKPerKeyStrategy
+    if (!spark.experimental.extraStrategies.contains(strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ strategy
+    // Columns carry LAZY internal nodes (ColumnNodeExpression), not
+    // resolved catalyst expressions — route them through throwaway
+    // Sort/Project plans so the standard analyzer resolves them
+    // against df's plan, then harvest the catalyst expressions
+    val sorted = df.sortWithinPartitions(order: _*)
+      .queryExecution.analyzed.asInstanceOf[Sort]
+    val keyExprs = df.select(keys: _*)
+      .queryExecution.analyzed.asInstanceOf[Project].projectList
+    classic.Dataset.ofRows(spark,
+      graft.plans.TopKPerKey(keyExprs, sorted.order, k, sorted.child))
+  }
 }

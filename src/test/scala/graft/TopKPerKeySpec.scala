@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.GraftSqlBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
+
+  test("native per-key top-k == window formulation, and never sorts below") {
+    val native = Relational.topKPerKeyNative(spark, sf)
+    val window = Relational.windowTopPerSegment(spark, sf)
+    assert(native.collect().map(_.toSeq).toSeq ==
+      window.collect().map(_.toSeq).toSeq)
+    assert(native.count() > 0)
+    // the operator's subtree must hold no SortExec — the whole point
+    // is bounded heaps instead of a per-partition sort (the tiny
+    // presentation sort/rank ABOVE the operator is allowed). AQE wraps
+    // the plan adaptively, so probe with it off for a stable tree.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val probe = Relational.topKPerKeyNative(spark, sf)
+      val exec = probe.queryExecution.executedPlan
+        .collectFirst { case t: graft.plans.TopKPerKeyExec => t }
+      assert(exec.nonEmpty, "TopKPerKeyExec missing from physical plan")
+      val sortsBelow = exec.get.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sortsBelow.isEmpty, s"sort below the top-k operator: $sortsBelow")
+    } finally spark.conf.set(aqeKey, prev)
+  }
+
+  test("heap semantics: exact per-key top-k on a skewed literal frame") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5L), ("a", 1L), ("a", 9L), ("a", 7L), ("a", 7L),
+      ("b", 2L), ("c", 3L), ("c", 3L), ("c", 4L)
+    ).toDF("key", "v")
+    // top-2 by v DESC (ties broken by v only — duplicates both kept)
+    val got = GraftSqlBridge.topKPerKey(df,
+      Seq(df("key")), Seq(df("v").desc), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got == Map(
+      "a" -> Seq(7L, 9L),   // 9 and one of the 7s
+      "b" -> Seq(2L),       // group smaller than k: whole group
+      "c" -> Seq(3L, 4L)))
+  }
+
+  test("result is invariant under input repartitioning") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (s"k${i % 7}", i)).toDF("key", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      GraftSqlBridge.topKPerKey(d, Seq(d("key")), Seq(d("v").desc), 5)
+        .collect().map(_.toSeq).toSet
+    assert(run(df.repartition(1)) == run(df.repartition(13)))
+    assert(run(df).size == 35) // 7 keys × top-5, all values distinct
+  }
+}
