@@ -11,16 +11,19 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * `LogicalPlan` + `SparkStrategy` + `SparkPlan` (SURVEY §2.8 tier c):
   * per-key top-k WITHOUT sorting.
   *
-  * The built-in route (`row_number().over(Window.partitionBy(key)
-  * .orderBy(...)) <= k`) plans as Exchange → FULL SORT of every
-  * partition → Window → Filter: at 100 TB the sort materializes and
-  * orders every row of every group even though only k per group
-  * survive. This operator keeps a bounded k-row heap per key instead:
-  * one scan after the key exchange, O(n log k) comparisons, O(keys·k)
-  * memory, no SortExec anywhere below it. This is semantics the
-  * DataFrame surface genuinely cannot express — `limit` is global,
-  * windows must sort — which is the bar the build brief sets for
-  * dropping to a custom physical operator.
+  * Honest comparison with the built-in route
+  * (`row_number().over(Window...) <= k`): since 3.5 Spark's
+  * `InferWindowGroupLimit` already rewrites that into partial+final
+  * `WindowGroupLimit`s, so the shuffle carries only ≤ keys·k rows per
+  * map partition — but BOTH limit stages still run behind a full
+  * per-partition SORT, and the Window (rank) pass sorts again after
+  * the exchange. This operator keeps the same partial/final
+  * shuffle-reduction shape while replacing every sort with bounded
+  * k-row heaps: O(n log k) comparisons, O(keys·k) memory per
+  * partition, zero SortExec anywhere. The partial stage has no
+  * distribution requirement (map-side), the final stage declares
+  * `ClusteredDistribution` and Spark inserts the exchange between
+  * them.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                       child: LogicalPlan) extends UnaryNode {
@@ -37,7 +40,12 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // partial (map-side, no distribution requirement) under final
+      // (clustered) — Spark inserts the exchange between them, which
+      // then carries ≤ keys·k rows per map partition
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -48,12 +56,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * new row displaces it only when it sorts strictly earlier. Rows and
   * keys are copied on retention (the input iterator reuses buffers). */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, child: SparkPlan)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     // local copies: referencing case-class fields inside the closure
