@@ -116,4 +116,13 @@ object Graft {
   /** Stream-stream (or batch) click→purchase attribution pairs. */
   def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
     streaming.EventStreams.attributionPairs(clicks, purchases)
+
+  // -- custom whole-operator tier ----------------------------------
+
+  /** Per-key top-k via the native heap operator
+    * ([[graft.plans.TopKPerKey]]) — partial+final bounded heaps, no
+    * per-partition sort. `order` takes `col.desc` / `col.asc`. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.topKPerKey(df, keys, order, k)
 }
