@@ -97,6 +97,7 @@ object SparkEntry {
     "llm_unigram_logprob" -> (TextAnalytics.unigramLogprob _),
     "llm_source_cap" -> ((s, d) => TextAnalytics.sourceCap(s, d)),
     "llm_decontaminate" -> ((s, d) => TextAnalytics.decontaminate(s, d)),
+    "llm_bpe_pairs" -> ((s, d) => TextAnalytics.bpePairStats(s, d)),
     "llm_tfidf" -> ((s, d) => TextAnalytics.tfidf(s, d)),
     "llm_stratified_sample" -> ((s, d) => TextAnalytics.stratifiedSample(s, d)),
     "llm_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
@@ -185,6 +186,7 @@ object SparkEntry {
     "llm_unigram_logprob" -> TextAnalytics.unigramLogprobSql,
     "llm_source_cap" -> TextAnalytics.sourceCapSql(),
     "llm_decontaminate" -> TextAnalytics.decontaminateSql(),
+    "llm_bpe_pairs" -> TextAnalytics.bpePairStatsSql(),
     "llm_tfidf" -> TextAnalytics.tfidfSql(),
     "llm_stratified_sample" -> TextAnalytics.stratifiedSampleSql(),
     "llm_dedup_apply" -> Dedup.dedupApplySql(),

@@ -564,6 +564,41 @@ object TextAnalytics {
        |GROUP BY doc_id, bench_id HAVING COUNT(*) >= $minShared
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // llm_bpe_pairs — BPE merge-candidate statistics
+  // ---------------------------------------------------------------
+
+  /** The frequency kernel of BPE tokenizer training: the most common
+    * adjacent symbol pairs within words across the corpus — exactly
+    * the statistic each BPE merge round maximizes (training iterates:
+    * count pairs → merge the argmax → recount). Emitted as the
+    * top-`topN` (pair, count) table; pairs are space-joined symbol
+    * keys (the codegen'd [[shingles]] kernel over the character
+    * array).
+    *
+    * Scale: explode → partial+final count on the pair key (symbol-
+    * pair cardinality, tiny) → TakeOrdered. The iterative merge loop
+    * above this kernel is driver-coordinated like k-means: one such
+    * aggregate per merge round. */
+  def bpePairStats(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select(explode(tokens($"text")).as("term"))
+      .select(explode(shingles(split($"term", ""), 2)).as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(topN)
+  }
+
+  def bpePairStatsSql(topN: Int = 20): String =
+    s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
+       |c AS (SELECT string_split(term, '') AS cs FROM terms),
+       |p AS (SELECT unnest([cs[i] || ' ' || cs[i+1]
+       |                    for i in range(1, len(cs))]) AS pair FROM c)
+       |SELECT pair, COUNT(*) AS n FROM p
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT $topN""".stripMargin
+
   def sourceCapSql(cap: Int = 15): String =
     s"""WITH r AS (
        |  SELECT source,
