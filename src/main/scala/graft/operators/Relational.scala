@@ -214,13 +214,14 @@ object Relational {
   def topKPerKeyNative(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, sfDir)
+    // ONE sort spec drives both heap retention and the rank window —
+    // two diverging copies would silently mis-rank retained rows
+    val sortSpec = Seq(c("c_acctbal").desc, c("c_custkey").asc)
     val top = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
-      c, Seq(c("c_mktsegment")),
-      Seq(c("c_acctbal").desc, c("c_custkey").asc), k)
+      c, Seq(c("c_mktsegment")), sortSpec, k)
     top
       .withColumn("rnk", row_number().over(
-        Window.partitionBy($"c_mktsegment")
-          .orderBy($"c_acctbal".desc, $"c_custkey".asc)).cast("bigint"))
+        Window.partitionBy($"c_mktsegment").orderBy(sortSpec: _*)).cast("bigint"))
       .select($"c_mktsegment", $"rnk", $"c_custkey", $"c_acctbal")
       .orderBy($"c_mktsegment", $"rnk")
   }

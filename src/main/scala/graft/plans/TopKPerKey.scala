@@ -28,10 +28,24 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                       child: LogicalPlan) extends UnaryNode {
   require(k >= 1, s"topKPerKey k must be >= 1, got $k")
+  // match groupBy/Window: map-typed grouping keys are not groupable
+  keys.foreach(key => require(!TopKPerKey.containsMap(key.dataType),
+    s"topKPerKey key ${key.sql} has a map type, which cannot be a grouping key"))
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
+}
+
+object TopKPerKey {
+  private[plans] def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
 }
 
 /** Planner strategy: register via `spark.experimental.extraStrategies`
@@ -40,11 +54,16 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
+      // float keys must group like groupBy/Window would: normalize
+      // -0.0/0.0 and NaN bit patterns BEFORE both the byte-equality
+      // HashMap and the clustered hash (the optimizer inserts this
+      // for Aggregate; a custom node must do it itself)
+      val normKeys = keys.map(org.apache.spark.sql.GraftSqlBridge.normalizeFloats)
       // partial (map-side, no distribution requirement) under final
       // (clustered) — Spark inserts the exchange between them, which
       // then carries ≤ keys·k rows per map partition
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true,
+      TopKPerKeyExec(normKeys, order, k, partial = false,
+        TopKPerKeyExec(normKeys, order, k, partial = true,
           planLater(child))) :: Nil
     case _ => Nil
   }

@@ -12,8 +12,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * that — no Spark internals are modified or shadowed.
   */
 object GraftSqlBridge {
+  private val registrationLock = new Object
+
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `private[sql]` float normalization, bridged for the custom
+    * top-k operator: -0.0/0.0 and NaN bit patterns must group the way
+    * Aggregate/Window group them. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 
   /** Per-key top-k via the custom [[graft.plans.TopKPerKey]] operator
     * (whole-operator extension tier): registers the planner strategy
@@ -25,9 +33,14 @@ object GraftSqlBridge {
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val strategy = graft.plans.TopKPerKeyStrategy
-    if (!spark.experimental.extraStrategies.contains(strategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ strategy
+    // registration is a read-modify-write on shared session state —
+    // serialize it so concurrent first calls can't double-register or
+    // drop a third party's concurrent strategy append
+    registrationLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(strategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ strategy
+    }
     // Columns carry LAZY internal nodes (ColumnNodeExpression), not
     // resolved catalyst expressions — route them through throwaway
     // Sort/Project plans so the standard analyzer resolves them

@@ -48,6 +48,27 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
       "c" -> Seq(3L, 4L)))
   }
 
+  test("float keys group like groupBy: -0.0/0.0 form ONE group") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (-0.0, 3L), (1.5, 4L))
+      .toDF("key", "v")
+    val got = GraftSqlBridge.topKPerKey(df, Seq(df("key")), Seq(df("v").desc), 2)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    // without normalization the byte-distinct ±0.0 keys would each
+    // keep their own top-2 (emitting v=1,2,3); normalized they share
+    // one group keeping only v=3,2
+    assert(got.map(_._2) == Set(3L, 2L, 4L), s"got $got")
+  }
+
+  test("map-typed keys are rejected up front") {
+    import spark.implicits._
+    val df = Seq((Map("a" -> 1), 1L)).toDF("key", "v")
+    val e = intercept[IllegalArgumentException] {
+      GraftSqlBridge.topKPerKey(df, Seq(df("key")), Seq(df("v").desc), 1)
+    }
+    assert(e.getMessage.contains("map type"))
+  }
+
   test("result is invariant under input repartitioning") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (s"k${i % 7}", i)).toDF("key", "v")
