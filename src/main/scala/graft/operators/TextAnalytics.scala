@@ -86,8 +86,20 @@ object TextAnalytics {
     * mostly scores as English or unknown regardless of label). */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dt = array_distinct(tokens($"text"))
-    val s = langMarkers.map { case (l, _) => l -> langScore(dt, l) }.toMap
+    // The CASE references each score up to 4 times (and the und-arm
+    // all 5), so inlining `langScore(dt, l)` would plant up to 15
+    // copies of the tokenize+intersect subtree in one projection.
+    // Hoist `dt` and each score into its own column instead: CASE
+    // then compares attributes, and CollapseProject keeps non-cheap
+    // expressions referenced more than once in their own Project, so
+    // each is evaluated exactly once per row.
+    val langs = langMarkers.map(_._1)
+    val withDt = docs(spark, sfDir)
+      .withColumn("dt", array_distinct(tokens($"text")))
+    val scored = langs.foldLeft(withDt) { (df, l) =>
+      df.withColumn(s"s_$l", langScore($"dt", l))
+    }
+    val s = langs.map(l => l -> col(s"s_$l")).toMap
     val predicted =
       when(s("en") === 0 && s("es") === 0 && s("de") === 0 &&
         s("fr") === 0 && s("zh") === 0, lit("und"))
@@ -97,7 +109,7 @@ object TextAnalytics {
         .when(s("de") >= s("fr") && s("de") >= s("zh"), lit("de"))
         .when(s("fr") >= s("zh"), lit("fr"))
         .otherwise(lit("zh"))
-    docs(spark, sfDir)
+    scored
       .withColumn("predicted", predicted)
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n_docs"))

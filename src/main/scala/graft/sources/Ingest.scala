@@ -247,17 +247,40 @@ object Ingest {
         count_distinct($"o_custkey").cast("long").as("n_customers"))
   }
 
-  /** The month-partitioned snapshot read frame (write-once per run). */
+  /** The month-partitioned snapshot read frame (write-once per run).
+    *
+    * Layout: `repartition($"o_month")` BEFORE `partitionBy` so each
+    * month's rows sit in exactly one task → exactly one file per
+    * month directory. Without it every shuffle partition writes into
+    * every month dir (up to cpus×months tiny files) — the classic
+    * small-files explosion a 100 TB time-series layout must avoid,
+    * and every later read pays partition discovery over that forest.
+    * (At a scale where one month exceeds a healthy file size, add an
+    * intra-month salt column to the repartition — same shape, N
+    * bounded files per month instead of 1.)
+    *
+    * The check-then-write is serialized per target dir (double-checked
+    * under a monitor): two concurrent callers in one JVM would
+    * otherwise both see `_SUCCESS` missing and race overlapping
+    * overwrites of the same directory. */
   private[graft] def partitionedOrders(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tmp = roundTripDir(sfDir, "bymonth")
     if (!new java.io.File(tmp, "_SUCCESS").exists()) {
-      Tables.orders(spark, sfDir)
-        .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
-        .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+      bymonthLocks.computeIfAbsent(tmp, _ => new Object).synchronized {
+        if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+          Tables.orders(spark, sfDir)
+            .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+            .repartition($"o_month")
+            .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+        }
+      }
     }
     spark.read.parquet(tmp)
   }
+
+  private val bymonthLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def partitionedSnapshotSql(month: String = "1996-06"): String =
     s"""SELECT COUNT(*) AS n_orders,

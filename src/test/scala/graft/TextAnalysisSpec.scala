@@ -191,4 +191,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(kept <= total && kept > 0)
     sc.unpersist()
   }
+
+  test("langId plan evaluates the tokenizer once and each score once") {
+    // Round-3 bench regression: inlining langScore into the CASE
+    // planted up to 15 copies of the tokenize+intersect subtree in
+    // one projection. The hoisted form must keep exactly one
+    // regexp_extract_all and one array_intersect per language in the
+    // optimized plan — if CollapseProject ever starts re-inlining
+    // them, this fails before the bench does.
+    val plan = TextAnalytics.langId(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val nTok = "regexp_extract_all".r.findAllIn(plan).length
+    val nInt = "array_intersect".r.findAllIn(plan).length
+    assert(nTok == 1, s"expected 1 regexp_extract_all, got $nTok")
+    assert(nInt == langMarkers.size,
+      s"expected ${langMarkers.size} array_intersect, got $nInt")
+  }
 }
