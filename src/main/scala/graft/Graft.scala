@@ -95,12 +95,28 @@ object Graft {
       operators.Similarity.normalizeOf(embeddings), model)
 
   /** SemDeDup-style semantic near-dup pairs, candidates scoped to
-    * shared k-means cells of `model`. */
+    * shared k-means cells of `model`. Cells above `cellCap` members
+    * are hash-sub-bucketed in the verify self-join, so one hot cell
+    * never becomes one skewed join key. */
   def semanticDedupPairs(embeddings: DataFrame,
                          model: Seq[operators.Clustering.Centroid],
-                         threshold: Double = 0.4): DataFrame =
+                         threshold: Double = 0.4,
+                         cellCap: Int = operators.Clustering.CellJoinCap)
+      : DataFrame =
     operators.Clustering.semDedupOf(
-      operators.Similarity.normalizeOf(embeddings), model, threshold)
+      operators.Similarity.normalizeOf(embeddings), model, threshold, cellCap)
+
+  /** End-to-end semantic dedup with corpus-scaled k: counts the
+    * corpus, trains k = [[operators.Clustering.kFor]](n) cells
+    * (≈ n / 256, the capacity rule SemDeDup needs at scale — k is
+    * not a constant), then scopes pairs to shared cells. */
+  def semanticDedupAuto(embeddings: DataFrame,
+                        threshold: Double = 0.4): DataFrame = {
+    val e = operators.Similarity.normalizeOf(embeddings)
+    val k = operators.Clustering.kFor(e.count())
+    operators.Clustering.semDedupOf(
+      e, operators.Clustering.trainKmeansOf(e, k), threshold)
+  }
 
   // -- streaming transforms (apply to batch or watermarked stream) --
 

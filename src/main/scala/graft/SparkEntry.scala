@@ -109,6 +109,9 @@ object SparkEntry {
     "llm_kmeans" -> (Clustering.kmeans _),
     "llm_knn_ivf_kmeans" -> ((s, d) => Similarity.knnIvfKmeans(s, d)),
     "llm_semdedup" -> ((s, d) => Clustering.semDedup(s, d)),
+    // capacity-knob witness: same operator with k scaled to 64 cells
+    // (the "k grows with the corpus" posture, driver-checked)
+    "llm_semdedup_k64" -> ((s, d) => Clustering.semDedup(s, d, k = 64)),
     // — LLM-pipeline: multimodal binary columns —
     "llm_multimodal_meta" -> (Multimodal.assetMeta _),
     // binary codec pipeline isn't SQL-expressible → no SQL oracle,
@@ -196,6 +199,7 @@ object SparkEntry {
     "llm_kmeans" -> Clustering.kmeansSql(),
     "llm_knn_ivf_kmeans" -> Similarity.knnIvfKmeansSql(),
     "llm_semdedup" -> Clustering.semDedupSql(),
+    "llm_semdedup_k64" -> Clustering.semDedupSql(k = 64),
     "llm_multimodal_meta" -> Multimodal.assetMetaSql,
   )
 }

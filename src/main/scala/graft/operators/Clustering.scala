@@ -50,12 +50,26 @@ object Clustering {
   val InitSalt = 13
   val Dims = 64
 
+  /** Above this k the map-side literal argmax gives way to a broadcast
+    * centroid join: a k·d literal tree in one projection outgrows
+    * codegen long before k reaches the tens-of-thousands of cells
+    * SemDeDup uses at web scale. */
+  val AssignLiteralMaxK = 64
+
+  /** Sizing rule for k: enough cells to keep the expected cell near
+    * `target` members. k is a CAPACITY knob — it must grow with the
+    * corpus so the per-cell pair verify stays bounded and the
+    * cell-keyed join stays parallel. */
+  val TargetCellSize = 256L
+  def kFor(n: Long, target: Long = TargetCellSize, maxK: Int = 1 << 16): Int =
+    math.max(1L, math.min(maxK.toLong, (n + target - 1) / target)).toInt
+
   /** Trained centroid: cell id, per-dim values (rounded to 6 dp after
     * each mean update; init vectors are the raw normalized input). */
   final case class Centroid(cell: Int, cv: Array[Double])
 
   // Trained models are tiny (k·d doubles) and depend only on the input
-  // path, so cache driver-side by sfDir — no session resources held.
+  // path and k, so cache driver-side — no session resources held.
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Centroid]]
 
@@ -74,21 +88,53 @@ object Clustering {
     round(dot(v, litArray(c.cv)) - lit(half), 6)
   }
 
-  /** Map-side argmax cell assignment: first-wins over cells in
-    * ascending id order == "ORDER BY score DESC, cell" in the oracle.
-    * A single-centroid model assigns unconditionally (`greatest`
-    * needs ≥ 2 arguments). */
+  /** Map-side argmax cell assignment: lowest cell wins score ties ==
+    * "ORDER BY score DESC, cell" in the oracle. Scores land in ONE
+    * array literal and `array_position(scores, array_max(scores))`
+    * takes the first (= lowest-cell) maximum, so each score subtree
+    * is evaluated exactly once per row — the earlier when-chain form
+    * re-planted every score in both `greatest` and its branch. */
   private def assignCell(v: Column, centroids: Seq[Centroid]): Column = {
     require(centroids.nonEmpty, "k-means model has no centroids")
     val cs = centroids.sortBy(_.cell)
     if (cs.length == 1) lit(cs.head.cell)
     else {
-      val scores = cs.map(c => score(v, c))
-      val best = greatest(scores: _*)
-      coalesce(cs.zip(scores).map { case (c, s) =>
-        when(s === best, lit(c.cell))
-      }: _*)
+      val scores = array(cs.map(c => score(v, c)): _*)
+      val cellIds = array(cs.map(c => lit(c.cell)): _*)
+      element_at(cellIds, array_position(scores, array_max(scores)).cast("int"))
     }
+  }
+
+  /** Append `cell` to a `(vec_id, v)` frame, dispatching on k:
+    *  - k ≤ [[AssignLiteralMaxK]]: [[assignCell]] — zero shuffle, the
+    *    centroid matrix rides in the codegen'd projection.
+    *  - larger k: broadcast the centroid frame, score the ×k
+    *    expansion, and take `max(struct(score, -cell))` per vector —
+    *    highest score, ties to the LOWEST cell, identical semantics.
+    *    The aggregate is partial+final, so the expansion collapses
+    *    back to one row per vector map-side before the exchange. */
+  private[graft] def withCell(e: DataFrame, model: Seq[Centroid]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    require(model.nonEmpty, "k-means model has no centroids")
+    if (model.size <= AssignLiteralMaxK)
+      e.withColumn("cell", assignCell($"v", model))
+    else withCellJoin(e, model)
+  }
+
+  /** The broadcast-join tier, exposed for the equivalence spec. */
+  private[graft] def withCellJoin(e: DataFrame, model: Seq[Centroid]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cdf = spark.createDataFrame(model.map(c =>
+        (c.cell, c.cv.toSeq, c.cv.foldLeft(0.0)((s, x) => s + x * x) / 2.0)))
+      .toDF("cell", "cv", "half")
+    e.join(broadcast(cdf))
+      .withColumn("s", round(dot($"v", $"cv") - $"half", 6))
+      .groupBy($"vec_id")
+      .agg(first($"v").as("v"),
+        max(struct($"s".as("score"), (-$"cell").as("negcell"))).as("m"))
+      .select($"vec_id", $"v", (-$"m.negcell").as("cell"))
   }
 
   /** One Lloyd's update: per-dim member means (rounded), collected as
@@ -97,8 +143,7 @@ object Clustering {
   private def updateCentroids(e: DataFrame, centroids: Seq[Centroid]): Seq[Centroid] = {
     val spark = e.sparkSession
     import spark.implicits._
-    val rows = e
-      .withColumn("cell", assignCell($"v", centroids))
+    val rows = withCell(e, centroids)
       .select($"cell", posexplode($"v").as(Seq("dim", "val")))
       .groupBy($"cell", $"dim")
       .agg(round(avg($"val"), 6).as("m"))
@@ -134,9 +179,10 @@ object Clustering {
   }
 
   /** Cached trained model for the standard embeddings table. */
-  def kmeansModel(spark: SparkSession, sfDir: String): Seq[Centroid] =
-    modelCache.getOrElseUpdate(sfDir,
-      trainKmeansOf(Similarity.normalized(spark, sfDir)))
+  def kmeansModel(spark: SparkSession, sfDir: String,
+                  k: Int = K, iters: Int = Iters): Seq[Centroid] =
+    modelCache.getOrElseUpdate(s"$sfDir#$k#$iters",
+      trainKmeansOf(Similarity.normalized(spark, sfDir), k, iters))
 
   /** Mean squared distance to the assigned centroid (the Lloyd's
     * objective): with unit-norm rows, `d² = 1 − 2·score`. Exposed for
@@ -162,8 +208,7 @@ object Clustering {
     import spark.implicits._
     val model = kmeansModel(spark, sfDir)
     val e = Similarity.normalized(spark, sfDir)
-    val sizes = e
-      .withColumn("cell", assignCell($"v", model))
+    val sizes = withCell(e, model)
       .groupBy($"cell").agg(count(lit(1)).as("n_members"))
     val centroidRows = model.flatMap(c =>
       c.cv.zipWithIndex.map { case (x, d) => (c.cell, d + 1, x) })
@@ -236,26 +281,54 @@ object Clustering {
     * member of each pair is the canonical survivor (`vec_a < vec_b`),
     * so `vec_b` rows form the drop list.
     *
-    * The self-join key is `cell`, so parallelism == k: at corpus scale
-    * k must grow with the data (SemDeDup uses tens of thousands of
-    * clusters at web scale) to keep cells bounded and the join
-    * skew-free — k is a capacity knob, not a constant. */
+    * Capacity knobs, both of which must scale with the corpus:
+    *  - k (cell count): sized by [[kFor]] ≈ n / [[TargetCellSize]]
+    *    (SemDeDup uses tens of thousands of clusters at web scale) so
+    *    the per-cell |cell|²/2 verify stays bounded.
+    *  - the self-join is SUB-BUCKETED above [[CellJoinCap]]: an
+    *    oversized cell's members are hash-split into g =
+    *    ⌈|cell|/cap⌉ blocks and the left side fans out to every
+    *    block, so one hot cell becomes g join keys of ≤ cap build
+    *    rows each instead of one skewed key — the same bound the LSH
+    *    operators put on bucket collisions. The pair SET is
+    *    unchanged (each unordered pair matches on exactly the
+    *    survivor's block), so the oracle SQL stays the plain
+    *    cell-equi-join. */
   def semDedup(spark: SparkSession, sfDir: String,
-               threshold: Double = 0.4): DataFrame =
+               threshold: Double = 0.4, k: Int = K): DataFrame =
     semDedupOf(Similarity.normalized(spark, sfDir),
-      kmeansModel(spark, sfDir), threshold)
+      kmeansModel(spark, sfDir, k), threshold)
+
+  /** Cap on build-side rows per semDedup join key; cells above it are
+    * hash-split into ⌈size/cap⌉ blocks. */
+  val CellJoinCap = 4096
 
   /** Frame-parametric core: `e` must be unit-normalized `(vec_id, v)`. */
   def semDedupOf(e: DataFrame, model: Seq[Centroid],
-                 threshold: Double): DataFrame = {
+                 threshold: Double, cellCap: Int = CellJoinCap): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val assigned = e.withColumn("cell", assignCell($"v", model))
-    // narrow self-join on cell ids first; vectors ride along (cell
-    // occupancy bounds the pair fan-out, as in the LSH variants)
-    val pairs = assigned.select($"cell", $"vec_id", $"v").as("a")
-      .join(assigned.select($"cell", $"vec_id", $"v").as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+    require(cellCap > 0, "cell cap must be positive")
+    val assigned = withCell(e, model).select($"cell", $"vec_id", $"v")
+    // cell sizes are ≤ k rows — broadcast them back to derive each
+    // cell's block count g; blk ∈ [0, g) is a hash of the member id
+    val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("csz"))
+    val blocked = assigned.join(broadcast(sizes), "cell")
+      .withColumn("g",
+        ceil($"csz".cast("double") / lit(cellCap.toDouble)).cast("int"))
+      .withColumn("blk", pmod(hash($"vec_id"), $"g"))
+    // probe side fans out to all g blocks; build side keeps its own
+    // block — pair (a,b) with a.vec_id < b.vec_id matches exactly
+    // once, on key (cell, b.blk). For cells under the cap g == 1 and
+    // this is bit-for-bit the plain cell self-join.
+    val left = blocked
+      .withColumn("peer", explode(sequence(lit(0), $"g" - 1)))
+      .select($"cell", $"peer", $"vec_id", $"v")
+    val right = blocked.select($"cell", $"blk", $"vec_id", $"v")
+    val pairs = left.as("a")
+      .join(right.as("b"),
+        col("a.cell") === col("b.cell") && col("a.peer") === col("b.blk") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cell").as("cell"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.v"), col("b.v")), 6).as("cosine"))

@@ -48,6 +48,61 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(cos - p.getDouble(3)) < 1e-5)
   }
 
+  test("broadcast-join cell assignment == literal argmax assignment") {
+    import spark.implicits._
+    // the k > AssignLiteralMaxK tier must make the identical
+    // choices (round-6 scores, ties to lowest cell) as the map-side
+    // literal path it replaces
+    val model = Clustering.trainKmeansOf(e, k = 8, iters = 1)
+    val lit = Clustering.withCell(e, model)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val joined = Clustering.withCellJoin(e, model)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(lit.size == joined.size && lit.nonEmpty)
+    assert(lit == joined, "assignment tiers disagree")
+  }
+
+  test("semDedup sub-bucketing: pair set unchanged, join keys bounded") {
+    import spark.implicits._
+    val model = Clustering.trainKmeansOf(e, k = 4, iters = 1)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val plain  = key(Clustering.semDedupOf(e, model, 0.3, cellCap = 1 << 30))
+    val capped = key(Clustering.semDedupOf(e, model, 0.3, cellCap = 8))
+    assert(plain.nonEmpty, "no pairs at test scale")
+    assert(capped == plain, "sub-bucketing changed the pair set")
+    // the physical guarantee: with cap c, no (cell, blk) build group
+    // exceeds ~c (hash split is even in expectation; allow 3x slack)
+    val assigned = Clustering.withCell(e, model)
+    val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("csz"))
+    val maxBlk = assigned.join(broadcast(sizes), "cell")
+      .withColumn("g", ceil($"csz".cast("double") / 8.0).cast("int"))
+      .withColumn("blk", pmod(hash($"vec_id"), $"g"))
+      .groupBy($"cell", $"blk").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(maxBlk <= 24, s"a sub-bucket holds $maxBlk rows for cap 8")
+  }
+
+  test("semDedup at k=64 on sf0.1: green pairs with scaled cell count") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val big = Similarity.normalizeOf(graft.sources.Tables.embeddings(spark, dir))
+    val model = Clustering.trainKmeansOf(big, k = 64, iters = Clustering.Iters)
+    assert(model.size > 32, s"only ${model.size} cells survived training")
+    val pairs = Clustering.semDedupOf(big, model, 0.4).cache()
+    val n = pairs.count()
+    assert(n > 0, "no pairs at sf0.1 with k=64")
+    val bad = pairs.filter($"vec_a" >= $"vec_b" || $"cosine" < 0.4).count()
+    assert(bad == 0)
+    // spot-check one pair against an independent dot product
+    val p = pairs.head()
+    val vs = big.filter($"vec_id".isin(p.getLong(1), p.getLong(2)))
+      .orderBy($"vec_id").as[(Long, Seq[Double])].collect()
+    val cos = vs(0)._2.zip(vs(1)._2).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos - p.getDouble(3)) < 1e-5)
+    pairs.unpersist()
+  }
+
   test("IVF over trained k-means centroids achieves reasonable recall") {
     import spark.implicits._
     val k = 5
