@@ -85,6 +85,8 @@ object SparkEntry {
     "llm_fingerprint" -> (TextAnalytics.fingerprint _),
     // HLL sketch is engine-specific → no SQL oracle, rows-only check
     "llm_approx_distinct" -> ((s, d) => TextAnalytics.approxDistinct(s, d)),
+    // driver-witnessed HLL error bound: oracle = exact counts + TRUE
+    "llm_approx_distinct_bound" -> ((s, d) => TextAnalytics.approxDistinctBound(s, d)),
     // — LLM-pipeline: deduplication over documents —
     "llm_dedup_exact" -> (Dedup.dedupExact _),
     "llm_dedup_minhash" -> ((s, d) => Dedup.minHashNearDups(s, d)),
@@ -190,6 +192,7 @@ object SparkEntry {
     "llm_source_cap" -> TextAnalytics.sourceCapSql(),
     "llm_decontaminate" -> TextAnalytics.decontaminateSql(),
     "llm_bpe_pairs" -> TextAnalytics.bpePairStatsSql(),
+    "llm_approx_distinct_bound" -> TextAnalytics.approxDistinctBoundSql(),
     "llm_tfidf" -> TextAnalytics.tfidfSql(),
     "llm_stratified_sample" -> TextAnalytics.stratifiedSampleSql(),
     "llm_dedup_apply" -> Dedup.dedupApplySql(),

@@ -255,6 +255,34 @@ object TextAnalytics {
       .orderBy($"lang")
   }
 
+  /** Driver-witnessed error bound for [[approxDistinct]]: per
+    * language, the exact distinct count plus `within_bound` = |HLL −
+    * exact| ≤ `bound`·exact. The oracle computes the same exact
+    * counts and a literal TRUE, so a hash match certifies BOTH that
+    * the exact counts agree across engines AND that every sketch
+    * estimate met the bound — the sketch itself never has to leave
+    * the engine. Diagnostic query only: production ships the sketch
+    * ([[approxDistinct]]); this one pays the exact distinct to
+    * certify it. */
+  def approxDistinctBound(spark: SparkSession, sfDir: String,
+                          rsd: Double = 0.02, bound: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    approxDistinct(spark, sfDir, rsd)
+      .join(exactDistinctShingles(spark, sfDir), "lang")
+      .select($"lang", $"exact_shingles",
+        (abs($"approx_shingles" - $"exact_shingles").cast("double")
+          <= $"exact_shingles".cast("double") * bound).as("within_bound"))
+      .orderBy($"lang")
+  }
+
+  def approxDistinctBoundSql(): String =
+    s"""WITH t AS (SELECT lang, $tokensSql AS ts FROM documents)
+       |SELECT lang,
+       |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS exact_shingles,
+       |  TRUE AS within_bound
+       |FROM (SELECT lang, unnest(${shingles3Sql("ts")}) AS sh FROM t)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Exact twin of [[approxDistinct]] for the spec's error-bound
     * check only — never shipped as a query (the exact distinct is the
     * scale-killer the sketch exists to avoid). */
