@@ -21,6 +21,50 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("dedup chain scale curve: candidates and wall time grow near-linearly") {
+    import org.apache.spark.sql.functions._
+    // Empirical backing for the "bucket-bounded, not O(n²)" claim:
+    // run the minhash→cluster→apply chain at three corpus sizes
+    // spanning 100× and pin (a) LSH candidate pairs per document
+    // stays bounded, (b) chain wall time grows far slower than
+    // quadratic across each 10× data step. The measured curve is
+    // committed to PLANS.md ("Dedup scale curve").
+    case class Pt(dir: String, n: Long, cands: Long, secs: Double)
+    val pts = Seq("sf0.001", "sf0.01", "sf0.1").map { s =>
+      val dir = s"/root/testdata/$s"
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val n = docs.count()
+      val buckets = Dedup.bandedBuckets(
+        Dedup.minHashSignatures(Dedup.shingleSetsOf(docs)))
+      val cands = buckets.as("ba")
+        .join(buckets.as("bb"),
+          col("ba.band") === col("bb.band") &&
+            col("ba.bsig") === col("bb.bsig") &&
+            col("ba.doc_id") < col("bb.doc_id"))
+        .select(col("ba.doc_id"), col("bb.doc_id")).distinct().count()
+      val t0 = System.nanoTime()
+      Dedup.minHashNearDups(spark, dir).count()
+      Dedup.nearDupClusters(spark, dir).count()
+      Dedup.dedupApply(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"$s%-8s n=$n%6d candidates=$cands%7d chain=${secs}%.2fs")
+      Pt(dir, n, cands, secs)
+    }
+    pts.sliding(2).foreach { case Seq(lo, hi) =>
+      val nRatio = hi.n.toDouble / lo.n
+      // candidate growth ≤ 3× linear in the corpus step (quadratic
+      // would be ~nRatio² = 100×)
+      assert(hi.cands <= 3.0 * nRatio * math.max(lo.cands, 1),
+        s"${hi.dir}: candidates ${hi.cands} vs ${lo.cands} at ${lo.dir} " +
+          s"grew super-linearly for a ${nRatio}× corpus step")
+      // wall time: generous 3×-linear guard (fixed overheads dominate
+      // the small points; an O(n²) chain would blow straight past it)
+      assert(hi.secs <= 3.0 * nRatio * math.max(lo.secs, 0.5),
+        s"${hi.dir}: chain ${hi.secs}s vs ${lo.secs}s at ${lo.dir}")
+      case other => fail(s"unexpected window $other")
+    }
+  }
+
   test("semDedup pairs ⊆ exact cosine pairs at sf0.1, with bounded recall") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
