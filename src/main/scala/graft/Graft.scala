@@ -137,7 +137,15 @@ object Graft {
 
   /** Per-key top-k via the native heap operator
     * ([[graft.plans.TopKPerKey]]) — partial+final bounded heaps, no
-    * per-partition sort. `order` takes `col.desc` / `col.asc`. */
+    * per-partition sort. `order` takes `col.desc` / `col.asc`.
+    *
+    * Memory contract: each exec task holds one k-row heap per
+    * DISTINCT key in its partition, on-heap and UNTRACKED by Spark's
+    * memory manager — O(keys·k) rows with no spill. For key
+    * cardinalities where keys·k rows per task stop fitting in
+    * executor memory, use the window-function route
+    * (`row_number().over(Window.partitionBy(...).orderBy(...))`),
+    * which sorts but spills. */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                  k: Int): DataFrame =
     org.apache.spark.sql.GraftSqlBridge.topKPerKey(df, keys, order, k)

@@ -27,6 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Md5Int32(child: Expression, prefix: String, offset: Int)
   extends UnaryExpression {
 
+  // a 4-byte read of the 16-byte digest needs offset in [0, 12]; fail
+  // at construction on EVERY entry point (the SQL registry validated
+  // this, but the Scala constructors would have failed per-row with
+  // ArrayIndexOutOfBoundsException at execution)
+  require(offset >= 0 && offset <= 12,
+    s"md5_i32 offset must be in [0, 12], got $offset")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -80,6 +80,11 @@ object EventStreams {
       case f => f
     })
     val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // sweep monitors of stopped sessions (their flags died with the
+    // context); live sessions keep ONE stable monitor forever
+    nanosMonitors.keys.foreach { s =>
+      if (s.sparkContext.isStopped) { nanosMonitors.remove(s); nanosBuilds.remove(s) }
+    }
     val mon = nanosMonitors.getOrElseUpdate(spark, new Object)
     mon.synchronized {
       nanosBuilds.put(spark, nanosBuilds.getOrElse(spark, 0L) + 1L)
@@ -104,7 +109,14 @@ object EventStreams {
                 spark.conf.set(key, prev)
                 spark.streams.removeListener(this)
                 nanosBuilds.remove(spark)
-                nanosMonitors.remove(spark)
+                // the monitor entry is deliberately NOT removed: a
+                // concurrent readEventsStream may already hold this
+                // monitor from getOrElseUpdate, and removing it would
+                // let the next builder mint a DIFFERENT monitor — the
+                // two would then synchronize on different objects,
+                // re-opening the restore-under-the-feet race. One
+                // Object per live session is the steady state;
+                // stopped sessions are swept on the next build.
               }
             }
         }

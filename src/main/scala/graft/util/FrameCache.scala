@@ -41,10 +41,17 @@ final class FrameCache(maxEntries: Int = 32) {
       case None =>
         val df = build
         if (map.putIfAbsent(k, Entry(df, unpersistOnEvict)).isEmpty) {
+          // drop any stale queue entry from a prior eviction of this
+          // key, so a re-inserted key re-enters FIFO at the tail
+          order.remove(k)
           order.add(k)
           trim()
           df
-        } else map(k).df // lost a race; the winner's frame is canonical
+        } else
+          // lost a race; the winner's frame is canonical — unless the
+          // winner was ALSO concurrently evicted, in which case our
+          // own (uncached) frame is still a correct answer
+          map.get(k).map(_.df).getOrElse(df)
     }
   }
 
