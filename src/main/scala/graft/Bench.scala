@@ -82,11 +82,19 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    val out = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.json")
-    try java.nio.file.Files.writeString(out, line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] file dump failed: ${e.getMessage}")
+    // the driver's stdout tail capture is 2,000 chars and the full
+    // line exceeds it at 80+ queries — persist the complete JSON to
+    // both tmpdir and the working directory (the latter survives in
+    // the repo) so no timing is ever lost to truncation
+    val dumps = Seq(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.json"),
+      java.nio.file.Paths.get("graft_bench_last.json"))
+    dumps.foreach { p =>
+      try java.nio.file.Files.writeString(p, line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dump to $p failed: ${e.getMessage}")
+      }
     }
     println(line)
     spark.stop()
