@@ -73,6 +73,15 @@ object Clustering {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Centroid]]
 
+  // Session-keyed frame cache (shared util): the assigned/blocked
+  // frame feeds three plan subtrees in semDedup (size agg + both join
+  // sides) — materialize it once per (input, model) instead of
+  // re-running the k-way argmax three times.
+  private val frameCache = new graft.util.FrameCache()
+  private def cached(stage: String, df: DataFrame): DataFrame =
+    frameCache.getOrElseUpdate(df.sparkSession,
+      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dot_product(a, b)
 
@@ -309,7 +318,8 @@ object Clustering {
     val spark = e.sparkSession
     import spark.implicits._
     require(cellCap > 0, "cell cap must be positive")
-    val assigned = withCell(e, model).select($"cell", $"vec_id", $"v")
+    val assigned = cached("semdedup-assigned",
+      withCell(e, model).select($"cell", $"vec_id", $"v"))
     // cell sizes are ≤ k rows — broadcast them back to derive each
     // cell's block count g; blk ∈ [0, g) is a hash of the member id
     val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("csz"))
