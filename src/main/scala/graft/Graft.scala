@@ -140,12 +140,12 @@ object Graft {
     * per-partition sort. `order` takes `col.desc` / `col.asc`.
     *
     * Memory contract: each exec task holds one k-row heap per
-    * DISTINCT key in its partition, on-heap and UNTRACKED by Spark's
-    * memory manager — O(keys·k) rows with no spill. For key
-    * cardinalities where keys·k rows per task stop fitting in
-    * executor memory, use the window-function route
-    * (`row_number().over(Window.partitionBy(...).orderBy(...))`),
-    * which sorts but spills. */
+    * DISTINCT key in its partition — O(keys·k) rows — tracked
+    * against `spark.graft.topKPerKey.spillBytes` (default 128 MiB).
+    * Past the budget the heap map spills to key-sorted run files and
+    * is streamed back through a k-way merge, so high key cardinality
+    * degrades to sequential disk I/O instead of OOM (spill count and
+    * bytes surface as SQL metrics on the exec node). */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                  k: Int): DataFrame =
     org.apache.spark.sql.GraftSqlBridge.topKPerKey(df, keys, order, k)

@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BaseOrdering, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator tier of the extension ladder — a custom
   * `LogicalPlan` + `SparkStrategy` + `SparkPlan` (SURVEY §2.8 tier c):
@@ -24,6 +25,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * distribution requirement (map-side), the final stage declares
   * `ClusteredDistribution` and Spark inserts the exchange between
   * them.
+  *
+  * Memory posture: the per-partition heap map tracks its retained
+  * bytes against `spark.graft.topKPerKey.spillBytes` (default 128 MiB
+  * per task). Past the budget the map SPILLS to a local run file
+  * sorted by key BYTES — UnsafeRow byte equality is key equality
+  * (the strategy normalizes float keys first), so unsigned
+  * lexicographic byte order is a valid grouping order — and the run
+  * files are k-way merged with the in-memory remainder at the end of
+  * the partition, combining per-key heaps as runs meet. High key
+  * cardinality therefore degrades to sequential disk I/O instead of
+  * OOM, the same contract as Spark's sort-based route.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                       child: LogicalPlan) extends UnaryNode {
@@ -38,6 +50,9 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 }
 
 object TopKPerKey {
+  val SpillBytesKey = "spark.graft.topKPerKey.spillBytes"
+  val SpillBytesDefault: Long = 128L << 20
+
   private[plans] def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case _: org.apache.spark.sql.types.MapType => true
@@ -73,7 +88,9 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * inserts the exchange), then one pass per partition maintaining a
   * k-row max-heap per key — the heap root is the WORST kept row, so a
   * new row displaces it only when it sorts strictly earlier. Rows and
-  * keys are copied on retention (the input iterator reuses buffers). */
+  * keys are copied on retention (the input iterator reuses buffers)
+  * and stored as UnsafeRows so retained bytes are measurable and
+  * spillable (see [[TopKPerKey]] memory posture). */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                           partial: Boolean, child: SparkPlan)
   extends UnaryExecNode {
@@ -84,6 +101,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
      else ClusteredDistribution(keys)) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "spillCount" -> SQLMetrics.createMetric(sparkContext, "number of heap-map spills"),
+    "spillBytes" -> SQLMetrics.createSizeMetric(sparkContext, "bytes spilled to disk"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     // local copies: referencing case-class fields inside the closure
     // would capture `this` (a SparkPlan — not serializable)
@@ -91,35 +112,199 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val localKeys = keys
     val localOrder = order
     val localK = k
+    val budget = conf.getConfString(
+      TopKPerKey.SpillBytesKey, TopKPerKey.SpillBytesDefault.toString).toLong
+    val spillCount = longMetric("spillCount")
+    val spillBytes = longMetric("spillBytes")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(localKeys, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ord = RowOrdering.create(localOrder, childOutput)
-      // max-heap via reversed comparator: peek() = worst retained row
-      val heapCmp = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int =
-          ord.compare(b, a)
-      }
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](localK, heapCmp)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < localK) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+      new TopKHeapMap(iter, keyProj, rowProj, ord, localK, budget,
+        childOutput.length, spillCount, spillBytes).result()
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+/** One partition's heap map with byte-budgeted disk spilling. */
+private[plans] final class TopKHeapMap(
+    input: Iterator[InternalRow],
+    keyProj: UnsafeProjection,
+    rowProj: UnsafeProjection,
+    ord: BaseOrdering,
+    k: Int,
+    budgetBytes: Long,
+    numFields: Int,
+    spillCountMetric: SQLMetric,
+    spillBytesMetric: SQLMetric) {
+
+  // max-heap via reversed comparator: peek() = worst retained row
+  private val heapCmp = new java.util.Comparator[UnsafeRow] {
+    override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+  }
+  private val heaps =
+    new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+  private var retainedBytes = 0L
+  private val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  // a task killed mid-iteration must not strand run files on disk
+  Option(org.apache.spark.TaskContext.get()).foreach(
+    _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
+
+  private def offer(heap: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit =
+    if (heap.size < k) {
+      heap.add(row)
+      retainedBytes += row.getSizeInBytes
+    } else if (ord.compare(row, heap.peek()) < 0) {
+      retainedBytes -= heap.poll().getSizeInBytes
+      heap.add(row)
+      retainedBytes += row.getSizeInBytes
+    }
+
+  private def insertAll(): Unit =
+    while (input.hasNext) {
+      val row = input.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[UnsafeRow](k, heapCmp)
+        val kc = key.copy()
+        heaps.put(kc, heap)
+        retainedBytes += kc.getSizeInBytes
+      }
+      // project to UnsafeRow and copy: the input iterator reuses its
+      // buffer, and byte-backed rows are what the spill writer needs
+      offer(heap, rowProj(row).copy())
+      if (retainedBytes > budgetBytes && heaps.size > 1) spill()
+    }
+
+  /** Sorted entries of the live map (unsigned key-byte order — a valid
+    * grouping order because byte equality IS key equality). */
+  private def sortedEntries(): Array[java.util.Map.Entry[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]] = {
+    val arr = heaps.entrySet().toArray(
+      new Array[java.util.Map.Entry[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]](0))
+    java.util.Arrays.sort(arr,
+      (a: java.util.Map.Entry[UnsafeRow, java.util.PriorityQueue[UnsafeRow]],
+       b: java.util.Map.Entry[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]) =>
+        java.util.Arrays.compareUnsigned(a.getKey.getBytes, b.getKey.getBytes))
+    arr
+  }
+
+  /** Drain the map to one key-sorted run file and reset the budget. */
+  private def spill(): Unit = {
+    val file = java.io.File.createTempFile("graft-topk-spill", ".run")
+    spillFiles += file
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(file), 1 << 16))
+    try {
+      val entries = sortedEntries()
+      out.writeInt(entries.length)
+      entries.foreach { e =>
+        val kb = e.getKey.getBytes
+        out.writeInt(kb.length); out.write(kb)
+        out.writeInt(e.getValue.size())
+        e.getValue.forEach { r =>
+          val rb = r.getBytes
+          out.writeInt(rb.length); out.write(rb)
+        }
+      }
+    } finally out.close()
+    spillCountMetric += 1
+    spillBytesMetric += file.length()
+    heaps.clear()
+    retainedBytes = 0L
+  }
+
+  def result(): Iterator[InternalRow] = {
+    insertAll()
+    import scala.jdk.CollectionConverters._
+    if (spillFiles.isEmpty)
+      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+    else {
+      // merge the on-disk runs with the in-memory remainder: every
+      // run is key-byte-sorted, so equal keys meet at the merge head
+      // and their heaps combine under the same k bound
+      if (!heaps.isEmpty) spill()
+      val runs = spillFiles.map(new TopKSpillRun(_, numFields)).filter(_.advance())
+      new TopKMergeIterator(runs.toSeq, heapCmp, ord, k)
+    }
+  }
+}
+
+/** Streaming reader over one key-sorted spill run. */
+private[plans] final class TopKSpillRun(file: java.io.File, numFields: Int) {
+  private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+    new java.io.FileInputStream(file), 1 << 16))
+  private var remaining = in.readInt()
+  var curKey: Array[Byte] = _
+  var curRows: Array[UnsafeRow] = _
+
+  def advance(): Boolean =
+    if (remaining <= 0) { in.close(); file.delete(); false }
+    else {
+      remaining -= 1
+      val klen = in.readInt()
+      curKey = new Array[Byte](klen)
+      in.readFully(curKey)
+      curRows = Array.fill(in.readInt()) {
+        val rlen = in.readInt()
+        val b = new Array[Byte](rlen)
+        in.readFully(b)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(b, rlen)
+        r
+      }
+      true
+    }
+}
+
+/** k-way merge of key-sorted runs, combining per-key heaps. */
+private[plans] final class TopKMergeIterator(
+    runs: Seq[TopKSpillRun],
+    heapCmp: java.util.Comparator[UnsafeRow],
+    ord: BaseOrdering,
+    k: Int) extends Iterator[InternalRow] {
+
+  private val pq = new java.util.PriorityQueue[TopKSpillRun](
+    math.max(1, runs.size),
+    (a: TopKSpillRun, b: TopKSpillRun) =>
+      java.util.Arrays.compareUnsigned(a.curKey, b.curKey))
+  runs.foreach(pq.add)
+
+  private var current: java.util.Iterator[UnsafeRow] = java.util.Collections.emptyIterator()
+
+  private def loadNextKey(): Unit = {
+    val first = pq.poll()
+    if (first == null) return
+    // snapshot the key REFERENCE before folding: advance() replaces
+    // curKey with a fresh array, so this stays the merge key even
+    // after the run moves on
+    val mergeKey = first.curKey
+    val heap = new java.util.PriorityQueue[UnsafeRow](k, heapCmp)
+    def fold(run: TopKSpillRun): Unit = {
+      run.curRows.foreach { r =>
+        if (heap.size < k) heap.add(r)
+        else if (ord.compare(r, heap.peek()) < 0) { heap.poll(); heap.add(r) }
+      }
+      if (run.advance()) pq.add(run)
+    }
+    fold(first)
+    while (pq.peek() != null &&
+      java.util.Arrays.compareUnsigned(pq.peek().curKey, mergeKey) == 0)
+      fold(pq.poll())
+    current = heap.iterator()
+  }
+
+  override def hasNext: Boolean = {
+    while (!current.hasNext && pq.peek() != null) loadNextKey()
+    current.hasNext
+  }
+
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException("empty merge iterator")
+    current.next()
+  }
 }

@@ -78,4 +78,41 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     assert(run(df.repartition(1)) == run(df.repartition(13)))
     assert(run(df).size == 35) // 7 keys × top-5, all values distinct
   }
+
+  test("heap map spills past the byte budget and still matches the window route") {
+    import spark.implicits._
+    val key = graft.plans.TopKPerKey.SpillBytesKey
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    val prevAqe = spark.conf.get(aqeKey)
+    // a few KiB forces many spill cycles over 5,000 keys × top-3.
+    // AQE off so the executed plan tree (and its metric accumulators)
+    // is directly traversable — query stages hide their subtrees.
+    spark.conf.set(key, (8 * 1024).toString)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val df = (1L to 50000L).map(i => (s"key-${i % 5000}", i)).toDF("key", "v")
+      val native = GraftSqlBridge.topKPerKey(df, Seq(df("key")), Seq(df("v").desc), 3)
+      val got = native.collect().map(_.toSeq).toSet
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val want = df.withColumn("rn", row_number().over(
+          Window.partitionBy($"key").orderBy($"v".desc)))
+        .filter($"rn" <= 3).drop("rn").collect().map(_.toSeq).toSet
+      assert(got == want, s"spilling changed the result: " +
+        s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
+      // the run must actually have spilled — otherwise this test
+      // silently stops covering the merge path
+      val spills = native.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerKeyExec => t.metrics("spillCount").value
+      }.sum
+      assert(spills > 0, "no spill happened under an 8 KiB budget")
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
