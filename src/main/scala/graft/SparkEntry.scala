@@ -99,6 +99,9 @@ object SparkEntry {
     "llm_unigram_logprob" -> (TextAnalytics.unigramLogprob _),
     "llm_source_cap" -> ((s, d) => TextAnalytics.sourceCap(s, d)),
     "llm_decontaminate" -> ((s, d) => TextAnalytics.decontaminate(s, d)),
+    // bloom-prefiltered variant: same result (exact confirm join),
+    // bitset-broadcast scale shape; shares the exact oracle
+    "llm_decontaminate_bloom" -> ((s, d) => TextAnalytics.decontaminateBloom(s, d)),
     "llm_bpe_pairs" -> ((s, d) => TextAnalytics.bpePairStats(s, d)),
     "llm_tfidf" -> ((s, d) => TextAnalytics.tfidf(s, d)),
     "llm_stratified_sample" -> ((s, d) => TextAnalytics.stratifiedSample(s, d)),
@@ -191,6 +194,7 @@ object SparkEntry {
     "llm_unigram_logprob" -> TextAnalytics.unigramLogprobSql,
     "llm_source_cap" -> TextAnalytics.sourceCapSql(),
     "llm_decontaminate" -> TextAnalytics.decontaminateSql(),
+    "llm_decontaminate_bloom" -> TextAnalytics.decontaminateSql(),
     "llm_bpe_pairs" -> TextAnalytics.bpePairStatsSql(),
     "llm_approx_distinct_bound" -> TextAnalytics.approxDistinctBoundSql(),
     "llm_tfidf" -> TextAnalytics.tfidfSql(),

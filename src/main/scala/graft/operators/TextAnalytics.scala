@@ -589,6 +589,54 @@ object TextAnalytics {
       .orderBy($"doc_id", $"bench_id")
   }
 
+  /** Bloom-prefiltered decontamination — identical OUTPUT to
+    * [[decontaminate]] (the exact gram join confirms every candidate,
+    * so bloom false positives vanish from the result), different
+    * SCALE shape: the benchmark n-gram set folds into ONE fixed-size
+    * bloom bitset (the same `BloomFilterAggregate` /
+    * `BloomFilterMightContain` pair Spark's runtime-filter rewrite
+    * plants, here explicit), which ships to executors as a literal in
+    * the corpus scan's codegen'd predicate. The corpus stream drops
+    * non-overlapping grams BEFORE the join — at fpp=3% that is ~97%
+    * of an uncontaminated corpus never entering the exchange. The
+    * row-set broadcast of [[decontaminate]] is fine at eval-suite
+    * size; the bitset is what survives when the "benchmark" side is
+    * itself large (holdout shards, contamination blacklists):
+    * megabytes of bits versus an unbounded broadcast relation.
+    *
+    * Construction runs two small jobs up front (gram count + sketch
+    * fold) — the same eager-model shape as [[Clustering.kmeansModel]].
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String,
+                         benchK: Int = 25, n: Int = 5,
+                         minShared: Long = 1L, fpp: Double = 0.03): DataFrame = {
+    import spark.implicits._
+    def gramsOf(d: DataFrame) = d.select($"doc_id",
+      explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
+    val benchIds = docs(spark, sfDir)
+      .withColumn("h", md5i32($"text", 31))
+      .orderBy($"h", $"doc_id")
+      .limit(benchK)
+      .select($"doc_id".as("bench_id"))
+    val benchGrams = gramsOf(docs(spark, sfDir)
+      .join(broadcast(benchIds), $"doc_id" === $"bench_id"))
+      .select($"doc_id".as("bench_id"), $"g")
+    val expected = math.max(1L, benchGrams.count())
+    val bloom = benchGrams
+      .agg(org.apache.spark.sql.GraftSqlBridge
+        .bloomFilterAgg($"g", expected, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = gramsOf(docs(spark, sfDir)
+      .join(broadcast(benchIds), $"doc_id" === $"bench_id", "left_anti"))
+    corpusGrams
+      .filter(org.apache.spark.sql.GraftSqlBridge.mightContain(bloom, $"g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter($"shared_ngrams" >= minShared)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
   def decontaminateSql(benchK: Int = 25, n: Int = 5,
                        minShared: Long = 1L): String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),

@@ -23,6 +23,30 @@ object GraftSqlBridge {
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 
+  /** The bloom-sketch aggregate behind Spark's own runtime filter
+    * rewrite (`InjectRuntimeFilter` plants exactly this pair), bridged
+    * for EXPLICIT pipeline use: fold a column into one fixed-size
+    * bitset sized for `expectedItems` at false-positive rate `fpp`.
+    * Partial+final like any sketch aggregate. */
+  def bloomFilterAgg(c: Column, expectedItems: Long, fpp: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    toColumn(new BloomFilterAggregate(new XxHash64(Seq(toExpression(c))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a serialized bloom bitset — a codegen'd
+    * Catalyst expression (`BloomFilterMightContain`), NOT a UDF, so
+    * the prefilter runs inside the scan's whole-stage-codegen span. */
+  def mightContain(bloom: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    toColumn(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(toExpression(c)))))
+  }
+
   /** Per-key top-k via the custom [[graft.plans.TopKPerKey]] operator
     * (whole-operator extension tier): registers the planner strategy
     * on the session (idempotent) and wraps the frame's analyzed plan.

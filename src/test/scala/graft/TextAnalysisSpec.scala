@@ -192,6 +192,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     sc.unpersist()
   }
 
+  test("bloom decontamination == exact decontamination, probe is native") {
+    val exact = TextAnalytics.decontaminate(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val bloomed = TextAnalytics.decontaminateBloom(spark, sf)
+    assert(bloomed.collect().map(_.toSeq).toSeq == exact,
+      "bloom prefilter changed the decontamination result")
+    assert(exact.nonEmpty, "no contaminated docs at test scale")
+    // the probe must be the codegen'd BloomFilterMightContain
+    // expression, not a UDF wrapper
+    val plan = bloomed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+  }
+
   test("langId plan evaluates the tokenizer once and each score once") {
     // Round-3 bench regression: inlining langScore into the CASE
     // planted up to 15 copies of the tokenize+intersect subtree in
