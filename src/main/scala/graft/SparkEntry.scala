@@ -53,6 +53,7 @@ object SparkEntry {
     "rel_window_running_sum" -> (Relational.windowRunningSum _),
     "rel_agg_rollup" -> (Relational.aggRollup _),
     "rel_agg_cube" -> (Relational.aggCube _),
+    "rel_agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "rel_set_intersect" -> (Relational.setIntersect _),
     "rel_set_except" -> (Relational.setExcept _),
     "rel_union_branches" -> (Relational.unionBranches _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "rel_window_running_sum" -> Relational.windowRunningSumSql,
     "rel_agg_rollup" -> Relational.aggRollupSql,
     "rel_agg_cube" -> Relational.aggCubeSql,
+    "rel_agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "rel_set_intersect" -> Relational.setIntersectSql,
     "rel_set_except" -> Relational.setExceptSql,
     "rel_union_branches" -> Relational.unionBranchesSql,

@@ -311,6 +311,35 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form rollup/cube compile
+    * to, exposed directly: per-(status,priority) cells plus
+    * per-status margins plus the grand total, SKIPPING the
+    * per-priority margin cube would also compute. One `Expand` +
+    * one partial+final aggregate — each input row replicates only
+    * per REQUESTED set (3×), not per 2^d cube cell. */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("bigint").as("g_status"),
+        grouping($"o_orderpriority").cast("bigint").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
   /** Set op: INTERSECT of key sets (customers that ordered ∩ positive
     * balance); distinct semantics per ANSI. */
   def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
