@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xmx reserves nothing up front; 24g headroom keeps the 83-query
+  // shared bench run out of GC pressure (8g showed 30-60% inflation
+  // on mid-run queries vs isolated runs at sf0.1 on local[32])
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
