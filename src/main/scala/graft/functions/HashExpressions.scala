@@ -55,6 +55,67 @@ case class Md5Int32(child: Expression, prefix: String, offset: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd md5 WORD PAIR: one digest per value, both 32-bit words
+  * out as `struct<a: long, b: long>` (big-endian bytes [0,4) and
+  * [4,8), the same words [[Md5Int32]] reads at offsets 0 and 4).
+  *
+  * The MinHash affine family and the hashed n-gram posting keys both
+  * need the A AND B words of the SAME digest; as two separate
+  * [[Md5Int32]] calls each row pays the digest twice (subexpression
+  * elimination cannot merge them — the digest is not an expression
+  * node). This computes it once: the consumers `select(p.a, p.b)` and
+  * the struct never leaves the projection. DuckDB oracles unchanged
+  * (`md5PairASql` / `md5PairBSql` read the same hex words).
+  */
+case class Md5Pair(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_pair expects a string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = Md5Pair.structType
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Pair.hash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Pair.hash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Pair {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val structType: StructType =
+    StructType(Seq(StructField("a", LongType, nullable = false),
+                   StructField("b", LongType, nullable = false)))
+
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** ONE digest, both unsigned 32-bit big-endian words. */
+  def hash(value: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val md = digests.get()
+    md.reset()
+    md.update(value.getBytes)
+    val d = md.digest()
+    def word(o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](word(0), word(4)))
+  }
+
+  /** Column-level entry point. */
+  def md5_pair(c: Column): Column =
+    GraftSqlBridge.toColumn(Md5Pair(GraftSqlBridge.toExpression(c)))
+}
+
 /** Codegen'd word n-gram shingling over an `array<string>` column:
   * element i of the output is `arr[i] ++ " " ++ … ++ arr[i+n-1]`, in
   * order, duplicates kept; fewer than n tokens ⇒ empty array.

@@ -51,6 +51,15 @@ object Hashing {
   def md5PairB(c: Column): Column =
     Md5Int32.md5_i32(c, "", offset = 4).bitwiseOR(lit(1L))
 
+  /** Both words from ONE digest (codegen'd [[graft.functions.Md5Pair]]
+    * struct) — use when a row needs A and B together; the separate
+    * [[md5PairA]]/[[md5PairB]] calls each digest the value again
+    * (subexpression elimination cannot merge inside the expression).
+    * Consume as `.withColumn("p", md5Pair($"sh"))` then `$"p.a"` and
+    * `$"p.b".bitwiseOR(lit(1L))` (B is forced odd by CONVENTION at
+    * the call site, matching [[md5PairB]]). */
+  def md5Pair(c: Column): Column = Md5Pair.md5_pair(c)
+
   def affine32(a: Column, b: Column, i: Int): Column =
     (a + lit(i.toLong) * b).bitwiseAND(lit(4294967295L))
 

@@ -141,8 +141,9 @@ object Dedup {
     val spark = shingleSets.sparkSession
     import spark.implicits._
     val exploded = shingleSets.select($"doc_id", explode($"shs").as("sh"))
-      .withColumn("ha", md5PairA($"sh"))
-      .withColumn("hb", md5PairB($"sh"))
+      .withColumn("p", md5Pair($"sh"))
+      .select($"doc_id",
+        $"p.a".as("ha"), $"p.b".bitwiseOR(lit(1L)).as("hb"))
     val mins = (0 until numHashes).map(i => min(affine32($"ha", $"hb", i)).as(s"h$i"))
     exploded.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -328,20 +329,33 @@ object Dedup {
                         threshold: Double = 0.5, dfCap: Int = 50): DataFrame =
     ngramJaccardPairsOf(Tables.documents(spark, sfDir), threshold, dfCap)
 
-  /** [[ngramJaccardPairs]] over any `(doc_id, text)` frame. */
+  /** [[ngramJaccardPairs]] over any `(doc_id, text)` frame.
+    *
+    * The posting list is keyed on the shingle's (md5-word-A,
+    * md5-word-B) LONG pair, not the shingle string: the df-cap
+    * aggregate and the pair self-join then shuffle 16 fixed bytes per
+    * posting instead of a variable ~25-byte string — the "shuffle
+    * compact keys, not payloads" rule at 100 TB. The oracle replays
+    * the IDENTICAL hash family, so even a 64-bit collision (~n²/2⁶⁴)
+    * is engine-identical and the differential check is unaffected. */
   def ngramJaccardPairsOf(docs: DataFrame,
                           threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val e = shingleSetsOf(docs).select($"doc_id", explode($"shs").as("sh"))
+    val e = shingleSetsOf(docs)
+      .select($"doc_id", explode($"shs").as("sh"))
+      .withColumn("p", md5Pair($"sh"))
+      .select($"doc_id",
+        $"p.a".as("ha"), $"p.b".bitwiseOR(lit(1L)).as("hb"))
     // capped posting list feeds the size aggregate and BOTH sides of
     // the pair join — cache it once
     val capped = cached(s"ngram-capped-$dfCap", e.join(
-      e.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= dfCap).select($"sh"),
-      "sh"))
+      e.groupBy($"ha", $"hb").agg(count(lit(1)).as("df"))
+        .filter($"df" <= dfCap).select($"ha", $"hb"),
+      Seq("ha", "hb")))
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = capped.select($"doc_id".as("a"), $"sh")
-      .join(capped.select($"doc_id".as("b"), $"sh"), "sh")
+    val inter = capped.select($"doc_id".as("a"), $"ha", $"hb")
+      .join(capped.select($"doc_id".as("b"), $"ha", $"hb"), Seq("ha", "hb"))
       .filter($"a" < $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("inter"))
@@ -555,15 +569,17 @@ object Dedup {
 
   def ngramJaccardPairsSql(threshold: Double = 0.5, dfCap: Int = 50): String =
     s"""WITH sets AS ($shingleSetsSql),
-       |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+       |e AS (SELECT doc_id, $md5PairASql AS ha, $md5PairBSql AS hb
+       |      FROM (SELECT doc_id, unnest(shs) AS sh FROM sets)),
        |capped AS (
-       |  SELECT e.doc_id, e.sh FROM e
-       |  JOIN (SELECT sh FROM e GROUP BY sh HAVING COUNT(*) <= $dfCap) ok
-       |    ON e.sh = ok.sh
+       |  SELECT e.doc_id, e.ha, e.hb FROM e
+       |  JOIN (SELECT ha, hb FROM e GROUP BY ha, hb HAVING COUNT(*) <= $dfCap) ok
+       |    ON e.ha = ok.ha AND e.hb = ok.hb
        |), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
        |inter AS (
        |  SELECT ca.doc_id AS a, cb.doc_id AS b, COUNT(*) AS inter
-       |  FROM capped ca JOIN capped cb ON ca.sh = cb.sh AND ca.doc_id < cb.doc_id
+       |  FROM capped ca JOIN capped cb
+       |    ON ca.ha = cb.ha AND ca.hb = cb.hb AND ca.doc_id < cb.doc_id
        |  GROUP BY ca.doc_id, cb.doc_id
        |)
        |SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b,

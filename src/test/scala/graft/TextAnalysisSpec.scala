@@ -192,6 +192,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     sc.unpersist()
   }
 
+  test("Md5Pair struct words == separate Md5Int32 reads, incl. unicode") {
+    import spark.implicits._
+    val data = Seq("abc", "", "héllo wörld", "的是在了我", "x" * 500).toDF("s")
+    val bad = data
+      .withColumn("p", graft.functions.Md5Pair.md5_pair($"s"))
+      .select(
+        $"p.a".as("pa"), md5PairA($"s").as("oa"),
+        $"p.b".bitwiseOR(lit(1L)).as("pb"), md5PairB($"s").as("ob"))
+      .filter($"pa" =!= $"oa" || $"pb" =!= $"ob")
+      .count()
+    assert(bad == 0)
+  }
+
   test("bloom decontamination == exact decontamination, probe is native") {
     val exact = TextAnalytics.decontaminate(spark, sf)
       .collect().map(_.toSeq).toSeq
