@@ -51,6 +51,7 @@ object SparkEntry {
     "rel_topk_per_key_native" -> ((s, d) => Relational.topKPerKeyNative(s, d)),
     "rel_window_lag_prev_order" -> (Relational.windowLagPrevOrder _),
     "rel_window_running_sum" -> (Relational.windowRunningSum _),
+    "rel_window_range_trailing" -> (Relational.windowRangeTrailing _),
     "rel_agg_rollup" -> (Relational.aggRollup _),
     "rel_agg_cube" -> (Relational.aggCube _),
     "rel_agg_grouping_sets" -> (Relational.aggGroupingSets _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "rel_topk_per_key_native" -> Relational.windowTopPerSegmentSql,
     "rel_window_lag_prev_order" -> Relational.windowLagPrevOrderSql,
     "rel_window_running_sum" -> Relational.windowRunningSumSql,
+    "rel_window_range_trailing" -> Relational.windowRangeTrailingSql,
     "rel_agg_rollup" -> Relational.aggRollupSql,
     "rel_agg_cube" -> Relational.aggCubeSql,
     "rel_agg_grouping_sets" -> Relational.aggGroupingSetsSql,

@@ -270,6 +270,36 @@ object Relational {
       |FROM lineitem WHERE l_suppkey <= 3
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** RANGE-frame window: trailing 30-day shipped quantity per
+    * supplier — the time-windowed sibling of the ROWS-frame running
+    * sum. The frame is value-based (all rows within 30 DAYS of the
+    * current row's ship date, however many), so the result is
+    * deterministic under ties where a ROWS frame would not be; the
+    * order key is an explicit epoch-day number, mirrored verbatim in
+    * the oracle. */
+  def windowRangeTrailing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val day = datediff($"l_shipdate".cast("date"),
+      lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"d")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_suppkey" <= 3)
+      .withColumn("d", day)
+      .withColumn("trail_qty", sum(dec($"l_quantity")).over(w).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"trail_qty")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val windowRangeTrailingSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_qty
+      |FROM lineitem WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   /** Grouping sets: ROLLUP over (returnflag, linestatus) with
     * GROUPING flags distinguishing subtotal rows from data NULLs. */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {

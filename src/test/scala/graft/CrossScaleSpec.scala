@@ -57,9 +57,12 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
       assert(hi.cands <= 3.0 * nRatio * math.max(lo.cands, 1),
         s"${hi.dir}: candidates ${hi.cands} vs ${lo.cands} at ${lo.dir} " +
           s"grew super-linearly for a ${nRatio}× corpus step")
-      // wall time: generous 3×-linear guard (fixed overheads dominate
-      // the small points; an O(n²) chain would blow straight past it)
-      assert(hi.secs <= 3.0 * nRatio * math.max(lo.secs, 0.5),
+      // wall time: generous 6×-linear guard — wall time is the one
+      // load-sensitive number here (the full suite runs ~20 Spark
+      // suites concurrently and can stretch the sf0.1 chain past a
+      // tighter bound), and an O(n²) chain (~100× per step) still
+      // blows straight past 6×-linear
+      assert(hi.secs <= 6.0 * nRatio * math.max(lo.secs, 0.5),
         s"${hi.dir}: chain ${hi.secs}s vs ${lo.secs}s at ${lo.dir}")
       case other => fail(s"unexpected window $other")
     }

@@ -55,9 +55,10 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     try {
       val n = graft.sources.Tables.documents(spark, sf)
         .select(explode(shingles(tokens($"text"), 3)).as("sh"))
+        .withColumn("p", graft.functions.Md5Pair.md5_pair($"sh"))
         .select(md5i32($"sh", 0).as("h"), md5PairA($"sh").as("a"),
-          md5PairB($"sh").as("b"))
-        .agg(sum($"h" + $"a" + $"b")).head().getLong(0)
+          md5PairB($"sh").as("b"), $"p.a".as("pa"))
+        .agg(sum($"h" + $"a" + $"b" + $"pa")).head().getLong(0)
       assert(n != 0)
     } finally spark.conf.set(key, prev)
   }
