@@ -578,6 +578,46 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Driver-witnessed error bound for the quantile SKETCH — the
+    * `llm_approx_distinct_bound` pattern applied to
+    * `approx_percentile` (Greenwald-Khanna, the sketch that replaces
+    * exact per-group sorts at scale). The sketch value itself is
+    * engine-specific and never compared; instead both engines emit
+    * the exact p±2% bracket quantiles (parity-proven interpolation,
+    * see [[quantiles]]) and Spark emits whether its estimate landed
+    * inside. GK at the default accuracy (10⁴) guarantees rank error
+    * ≤ n/10⁴ — two orders under the 2% bracket — so `TRUE` is the
+    * invariant, and the oracle pins it as a literal. */
+  def approxQuantileBound(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.48)"), 4).as("p50_lo"),
+        round(expr("percentile(o_totalprice, 0.52)"), 4).as("p50_hi"),
+        round(expr("percentile(o_totalprice, 0.93)"), 4).as("p95_lo"),
+        round(expr("percentile(o_totalprice, 0.97)"), 4).as("p95_hi"),
+        expr("approx_percentile(o_totalprice, 0.5)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.95)").as("a95"),
+        count(lit(1)).as("n"))
+      .select($"o_orderpriority", $"p50_lo", $"p50_hi", $"p95_lo", $"p95_hi",
+        ($"a50" >= $"p50_lo" && $"a50" <= $"p50_hi").as("p50_in_bound"),
+        ($"a95" >= $"p95_lo" && $"a95" <= $"p95_hi").as("p95_in_bound"),
+        $"n")
+      .orderBy($"o_orderpriority")
+  }
+
+  val approxQuantileBoundSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.48), 4) AS p50_lo,
+      |  round(quantile_cont(o_totalprice, 0.52), 4) AS p50_hi,
+      |  round(quantile_cont(o_totalprice, 0.93), 4) AS p95_lo,
+      |  round(quantile_cont(o_totalprice, 0.97), 4) AS p95_hi,
+      |  TRUE AS p50_in_bound,
+      |  TRUE AS p95_in_bound,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Deterministic hash sampling — the reproducible TABLESAMPLE a
     * training pipeline needs (`sample()` is seed-dependent AND
     * partition-layout-dependent; a content-hash predicate is neither):

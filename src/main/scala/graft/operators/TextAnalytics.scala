@@ -687,6 +687,54 @@ object TextAnalytics {
        |SELECT pair, COUNT(*) AS n FROM p
        |GROUP BY pair ORDER BY n DESC, pair LIMIT $topN""".stripMargin
 
+  // ---------------------------------------------------------------
+  // llm_pii_redact — pattern scrub with per-language accounting
+  // ---------------------------------------------------------------
+
+  /** PII-style redaction: replace every token matching a deny
+    * pattern with `[PII]` and account for the scrub per language
+    * (docs touched, total hits, corpus size after). The pattern here
+    * is a literal word alternation because the synthetic corpus has
+    * no real emails/SSNs — in production the same operator runs with
+    * the usual email/phone/IP regexes. Both engines evaluate the
+    * IDENTICAL pattern (plain alternation + `\b`, valid in Java
+    * regex and RE2 alike) so counts and redacted lengths are
+    * engine-identical.
+    *
+    * Scale: pure per-row scalar work (two regex passes) feeding a
+    * partial+final aggregate on `lang` — embarrassingly parallel, no
+    * shuffle of the text itself. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .withColumn("hits",
+        size(regexp_extract_all($"text", lit(PiiPattern), lit(0))))
+      .withColumn("redacted", regexp_replace($"text", PiiPattern, "[PII]"))
+      .groupBy($"lang")
+      .agg(
+        sum(when($"hits" > 0, 1L).otherwise(0L)).cast("long").as("n_docs_hit"),
+        sum($"hits").cast("long").as("n_hits"),
+        sum(length($"redacted")).cast("long").as("chars_after"))
+      .orderBy($"lang")
+  }
+
+  /** Deny-list stand-in for the email/phone/IP patterns. */
+  val PiiPattern = "\\b(customer|vector|stream)\\b"
+
+  val piiRedactSql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         len(regexp_extract_all(text, '$PiiPattern')) AS hits,
+       |         len(regexp_replace(text, '$PiiPattern', '[PII]', 'g'))
+       |           AS len_after
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_hit,
+       |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+       |  CAST(SUM(len_after) AS BIGINT) AS chars_after
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   def sourceCapSql(cap: Int = 15): String =
     s"""WITH r AS (
        |  SELECT source,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators the reference lacks entirely but any
+  * large-scale event/training pipeline needs: calendar gap-fill with
+  * forward-fill resampling, and an interval (range) join decomposed
+  * into a bounded equi-join on fixed-width time buckets.
+  *
+  * Scale posture (100 TB):
+  *  - Gap-fill expands each key to its OWN [min, max] calendar — the
+  *    blow-up is bounded by keys × span-days, never keys × global
+  *    span; the join back to observations is an equi-join on
+  *    (key, day), and the forward fill is one window pass in the
+  *    same (key, day) partitioning — the sort is reused, no second
+  *    shuffle.
+  *  - The range join never materializes the cross product a naive
+  *    θ-join plans (BroadcastNestedLoop): probes hash to ONE bucket,
+  *    intervals explode to the few buckets they overlap
+  *    (span/width + 1), and the bucket equi-join + residual
+  *    predicate is the standard interval-join decomposition (Flink's
+  *    interval join and KDB's window join use the same shape). Each
+  *    (interval, probe) pair meets in exactly one bucket — the
+  *    probe's — so no post-join dedup is needed.
+  */
+object TimeSeries {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------
+  // rel_events_gapfill — daily resample with forward fill
+  // ---------------------------------------------------------------
+
+  /** Daily per-user activity with calendar gaps filled: absent days
+    * appear with `n_events = 0` and `filled_value` carried forward
+    * from the last active day (the resample → ffill idiom). */
+  def gapFillDaily(spark: SparkSession, sfDir: String,
+                   maxUser: Long = 20): DataFrame = {
+    import spark.implicits._
+    gapFillDailyOf(Tables.events(spark, sfDir).filter($"user_id" <= maxUser))
+  }
+
+  /** [[gapFillDaily]] over any `(user_id, ts, value)` frame. */
+  def gapFillDailyOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).as("sv"))
+    // per-key calendar: sequence() is bounded by the key's own span
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        last($"sv", ignoreNulls = true).over(w).cast("double"))
+      .select($"user_id",
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        coalesce($"n", lit(0L)).cast("long").as("n_events"),
+        $"filled_value")
+      .orderBy($"user_id", $"day")
+  }
+
+  val gapFillDailySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS day,
+      |         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events WHERE user_id <= 20 GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |        FROM daily GROUP BY user_id)),
+      |j AS (
+      |  SELECT c.user_id, c.day, d.n, d.sv
+      |  FROM cal c LEFT JOIN daily d
+      |    ON c.user_id = d.user_id AND c.day = d.day)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+      |       CAST(LAST_VALUE(sv IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS filled_value
+      |FROM j ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_range_join_weekly — interval join via bucket decomposition
+  // ---------------------------------------------------------------
+
+  /** Generic interval join: rows of `probe` whose `tsCol` falls in
+    * `[startCol, endCol)` of `intervals`, WITHOUT the cartesian plan
+    * Spark produces for a bare θ-join. Probes get one fixed-width
+    * bucket, intervals explode to every bucket they overlap, the
+    * bucket becomes an equi-join key, and the original predicate
+    * remains as a residual filter. Choose `bucketDays` near the
+    * typical interval span: shorter buckets mean more interval
+    * replicas; longer buckets mean more residual-filtered probes. */
+  def rangeJoinOf(probe: DataFrame, tsCol: String,
+                  intervals: DataFrame, startCol: String, endCol: String,
+                  bucketDays: Int = 7): DataFrame = {
+    require(bucketDays > 0, s"bucketDays must be positive, got $bucketDays")
+    val w = lit(86400L * bucketDays)
+    val pb = probe.withColumn("__bucket",
+      floor(unix_timestamp(col(tsCol)) / w))
+    // end-exclusive: the last covered bucket is end - 1 second's
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / w),
+        floor((unix_timestamp(col(endCol)) - 1) / w))))
+    ib.join(pb, Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Catalog instance: lineitems shipped within 7 days of an urgent
+    * order's date, counted per order — the "activity inside each
+    * maintenance window" query shape. */
+  def rangeJoinWeekly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate".as("w_start"),
+        expr("o_orderdate + INTERVAL 7 DAYS").as("w_end"))
+    val probe = Tables.lineitem(spark, sfDir)
+      .filter($"l_suppkey" <= 2)
+      .select($"l_shipdate", $"l_quantity")
+    rangeJoinOf(probe, "l_shipdate", iv, "w_start", "w_end", bucketDays = 7)
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_in_window"),
+        sum(dec($"l_quantity")).cast("double").as("qty_in_window"))
+      .orderBy($"o_orderkey")
+  }
+
+  val rangeJoinWeeklySql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_in_window,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS qty_in_window
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+      |WHERE o.o_orderpriority = '1-URGENT' AND l.l_suppkey <= 2
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+}
