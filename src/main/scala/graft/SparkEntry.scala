@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Clustering, Dedup, Multimodal, ReferenceQueries, Relational, Similarity, TextAnalytics}
+import graft.operators.{Clustering, Dedup, Multimodal, ReferenceQueries, Relational, Similarity, TextAnalytics, TimeSeries}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,6 +69,9 @@ object SparkEntry {
     "rel_salted_agg" -> ((s, d) => Relational.saltedAggregate(s, d)),
     "rel_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
     "rel_asof_join" -> (Relational.asofJoin _),
+    "rel_events_gapfill" -> ((s, d) => TimeSeries.gapFillDaily(s, d)),
+    "rel_range_join_weekly" -> (TimeSeries.rangeJoinWeekly _),
+    "rel_quantile_bound" -> (Relational.approxQuantileBound _),
     "rel_pivot" -> (Relational.pivotReturnFlag _),
     "rel_sql_subqueries" -> (Relational.sqlSubqueries _),
     "rel_unpivot" -> (Relational.unpivotNationStats _),
@@ -82,6 +85,7 @@ object SparkEntry {
     "llm_text_stats" -> (TextAnalytics.textStats _),
     "llm_top_terms" -> ((s, d) => TextAnalytics.topTerms(s, d)),
     "llm_lang_id" -> (TextAnalytics.langId _),
+    "llm_pii_redact" -> (TextAnalytics.piiRedact _),
     "llm_quality_score" -> (TextAnalytics.qualityScore _),
     "llm_token_count" -> (TextAnalytics.tokenCount _),
     "llm_fingerprint" -> (TextAnalytics.fingerprint _),
@@ -172,6 +176,9 @@ object SparkEntry {
     "rel_salted_agg" -> Relational.saltedAggregateSql(),
     "rel_salted_join" -> Relational.saltedJoinSql,
     "rel_asof_join" -> Relational.asofJoinSql,
+    "rel_events_gapfill" -> TimeSeries.gapFillDailySql,
+    "rel_range_join_weekly" -> TimeSeries.rangeJoinWeeklySql,
+    "rel_quantile_bound" -> Relational.approxQuantileBoundSql,
     "rel_pivot" -> Relational.pivotReturnFlagSql,
     "rel_sql_subqueries" -> Relational.sqlSubqueriesSql,
     "rel_unpivot" -> Relational.unpivotNationStatsSql,
@@ -184,6 +191,7 @@ object SparkEntry {
     "llm_text_stats" -> TextAnalytics.textStatsSql,
     "llm_top_terms" -> TextAnalytics.topTermsSql(),
     "llm_lang_id" -> TextAnalytics.langIdSql,
+    "llm_pii_redact" -> TextAnalytics.piiRedactSql,
     "llm_quality_score" -> TextAnalytics.qualityScoreSql,
     "llm_token_count" -> TextAnalytics.tokenCountSql,
     "llm_fingerprint" -> TextAnalytics.fingerprintSql,

@@ -267,8 +267,15 @@ object TextAnalytics {
   def approxDistinctBound(spark: SparkSession, sfDir: String,
                           rsd: Double = 0.02, bound: Double = 0.05): DataFrame = {
     import spark.implicits._
-    approxDistinct(spark, sfDir, rsd)
-      .join(exactDistinctShingles(spark, sfDir), "lang")
+    // ONE shingle pass: sketch + exact share the same explode (the
+    // exact twin is diagnostic-only; paying the tokenize+shingle
+    // pipeline twice doubled the scan for no information)
+    docs(spark, sfDir)
+      .select($"lang", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .groupBy($"lang")
+      .agg(
+        approx_count_distinct($"sh", rsd).as("approx_shingles"),
+        count_distinct($"sh").as("exact_shingles"))
       .select($"lang", $"exact_shingles",
         (abs($"approx_shingles" - $"exact_shingles").cast("double")
           <= $"exact_shingles".cast("double") * bound).as("within_bound"))

@@ -149,10 +149,15 @@ private[plans] final class TopKHeapMap(
     new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
   private var retainedBytes = 0L
   private val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  private val openRuns = scala.collection.mutable.ArrayBuffer.empty[TopKSpillRun]
 
-  // a task killed mid-iteration must not strand run files on disk
+  // a task killed (or a downstream limit that stops draining the
+  // merge) must strand neither run files nor open read streams
   Option(org.apache.spark.TaskContext.get()).foreach(
-    _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
+    _.addTaskCompletionListener[Unit] { _ =>
+      openRuns.foreach(_.close())
+      spillFiles.foreach(_.delete())
+    })
 
   private def offer(heap: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit =
     if (heap.size < k) {
@@ -195,7 +200,12 @@ private[plans] final class TopKHeapMap(
 
   /** Drain the map to one key-sorted run file and reset the budget. */
   private def spill(): Unit = {
-    val file = java.io.File.createTempFile("graft-topk-spill", ".run")
+    // place runs in Spark's executor-local dirs (spark.local.dir,
+    // disk-usage accounted); tmpdir only when no SparkEnv exists
+    val file = Option(org.apache.spark.SparkEnv.get) match {
+      case Some(env) => env.blockManager.diskBlockManager.createTempLocalBlock()._2
+      case None => java.io.File.createTempFile("graft-topk-spill", ".run")
+    }
     spillFiles += file
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(file), 1 << 16))
@@ -228,7 +238,11 @@ private[plans] final class TopKHeapMap(
       // run is key-byte-sorted, so equal keys meet at the merge head
       // and their heaps combine under the same k bound
       if (!heaps.isEmpty) spill()
-      val runs = spillFiles.map(new TopKSpillRun(_, numFields)).filter(_.advance())
+      val runs = spillFiles.map { f =>
+        val r = new TopKSpillRun(f, numFields)
+        openRuns += r
+        r
+      }.filter(_.advance())
       new TopKMergeIterator(runs.toSeq, heapCmp, ord, k)
     }
   }
@@ -238,12 +252,15 @@ private[plans] final class TopKHeapMap(
 private[plans] final class TopKSpillRun(file: java.io.File, numFields: Int) {
   private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
     new java.io.FileInputStream(file), 1 << 16))
+  private var closed = false
   private var remaining = in.readInt()
   var curKey: Array[Byte] = _
   var curRows: Array[UnsafeRow] = _
 
+  def close(): Unit = if (!closed) { closed = true; in.close() }
+
   def advance(): Boolean =
-    if (remaining <= 0) { in.close(); file.delete(); false }
+    if (remaining <= 0) { close(); file.delete(); false }
     else {
       remaining -= 1
       val klen = in.readInt()

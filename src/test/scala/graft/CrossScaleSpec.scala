@@ -64,7 +64,6 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
       // blows straight past 6×-linear
       assert(hi.secs <= 6.0 * nRatio * math.max(lo.secs, 0.5),
         s"${hi.dir}: chain ${hi.secs}s vs ${lo.secs}s at ${lo.dir}")
-      case other => fail(s"unexpected window $other")
     }
   }
 

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Relational, TextAnalytics, TimeSeries}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Pins the four operators wired into the catalog this round:
+  * calendar gap-fill, bucketed range join, PII redaction, and the
+  * approx-quantile error bound. Each is checked against either a
+  * hand-computable fixture or an independent naive Spark plan, so
+  * the oracle parity the driver certifies is exercised here first. */
+class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillDailyOf fills calendar gaps with n=0 and forward-fills value") {
+    import spark.implicits._
+    // user 1: days 1,2,4 observed (day 3 is the gap); user 2: one day
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 10.0),
+      (1L, ts("2026-01-02 09:00:00"), 20.0),
+      (1L, ts("2026-01-02 11:00:00"), 5.0),
+      (1L, ts("2026-01-04 08:00:00"), 40.0),
+      (2L, ts("2026-03-07 00:30:00"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.gapFillDailyOf(events)
+      .select($"user_id", $"day", $"n_events", $"filled_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val want = Seq(
+      (1L, "2026-01-01", 1L, 10.0),
+      (1L, "2026-01-02", 2L, 25.0),
+      (1L, "2026-01-03", 0L, 25.0), // gap day: zero events, value carried
+      (1L, "2026-01-04", 1L, 40.0),
+      (2L, "2026-03-07", 1L, 7.0))
+    assert(got == want)
+  }
+
+  test("rangeJoinOf equals the naive theta join, end-exclusive") {
+    import spark.implicits._
+    val intervals = Seq(
+      (10L, ts("2026-01-01 00:00:00"), ts("2026-01-08 00:00:00")),
+      (11L, ts("2026-01-05 00:00:00"), ts("2026-01-20 00:00:00")),
+      (12L, ts("2026-02-01 00:00:00"), ts("2026-02-01 00:00:01"))
+    ).toDF("iv_id", "start", "end")
+    val probe = (1 to 40).map { i =>
+      (i.toLong, new Timestamp(ts("2025-12-28 12:00:00").getTime + i * 21600_000L))
+    }.toDF("p_id", "t")
+    val fast = TimeSeries.rangeJoinOf(probe, "t", intervals, "start", "end",
+        bucketDays = 3)
+      .select($"iv_id", $"p_id").as[(Long, Long)].collect().toSeq.sorted
+    val naive = intervals.crossJoin(probe)
+      .filter($"t" >= $"start" && $"t" < $"end")
+      .select($"iv_id", $"p_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(fast == naive && naive.nonEmpty)
+    // probes replicate to exactly one bucket: no dedup hidden anywhere
+    assert(fast.distinct == fast)
+  }
+
+  test("piiRedact accounts hits and redacted length consistently") {
+    import spark.implicits._
+    val out = TextAnalytics.piiRedact(spark, sf)
+    val rows = out.as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent recount of one side: docs with >=1 pattern hit
+    val expHit = Tables.documents(spark, sf)
+      .filter($"text".rlike(TextAnalytics.PiiPattern))
+      .groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val gotHit = rows.map(r => r._1 -> r._2).toMap
+    assert(gotHit.filter(_._2 > 0) == expHit)
+    // redaction never lengthens text by more than |[PII]| per hit
+    val base = Tables.documents(spark, sf).groupBy($"lang")
+      .agg(sum(length($"text")).cast("long")).as[(String, Long)].collect().toMap
+    rows.foreach { case (lang, _, hits, after) =>
+      assert(after <= base(lang) + hits * "[PII]".length)
+    }
+  }
+
+  test("approx_percentile lands inside the exact ±2% rank bracket") {
+    import spark.implicits._
+    val rows = Relational.approxQuantileBound(spark, sf)
+      .select($"o_orderpriority", $"p50_in_bound", $"p95_in_bound",
+        $"p50_lo" <= $"p50_hi", $"p95_lo" <= $"p95_hi")
+      .as[(String, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (p, b50, b95, lo50, lo95) =>
+      assert(b50 && b95 && lo50 && lo95, s"bracket violated for $p")
+    }
+  }
+}
