@@ -39,6 +39,7 @@ object SparkEntry {
     "src_json_roundtrip" -> (Ingest.jsonRoundTrip _),
     "src_orc_roundtrip" -> (Ingest.orcRoundTrip _),
     "src_partitioned_snapshot" -> ((s, d) => Ingest.partitionedSnapshot(s, d)),
+    "src_zorder_snapshot" -> ((s, d) => Ingest.zorderSnapshot(s, d)),
     // — relational capability surface (SURVEY §2.3/§2.5 gaps, §7 phase 3) —
     "rel_pricing_summary" -> (Relational.pricingSummary _),
     "rel_join_revenue_segment" -> (Relational.joinRevenueBySegment _),
@@ -89,6 +90,8 @@ object SparkEntry {
     "llm_quality_score" -> (TextAnalytics.qualityScore _),
     "llm_token_count" -> (TextAnalytics.tokenCount _),
     "llm_fingerprint" -> (TextAnalytics.fingerprint _),
+    "llm_winnow_fingerprint" -> ((s, d) => TextAnalytics.winnowFingerprint(s, d)),
+    "llm_heavy_hitters_bound" -> ((s, d) => TextAnalytics.heavyHittersBound(s, d)),
     // HLL sketch is engine-specific → no SQL oracle, rows-only check
     "llm_approx_distinct" -> ((s, d) => TextAnalytics.approxDistinct(s, d)),
     // driver-witnessed HLL error bound: oracle = exact counts + TRUE
@@ -147,6 +150,7 @@ object SparkEntry {
     "src_json_roundtrip" -> Ingest.jsonRoundTripSql,
     "src_orc_roundtrip" -> Ingest.orcRoundTripSql,
     "src_partitioned_snapshot" -> Ingest.partitionedSnapshotSql(),
+    "src_zorder_snapshot" -> Ingest.zorderSnapshotSql(),
     "rel_pricing_summary" -> Relational.pricingSummarySql,
     "rel_join_revenue_segment" -> Relational.joinRevenueBySegmentSql,
     "rel_join_broadcast_nation" -> Relational.joinBroadcastNationSql,
@@ -195,6 +199,8 @@ object SparkEntry {
     "llm_quality_score" -> TextAnalytics.qualityScoreSql,
     "llm_token_count" -> TextAnalytics.tokenCountSql,
     "llm_fingerprint" -> TextAnalytics.fingerprintSql,
+    "llm_winnow_fingerprint" -> TextAnalytics.winnowFingerprintSql(),
+    "llm_heavy_hitters_bound" -> TextAnalytics.heavyHittersBoundSql(),
     "llm_dedup_exact" -> Dedup.dedupExactSql,
     "llm_dedup_minhash" -> Dedup.minHashNearDupsSql(),
     "llm_dedup_simhash" -> Dedup.simHashNearDupsSql(),

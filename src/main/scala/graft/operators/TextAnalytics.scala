@@ -415,6 +415,99 @@ object TextAnalytics {
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_winnow_fingerprint — winnowing (rolling window-min) selection
+  // ---------------------------------------------------------------
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): hash every word-3-gram, slide a window of `w`
+    * consecutive hashes, keep the minimum of each full window, and
+    * emit the distinct selected hashes per document. Guarantees every
+    * run of `w` shingles contributes a fingerprint, so documents
+    * sharing any passage of ≥ `w+2` words share a fingerprint —
+    * while storing ~2/(w+1) of the hashes a full shingle set needs.
+    *
+    * Scale: one shuffle on `doc_id`; the window sort is bounded by
+    * document length (never corpus size) and BOTH window functions
+    * (count + min) share the same partitioning and sort. */
+  def winnowFingerprint(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(w >= 1, s"window must be >= 1, got $w")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val ahead = byDoc.orderBy($"pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    docs(spark, sfDir)
+      .select($"doc_id", posexplode(shingles(tokens($"text"), 3)).as(Seq("pos", "sh")))
+      .select($"doc_id", $"pos", md5i32($"sh", 7).as("h"))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("fp", min($"h").over(ahead))
+      .filter($"pos" + w <= $"n") // full windows only (pos is 0-based)
+      .select($"doc_id", $"fp").distinct()
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        min($"fp").as("fp_min"),
+        sum($"fp").cast("long").as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+
+  def winnowFingerprintSql(w: Int = 4): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |s AS (SELECT doc_id, generate_subscripts(shs, 1) AS pos, unnest(shs) AS sh
+       |      FROM (SELECT doc_id, ${shingles3Sql("ts")} AS shs FROM t)),
+       |h AS (SELECT doc_id, pos, ${md5i32Sql("sh", 7)} AS h FROM s),
+       |wm AS (SELECT doc_id, pos,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS n,
+       |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |       FROM h),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos + $w <= n + 1)
+       |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min,
+       |  CAST(SUM(fp) AS BIGINT) AS fp_sum
+       |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_heavy_hitters_bound — Count-Min-Sketch certification
+  // ---------------------------------------------------------------
+
+  /** Driver-witnessed error bound for Count-Min-Sketch term counts —
+    * the [[approxDistinctBound]] pattern applied to the second
+    * classic streaming sketch. The sketch aggregates partial+final
+    * across partitions (fixed depth×width counters, the only term-
+    * frequency structure that merges at 100 TB); the top-`k` exact
+    * counts then certify `exact ≤ estimate ≤ exact + ε·N` per term.
+    * The oracle computes the same exact top-`k` and a literal TRUE,
+    * so a hash match proves both engines' counts AND the bound. The
+    * sketch bytes and the `k` certified rows come to the driver
+    * (KBs); the corpus never does. Diagnostic query — production
+    * ships the sketch and skips the exact twin. */
+  def heavyHittersBound(spark: SparkSession, sfDir: String, k: Int = 20,
+                        eps: Double = 0.0005, confidence: Double = 0.99,
+                        seed: Int = 42): DataFrame = {
+    import spark.implicits._
+    val terms = docs(spark, sfDir).select(explode(tokens($"text")).as("term"))
+    val agg = terms.agg(
+      expr(s"count_min_sketch(term, ${eps}D, ${confidence}D, $seed)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("cms")))
+    val cap = math.ceil(eps * agg.getAs[Long]("total")).toLong
+    val certified = terms.groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term").limit(k)
+      .as[(String, Long)].collect()
+      .map { case (t, n) =>
+        val est = cms.estimateCount(t)
+        (t, n, est >= n && est <= n + cap)
+      }
+    spark.createDataFrame(certified.toIndexedSeq)
+      .toDF("term", "n", "within_bound")
+      .orderBy($"n".desc, $"term")
+  }
+
+  def heavyHittersBoundSql(k: Int = 20): String =
+    s"""SELECT term, COUNT(*) AS n, TRUE AS within_bound
+       |FROM (SELECT unnest($tokensSql) AS term FROM documents)
+       |GROUP BY term ORDER BY n DESC, term LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_repetition — Gopher-style repetition signals
   // ---------------------------------------------------------------
 

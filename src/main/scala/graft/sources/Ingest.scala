@@ -123,8 +123,12 @@ object Ingest {
   def jsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tmp = roundTripDir(sfDir, "json")
-    Tables.movies(spark, sfDir).write.mode("overwrite").json(tmp)
-    spark.read.json(tmp)
+    val m = Tables.movies(spark, sfDir)
+    m.write.mode("overwrite").json(tmp)
+    // read with the writer's schema: schemaless JSON read costs a
+    // full inference pass over the data — the one JSON-source cost
+    // that does NOT amortize at 100 TB (snapshots store their schema)
+    spark.read.schema(m.schema).json(tmp)
       .select($"id", size($"actors").as("n"))
       .agg(
         count(lit(1)).as("n_movies"),
@@ -281,6 +285,84 @@ object Ingest {
 
   private val bymonthLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  // ---------------------------------------------------------------
+  // src_zorder_snapshot — Z-order (Morton curve) data layout
+  // ---------------------------------------------------------------
+
+  /** Morton Z-value interleaving the low `bits` bits of two key
+    * columns: bit j of `a` lands at position 2j, bit j of `b` at
+    * 2j+1. A pure bit-arithmetic Column (codegen'd, no UDF); rows
+    * close in (a, b) space get close Z-values, so range-partitioning
+    * + sorting by Z clusters BOTH dimensions into every file. */
+  private[graft] def zvalue(a: org.apache.spark.sql.Column,
+                            b: org.apache.spark.sql.Column,
+                            bits: Int = 16): org.apache.spark.sql.Column = {
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until bits).map { j =>
+      shiftleft(shiftright(al, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(bl, j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+  }
+
+  /** The Z-ordered lineitem frame (write-once per run, same
+    * double-checked pattern as [[partitionedOrders]]): range-
+    * partitioned AND sorted by z(l_partkey, l_suppkey) so every
+    * parquet file covers a small rectangle of the (part, supp) plane
+    * — its footer min/max on BOTH columns are tight, and a 2-D box
+    * predicate prunes most files/row-groups at the scan. This is the
+    * multi-dimensional analogue of [[partitionedOrders]]'s 1-D time
+    * layout: the standard answer when scans filter on two independent
+    * columns and partitioning by either alone leaves the other
+    * unpruned (Delta/Iceberg OPTIMIZE ZORDER — here in plain Spark +
+    * parquet). */
+  private[graft] def zorderedLineitem(spark: SparkSession, sfDir: String,
+                                      files: Int = 16): DataFrame = {
+    import spark.implicits._
+    val tmp = roundTripDir(sfDir, "zorder")
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      bymonthLocks.computeIfAbsent(tmp, _ => new Object).synchronized {
+        if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+          Tables.lineitem(spark, sfDir)
+            .withColumn("z", zvalue($"l_partkey", $"l_suppkey"))
+            .repartitionByRange(files, $"z")
+            .sortWithinPartitions($"z")
+            .drop("z")
+            .write.mode("overwrite").parquet(tmp)
+        }
+      }
+    }
+    spark.read.parquet(tmp)
+  }
+
+  /** Box query over the Z-ordered layout: a 2-D predicate on
+    * (l_partkey, l_suppkey) that the scan answers from a handful of
+    * files. The result is layout-independent (the oracle reads the
+    * raw table), so correctness certifies the rewrite while the scan
+    * shape carries the 100 TB story; ZorderLayoutSpec pins the
+    * locality (per-file bounding boxes ≪ the global plane). */
+  def zorderSnapshot(spark: SparkSession, sfDir: String,
+                     pLo: Int = 100, pHi: Int = 140,
+                     sLo: Int = 2, sHi: Int = 6): DataFrame = {
+    import spark.implicits._
+    zorderedLineitem(spark, sfDir)
+      .filter($"l_partkey".between(pLo, pHi) && $"l_suppkey".between(sLo, sHi))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("total_qty"),
+        count_distinct($"l_partkey").cast("long").as("n_parts"),
+        count_distinct($"l_orderkey").cast("long").as("n_orders"))
+  }
+
+  def zorderSnapshotSql(pLo: Int = 100, pHi: Int = 140,
+                        sLo: Int = 2, sHi: Int = 6): String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN $pLo AND $pHi
+       |  AND l_suppkey BETWEEN $sLo AND $sHi""".stripMargin
 
   def partitionedSnapshotSql(month: String = "1996-06"): String =
     s"""SELECT COUNT(*) AS n_orders,
