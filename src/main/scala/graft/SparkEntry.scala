@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Clustering, Dedup, Multimodal, ReferenceQueries, Relational, Similarity, TextAnalytics, TimeSeries}
+import graft.operators.{Clustering, Dedup, Graph, Multimodal, ReferenceQueries, Relational, Similarity, TextAnalytics, TimeSeries}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -73,6 +73,8 @@ object SparkEntry {
     "rel_events_gapfill" -> ((s, d) => TimeSeries.gapFillDaily(s, d)),
     "rel_range_join_weekly" -> (TimeSeries.rangeJoinWeekly _),
     "rel_quantile_bound" -> (Relational.approxQuantileBound _),
+    "rel_merge_upsert" -> (Relational.mergeUpsert _),
+    "rel_pagerank_actors" -> ((s, d) => Graph.pagerankActors(s, d)),
     "rel_pivot" -> (Relational.pivotReturnFlag _),
     "rel_sql_subqueries" -> (Relational.sqlSubqueries _),
     "rel_unpivot" -> (Relational.unpivotNationStats _),
@@ -183,6 +185,8 @@ object SparkEntry {
     "rel_events_gapfill" -> TimeSeries.gapFillDailySql,
     "rel_range_join_weekly" -> TimeSeries.rangeJoinWeeklySql,
     "rel_quantile_bound" -> Relational.approxQuantileBoundSql,
+    "rel_merge_upsert" -> Relational.mergeUpsertSql,
+    "rel_pagerank_actors" -> Graph.pagerankActorsSql(),
     "rel_pivot" -> Relational.pivotReturnFlagSql,
     "rel_sql_subqueries" -> Relational.sqlSubqueriesSql,
     "rel_unpivot" -> Relational.unpivotNationStatsSql,

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the co-actor graph the reference only ever
+  * renders (`Code/movie_graph.erl` / `actor_graph.erl` draw it;
+  * nothing computes on it). Connected components already power the
+  * dedup clusterer ([[Dedup.nearDupClusters]]); this adds PageRank,
+  * the canonical iterative bulk-synchronous computation.
+  *
+  * Scale posture: each iteration is ONE shuffle — an equi-join of the
+  * edge list with the current ranks on `src` (degree is pre-joined
+  * into the edge list once), then a partial+final sum on `dst`. No
+  * adjacency matrix, no driver-side state beyond the loop counter;
+  * the rank frame stays distributed and `localCheckpoint` truncates
+  * the 5-iteration lineage. Determinism discipline (the k-means
+  * precedent): ranks round to 8 decimals after every update, so the
+  * whole run replays as chained CTEs in the oracle and both engines
+  * agree bit-for-bit at the driver's %.9g compare.
+  */
+object Graph {
+
+  /** Distinct directed co-actor edges (a→b and b→a both present), the
+    * all-nodes frame, and per-node out-degree. */
+  private def coActorEdges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val sel = Tables.movies(spark, sfDir)
+      .select($"id", explode($"actors").as("a"))
+    val edges = sel.as("x").join(sel.as("y"), Seq("id"))
+      .filter($"x.a" =!= $"y.a")
+      .select($"x.a".as("src"), $"y.a".as("dst"))
+      .distinct()
+    val nodes = sel.select($"a").distinct()
+    (edges, nodes)
+  }
+
+  /** PageRank over the co-actor graph: `iters` synchronous updates of
+    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u), top-20 by final rank.
+    * Isolated actors (solo casts) keep the teleport mass (1−d)/N;
+    * dangling mass is dropped identically in both engines. */
+  def pagerankActors(spark: SparkSession, sfDir: String,
+                     iters: Int = 5, d: Double = 0.85, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val (edges, nodes) = coActorEdges(spark, sfDir)
+    val n = nodes.count()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // degree rides the edge list so the loop body is join + agg only
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    var ranks = nodes.select($"a",
+      round(lit(1.0) / n, 8).as("r")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg.join(ranks, edgesDeg("src") === ranks("a"))
+        .select($"dst", ($"r" / $"deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      ranks = nodes.join(contribs, nodes("a") === contribs("dst"), "left")
+        .select(nodes("a"),
+          round(lit((1 - d)) / n + lit(d) * coalesce($"s", lit(0.0)), 8).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select($"a".as("actor"), round($"r", 6).as("rank"))
+      .orderBy($"rank".desc, $"actor")
+      .limit(k)
+  }
+
+  def pagerankActorsSql(iters: Int = 5, d: Double = 0.85, k: Int = 20): String = {
+    val head =
+      s"""WITH movies AS (${Tables.moviesSql}),
+         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+         |edges AS (SELECT DISTINCT x.a AS src, y.a AS dst
+         |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
+         |nodes AS (SELECT DISTINCT a FROM sel),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |ed AS (SELECT src, dst, deg FROM edges
+         |       JOIN (SELECT src AS s2, COUNT(*) AS deg
+         |             FROM edges GROUP BY src) ON src = s2),
+         |r0 AS (SELECT a, ROUND(1.0e0 / (SELECT n FROM nn), 8) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nd.a,
+         |    ROUND(${1 - d}e0 / (SELECT n FROM nn)
+         |          + ${d}e0 * COALESCE(s.c, 0.0e0), 8) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT ed.dst AS a, SUM(p.r / ed.deg) AS c
+         |    FROM ed JOIN r${i - 1} p ON ed.src = p.a
+         |    GROUP BY ed.dst) s USING (a))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$steps
+       |SELECT a AS actor, ROUND(r, 6) AS rank
+       |FROM r$iters ORDER BY rank DESC, actor LIMIT $k""".stripMargin
+  }
+}

@@ -773,6 +773,80 @@ object Relational {
       |  FROM events WHERE event_type IN ('click', 'error'))
       |WHERE event_type = 'click' ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // rel_merge_upsert — CDC apply (MERGE INTO without a table format)
+  // ---------------------------------------------------------------
+
+  /** CDC merge: apply a change batch (updates, deletes, inserts) to
+    * the orders snapshot in one pass — the maintenance operation
+    * behind every incrementally-refreshed 100 TB table, expressed as
+    * a single full-outer join on the key:
+    *   - `U` rows override the base row's payload,
+    *   - `D` rows drop the base row,
+    *   - `I` rows (keys absent from the base) appear,
+    *   - untouched base rows pass through.
+    * One shuffle on the merge key (or zero with both sides bucketed
+    * by it); the change batch is typically ≪ the base, so AQE
+    * broadcast-sizes it. The update is an exact DECIMAL add (no
+    * rounding step whose half-way ties could diverge across engines).
+    * The change batch itself is derived deterministically from the
+    * base by key ranges, so the oracle replays it exactly. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority", dec($"o_totalprice").as("price"))
+    val m = $"o_orderkey" % 100
+    val changes =
+      base.filter(m < 5)
+        .select($"o_orderkey", lit("U").as("op"), $"o_orderpriority",
+          (dec($"price") + dec(lit(10))).as("price"))
+      .unionByName(base.filter(m >= 5 && m < 10)
+        .select($"o_orderkey", lit("D").as("op"), $"o_orderpriority", $"price"))
+      .unionByName(base.filter(m >= 10 && m < 15)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"), lit("I").as("op"),
+          $"o_orderpriority", $"price"))
+    base.as("b").join(changes.as("c"), Seq("o_orderkey"), "full_outer")
+      .filter(coalesce($"c.op", lit("")) =!= "D")
+      .select($"o_orderkey",
+        coalesce($"c.o_orderpriority", $"b.o_orderpriority").as("pri"),
+        coalesce($"c.price", $"b.price").as("price"))
+      .groupBy($"pri")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec($"price")).cast("double").as("total_price"),
+        sum(when($"o_orderkey" > 10000000L, 1L).otherwise(0L))
+          .cast("long").as("n_inserted"))
+      .withColumnRenamed("pri", "o_orderpriority")
+      .orderBy($"o_orderpriority")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, 'U' AS op, o_orderpriority,
+      |         CAST(price + CAST(10 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS price
+      |  FROM base WHERE o_orderkey % 100 < 5
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', o_orderpriority, price
+      |  FROM base WHERE o_orderkey % 100 >= 5 AND o_orderkey % 100 < 10
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'I', o_orderpriority, price
+      |  FROM base WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 15),
+      |merged AS (
+      |  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS k,
+      |         COALESCE(c.o_orderpriority, b.o_orderpriority) AS pri,
+      |         COALESCE(c.price, b.price) AS price, c.op
+      |  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey)
+      |SELECT pri AS o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(price) AS DOUBLE) AS total_price,
+      |  CAST(SUM(CASE WHEN k > 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged WHERE op IS NULL OR op <> 'D'
+      |GROUP BY pri ORDER BY pri""".stripMargin
+
   /** Skew-resistant two-phase aggregation: pre-aggregate on
     * (key, salt) — spreading a hot key over `salts` reducers — then
     * finalize on the key alone. The salt cancels out, so the oracle

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Graph, Relational}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  test("pagerank ranks are positive, mass-bounded, and deterministic") {
+    import spark.implicits._
+    val top = Graph.pagerankActors(spark, sf).as[(String, Double)].collect()
+    assert(top.length == 20)
+    assert(top.forall(_._2 > 0))
+    // synchronous updates: rank is sorted non-increasing in the output
+    assert(top.map(_._2).toSeq == top.map(_._2).toSeq.sortBy(-_))
+    // total mass ≤ 1 (dangling nodes leak, nothing is created):
+    // re-run the full frame (not the top-20) for the sum
+    val again = Graph.pagerankActors(spark, sf, k = Int.MaxValue)
+      .as[(String, Double)].collect()
+    val mass = again.map(_._2).sum
+    assert(mass > 0.5 && mass <= 1.000001, s"rank mass $mass out of range")
+    // same inputs, same ranks — the fixed-point arithmetic is pinned
+    assert(again.sortBy(_._1).take(20).toSeq ==
+      Graph.pagerankActors(spark, sf, k = Int.MaxValue)
+        .as[(String, Double)].collect().sortBy(_._1).take(20).toSeq)
+  }
+
+  test("merge upsert preserves the row-count identity and the U delta") {
+    import spark.implicits._
+    val base = Tables.orders(spark, sf)
+    val nBase = base.count()
+    val m = col("o_orderkey") % 100
+    val nDel = base.filter(m >= 5 && m < 10).count()
+    val nIns = base.filter(m >= 10 && m < 15).count()
+    val out = Relational.mergeUpsert(spark, sf)
+      .agg(sum($"n_rows"), sum($"n_inserted")).as[(Long, Long)].head()
+    assert(out._1 == nBase - nDel + nIns, s"rows ${out._1}")
+    assert(out._2 == nIns, s"inserted ${out._2} vs $nIns")
+    // updated keys carry exactly +10.00 each: totals differ by
+    // 10 * |U| (inserts duplicate their source price, deletes remove)
+    val totBase = base.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .as[java.math.BigDecimal].head()
+    val totU = base.filter(m < 5).count()
+    val totDel = base.filter(m >= 5 && m < 10)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .as[java.math.BigDecimal].head()
+    val totIns = base.filter(m >= 10 && m < 15)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .as[java.math.BigDecimal].head()
+    val expect = totBase.subtract(totDel).add(totIns)
+      .add(new java.math.BigDecimal(10L * totU)).doubleValue()
+    val got = Relational.mergeUpsert(spark, sf)
+      .agg(sum($"total_price")).as[Double].head()
+    assert(math.abs(got - expect) < 1e-4, s"$got vs $expect")
+  }
+}
