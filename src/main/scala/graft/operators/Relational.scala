@@ -82,6 +82,46 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q3 shape — the classic 3-table shipping-priority query:
+    * selective filters on ALL THREE tables push to the scans, the
+    * join tree reduces before grouping, and the top-10 compiles to
+    * TakeOrderedAndProject (per-partition heaps), not a global sort.
+    * The canonical "does the optimizer do its job on a star-ish
+    * join" probe at any scale. */
+  def shippingPriority(spark: SparkSession, sfDir: String,
+                       segment: String = "BUILDING",
+                       cut: String = "1997-06-01"): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).filter($"c_mktsegment" === segment)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < lit(cut).cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" > lit(cut).cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+        .cast("double").as("revenue"))
+      .select($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"), $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  def shippingPrioritySql(segment: String = "BUILDING",
+                          cut: String = "1997-06-01"): String =
+    s"""SELECT l_orderkey,
+       |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS o_date,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND o_orderdate < TIMESTAMP '$cut 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '$cut 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   /** Explicit broadcast-hash join: 25-row nation dim against customer.
     * The `broadcast()` hint is the J2 pattern at real scale — ships
     * the dim to every executor, zero shuffle on the fact side. */
