@@ -67,6 +67,37 @@ object Graft {
   def dedupClusters(pairs: DataFrame): DataFrame =
     operators.Dedup.connectedComponents(pairs)
 
+  /** Winnowing (MOSS) fingerprints per document: distinct window-min
+    * shingle hashes, `(doc_id, n_fp, fp_min, fp_sum)`. */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame =
+    operators.TextAnalytics.winnowFingerprintOf(docs, w)
+
+  // -- relational / time-series over caller frames ------------------
+
+  /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on
+    * `key` with one full-outer join (the MERGE INTO shape). */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+                   opCol: String = "op"): DataFrame =
+    operators.Relational.applyChanges(base, changes, key, opCol)
+
+  /** Daily calendar gap-fill + forward fill over `(user_id, ts,
+    * value)`; each key expands only to its OWN [min, max] span. */
+  def gapFillDaily(events: DataFrame): DataFrame =
+    operators.TimeSeries.gapFillDailyOf(events)
+
+  /** Interval join without the cartesian: rows of `probe` whose
+    * `tsCol` falls in `[startCol, endCol)` of `intervals`, via
+    * fixed-width bucket decomposition + residual predicate. */
+  def rangeJoin(probe: DataFrame, tsCol: String, intervals: DataFrame,
+                startCol: String, endCol: String, bucketDays: Int = 7): DataFrame =
+    operators.TimeSeries.rangeJoinOf(probe, tsCol, intervals, startCol, endCol, bucketDays)
+
+  /** PageRank over a distinct directed edge frame `(src, dst)` and a
+    * node frame `(a)` → `(a, r)`; deterministic-replay rounding. */
+  def pagerank(edges: DataFrame, nodes: DataFrame,
+               iters: Int = 5, damping: Double = 0.85): DataFrame =
+    operators.Graph.pagerankOf(edges, nodes, iters, damping)
+
   // -- similarity over (vec_id, embedding) frames ------------------
 
   /** Unit-normalize embeddings (cache if reused). */

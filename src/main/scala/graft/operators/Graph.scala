@@ -53,6 +53,20 @@ object Graph {
                      iters: Int = 5, d: Double = 0.85, k: Int = 20): DataFrame = {
     import spark.implicits._
     val (edges, nodes0) = coActorEdges(spark, sfDir)
+    pagerankOf(edges, nodes0, iters, d)
+      .select($"a".as("actor"), round($"r", 6).as("rank"))
+      .orderBy($"rank".desc, $"actor")
+      .limit(k)
+  }
+
+  /** [[pagerankActors]] over any distinct directed edge frame
+    * `(src, dst)` plus the full node frame `(a)` (nodes with no
+    * edges keep the teleport mass). Returns `(a, r)` with `r`
+    * rounded to 8 decimals — the deterministic-replay contract. */
+  def pagerankOf(edges: DataFrame, nodes0: DataFrame,
+                 iters: Int = 5, d: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     // the two frames every iteration re-reads are cached ONCE per
     // (session, input); the iterations themselves stay lazy — five
@@ -78,9 +92,7 @@ object Graph {
         .select(nodes("a"),
           round(lit((1 - d)) / n + lit(d) * coalesce($"s", lit(0.0)), 8).as("r"))
     }
-    ranks.select($"a".as("actor"), round($"r", 6).as("rank"))
-      .orderBy($"rank".desc, $"actor")
-      .limit(k)
+    ranks
   }
 
   def pagerankActorsSql(iters: Int = 5, d: Double = 0.85, k: Int = 20): String = {

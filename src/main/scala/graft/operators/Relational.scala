@@ -845,11 +845,8 @@ object Relational {
       .unionByName(base.filter(m >= 10 && m < 15)
         .select(($"o_orderkey" + 10000000L).as("o_orderkey"), lit("I").as("op"),
           $"o_orderpriority", $"price"))
-    base.as("b").join(changes.as("c"), Seq("o_orderkey"), "full_outer")
-      .filter(coalesce($"c.op", lit("")) =!= "D")
-      .select($"o_orderkey",
-        coalesce($"c.o_orderpriority", $"b.o_orderpriority").as("pri"),
-        coalesce($"c.price", $"b.price").as("price"))
+    applyChanges(base, changes, "o_orderkey")
+      .withColumnRenamed("o_orderpriority", "pri")
       .groupBy($"pri")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -858,6 +855,20 @@ object Relational {
           .cast("long").as("n_inserted"))
       .withColumnRenamed("pri", "o_orderpriority")
       .orderBy($"o_orderpriority")
+  }
+
+  /** Generic CDC apply: `changes` carries `key`, an `opCol`
+    * (`U`/`D`/`I`), and any subset-by-name of `base`'s payload
+    * columns. One full-outer join on the key; `D` drops, any other
+    * op's payload overrides column-wise, untouched rows pass through.
+    * Bucket both sides by the key to make the join exchange-free. */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+                   opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filter(_ != key)
+    base.as("b").join(changes.as("c"), Seq(key), "full_outer")
+      .filter(coalesce(col(s"c.$opCol"), lit("")) =!= "D")
+      .select(col(key) +: payload.map(c =>
+        coalesce(col(s"c.$c"), col(s"b.$c")).as(c)): _*)
   }
 
   val mergeUpsertSql: String =

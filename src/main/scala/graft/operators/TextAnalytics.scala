@@ -429,13 +429,18 @@ object TextAnalytics {
     * Scale: one shuffle on `doc_id`; the window sort is bounded by
     * document length (never corpus size) and BOTH window functions
     * (count + min) share the same partitioning and sort. */
-  def winnowFingerprint(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame = {
+  def winnowFingerprint(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame =
+    winnowFingerprintOf(docs(spark, sfDir), w)
+
+  /** [[winnowFingerprint]] over any `(doc_id, text)` frame. */
+  def winnowFingerprintOf(documents: DataFrame, w: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
     require(w >= 1, s"window must be >= 1, got $w")
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
     val ahead = byDoc.orderBy($"pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    docs(spark, sfDir)
+    documents
       .select($"doc_id", posexplode(shingles(tokens($"text"), 3)).as(Seq("pos", "sh")))
       .select($"doc_id", $"pos", md5i32($"sh", 7).as("h"))
       .withColumn("n", count(lit(1)).over(byDoc))

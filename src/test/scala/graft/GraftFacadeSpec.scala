@@ -77,4 +77,56 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     val got = Graft.attributionPairs(clicks, purchases).collect()
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((10L, 20L)))
   }
+
+  test("CDC applyChanges merges U/D/I on a caller-provided base") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "U", null.asInstanceOf[String], 25.0), // payload subset override
+      (3L, "D", null.asInstanceOf[String], 0.0),
+      (4L, "I", "d", 40.0))
+      .toDF("k", "op", "name", "v")
+    val merged = Graft.applyChanges(base, changes, "k")
+      .orderBy($"k").as[(Long, String, Double)].collect().toSeq
+    assert(merged == Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0)))
+  }
+
+  test("pagerank runs on a caller-provided edge frame") {
+    import spark.implicits._
+    // star: hub 0 pointed at by 1,2,3 (and back) — hub must rank top
+    val edges = Seq(("0", "1"), ("1", "0"), ("0", "2"), ("2", "0"),
+      ("0", "3"), ("3", "0")).toDF("src", "dst")
+    val nodes = Seq("0", "1", "2", "3").toDF("a")
+    val r = Graft.pagerank(edges, nodes).orderBy($"r".desc)
+      .as[(String, Double)].collect()
+    assert(r.head._1 == "0" && r.head._2 > r(1)._2)
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-4) // no dangling: mass conserved
+  }
+
+  test("gap-fill and range join run on caller-provided frames") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, t("2024-02-01 09:00:00"), 4.0),
+      (1L, t("2024-02-03 09:00:00"), 6.0))
+      .toDF("user_id", "ts", "value")
+    val filled = Graft.gapFillDaily(ev).as[(Long, String, Long, Double)].collect()
+    assert(filled.map(_._2).toSeq ==
+      Seq("2024-02-01", "2024-02-02", "2024-02-03"))
+    assert(filled(1)._3 == 0L && filled(1)._4 == 4.0)
+    val iv = Seq((7L, t("2024-02-01 00:00:00"), t("2024-02-02 00:00:00")))
+      .toDF("iv", "s", "e")
+    val hits = Graft.rangeJoin(ev, "ts", iv, "s", "e", bucketDays = 1).collect()
+    assert(hits.length == 1 && hits.head.getAs[Long]("user_id") == 1L)
+  }
+
+  test("winnowing fingerprints run on a caller-provided docs frame") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "totally other words that never overlap with the first document text"))
+      .toDF("doc_id", "text")
+    val fp = Graft.winnowFingerprints(docs).as[(Long, Long, Long, Long)].collect()
+    assert(fp.length == 2 && fp.forall(_._2 >= 1))
+  }
 }
