@@ -21,6 +21,31 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("round-5 operators degrade to empty on empty inputs") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextAnalytics.winnowFingerprintOf(noDocs).count() == 0)
+    val noEvents = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(graft.operators.TimeSeries.gapFillDailyOf(noEvents).count() == 0)
+    val iv = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("iv", "s", "e")
+    assert(graft.operators.TimeSeries.rangeJoinOf(
+      noEvents, "ts", iv, "s", "e").count() == 0)
+    // empty change batch: merge is the identity
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val noChanges = Seq.empty[(Long, String, String)].toDF("k", "op", "name")
+    assert(graft.operators.Relational.applyChanges(base, noChanges, "k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // pagerank with no edges: every node keeps the teleport mass
+    val nodes = Seq("x", "y").toDF("a")
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    val r = graft.operators.Graph.pagerankOf(noEdges, nodes, iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet == Set("x", "y") && r.values.forall(v => math.abs(v - 0.075) < 1e-9))
+  }
+
   test("title query over an empty movies frame is empty, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, Seq[String])].toDF("id", "title", "actors")

@@ -339,6 +339,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"expected the five base docs, got $survivors")
   }
 
+  test("foreachBatch CDC stream maintains the snapshot via applyChanges") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // streaming table maintenance: each micro-batch of U/D/I changes
+    // merges into the parquet snapshot with the SAME applyChanges the
+    // batch pipeline uses — the incremental-refresh production shape
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_cdc_snap").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.mode("overwrite").parquet(snapDir)
+
+    val mem = MemoryStream[(Long, String, String, Double)]
+    val q = mem.toDF().toDF("k", "op", "name", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = graft.operators.Relational.applyChanges(
+          spark.read.parquet(snapDir), batch, "k")
+        // small snapshots rewrite atomically; at scale this write is
+        // partition-targeted (overwrite only touched partitions)
+        val staged = merged.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(staged.toIndexedSeq),
+          merged.schema)
+          .write.mode("overwrite").parquet(snapDir)
+      }
+      .start()
+    try {
+      mem.addData((2L, "U", null.asInstanceOf[String], 25.0))
+      q.processAllAvailable()
+      mem.addData((3L, "D", null.asInstanceOf[String], 0.0),
+        (4L, "I", "d", 40.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(snapDir).orderBy($"k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0)))
+  }
+
   test("file-based events stream source reads the real parquet") {
     import spark.implicits._
     // file-stream sources need a directory; stage the single parquet
