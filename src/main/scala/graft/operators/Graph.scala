@@ -95,6 +95,74 @@ object Graph {
     ranks
   }
 
+  /** Triangle count on the co-actor graph via degree orientation:
+    * each undirected edge points from its lower-(degree, id) endpoint
+    * to the higher, so every wedge is enumerated at exactly one apex
+    * and the wedge count is Σ out-deg(v)² with out-degrees bounded by
+    * √(2·|E|) on ANY graph — the standard trick that keeps a
+    * power-law hub from exploding the self-join (a hub of degree 10⁶
+    * contributes wedges only where it is the SMALLER endpoint).
+    * Returns one row: nodes, undirected edges, triangles. */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, nodes) = coActorEdges(spark, sfDir)
+    triangleCountOf(edges, nodes)
+  }
+
+  /** [[triangleCount]] over any directed edge frame `(src, dst)`
+    * holding BOTH arcs of each undirected edge, plus the node frame
+    * `(a)`. */
+  def triangleCountOf(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // undirected degree (the directed list has both arcs, so out-deg
+    // of the directed list == undirected degree)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("v"), $"deg")
+    val oriented = cached("tri-oriented", edges
+      .join(deg.select($"v".as("src"), $"deg".as("ds")), "src")
+      .join(deg.select($"v".as("dst"), $"deg".as("dd")), "dst")
+      .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
+      .select($"src", $"dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    // a wedge (a, b) closes iff the oriented edge a→b or b→a exists;
+    // orientation stores each undirected edge once, so join on the
+    // canonicalized pair
+    val closing = oriented.select(
+      least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+    val tri = wedges
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .join(closing, Seq("a", "b"))
+      .count()
+    val nE = oriented.count()
+    val nV = nodes.count()
+    Seq((nV, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
+  val triangleCountSql: String =
+    s"""WITH movies AS (${Tables.moviesSql}),
+       |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+       |edges AS (SELECT DISTINCT x.a AS src, y.a AS dst
+       |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
+       |nodes AS (SELECT DISTINCT a FROM sel),
+       |deg AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
+       |oriented AS (
+       |  SELECT e.src, e.dst FROM edges e
+       |  JOIN deg s ON e.src = s.v JOIN deg t ON e.dst = t.v
+       |  WHERE s.deg < t.deg OR (s.deg = t.deg AND e.src < e.dst)),
+       |wedges AS (
+       |  SELECT LEAST(e1.dst, e2.dst) AS a, GREATEST(e1.dst, e2.dst) AS b
+       |  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+       |  WHERE e1.dst < e2.dst),
+       |closing AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |            FROM oriented)
+       |SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       |       (SELECT COUNT(*) FROM oriented) AS n_edges,
+       |       (SELECT COUNT(*) FROM wedges w JOIN closing c
+       |          ON w.a = c.a AND w.b = c.b) AS n_triangles""".stripMargin
+
   def pagerankActorsSql(iters: Int = 5, d: Double = 0.85, k: Int = 20): String = {
     val head =
       s"""WITH movies AS (${Tables.moviesSql}),

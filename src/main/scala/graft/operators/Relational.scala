@@ -82,6 +82,61 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------
+  // rel_events_funnel — ordered-sequence conversion analysis
+  // ---------------------------------------------------------------
+
+  /** 3-stage funnel (view → click → purchase, in event-time order):
+    * per user, the first view, the first click strictly AFTER that
+    * view, the first purchase strictly after that click; then the
+    * per-stage user counts and conversion rates. Each stage is one
+    * conditional min-aggregate on user_id plus a join back — three
+    * passes total, all partial+final aggregates on the same key, so
+    * successive exchanges reuse the partitioning. The sequential
+    * dependence (stage k's cutoff is stage k-1's timestamp) is why
+    * this is not a single aggregate. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def firstAfter(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter($"event_type" === tpe)
+        .join(prev, "user_id")
+        .filter($"ts" > col(prevTs))
+        .groupBy($"user_id").agg(min($"ts").as(outTs))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = firstAfter("click", v, "t1", "t2")
+    val p = firstAfter("purchase", c, "t2", "t3")
+    val (nv, nc, np) = (v.count(), c.count(), p.count())
+    Seq((nv, nc, np)).toDF("n_view", "n_click_after", "n_purchase_after")
+      .select($"n_view", $"n_click_after", $"n_purchase_after",
+        round($"n_click_after".cast("double") / $"n_view", 6).as("view_to_click"),
+        round($"n_purchase_after".cast("double") / $"n_click_after", 6)
+          .as("click_to_purchase"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click_after,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_after,
+      |  ROUND((SELECT COUNT(*) FROM c) * 1.0e0
+      |        / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+      |  ROUND((SELECT COUNT(*) FROM p) * 1.0e0
+      |        / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase""".stripMargin
+
   /** TPC-H Q3 shape — the classic 3-table shipping-priority query:
     * selective filters on ALL THREE tables push to the scans, the
     * join tree reduces before grouping, and the top-10 compiles to

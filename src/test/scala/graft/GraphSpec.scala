@@ -26,6 +26,28 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         .as[(String, Double)].collect().sortBy(_._1).take(20).toSeq)
   }
 
+  test("triangle count is exact on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 5-1 (0 triangles)
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toString, b.toString) }
+      .toDF("src", "dst")
+    val nodes = (1 to 5).map(_.toString).toDF("a")
+    val r = Graph.triangleCountOf(edges, nodes)
+      .as[(Long, Long, Long)].head()
+    assert(r == ((5L, 7L, 4L)), s"got $r")
+  }
+
+  test("funnel stage counts are monotone and rates consistent") {
+    import spark.implicits._
+    val row = Relational.eventsFunnel(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].head()
+    val (nv, nc, np, r1, r2) = row
+    assert(nv >= nc && nc >= np && np >= 0)
+    assert(math.abs(r1 - nc.toDouble / nv) < 1e-6)
+    assert(math.abs(r2 - np.toDouble / nc) < 1e-6)
+  }
+
   test("merge upsert preserves the row-count identity and the U delta") {
     import spark.implicits._
     val base = Tables.orders(spark, sf)
