@@ -83,6 +83,86 @@ object Relational {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_window_rank_family — ntile / percent_rank / cume_dist
+  // ---------------------------------------------------------------
+
+  /** The remaining rank-family window functions in one query:
+    * quartile bucket, percent_rank, cume_dist and dense_rank of each
+    * order inside its priority class (top 3 per class by price, for
+    * a bounded result). Same single partition+sort serves all four. */
+  def windowRankFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .filter($"drank" <= 3)
+      .orderBy($"o_orderpriority", $"drank", $"o_orderkey")
+  }
+
+  val windowRankFamilySql: String =
+    """SELECT o_orderpriority, o_orderkey, quartile, pct_rank, cume, drank
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |    ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |    ROUND(cume_dist() OVER w, 6) AS cume,
+      |    CAST(dense_rank() OVER w AS BIGINT) AS drank
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE drank <= 3
+      |ORDER BY o_orderpriority, drank, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_fuzzy_join — blocked Levenshtein similarity join
+  // ---------------------------------------------------------------
+
+  /** Fuzzy (edit-distance-1) self-join over customer names via
+    * WILDCARD-NEIGHBORHOOD blocking: each 18-char name emits 9 keys,
+    * one per digit position replaced by `*`; two names at Hamming
+    * distance 1 share exactly ONE key (the position where they
+    * differ), so the equi-join on (position, key) enumerates every
+    * qualifying pair exactly once and nothing quadratic ever forms —
+    * naive token blocking on this data measured 90s (quadratic inside
+    * low-cardinality blocks) vs sub-second here. A Levenshtein == 1
+    * verify runs as a residual (function parity with the oracle).
+    * Output: pair counts per differing digit position. */
+  def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // digit positions 10..18 of 'Customer#DDDDDDDDD'
+    val keys = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name",
+        explode(sequence(lit(10), lit(18))).as("i"))
+      .select($"c_custkey", $"c_name", $"i",
+        expr("concat(substr(c_name, 1, i - 1), '*', substr(c_name, i + 1, 18))")
+          .as("k"))
+    keys.as("x").join(keys.as("y"),
+        col("x.i") === col("y.i") && col("x.k") === col("y.k") &&
+          col("x.c_custkey") < col("y.c_custkey"))
+      .filter(levenshtein(col("x.c_name"), col("y.c_name")) === 1)
+      .groupBy(col("x.i"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(($"i" - 9).cast("long").as("digit_pos"), $"n_pairs")
+      .orderBy($"digit_pos")
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH k AS (
+      |  SELECT c_custkey, c_name, i,
+      |         substr(c_name, 1, i - 1) || '*' || substr(c_name, i + 1, 18) AS k
+      |  FROM customer, range(10, 19) t(i))
+      |SELECT CAST(x.i - 9 AS BIGINT) AS digit_pos, COUNT(*) AS n_pairs
+      |FROM k x JOIN k y
+      |  ON x.i = y.i AND x.k = y.k AND x.c_custkey < y.c_custkey
+      |WHERE levenshtein(x.c_name, y.c_name) = 1
+      |GROUP BY x.i ORDER BY digit_pos""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_events_funnel — ordered-sequence conversion analysis
   // ---------------------------------------------------------------
 
