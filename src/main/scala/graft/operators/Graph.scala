@@ -77,20 +77,27 @@ object Graph {
     val edgesDeg = cached("pagerank-edges", edges.join(deg, "src"))
     val nodes = cached("pagerank-nodes", nodes0)
     val n = nodes.count()
+    // nodes with no inbound edge keep the bare teleport mass on EVERY
+    // iteration — a static set, computed once, unioned in for free
+    // (replacing a per-iteration nodes-side join + broadcast)
+    val noInbound = cached("pagerank-noin",
+      nodes.join(edgesDeg.select($"dst"), nodes("a") === $"dst", "left_anti"))
     var ranks = nodes.select($"a", round(lit(1.0) / n, 8).as("r"))
     for (_ <- 1 to iters) {
-      // ranks/contribs are node-cardinality (≪ edges): broadcast them
-      // so the edge list is never shuffled — per iteration the only
-      // exchange is the partial+final sum on dst. Capacity tier: the
-      // hint holds while the rank frame fits executor memory (~16 B ×
+      // ranks are node-cardinality (≪ edges): broadcast them so the
+      // edge list is never shuffled — per iteration the only exchange
+      // is the partial+final sum on dst. Capacity tier: the hint
+      // holds while the rank frame fits executor memory (~16 B ×
       // |V|); past that, drop it and pre-repartition edges by src so
       // the sort-merge path co-locates instead
       val contribs = edgesDeg.join(broadcast(ranks), edgesDeg("src") === ranks("a"))
         .select($"dst", ($"r" / $"deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      ranks = nodes.join(broadcast(contribs), nodes("a") === contribs("dst"), "left")
-        .select(nodes("a"),
-          round(lit((1 - d)) / n + lit(d) * coalesce($"s", lit(0.0)), 8).as("r"))
+      ranks = contribs
+        .select($"dst".as("a"),
+          round(lit((1 - d)) / n + lit(d) * $"s", 8).as("r"))
+        .unionByName(noInbound.select($"a",
+          round(lit((1 - d)) / n, 8).as("r")))
     }
     ranks
   }
