@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{Relational, TimeSeries}
+import graft.sources.Ingest
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the round-5 join decompositions:
+  * the rewrites exist to AVOID a specific bad physical plan, so a
+  * silent regression back to it must fail the build, not just slow
+  * the bench. */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  test("range join plans a hash/merge equi-join, never a nested loop") {
+    val plan = TimeSeries.rangeJoinWeekly(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucket decomposition regressed to a cartesian plan:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the bucket key:\n$plan")
+  }
+
+  test("fuzzy join plans equi-joins only — no cartesian block") {
+    val plan = Relational.fuzzyJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"wildcard blocking regressed to a cartesian plan:\n$plan")
+  }
+
+  test("z-order box predicates push down to the parquet scan") {
+    import spark.implicits._
+    val probe = Ingest.zorderedLineitem(spark, sf)
+      .filter($"l_partkey".between(100, 140) && $"l_suppkey".between(2, 6))
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }
+    assert(scan.nonEmpty, "no file scan in plan")
+    val pushed = scan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
+      s"box filters not pushed: $pushed")
+  }
+}
