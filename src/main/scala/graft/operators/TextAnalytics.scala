@@ -626,6 +626,83 @@ object TextAnalytics {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_feature_hash — hashed bag-of-words (HashingTF shape)
+  // ---------------------------------------------------------------
+
+  /** Feature hashing: terms hash into `dims` buckets (the fixed-width
+    * trick that removes the vocabulary from the feature pipeline —
+    * no dictionary to build, broadcast, or keep consistent across a
+    * 100 TB corpus). Emits per-document sparse-vector invariants
+    * (nnz, L1 mass, an index-weighted checksum) rather than the
+    * vector itself so the layout is oracle-checkable. Pure scalar
+    * hash + two partial+final aggregates on doc-local keys. */
+  def featureHash(spark: SparkSession, sfDir: String, dims: Int = 64): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .select($"doc_id", pmod(md5i32($"term", 31), lit(dims)).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nnz"),
+        sum($"c").cast("long").as("l1"),
+        sum($"b" * $"c").cast("long").as("idx_checksum"))
+      .orderBy($"doc_id")
+  }
+
+  def featureHashSql(dims: Int = 64): String =
+    s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |h AS (SELECT doc_id, ${md5i32Sql("term", 31)} % $dims AS b FROM t),
+       |v AS (SELECT doc_id, b, COUNT(*) AS c FROM h GROUP BY doc_id, b)
+       |SELECT doc_id, COUNT(*) AS nnz, CAST(SUM(c) AS BIGINT) AS l1,
+       |  CAST(SUM(b * c) AS BIGINT) AS idx_checksum
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_bigram_logprob — conditional (bigram) LM surprisal
+  // ---------------------------------------------------------------
+
+  /** Bigram corpus-LM surprisal per document: −ln p(w|prev) with
+    * p(w|prev) = cnt(prev,w) / cnt(prev,·), both counts from the
+    * corpus itself (every bigram is seen ≥1, so no smoothing term).
+    * The order-2 companion to [[unigramLogprob]] — repetitive docs
+    * score LOW (their bigrams dominate their own contexts) while
+    * scrambled text scores high, which is exactly the split a
+    * perplexity filter needs. Bigrams reuse the codegen'd 2-gram
+    * shingle expression; both vocabularies broadcast (vocab ≪
+    * corpus at any scale — they grow sub-linearly). */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bi = docs(spark, sfDir)
+      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+      .withColumn("prev", split($"bg", " ").getItem(0))
+    val bgFreq = bi.groupBy($"bg").agg(count(lit(1)).as("cb"))
+    val pvFreq = bi.groupBy($"prev").agg(count(lit(1)).as("cp"))
+    bi.join(broadcast(bgFreq), "bg")
+      .join(broadcast(pvFreq), "prev")
+      .withColumn("surprisal", -log($"cb".cast("double") / $"cp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"surprisal"), 4).as("avg_surprisal"))
+      .withColumn("ppl", round(exp($"avg_surprisal"), 4))
+      .orderBy($"doc_id")
+  }
+
+  val bigramLogprobSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |bi AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS prev
+       |       FROM (SELECT doc_id, unnest(${shinglesNSql("ts", 2)}) AS bg FROM t)),
+       |bf AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY bg),
+       |pf AS (SELECT prev, COUNT(*) AS cp FROM bi GROUP BY prev),
+       |s AS (SELECT doc_id, -ln(cb::DOUBLE / cp) AS surprisal
+       |      FROM bi JOIN bf USING (bg) JOIN pf USING (prev)),
+       |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |             round(avg(surprisal), 4) AS avg_surprisal
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, avg_surprisal,
+       |       round(exp(avg_surprisal), 4) AS ppl
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_source_cap — per-source document caps with budget accounting
   // ---------------------------------------------------------------
 

@@ -234,4 +234,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(nInt == langMarkers.size,
       s"expected ${langMarkers.size} array_intersect, got $nInt")
   }
+
+  test("bigram surprisal: n_bigrams = n_tokens - 1, ppl = exp(avg)") {
+    import spark.implicits._
+    val bi = TextAnalytics.bigramLogprob(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.TextAnalysis.tokens($"text"))
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bi.nonEmpty)
+    bi.values.foreach { case (doc, nBg, avg, ppl) =>
+      assert(nBg == toks(doc) - 1, s"doc $doc: $nBg bigrams, ${toks(doc)} tokens")
+      assert(math.abs(ppl - math.exp(avg)) < 1e-3)
+      assert(avg >= 0) // p(w|prev) ≤ 1 always
+    }
+  }
+
+  test("feature hashing conserves token mass and bounds nnz") {
+    import spark.implicits._
+    val fh = TextAnalytics.featureHash(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.TextAnalysis.tokens($"text"))
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fh.nonEmpty)
+    fh.foreach { case (doc, nnz, l1, _) =>
+      assert(l1 == toks(doc), s"doc $doc: L1 $l1 vs ${toks(doc)} tokens")
+      assert(nnz <= math.min(64L, l1) && nnz >= 1)
+    }
+  }
 }
