@@ -359,9 +359,11 @@ object Dedup {
       .filter($"a" < $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("inter"))
+    // per-doc sizes are |docs| rows (one long each) — broadcast both
+    // lookups so the pair frame never shuffles for them
     inter
-      .join(sizes.select($"doc_id".as("a"), $"sz".as("sza")), "a")
-      .join(sizes.select($"doc_id".as("b"), $"sz".as("szb")), "b")
+      .join(broadcast(sizes.select($"doc_id".as("a"), $"sz".as("sza"))), "a")
+      .join(broadcast(sizes.select($"doc_id".as("b"), $"sz".as("szb"))), "b")
       .withColumn("jaccard", $"inter".cast("double") / ($"sza" + $"szb" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a".cast("long").as("doc_a"), $"b".cast("long").as("doc_b"), $"jaccard")
