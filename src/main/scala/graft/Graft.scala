@@ -98,6 +98,11 @@ object Graft {
                iters: Int = 5, damping: Double = 0.85): DataFrame =
     operators.Graph.pagerankOf(edges, nodes, iters, damping)
 
+  /** Degree-oriented exact triangle count over a directed edge frame
+    * holding both arcs → one row (n_nodes, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, nodes: DataFrame): DataFrame =
+    operators.Graph.triangleCountOf(edges, nodes)
+
   // -- similarity over (vec_id, embedding) frames ------------------
 
   /** Unit-normalize embeddings (cache if reused). */
