@@ -144,6 +144,25 @@ object EventStreams {
         $"event_type", $"n", $"sum_value")
   }
 
+  /** Stream-static enrichment: the event stream joins a static
+    * dimension frame on `user_id` BEFORE the windowed aggregate —
+    * the canonical streaming-enrichment shape. The static side needs
+    * no watermark and broadcasts into every micro-batch; state is
+    * keyed on the (coarser) enriched key, so enrichment also SHRINKS
+    * streaming state vs aggregating on raw user_id. Works identically
+    * on a batch frame (the spec's stream==batch witness). */
+  def enrichedTumbling(events: DataFrame, dim: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.join(broadcast(dim), "user_id")
+      .groupBy(window($"ts", "1 hour"), $"segment")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"segment", $"n", $"sum_value")
+  }
+
   /** Sliding 1-hour windows every 15 minutes per event type: each
     * event lands in exactly 4 overlapping windows. */
   def slidingHourly(events: DataFrame): DataFrame = {
@@ -295,6 +314,23 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events, range(4) t(k)
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Batch twin of [[enrichedTumbling]] with a dimension derived
+    * deterministically from the user-id space (5 segments). */
+  def eventsEnriched(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val dim = ev.select($"user_id").distinct()
+      .select($"user_id", concat(lit("seg-"), $"user_id" % 5).as("segment"))
+    enrichedTumbling(ev, dim).orderBy($"window_start", $"segment")
+  }
+
+  val eventsEnrichedSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+      |                '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  'seg-' || (user_id % 5) AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
 
   def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -56,6 +56,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("stream-static enrichment join: stream == batch") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    val dim = (0L to 50L).map(u => (u, s"seg-${u % 5}")).toDF("user_id", "segment")
+    val batch = EventStreams.enrichedTumbling(rows.toDF(), dim)
+    val stream = runStream(rows, "s_enrich")(EventStreams.enrichedTumbling(_, dim))
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("sliding 1h/15min: stream == batch") {
     val rows = eventRows(800)
     import spark.implicits._
