@@ -87,4 +87,85 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val (g1, g13) = (ngrams(docs.repartition(1)), ngrams(docs.repartition(13)))
     assert(g1 == g13 && g1.nonEmpty)
   }
+
+  test("range join == naive theta join on random intervals and probes") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val hour = 3600L * 1000
+    val ivGen = Gen.listOfN(6, for {
+      s <- Gen.chooseNum(0, 400); len <- Gen.chooseNum(1, 120)
+    } yield (s, s + len))
+    val probeGen = Gen.listOfN(60, Gen.chooseNum(-24, 560))
+    samples(ivGen.flatMap(iv => probeGen.map((iv, _))), 6, 7L)
+      .foreach { case (ivs, ps) =>
+        val iv = ivs.zipWithIndex.map { case ((s, e), i) =>
+          (i.toLong, new java.sql.Timestamp(base + s * hour),
+            new java.sql.Timestamp(base + e * hour))
+        }.toDF("iv", "s", "e")
+        val probe = ps.zipWithIndex.map { case (h, i) =>
+          (i.toLong, new java.sql.Timestamp(base + h * hour))
+        }.toDF("p", "t")
+        for (bucketDays <- Seq(1, 3)) {
+          val fast = graft.operators.TimeSeries
+            .rangeJoinOf(probe, "t", iv, "s", "e", bucketDays)
+            .select($"iv", $"p").as[(Long, Long)].collect().toSeq.sorted
+          val naive = iv.crossJoin(probe).filter($"t" >= $"s" && $"t" < $"e")
+            .select($"iv", $"p").as[(Long, Long)].collect().toSeq.sorted
+          assert(fast == naive, s"bucketDays=$bucketDays")
+          assert(fast.distinct == fast)
+        }
+      }
+  }
+
+  test("winnowing guarantee: docs sharing a long passage share a fingerprint") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf(('a' to 'z').map(c => s"w$c"))
+    val gen = for {
+      a <- Gen.listOfN(20, wordGen)
+      b <- Gen.listOfN(20, wordGen)
+      shared <- Gen.listOfN(12, wordGen) // >= w + 2 = 6 words shared
+    } yield (a, b, shared)
+    samples(gen, 5, 99L).foreach { case (a, b, shared) =>
+      val docs = Seq(
+        (1L, (a ++ shared).mkString(" ")),
+        (2L, (shared ++ b).mkString(" "))).toDF("doc_id", "text")
+      // fingerprints are distinct window-min hashes; a shared run of
+      // >= w+2 words yields >= 3 shared 3-gram shingles = one full
+      // window, whose min is selected in both documents
+      val perDoc = graft.operators.TextAnalytics.winnowFingerprintOf(docs, w = 4)
+      // recompute the selected fingerprint SETS per doc for overlap
+      val fps = docs
+        .select($"doc_id", org.apache.spark.sql.functions.posexplode(
+          graft.functions.TextAnalysis.shingles(
+            graft.functions.TextAnalysis.tokens($"text"), 3)).as(Seq("pos", "sg")))
+        .select($"doc_id", $"pos", graft.functions.Hashing.md5i32($"sg", 7).as("h"))
+      val byDoc = fps.as[(Long, Int, Long)].collect().groupBy(_._1)
+      val sets = byDoc.map { case (d, rows) =>
+        val hs = rows.sortBy(_._2).map(_._3)
+        d -> hs.sliding(4).filter(_.length == 4).map(_.min).toSet
+      }
+      assert((sets(1L) intersect sets(2L)).nonEmpty,
+        "shared passage produced no shared fingerprint")
+      // and the operator's counts agree with the reference computation
+      val got = perDoc.select($"doc_id", $"n_fp").as[(Long, Long)].collect().toMap
+      sets.foreach { case (d, s) => assert(got(d) == s.size.toLong) }
+    }
+  }
+
+  test("applyChanges: empty batch is identity, delete-all empties, I==union") {
+    import spark.implicits._
+    val baseGen = Gen.listOfN(12, Gen.chooseNum(1, 30)).map(_.distinct)
+    samples(baseGen, 6, 123L).foreach { keys =>
+      val base = keys.map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      val none = Seq.empty[(Long, String, String)].toDF("k", "op", "v")
+      val same = graft.operators.Relational.applyChanges(base, none, "k")
+        .as[(Long, String)].collect().toSet
+      assert(same == keys.map(k => (k.toLong, s"v$k")).toSet)
+      val delAll = keys.map(k => (k.toLong, "D", s"v$k")).toDF("k", "op", "v")
+      assert(graft.operators.Relational.applyChanges(base, delAll, "k").count() == 0)
+      val ins = keys.map(k => (k.toLong + 1000, "I", s"n$k")).toDF("k", "op", "v")
+      assert(graft.operators.Relational.applyChanges(base, ins, "k").count() ==
+        2L * keys.size)
+    }
+  }
 }
