@@ -297,7 +297,11 @@ object Ingest {
     * + sorting by Z clusters BOTH dimensions into every file. */
   private[graft] def zvalue(a: org.apache.spark.sql.Column,
                             b: org.apache.spark.sql.Column,
-                            bits: Int = 16): org.apache.spark.sql.Column = {
+                            bits: Int = 20): org.apache.spark.sql.Column = {
+    // 20 bits/dim (keys to ~1M; z fits 40 bits in a long). Keys above
+    // 2^bits alias silently — size bits to the key domain, not the
+    // current SF: extra bits cost nothing for small keys (high
+    // interleaved bits are zero, ordering unchanged).
     val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { j =>
       shiftleft(shiftright(al, j).bitwiseAND(lit(1L)), 2 * j) +
