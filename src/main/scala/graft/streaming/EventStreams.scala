@@ -37,6 +37,19 @@ case class SessionList(sessions: Seq[SessionAgg])
   * matching `session_window`'s contract). */
 case class SessionRow(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+/** One funnel event inside the custom-state funnel tracker. */
+case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+/** Per-user funnel state: every relevant (type, epoch-ms) seen so
+  * far. Retained whole because a LATE view can lower t1 and newly
+  * validate clicks already seen — first-after semantics are not
+  * incrementally monotone per field, only per event-SET. */
+case class FunnelBuf(evs: Seq[(String, Long)])
+
+/** Per-user funnel progress: stage ∈ 0..3, times in epoch ms (−1 =
+  * stage unreached). */
+case class FunnelStageRow(user_id: Long, stage: Int, t1: Long, t2: Long, t3: Long)
+
 object EventStreams {
 
   private def dec(c: Column) = c.cast("decimal(18,2)")
@@ -226,6 +239,64 @@ object EventStreams {
     * cases. Streaming-only: batch mode restricts
     * flatMapGroupsWithState to NoTimeout, and the batch answer is
     * `session_window` anyway. */
+  /** Shared funnel semantics (the [[graft.operators.Relational
+    * .eventsFunnel]] contract): first view, first click strictly
+    * after it, first purchase strictly after that. Pure function of
+    * the event SET, so batch and streaming agree regardless of
+    * arrival order. */
+  private[streaming] def funnelTimes(evs: Seq[(String, Long)]): (Long, Long, Long) = {
+    def minAfter(tpe: String, after: Long): Option[Long] = {
+      val it = evs.iterator.filter(e => e._1 == tpe && e._2 > after).map(_._2)
+      if (it.isEmpty) None else Some(it.min)
+    }
+    val v = minAfter("view", Long.MinValue)
+    val c = v.flatMap(minAfter("click", _))
+    val p = c.flatMap(minAfter("purchase", _))
+    (v.getOrElse(-1L), c.getOrElse(-1L), p.getOrElse(-1L))
+  }
+
+  private def stageRow(user: Long, t: (Long, Long, Long)): FunnelStageRow =
+    FunnelStageRow(user,
+      Seq(t._1, t._2, t._3).count(_ >= 0), t._1, t._2, t._3)
+
+  /** Batch twin: per-user funnel stage via one groupByKey pass. */
+  def funnelStagesBatch(events: Dataset[FunnelEvent]): Dataset[FunnelStageRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(e =>
+        e.event_type == "view" || e.event_type == "click" ||
+          e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroups { (u, it) =>
+        stageRow(u, funnelTimes(it.map(e => (e.event_type, e.ts.getTime)).toSeq))
+      }
+  }
+
+  /** Streaming funnel tracker via `mapGroupsWithState`: per user the
+    * state holds every funnel event seen so far (a late-arriving
+    * earlier view can LOWER t1 and newly validate clicks already
+    * seen, so first-after times are recomputed from the set — they
+    * are monotone in set inclusion, not per arrival). Emits the
+    * user's current stage each batch in Update mode; the final
+    * emission equals the batch answer. State is bounded by the
+    * user's own funnel-relevant events; production would add an
+    * event-time timeout to retire quiet users. */
+  def funnelStagesStream(events: Dataset[FunnelEvent]): Dataset[FunnelStageRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val fn = (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBuf]) => {
+      val held = state.getOption.map(_.evs).getOrElse(Seq.empty)
+      val all = held ++ rows.map(e => (e.event_type, e.ts.getTime))
+      state.update(FunnelBuf(all))
+      stageRow(user, funnelTimes(all))
+    }
+    events.filter(e =>
+        e.event_type == "view" || e.event_type == "click" ||
+          e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def sessionizeWithState(events: Dataset[SessionEvent],
                           gapMs: Long = 30L * 60 * 1000): Dataset[SessionRow] = {
     val spark = events.sparkSession

@@ -349,6 +349,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"expected the five base docs, got $survivors")
   }
 
+  test("custom-state funnel tracker: final stream emission == batch stages") {
+    import graft.streaming.{EventStreams, FunnelEvent, FunnelStageRow}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = eventRows(600).map(e => FunnelEvent(e.user_id, e.ts, e.event_type))
+    val batch = EventStreams.funnelStagesBatch(rows.toDS())
+      .collect().map(r => r.user_id -> r).toMap
+    val mem = MemoryStream[FunnelEvent]
+    // deliberately deliver SECOND half first: late earlier views must
+    // lower t1 and re-validate clicks (the recompute-from-set claim)
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val q = EventStreams.funnelStagesStream(mem.toDS())
+      .writeStream.format("memory").queryName("s_funnel")
+      .outputMode("update").start()
+    try {
+      mem.addData(second); q.processAllAvailable()
+      mem.addData(first); q.processAllAvailable()
+    } finally q.stop()
+    // over set inclusion stage is non-decreasing and every reached
+    // time non-increasing, so the final state reconstructs as
+    // (max stage, min reached time per field) across emissions
+    def minPos(xs: Seq[Long]) = { val p = xs.filter(_ >= 0); if (p.isEmpty) -1L else p.min }
+    val stream = spark.table("s_funnel").as[FunnelStageRow].collect()
+      .groupBy(_.user_id).map { case (u, rs) =>
+        u -> ((rs.map(_.stage).max, minPos(rs.map(_.t1)),
+          minPos(rs.map(_.t2)), minPos(rs.map(_.t3))))
+      }
+    assert(stream.keySet == batch.keySet && stream.nonEmpty)
+    stream.foreach { case (u, s) =>
+      val b = batch(u)
+      assert(s == ((b.stage, b.t1, b.t2, b.t3)),
+        s"user $u: stream $s vs batch $b")
+    }
+    // the funnel actually progresses somewhere in this slice
+    assert(batch.values.exists(_.stage >= 2))
+  }
+
   test("foreachBatch CDC stream maintains the snapshot via applyChanges") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
