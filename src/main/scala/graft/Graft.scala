@@ -169,6 +169,18 @@ object Graft {
   def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
     streaming.EventStreams.attributionPairs(clicks, purchases)
 
+  /** Per-user funnel stages (view → click → purchase, first-after
+    * semantics) — batch pass. */
+  def funnelStages(events: org.apache.spark.sql.Dataset[streaming.FunnelEvent])
+      : org.apache.spark.sql.Dataset[streaming.FunnelStageRow] =
+    streaming.EventStreams.funnelStagesBatch(events)
+
+  /** The same funnel over a stream: custom-state tracker, emits each
+    * user's current stage per micro-batch (Update mode). */
+  def funnelStagesStream(events: org.apache.spark.sql.Dataset[streaming.FunnelEvent])
+      : org.apache.spark.sql.Dataset[streaming.FunnelStageRow] =
+    streaming.EventStreams.funnelStagesStream(events)
+
   // -- custom whole-operator tier ----------------------------------
 
   /** Per-key top-k via the native heap operator
