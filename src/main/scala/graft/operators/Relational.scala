@@ -83,6 +83,38 @@ object Relational {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_stats_aggregates — moments / correlation / regression
+  // ---------------------------------------------------------------
+
+  /** Statistical aggregate family per event type: sample stddev,
+    * Pearson correlation of value vs time, and the least-squares
+    * trend as a per-day slope. All are one-pass moment aggregates
+    * (partial+final merge of (n, Σ, Σ², Σxy) — the only shape that
+    * works at 100 TB). Time enters as epoch seconds with fraction
+    * (both engines' cast), and the outputs round to absorb the
+    * engines' different-but-stable moment-update orders. */
+  def statsAggregates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("x", $"ts".cast("double"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp($"value"), 4).as("sd_value"),
+        round(corr($"value", $"x"), 5).as("corr_vt"),
+        round(expr("regr_slope(value, x)") * 86400d, 6).as("slope_per_day"))
+      .orderBy($"event_type")
+  }
+
+  val statsAggregatesSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(stddev_samp(value), 4) AS sd_value,
+      |  round(corr(value, epoch(CAST(ts AS TIMESTAMP))), 5) AS corr_vt,
+      |  round(regr_slope(value, epoch(CAST(ts AS TIMESTAMP))) * 86400,
+      |        6) AS slope_per_day
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_window_rank_family — ntile / percent_rank / cume_dist
   // ---------------------------------------------------------------
 
