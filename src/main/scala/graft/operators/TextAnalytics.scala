@@ -626,6 +626,79 @@ object TextAnalytics {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_quality_filter — composite Gopher-style keep/drop gate
+  // ---------------------------------------------------------------
+
+  /** The composite curation decision the individual signals feed: a
+    * document is KEPT iff it passes ALL of (Gopher-style rules)
+    * length ≥ 20 words, mean word length ∈ [3, 10], top-word
+    * fraction ≤ 0.2, duplicate-3-gram fraction ≤ 0.6. Reports
+    * per-language survival (docs kept, chars kept, keep rate) — the
+    * number a curation run actually acts on. Two per-doc hash
+    * aggregates (word stats, shingle stats) joined on doc_id, then
+    * one partial+final rollup on lang. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = docs(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars", tokens($"text").as("ts"))
+    val w = t.select($"doc_id", explode($"ts").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").cast("long").as("n_words"),
+        sum(length($"term") * $"c").cast("long").as("wchars"),
+        max($"c").cast("long").as("max_c"))
+    val s = t.select($"doc_id", explode(shingles($"ts", 3)).as("sh"))
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").cast("long").as("n_sh"),
+        count(lit(1)).as("d_sh"))
+    val keep = $"n_words" >= 20 &&
+      ($"wchars".cast("double") / $"n_words").between(3.0, 10.0) &&
+      $"max_c".cast("double") / $"n_words" <= 0.2 &&
+      coalesce(lit(1.0) - $"d_sh".cast("double") / $"n_sh", lit(0.0)) <= 0.6
+    t.select($"doc_id", $"lang", $"n_chars")
+      .join(w, "doc_id").join(s, Seq("doc_id"), "left")
+      .withColumn("keep", keep.cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"keep").cast("long").as("n_kept"),
+        sum($"keep" * $"n_chars").cast("long").as("kept_chars"),
+        round(sum($"keep").cast("double") / count(lit(1)), 6).as("keep_rate"))
+      .orderBy($"lang")
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, n_chars, $tokensSql AS ts FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |         CAST(SUM(length(term) * c) AS BIGINT) AS wchars,
+       |         CAST(MAX(c) AS BIGINT) AS max_c
+       |  FROM (SELECT doc_id, term, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(ts) AS term FROM t)
+       |        GROUP BY doc_id, term)
+       |  GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh, COUNT(*) AS d_sh
+       |  FROM (SELECT doc_id, sh, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM t)
+       |        GROUP BY doc_id, sh)
+       |  GROUP BY doc_id),
+       |k AS (
+       |  SELECT t.lang, t.n_chars,
+       |    CASE WHEN w.n_words >= 20
+       |          AND w.wchars::DOUBLE / w.n_words BETWEEN 3.0 AND 10.0
+       |          AND w.max_c::DOUBLE / w.n_words <= 0.2
+       |          AND COALESCE(1.0 - s.d_sh::DOUBLE / s.n_sh, 0.0) <= 0.6
+       |         THEN 1 ELSE 0 END AS keep
+       |  FROM t JOIN w USING (doc_id) LEFT JOIN s USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |  CAST(SUM(keep * n_chars) AS BIGINT) AS kept_chars,
+       |  round(SUM(keep)::DOUBLE / COUNT(*), 6) AS keep_rate
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_feature_hash — hashed bag-of-words (HashingTF shape)
   // ---------------------------------------------------------------
 
