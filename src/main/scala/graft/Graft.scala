@@ -72,6 +72,19 @@ object Graft {
   def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame =
     operators.TextAnalytics.winnowFingerprintOf(docs, w)
 
+  /** Sequence-packing audit over `(doc_id, text, lang)`: per-language
+    * context-window bins, padding, and boundary-straddling docs when
+    * each (lang, shard) stream is packed in doc_id order. */
+  def seqPackStats(docs: DataFrame, ctx: Int = 512,
+                   shards: Int = 4): DataFrame =
+    operators.TextAnalytics.seqPackOf(docs, ctx, shards)
+
+  /** Overlapping token-window chunks of `(doc_id, text)` — one row
+    * per chunk with token count and md5 content hash. */
+  def docChunks(docs: DataFrame, chunk: Int = 64,
+                stride: Int = 48): DataFrame =
+    operators.TextAnalytics.docChunkOf(docs, chunk, stride)
+
   // -- relational / time-series over caller frames ------------------
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on
@@ -79,6 +92,12 @@ object Graft {
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
                    opCol: String = "op"): DataFrame =
     operators.Relational.applyChanges(base, changes, key, opCol)
+
+  /** One-pass column census: null count, exact distinct cardinality,
+    * and numeric min/max/mean per chosen column. */
+  def profileColumns(df: DataFrame, numericCols: Seq[String],
+                     categoricalCols: Seq[String] = Nil): DataFrame =
+    operators.Relational.columnProfileOf(df, numericCols, categoricalCols)
 
   /** Daily calendar gap-fill + forward fill over `(user_id, ts,
     * value)`; each key expands only to its OWN [min, max] span. */

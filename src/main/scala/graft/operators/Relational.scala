@@ -1145,4 +1145,141 @@ object Relational {
        |FROM documents
        |WHERE ${graft.functions.Hashing.md5i32Sql("text", 5)} % 100 < $pct
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_column_profile — one-pass table profiling
+  // ---------------------------------------------------------------
+
+  /** Column profiler over lineitem — the data-quality census every
+    * ingestion pipeline runs before training: per column null count,
+    * exact distinct cardinality, and (numeric columns) min/max/mean.
+    *
+    * Scale posture: two shapes, deliberately SEPARATE. The
+    * null/min/max/mean census is one scan with plain one-pass moment
+    * aggregates. The exact COUNT(DISTINCT)s run as one column-pruned
+    * branch per column (a simple two-level distinct aggregate each) —
+    * NOT folded into the moments aggregate, because Spark plans
+    * multi-distinct via Expand ×(k+1) with every moment buffer riding
+    * on every distinct-value group (measured 4.5s vs 1.3s at sf0.1).
+    * On columnar storage k single-column branches read the same bytes
+    * as one k-column scan. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (HLL, single pass, no per-value groups);
+    * exact is kept here because the profile IS the oracle check.
+    * Mean rounds to absorb the engines' different-but-stable reduce
+    * orders.
+    */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame =
+    columnProfileOf(Tables.lineitem(spark, sfDir),
+      numericCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      categoricalCols = Seq("l_returnflag", "l_linestatus"))
+
+  /** Caller-frame form: profile any frame's chosen columns. */
+  def columnProfileOf(df: DataFrame, numericCols: Seq[String],
+                      categoricalCols: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    def nulls(c: String) = count(when(col(c).isNull, 1)).cast("long")
+    def numeric(c: String) = struct(
+      nulls(c).as("n_nulls"),
+      min(col(c)).cast("double").as("min_val"),
+      max(col(c)).cast("double").as("max_val"),
+      round(avg(col(c)), 4).as("avg_val"))
+    def categorical(c: String) = struct(
+      nulls(c).as("n_nulls"),
+      lit(null).cast("double").as("min_val"),
+      lit(null).cast("double").as("max_val"),
+      lit(null).cast("double").as("avg_val"))
+    val cols = numericCols.map(_ -> true) ++ categoricalCols.map(_ -> false)
+    val moments = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map { case (c, isNum) =>
+        (if (isNum) numeric(c) else categorical(c)).as(s"p_$c")
+      }: _*)
+    val stack = cols.map { case (c, _) => s"'$c', p_$c" }
+      .mkString(s"stack(${cols.size}, ", ", ", ") as (col_name, p)")
+    val stacked = moments.select(expr(stack), $"n_rows")
+      .select($"col_name", $"n_rows", $"p.n_nulls",
+        $"p.min_val", $"p.max_val", $"p.avg_val")
+    val distincts = cols.map { case (c, _) =>
+      df.agg(countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), $"n_distinct")
+    }.reduce(_ unionAll _)
+    stacked.join(distincts, "col_name")
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+        $"min_val", $"max_val", $"avg_val")
+      .orderBy($"col_name")
+  }
+
+  val columnProfileSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_val,
+         |  CAST(MAX($c) AS DOUBLE) AS max_val,
+         |  ROUND(AVG($c), 4) AS avg_val
+         |FROM lineitem""".stripMargin
+    def cat(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_val,
+         |  CAST(NULL AS DOUBLE) AS max_val,
+         |  CAST(NULL AS DOUBLE) AS avg_val
+         |FROM lineitem""".stripMargin
+    (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(num) ++
+      Seq("l_returnflag", "l_linestatus").map(cat))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---------------------------------------------------------------
+  // rel_outlier_zscore — global-moment anomaly flagging
+  // ---------------------------------------------------------------
+
+  /** Daily-revenue anomaly scan: aggregate orders to days, z-score
+    * each day against the whole series, flag |z| ≥ 2 — the
+    * monitoring query behind every ingest-volume alert.
+    *
+    * Scale posture: the raw scan collapses via one partial+final
+    * aggregate to AT MOST years×365 rows, so the global-moment window
+    * (a single-partition exchange) runs over a frame whose size is
+    * bounded by the calendar, not the corpus — the safe place for an
+    * all-rows window. Revenue sums in decimal (exact, engine-neutral);
+    * z rounds to absorb the engines' moment-order difference.
+    */
+  def outlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    outlierZscoreOf(Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"), $"o_totalprice"))
+  }
+
+  /** Caller-frame form over any `(day, o_totalprice)`-shaped frame. */
+  def outlierZscoreOf(daily: DataFrame, zCut: Double = 2.0): DataFrame = {
+    import daily.sparkSession.implicits._
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .groupBy($"day")
+      .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("z", round(
+        ($"revenue" - avg($"revenue").over(all)) /
+          stddev_samp($"revenue").over(all), 4))
+      .filter(abs($"z") >= zCut)
+      .select($"day", $"revenue", $"n_orders", $"z")
+      .orderBy($"day")
+  }
+
+  val outlierZscoreSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT day, revenue, n_orders,
+      |         ROUND((revenue - AVG(revenue) OVER ()) /
+      |               STDDEV_SAMP(revenue) OVER (), 4) AS z
+      |  FROM daily)
+      |SELECT day, revenue, n_orders, z FROM scored
+      |WHERE ABS(z) >= 2.0 ORDER BY day""".stripMargin
 }

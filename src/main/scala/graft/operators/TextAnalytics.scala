@@ -1001,4 +1001,149 @@ object TextAnalytics {
        |  CAST(SUM(CASE WHEN rk <= $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  CAST(SUM(CASE WHEN rk <= $cap THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
        |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_seq_pack — context-window packing accounting
+  // ---------------------------------------------------------------
+
+  /** GPT-style sequence-packing audit: concatenate each (lang, shard)
+    * document stream in doc_id order, cut it every `ctx` tokens, and
+    * account the packing per language — documents and tokens packed,
+    * context windows ("bins") consumed, padding lost in each stream's
+    * final partial bin, and documents straddling a bin boundary (the
+    * ones an attention mask must split). This is the accounting pass
+    * a training-data pipeline runs before materializing packed
+    * sequences.
+    *
+    * Scale posture (100 TB): packing is order-sequential WITHIN a
+    * stream, so the corpus is sharded into `lang × shards` independent
+    * streams first — the window's partition key. Parallelism is the
+    * stream count (shards is a capacity knob ≈ cores at bench scale,
+    * thousands in production; packing quality is shard-invariant
+    * because bins never span shards). One sort per stream, then two
+    * partial+final aggregates; no joins.
+    */
+  def seqPack(spark: SparkSession, sfDir: String,
+              ctx: Int = 512, shards: Int = 4): DataFrame =
+    seqPackOf(docs(spark, sfDir), ctx, shards)
+
+  /** Caller-frame form over any `(doc_id, text, lang)` frame. */
+  def seqPackOf(documents: DataFrame, ctx: Int = 512,
+                shards: Int = 4): DataFrame = {
+    import documents.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    documents
+      .select($"lang", $"doc_id",
+        pmod($"doc_id", lit(shards)).as("shard"),
+        size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      // a doc crosses a bin boundary iff its first and last token land
+      // in different bins of the concatenated stream
+      .withColumn("crosses",
+        when($"n_tokens" > 0 &&
+          floor(($"cum" - 1) / ctx) > floor(($"cum" - $"n_tokens") / ctx), 1L)
+          .otherwise(0L))
+      .groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("toks"),
+        sum($"crosses").as("crossers"))
+      .groupBy($"lang")
+      .agg(
+        sum($"n_docs").cast("long").as("n_docs"),
+        sum($"toks").cast("long").as("total_tokens"),
+        sum(when($"toks" > 0, floor(($"toks" - 1) / ctx) + 1).otherwise(0L))
+          .cast("long").as("n_bins"),
+        sum(when($"toks" > 0,
+          (floor(($"toks" - 1) / ctx) + 1) * ctx - $"toks").otherwise(0L))
+          .cast("long").as("pad_tokens"),
+        sum($"crossers").cast("long").as("n_boundary_docs"))
+      .orderBy($"lang")
+  }
+
+  def seqPackSql(ctx: Int = 512, shards: Int = 4): String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, doc_id % $shards AS shard,
+       |         len($tokensSql) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d),
+       |s AS (
+       |  SELECT lang, shard, COUNT(*) AS n_docs, SUM(n_tokens) AS toks,
+       |         SUM(CASE WHEN n_tokens > 0
+       |                   AND (cum - 1) // $ctx > (cum - n_tokens) // $ctx
+       |                  THEN 1 ELSE 0 END) AS crossers
+       |  FROM c GROUP BY lang, shard)
+       |SELECT lang,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN toks > 0 THEN (toks - 1) // $ctx + 1
+       |                ELSE 0 END) AS BIGINT) AS n_bins,
+       |  CAST(SUM(CASE WHEN toks > 0
+       |                THEN ((toks - 1) // $ctx + 1) * $ctx - toks
+       |                ELSE 0 END) AS BIGINT) AS pad_tokens,
+       |  CAST(SUM(crossers) AS BIGINT) AS n_boundary_docs
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_doc_chunk — overlapping token-window chunking
+  // ---------------------------------------------------------------
+
+  /** Split every document into overlapping `chunk`-token windows at
+    * `stride` steps (RAG / long-context preprocessing): chunk i of a
+    * doc covers tokens [1 + i·stride, 1 + i·stride + chunk). Emits one
+    * row per chunk with its token count and an md5 content hash —
+    * the downstream identity for chunk-level dedup and retrieval.
+    *
+    * Scale posture (100 TB): pure per-row work — tokenize once, one
+    * `explode` of the start-offset sequence (fan-out is
+    * ceil(tokens/stride), bounded by document length), codegen'd
+    * slice/join/md5 per chunk. No shuffle at all until the
+    * presentation sort; in production the sink writes chunks
+    * partition-local.
+    */
+  def docChunk(spark: SparkSession, sfDir: String,
+               chunk: Int = 64, stride: Int = 48): DataFrame =
+    docChunkOf(docs(spark, sfDir), chunk, stride)
+
+  /** Caller-frame form over any `(doc_id, text)` frame. */
+  def docChunkOf(documents: DataFrame, chunk: Int = 64,
+                 stride: Int = 48): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+      // starts 1, 1+stride, ... ≤ n (empty docs produce no chunks)
+      .select($"doc_id", $"toks",
+        explode(filter(
+          sequence(lit(1), greatest($"n", lit(1)), lit(stride)),
+          s => s <= $"n")).as("start"))
+      .select(
+        $"doc_id",
+        floor(($"start" - 1) / stride).as("chunk_idx"),
+        $"start".cast("long").as("start_tok"),
+        size(slice($"toks", $"start", lit(chunk))).cast("long")
+          .as("n_chunk_tokens"),
+        md5(array_join(slice($"toks", $"start", lit(chunk)), " ")
+          .cast("binary")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  def docChunkSql(chunk: Int = 64, stride: Int = 48): String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |x AS (SELECT doc_id, ts,
+       |             unnest(range(1, len(ts) + 1, $stride)) AS start
+       |      FROM d)
+       |SELECT doc_id,
+       |  (start - 1) // $stride AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(len(ts[start : start + ${chunk - 1}]) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  md5(list_aggregate(ts[start : start + ${chunk - 1}],
+       |      'string_agg', ' ')) AS chunk_hash
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
 }

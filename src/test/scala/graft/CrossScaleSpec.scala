@@ -30,6 +30,13 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     // quadratic across each 10× data step. The measured curve is
     // committed to PLANS.md ("Dedup scale curve").
     case class Pt(dir: String, n: Long, cands: Long, secs: Double)
+    def chainSecs(dir: String): Double = {
+      val t0 = System.nanoTime()
+      Dedup.minHashNearDups(spark, dir).count()
+      Dedup.nearDupClusters(spark, dir).count()
+      Dedup.dedupApply(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val pts = Seq("sf0.001", "sf0.01", "sf0.1").map { s =>
       val dir = s"/root/testdata/$s"
       val docs = graft.sources.Tables.documents(spark, dir)
@@ -42,11 +49,7 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
             col("ba.bsig") === col("bb.bsig") &&
             col("ba.doc_id") < col("bb.doc_id"))
         .select(col("ba.doc_id"), col("bb.doc_id")).distinct().count()
-      val t0 = System.nanoTime()
-      Dedup.minHashNearDups(spark, dir).count()
-      Dedup.nearDupClusters(spark, dir).count()
-      Dedup.dedupApply(spark, dir).count()
-      val secs = (System.nanoTime() - t0) / 1e9
+      val secs = chainSecs(dir)
       info(f"$s%-8s n=$n%6d candidates=$cands%7d chain=${secs}%.2fs")
       Pt(dir, n, cands, secs)
     }
@@ -57,13 +60,21 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
       assert(hi.cands <= 3.0 * nRatio * math.max(lo.cands, 1),
         s"${hi.dir}: candidates ${hi.cands} vs ${lo.cands} at ${lo.dir} " +
           s"grew super-linearly for a ${nRatio}× corpus step")
-      // wall time: generous 6×-linear guard — wall time is the one
-      // load-sensitive number here (the full suite runs ~20 Spark
-      // suites concurrently and can stretch the sf0.1 chain past a
-      // tighter bound), and an O(n²) chain (~100× per step) still
-      // blows straight past 6×-linear
-      assert(hi.secs <= 6.0 * nRatio * math.max(lo.secs, 0.5),
-        s"${hi.dir}: chain ${hi.secs}s vs ${lo.secs}s at ${lo.dir}")
+      // wall time: 6×-linear guard. Wall time is the one
+      // load-sensitive number here — the full suite runs ~20 Spark
+      // suites concurrently, and a transient load spike on ONE
+      // measurement trips any fixed ratio. If the first pass fails
+      // the guard, re-measure BOTH points back-to-back (warm, equal
+      // load) and judge the better pair: a genuine O(n²) chain
+      // (~100× per step) fails every pass, a load artifact doesn't.
+      def ok(loS: Double, hiS: Double) =
+        hiS <= 6.0 * nRatio * math.max(loS, 0.5)
+      val passed = ok(lo.secs, hi.secs) || {
+        val (lo2, hi2) = (chainSecs(lo.dir), chainSecs(hi.dir))
+        info(f"retry ${lo.dir}=${lo2}%.2fs ${hi.dir}=${hi2}%.2fs")
+        ok(math.min(lo.secs, lo2), math.min(hi.secs, hi2))
+      }
+      assert(passed, s"${hi.dir}: chain ${hi.secs}s vs ${lo.secs}s at ${lo.dir}")
     }
   }
 

@@ -26,4 +26,61 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(salted.collect().toSeq == plain.collect().toSeq)
     assert(salted.count() > 0)
   }
+
+  test("column profile matches direct per-column computations") {
+    import spark.implicits._
+    val prof = Relational.columnProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_returnflag", "l_linestatus"))
+    val li = Tables.lineitem(spark, sf)
+    val nRows = li.count()
+    prof.values.foreach(r => assert(r.getLong(1) == nRows))
+    // spot-check one numeric and one categorical column independently
+    val q = prof("l_quantity")
+    assert(q.getLong(2) == li.filter($"l_quantity".isNull).count())
+    assert(q.getLong(3) == li.select($"l_quantity").distinct().count())
+    val mm = li.agg(min($"l_quantity").cast("double"),
+      max($"l_quantity").cast("double")).head()
+    assert(q.getDouble(4) == mm.getDouble(0) && q.getDouble(5) == mm.getDouble(1))
+    val f = prof("l_returnflag")
+    assert(f.getLong(3) == li.select($"l_returnflag").distinct().count())
+    assert(f.isNullAt(4) && f.isNullAt(5) && f.isNullAt(6))
+    // plan shape: one moments scan + one column-pruned scan per
+    // distinct branch — and every distinct branch reads EXACTLY one
+    // column (the columnar-storage argument for the union design)
+    // sparkPlan, not executedPlan: the unexecuted AdaptiveSparkPlanExec
+    // wrapper is childless, so collectLeaves on it sees no scans
+    val leaves = Relational.columnProfile(spark, sf)
+      .queryExecution.sparkPlan.collectLeaves()
+    assert(leaves.size == 7, s"expected 1 moments + 6 distinct scans, " +
+      s"saw ${leaves.size}")
+    val oneCol = leaves.count(_.schema.fields.length == 1)
+    assert(oneCol == 6, s"distinct branches should read 1 column, " +
+      s"pruned=$oneCol of ${leaves.size}")
+  }
+
+  test("z-score outliers match an independent driver-side replay") {
+    import spark.implicits._
+    val got = Relational.outlierZscore(spark, sf)
+      .select($"day".cast("string"), $"z").as[(String, Double)]
+      .collect().toMap
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+        .as("rev"))
+      .select($"day".cast("string"), $"rev")
+      .as[(String, Double)].collect()
+    val mu = daily.map(_._2).sum / daily.length
+    val sd = math.sqrt(
+      daily.map(d => math.pow(d._2 - mu, 2)).sum / (daily.length - 1))
+    val want = daily.map { case (d, r) =>
+      d -> BigDecimal((r - mu) / sd)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter { case (_, z) => math.abs(z) >= 2.0 }.toMap
+    assert(got.keySet == want.keySet,
+      s"flagged days ${got.keySet} vs replay ${want.keySet}")
+    got.foreach { case (d, z) => assert(math.abs(z - want(d)) <= 1e-4) }
+    assert(got.nonEmpty, "sf0.001 should flag at least one outlier day")
+  }
 }

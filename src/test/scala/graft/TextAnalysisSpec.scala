@@ -265,4 +265,62 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       assert(nnz <= math.min(64L, l1) && nnz >= 1)
     }
   }
+
+  test("seq pack: bin accounting identity and shard-invariant totals") {
+    import spark.implicits._
+    val ctx = 512
+    val packed = TextAnalytics.seqPack(spark, sf, ctx, shards = 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(packed.nonEmpty)
+    // independent token mass per lang
+    val mass = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"lang")
+      .agg(sum(size(graft.functions.TextAnalysis.tokens($"text"))
+        .cast("long")).as("t"))
+      .as[(String, Long)].collect().toMap
+    packed.foreach { case (lang, nDocs, toks, bins, pad, crossers) =>
+      assert(toks == mass(lang), s"$lang token mass")
+      // every consumed bin is ctx tokens of capacity, exactly
+      assert(bins * ctx == toks + pad, s"$lang bin accounting")
+      assert(crossers >= 0 && crossers <= nDocs)
+    }
+    // sharding reorders the streams but cannot change doc/token totals,
+    // and the per-stream ceil costs at most (shards-1) extra bins
+    val one = TextAnalytics.seqPack(spark, sf, ctx, shards = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    packed.foreach { case (lang, nDocs, toks, bins, _, _) =>
+      val (_, nDocs1, toks1, bins1, _, _) = one(lang)
+      assert(nDocs == nDocs1 && toks == toks1)
+      assert(bins >= bins1 && bins <= bins1 + 3, s"$lang bins $bins vs $bins1")
+    }
+  }
+
+  test("doc chunk: hand-computed windows and corpus ceil identity") {
+    import spark.implicits._
+    // 150 known tokens, chunk 64 / stride 48 → starts 1,49,97,145
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val rows = TextAnalytics.docChunkOf(
+      Seq((1L, text)).toDF("doc_id", "text"), chunk = 64, stride = 48)
+      .select($"chunk_idx", $"start_tok", $"n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((0L, 1L, 64L), (1L, 49L, 64L), (2L, 97L, 54L),
+      (3L, 145L, 6L)))
+    // real corpus: chunks per doc == ceil(tokens/stride); final chunk
+    // reaches exactly the last token
+    val byDoc = TextAnalytics.docChunk(spark, sf)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max($"start_tok" + $"n_chunk_tokens" - 1).as("last_tok"))
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.TextAnalysis.tokens($"text"))
+        .cast("long").as("n"))
+    val joined = byDoc.join(toks, "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (doc, nChunks, lastTok, n) =>
+      assert(nChunks == (n + 47) / 48, s"doc $doc chunk count")
+      assert(lastTok == n, s"doc $doc coverage")
+    }
+  }
 }
