@@ -132,6 +132,12 @@ object Graft {
   def knn(embeddings: DataFrame, numProbes: Int = 5, k: Int = 10): DataFrame =
     operators.Similarity.knnExactOf(embeddings, numProbes, k)
 
+  /** Two-stage ANN: int8 scalar-quantized corpus scan (top k·refine
+    * by integer dot product), exact cosine re-rank of the survivors. */
+  def knnQuantized(embeddings: DataFrame, numProbes: Int = 5, k: Int = 10,
+                   refine: Int = 4): DataFrame =
+    operators.Similarity.knnSqOf(embeddings, numProbes, k, refine)
+
   // -- clustering over (vec_id, embedding) frames ------------------
 
   /** Distributed Lloyd's k-means over raw embeddings; returns the

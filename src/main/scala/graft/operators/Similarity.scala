@@ -425,5 +425,90 @@ object Similarity {
        |)
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_knn_sq — int8 scalar-quantized scan + exact re-rank
+  // ---------------------------------------------------------------
+
+  /** Symmetric int8 scalar quantization: unit-normalized components
+    * lie in [-1, 1], so `round(x·127)` is an exact int8 code. The
+    * integer-valued codes make the approximate score
+    * `Σ qa·qb / 127²` ENGINE-EXACT (integer arithmetic in double
+    * carriers), which keeps the candidate set differential-checkable. */
+  private def quantize(v: Column): Column = transform(v, x => round(x * 127))
+
+  /** Two-stage ANN, the quantization tier every production vector
+    * store ships: (1) scan the int8-coded corpus for each probe's
+    * top `k·refine` by approximate integer dot product, (2) re-rank
+    * only those candidates with the exact double cosine.
+    *
+    * Scale posture (100 TB): stage 1 is the only corpus-wide pass and
+    * it reads CODES — 4× less I/O than f32 vectors (the stored form
+    * would be `array<tinyint>`; the arithmetic here runs in exact
+    * integer-valued doubles so the oracle can replay it). Stage 2
+    * re-fetches full vectors for only probes×k·refine ids — a narrow
+    * equi-join. Same broadcast-probes / per-probe-heap shape as
+    * [[knnExact]], with the heavy scan on the small representation. */
+  def knnSq(spark: SparkSession, sfDir: String,
+            numProbes: Int = 5, k: Int = 10, refine: Int = 4): DataFrame =
+    knnSqNormed(embNormed(spark, sfDir), numProbes, k, refine)
+
+  /** [[knnSq]] over any embeddings frame (normalizes inline). */
+  def knnSqOf(embeddings: DataFrame, numProbes: Int = 5, k: Int = 10,
+              refine: Int = 4): DataFrame =
+    knnSqNormed(normalizeOf(embeddings), numProbes, k, refine)
+
+  private def knnSqNormed(e: DataFrame, numProbes: Int, k: Int,
+                          refine: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val q = e.select($"vec_id", quantize($"v").as("q"))
+    val probesQ = q.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"q".as("pq"))
+    // stage 1: approximate top k·refine per probe over the coded corpus
+    val cands = q.join(broadcast(probesQ), $"vec_id" =!= $"probe_id")
+      .withColumn("approx", dot($"q", $"pq"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"approx".desc, $"vec_id")))
+      .filter($"arn" <= k * refine)
+      .select($"probe_id", $"vec_id")
+    // stage 2: exact re-rank of the candidate ids only
+    val probesV = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    cands
+      .join(e, "vec_id")
+      .join(broadcast(probesV), "probe_id")
+      .withColumn("cosine", round(dot($"v", $"pv"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  def knnSqSql(numProbes: Int = 5, k: Int = 10, refine: Int = 4): String =
+    s"""WITH e AS ($embNormedSql),
+       |q AS (SELECT vec_id, list_transform(v, x -> round(x * 127)) AS q FROM e),
+       |pq AS (SELECT vec_id AS probe_id, q AS pq FROM q WHERE vec_id < $numProbes),
+       |cands AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |             ORDER BY list_dot_product(q.q, pq.pq) DESC, vec_id) AS arn
+       |    FROM q, pq WHERE vec_id <> probe_id)
+       |  WHERE arn <= ${k * refine}
+       |), pv AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
+       |ranked AS (
+       |  SELECT c.probe_id, c.vec_id,
+       |         round(list_dot_product(e.v, pv.pv), 6) AS cosine,
+       |         row_number() OVER (PARTITION BY c.probe_id
+       |           ORDER BY round(list_dot_product(e.v, pv.pv), 6) DESC, c.vec_id) AS rank
+       |  FROM cands c
+       |  JOIN e ON e.vec_id = c.vec_id
+       |  JOIN pv ON pv.probe_id = c.probe_id
+       |)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
 }
 

@@ -109,4 +109,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .select($"probe_id", $"vec_id").distinct().count()
     assert(nCand * 2 < n * 20, s"candidates $nCand not bounded vs ${n * 20} brute")
   }
+
+  test("SQ top-k: int8-exact codes, high recall, exact re-rank scores") {
+    import spark.implicits._
+    val k = 10
+    val sq = Similarity.knnSq(spark, sf, k = k)
+      .select($"probe_id", $"neighbor_id", $"cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.knnExact(spark, sf, k = k)
+      .select($"probe_id", $"neighbor_id", $"cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 127-level codes on 64 dims + 4x re-rank headroom: near-exact
+    val recall = sq.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ recall $recall vs exact top-$k")
+    // any pair both return carries the IDENTICAL exact cosine — the
+    // re-rank stage scores with full vectors, not codes
+    sq.keySet.intersect(exact.keySet).foreach { p =>
+      assert(sq(p) == exact(p), s"pair $p: ${sq(p)} vs ${exact(p)}")
+    }
+    // every code is an exact int8: integral and within [-127, 127]
+    val codes = graft.operators.Similarity.normalizeOf(
+      graft.sources.Tables.embeddings(spark, sf))
+      .select(explode(transform($"v", x => round(x * 127))).as("c"))
+      .agg(max(abs($"c")).as("mx"),
+        sum(when($"c" =!= floor($"c"), 1).otherwise(0)).as("frac"))
+      .head()
+    assert(codes.getDouble(0) <= 127.0 && codes.getLong(1) == 0L)
+  }
 }
