@@ -99,6 +99,12 @@ object Graft {
                      categoricalCols: Seq[String] = Nil): DataFrame =
     operators.Relational.columnProfileOf(df, numericCols, categoricalCols)
 
+  /** SCD type-2 history build from an append-only `(key, ts, seq,
+    * attr)` change log: one version row per change with
+    * [valid_from, valid_to) validity and an is_current flag. */
+  def scd2History(changes: DataFrame): DataFrame =
+    operators.TimeSeries.scd2Of(changes)
+
   /** Daily calendar gap-fill + forward fill over `(user_id, ts,
     * value)`; each key expands only to its OWN [min, max] span. */
   def gapFillDaily(events: DataFrame): DataFrame =

@@ -145,4 +145,59 @@ object TimeSeries {
       | AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
       |WHERE o.o_orderpriority = '1-URGENT' AND l.l_suppkey <= 2
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_scd2 — slowly-changing-dimension (type 2) history build
+  // ---------------------------------------------------------------
+
+  /** Build SCD type-2 version history from an append-only change
+    * stream: each change to a key opens a new version row whose
+    * validity interval [valid_from, valid_to) closes when the NEXT
+    * change arrives; the last version per key stays open
+    * (valid_to NULL, is_current true). The history-keeping complement
+    * to [[Relational.applyChanges]], which maintains only the latest
+    * snapshot.
+    *
+    * Scale posture: ONE shuffle — the per-key window (row_number +
+    * lead share a single partition+sort). No joins, no global state;
+    * at 100 TB this is the textbook "windows over the change log"
+    * dimension build, and the sink would write partitioned by
+    * is_current so current-version reads never scan history.
+    */
+  def scd2(spark: SparkSession, sfDir: String, maxUser: Long = 30L): DataFrame =
+    scd2Of(Tables.events(spark, sfDir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("seq"), col("event_type").as("attr")))
+
+  /** Caller-frame form over any `(key, ts, seq, attr)` change log
+    * (`seq` breaks same-timestamp ties deterministically). */
+  def scd2Of(changes: DataFrame): DataFrame = {
+    import changes.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"ts", $"seq")
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .select(
+        $"key", $"version", $"attr",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format($"next_ts", "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        $"next_ts".isNull.as("is_current"))
+      .orderBy($"key", $"version")
+  }
+
+  def scd2Sql(maxUser: Long = 30L): String =
+    s"""WITH s AS (
+       |  SELECT user_id AS key, ts, event_id AS seq, event_type AS attr
+       |  FROM events WHERE user_id < $maxUser)
+       |SELECT key,
+       |  CAST(row_number() OVER w AS BIGINT) AS version,
+       |  attr,
+       |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+       |  strftime(CAST(lead(ts) OVER w AS TIMESTAMP),
+       |           '%Y-%m-%d %H:%M:%S') AS valid_to,
+       |  lead(ts) OVER w IS NULL AS is_current
+       |FROM s WINDOW w AS (PARTITION BY key ORDER BY ts, seq)
+       |ORDER BY key, version""".stripMargin
 }

@@ -90,4 +90,32 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(b50 && b95 && lo50 && lo95, s"bracket violated for $p")
     }
   }
+
+  test("scd2: versions chain gaplessly, exactly one open row per key") {
+    import spark.implicits._
+    val hist = TimeSeries.scd2(spark, sf)
+      .select($"key", $"version", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Long, String, Option[String], Boolean)].collect()
+      .groupBy(_._1)
+    assert(hist.nonEmpty)
+    val nChanges = Tables.events(spark, sf).filter($"user_id" < 30).count()
+    assert(hist.values.map(_.length.toLong).sum == nChanges,
+      "one version row per change")
+    hist.foreach { case (key, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      // versions are 1..n with no gaps
+      assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq, s"key $key")
+      // exactly the last row is open/current; all others closed
+      rows.zipWithIndex.foreach { case ((_, _, _, to, cur), i) =>
+        val last = i == rows.length - 1
+        assert(cur == last && to.isEmpty == last, s"key $key v${i + 1}")
+      }
+      // each closed interval's end == the next version's start
+      rows.sliding(2).foreach {
+        case Array((_, _, _, Some(to), _), (_, _, from, _, _)) =>
+          assert(to == from, s"key $key interval chain broken")
+        case _ =>
+      }
+    }
+  }
 }
