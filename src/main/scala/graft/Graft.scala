@@ -85,6 +85,11 @@ object Graft {
                 stride: Int = 48): DataFrame =
     operators.TextAnalytics.docChunkOf(docs, chunk, stride)
 
+  /** BPE tokenizer training, `steps` merge rounds over the corpus's
+    * word-frequency dictionary → the `(step, pair, freq)` merge table. */
+  def bpeMerges(docs: DataFrame, steps: Int = 3): DataFrame =
+    operators.TextAnalytics.bpeTrainOf(docs, steps)
+
   // -- relational / time-series over caller frames ------------------
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on

@@ -943,6 +943,85 @@ object TextAnalytics {
        |GROUP BY pair ORDER BY n DESC, pair LIMIT $topN""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_bpe_train — driver-coordinated BPE merge loop
+  // ---------------------------------------------------------------
+
+  /** ACTUAL BPE training, `steps` merge rounds deep (the iterative
+    * loop [[bpePairStats]] is one round of): count weighted symbol
+    * pairs over the word-frequency dictionary, merge the argmax pair
+    * corpus-wide, recount. Returns the merge table
+    * `(step, pair, freq)` — the model a BPE tokenizer ships.
+    *
+    * Symbols ride as space-joined strings with sentinel spaces, so a
+    * merge is ONE literal `replace(' a b ' → ' ab ')`: left-to-right
+    * non-overlapping in both engines, which IS greedy BPE merge
+    * semantics on runs like `a a a`.
+    *
+    * Scale posture: BPE trains on the (word, freq) dictionary, never
+    * the corpus — one corpus shuffle builds the dict (vocabulary-
+    * bounded), then each round is a dict-sized pair count
+    * (partial+final sum) plus a 1-row argmax collect. Driver state is
+    * `steps` strings (the k-means centroid precedent). The oracle
+    * replays the identical loop as chained CTEs. */
+  def bpeTrain(spark: SparkSession, sfDir: String, steps: Int = 3): DataFrame =
+    bpeTrainOf(docs(spark, sfDir), steps)
+
+  /** Caller-frame form over any `(text)` -bearing frame. */
+  def bpeTrainOf(documents: DataFrame, steps: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dict = documents
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), array_join(split($"term", ""), " "), lit(" "))
+        .as("s"), $"freq")
+    var cur = dict.cache()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to steps) {
+      val top = cur
+        .select(explode(shingles(split(trim($"s"), " "), 2)).as("pair"), $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("c"))
+        .orderBy($"c".desc, $"pair").limit(1)
+        .head()
+      val (pair, c) = (top.getString(0), top.getLong(1))
+      merges += ((step.toLong, pair, c))
+      cur = cur.select(
+        replace($"s", lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))
+          .as("s"), $"freq")
+    }
+    cur.unpersist()
+    merges.result().toDF("step", "pair", "freq").orderBy($"step")
+  }
+
+  def bpeTrainSql(steps: Int = 3): String = {
+    val head =
+      s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
+         |dict AS (SELECT term, COUNT(*) AS freq FROM terms GROUP BY term),
+         |d0 AS (SELECT ' ' || list_aggregate(string_split(term, ''),
+         |                                    'string_agg', ' ') || ' ' AS s,
+         |              freq
+         |       FROM dict)""".stripMargin
+    val rounds = (1 to steps).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, SUM(freq) AS c FROM (
+         |    SELECT unnest([ts[j] || ' ' || ts[j+1]
+         |                   for j in range(1, len(ts))]) AS pair, freq
+         |    FROM (SELECT string_split(trim(s), ' ') AS ts, freq FROM d${i - 1}))
+         |  GROUP BY pair),
+         |t$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |d$i AS (SELECT replace(s,
+         |          ' ' || (SELECT pair FROM t$i) || ' ',
+         |          ' ' || (SELECT replace(pair, ' ', '') FROM t$i) || ' ') AS s,
+         |        freq FROM d${i - 1})""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val out = (1 to steps)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, " +
+        s"CAST(c AS BIGINT) AS freq FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"$head$rounds\n$out\nORDER BY step"
+  }
+
+  // ---------------------------------------------------------------
   // llm_pii_redact — pattern scrub with per-language accounting
   // ---------------------------------------------------------------
 

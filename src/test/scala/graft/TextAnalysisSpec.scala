@@ -266,6 +266,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpe train: step 1 == pair-stats argmax, freqs non-increasing") {
+    import spark.implicits._
+    val merges = TextAnalytics.bpeTrain(spark, sf, steps = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(merges.length == 3)
+    // round 1 maximizes exactly the statistic bpePairStats reports
+    val top1 = TextAnalytics.bpePairStats(spark, sf, topN = 1)
+      .as[(String, Long)].head()
+    assert((merges(0)._2, merges(0)._3) == top1)
+    // a later round's max can never exceed an earlier one's (merged
+    // symbols inherit at most their constituents' counts), and no
+    // pair is ever selected twice (it no longer exists once merged)
+    merges.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"freq grew: $a -> $b")
+    }
+    assert(merges.map(_._2).distinct.length == 3)
+    // every selected pair is two space-joined non-empty symbols
+    merges.foreach { case (_, p, _) =>
+      assert(p.split(" ").count(_.nonEmpty) == 2, s"malformed pair '$p'")
+    }
+  }
+
   test("seq pack: bin accounting identity and shard-invariant totals") {
     import spark.implicits._
     val ctx = 512
