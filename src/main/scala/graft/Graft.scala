@@ -90,6 +90,11 @@ object Graft {
   def bpeMerges(docs: DataFrame, steps: Int = 3): DataFrame =
     operators.TextAnalytics.bpeTrainOf(docs, steps)
 
+  /** Encode the corpus with `steps` trained BPE merges and report
+    * the compression (symbols before/after, avg symbols per word). */
+  def bpeEncodeStats(docs: DataFrame, steps: Int = 3): DataFrame =
+    operators.TextAnalytics.bpeEncodeOf(docs, steps)
+
   // -- relational / time-series over caller frames ------------------
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on

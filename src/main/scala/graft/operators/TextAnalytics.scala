@@ -993,7 +993,59 @@ object TextAnalytics {
     merges.result().toDF("step", "pair", "freq").orderBy($"step")
   }
 
-  def bpeTrainSql(steps: Int = 3): String = {
+  /** Encode with the trained merges: apply the `steps` learned
+    * replaces to the weighted dictionary and account the compression
+    * — total symbols before/after and the per-word average. The
+    * encode path a tokenizer runs over every shard at scale: train
+    * once (driver collects `steps` strings), then encoding is pure
+    * per-row scalar work — `steps` literal replaces, no joins, one
+    * final partial+final aggregate. */
+  def bpeEncode(spark: SparkSession, sfDir: String, steps: Int = 3): DataFrame =
+    bpeEncodeOf(docs(spark, sfDir), steps)
+
+  /** Caller-frame form over any `(text)`-bearing frame. */
+  def bpeEncodeOf(documents: DataFrame, steps: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val merges = bpeTrainOf(documents, steps)
+      .select($"pair").as[String].collect()
+    val dict = documents
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), array_join(split($"term", ""), " "), lit(" "))
+        .as("s"), $"freq")
+    val encoded = merges.foldLeft(dict) { (df, pair) =>
+      df.withColumn("s",
+        replace($"s", lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")))
+    }
+    encoded
+      .select($"freq",
+        size(split(trim($"s"), " ")).cast("long").as("n_sym"),
+        length(regexp_replace(trim($"s"), " ", "")).cast("long").as("n_chars"))
+      .agg(
+        sum($"freq" * $"n_chars").cast("long").as("symbols_before"),
+        sum($"freq" * $"n_sym").cast("long").as("symbols_after"),
+        round(sum($"freq" * $"n_sym") / sum($"freq").cast("double"), 6)
+          .as("avg_symbols_per_word"))
+  }
+
+  def bpeEncodeSql(steps: Int = 3): String = {
+    val chain = bpeChainSql(steps)
+    s"""$chain
+       |SELECT
+       |  CAST(SUM(freq * len(replace(trim(s), ' ', ''))) AS BIGINT)
+       |    AS symbols_before,
+       |  CAST(SUM(freq * len(string_split(trim(s), ' '))) AS BIGINT)
+       |    AS symbols_after,
+       |  ROUND(SUM(freq * len(string_split(trim(s), ' ')))
+       |        / CAST(SUM(freq) AS DOUBLE), 6) AS avg_symbols_per_word
+       |FROM d$steps""".stripMargin
+  }
+
+  /** The shared training chain: CTEs `d0..d$steps` (dictionary
+    * strings after each merge) and `t1..t$steps` (each round's argmax
+    * pair + weighted count). */
+  private def bpeChainSql(steps: Int): String = {
     val head =
       s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
          |dict AS (SELECT term, COUNT(*) AS freq FROM terms GROUP BY term),
@@ -1014,11 +1066,15 @@ object TextAnalytics {
          |          ' ' || (SELECT replace(pair, ' ', '') FROM t$i) || ' ') AS s,
          |        freq FROM d${i - 1})""".stripMargin
     }.mkString(",\n", ",\n", "")
+    s"$head$rounds"
+  }
+
+  def bpeTrainSql(steps: Int = 3): String = {
     val out = (1 to steps)
       .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, " +
         s"CAST(c AS BIGINT) AS freq FROM t$i")
       .mkString("\nUNION ALL\n")
-    s"$head$rounds\n$out\nORDER BY step"
+    s"${bpeChainSql(steps)}\n$out\nORDER BY step"
   }
 
   // ---------------------------------------------------------------

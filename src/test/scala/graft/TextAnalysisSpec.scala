@@ -288,6 +288,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpe encode: char mass preserved, reduction bounded by merge counts") {
+    import spark.implicits._
+    val (before, after, avg) = TextAnalytics.bpeEncode(spark, sf, steps = 3)
+      .as[(Long, Long, Double)].head()
+    // merging never changes characters, only groups them
+    val chars = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextAnalysis.tokens($"text")).as("t"))
+      .agg(sum(length($"t")).cast("long")).as[Long].head()
+    assert(before == chars, s"char mass $before vs corpus $chars")
+    // each replace removes exactly one symbol per merged occurrence;
+    // greedy overlap means replaces <= the selected pair's count
+    val maxReduction = TextAnalytics.bpeTrain(spark, sf, steps = 3)
+      .agg(sum($"freq")).as[Long].head()
+    assert(after < before && after >= before - maxReduction,
+      s"after=$after before=$before maxReduction=$maxReduction")
+    val nWords = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextAnalysis.tokens($"text")))
+      .count()
+    assert(math.abs(avg - after.toDouble / nWords) < 1e-5)
+  }
+
   test("seq pack: bin accounting identity and shard-invariant totals") {
     import spark.implicits._
     val ctx = 512
