@@ -46,6 +46,39 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(r.keySet == Set("x", "y") && r.values.forall(v => math.abs(v - 0.075) < 1e-9))
   }
 
+  test("round-5 batch-3 operators degrade on empty/trivial inputs") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    assert(graft.operators.TextAnalytics.seqPackOf(noDocs).count() == 0)
+    assert(graft.operators.TextAnalytics
+      .docChunkOf(noDocs.select($"doc_id", $"text")).count() == 0)
+    // a doc with NO tokens produces no chunks but still packs (0 bins)
+    val punct = Seq((1L, "!!! ...", "en")).toDF("doc_id", "text", "lang")
+    assert(graft.operators.TextAnalytics
+      .docChunkOf(punct.select($"doc_id", $"text")).count() == 0)
+    val packed = graft.operators.TextAnalytics.seqPackOf(punct)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(packed == (("en", 1L, 0L, 0L, 0L, 0L)))
+    // SCD2 over an empty change log / a single change
+    val noChanges = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("key", "ts", "seq", "attr")
+    assert(graft.operators.TimeSeries.scd2Of(noChanges).count() == 0)
+    val one = Seq((7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"))
+      .toDF("key", "ts", "seq", "attr")
+    val row = graft.operators.TimeSeries.scd2Of(one)
+      .select($"version", $"valid_to".isNull, $"is_current").head()
+    assert((row.getLong(0), row.getBoolean(1), row.getBoolean(2))
+      == ((1L, true, true)))
+    // profiling an all-null column reports n distinct = 0, null moments
+    val nulls = Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
+      .toDF("v", "s")
+    val prof = graft.operators.Relational
+      .columnProfileOf(nulls, Seq("v"), Nil).head()
+    assert(prof.getLong(2) == 2L && prof.getLong(3) == 0L && prof.isNullAt(4))
+  }
+
   test("title query over an empty movies frame is empty, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, Seq[String])].toDF("id", "title", "actors")
