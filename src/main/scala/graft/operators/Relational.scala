@@ -1232,6 +1232,43 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // rel_histogram — equi-width distribution binning
+  // ---------------------------------------------------------------
+
+  /** Equi-width histogram of order totals: `bins` buckets spanning
+    * [min, max], top bucket closed. Two passes by necessity (bounds,
+    * then binning) but the first collapses to ONE row — broadcast
+    * back into the scan-side projection, so the corpus is read twice
+    * and shuffled never (the bin aggregate is `bins`-ary). All bucket
+    * arithmetic is IEEE double ops on identical inputs, so bucket
+    * assignment is engine-exact. */
+  def histogram(spark: SparkSession, sfDir: String, bins: Int = 20): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val bounds = o.agg(min($"o_totalprice").as("lo"),
+      max($"o_totalprice").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / bins)),
+          lit(bins - 1L)).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("bucket_total"))
+      .orderBy($"bucket")
+  }
+
+  def histogramSql(bins: Int = 20): String =
+    s"""WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       |           FROM orders)
+       |SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / $bins))
+       |                  AS BIGINT), ${bins - 1}) AS bucket,
+       |  COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS bucket_total
+       |FROM orders, b
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_outlier_zscore — global-moment anomaly flagging
   // ---------------------------------------------------------------
 

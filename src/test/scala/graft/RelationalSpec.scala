@@ -60,6 +60,28 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       s"pruned=$oneCol of ${leaves.size}")
   }
 
+  test("histogram: counts conserve, buckets within range, mass in bounds") {
+    import spark.implicits._
+    val bins = Relational.histogram(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val o = Tables.orders(spark, sf)
+    assert(bins.map(_._2).sum == o.count(), "every order lands in a bucket")
+    assert(bins.forall(b => b._1 >= 0 && b._1 < 20))
+    val total = o.agg(sum($"o_totalprice".cast("decimal(18,2)"))
+      .cast("double")).as[Double].head()
+    assert(math.abs(bins.map(_._3).sum - total) < 1e-6)
+    // equi-width: bucket k's orders all cost within [lo+k*w, lo+(k+1)*w]
+    val mm = o.agg(min($"o_totalprice"), max($"o_totalprice")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val w = (hi - lo) / 20
+    val viol = o.withColumn("b",
+      least(floor(($"o_totalprice" - lo) / w), lit(19L)))
+      .filter($"o_totalprice" < lit(lo) + $"b" * w - 1e-9 ||
+        $"o_totalprice" > lit(lo) + ($"b" + 1) * w + 1e-9)
+      .count()
+    assert(viol == 0)
+  }
+
   test("z-score outliers match an independent driver-side replay") {
     import spark.implicits._
     val got = Relational.outlierZscore(spark, sf)
