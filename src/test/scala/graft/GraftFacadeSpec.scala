@@ -129,4 +129,52 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     val fp = Graft.winnowFingerprints(docs).as[(Long, Long, Long, Long)].collect()
     assert(fp.length == 2 && fp.forall(_._2 >= 1))
   }
+
+  test("round-5 batch-3 facade entries run on caller frames") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val docs = Seq(
+      (1L, "aa bb aa bb cc", "en"),
+      (2L, "aa bb aa", "en"),
+      (3L, "dd ee dd ee dd", "de")).toDF("doc_id", "text", "lang")
+    // packing: 5+3 en tokens in ctx=4 bins; token mass conserved
+    val pack = Graft.seqPackStats(docs, ctx = 4, shards = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(pack("en")._3 == 8 && pack("de")._3 == 5)
+    assert(pack("en")._4 * 4 == pack("en")._3 + pack("en")._5)
+    // chunking: doc 1 has 5 tokens -> chunks at 1 and 4 (stride 3)
+    val ch = Graft.docChunks(docs.select($"doc_id", $"text"),
+      chunk = 4, stride = 3)
+      .filter($"doc_id" === 1L).select($"start_tok", $"n_chunk_tokens")
+      .as[(Long, Long)].collect().toSeq
+    assert(ch == Seq((1L, 4L), (4L, 2L)))
+    // profiling on an arbitrary frame
+    val prof = Graft.profileColumns(
+      Seq((1.0, "a"), (2.0, "b")).toDF("v", "s"), Seq("v"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prof == Map("v" -> 2L, "s" -> 2L))
+    // SCD2 over a caller change log
+    val hist = Graft.scd2History(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "b"))
+      .toDF("key", "ts", "seq", "attr"))
+      .select($"version", $"attr", $"is_current")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(hist == Seq((1L, "a", false), (2L, "b", true)))
+    // quantized knn ~ exact knn on a trivially separable frame
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Graft.knnQuantized(emb, numProbes = 1, k = 2)
+      .collect().map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    // BPE: 'aa' repeated most -> first merge is its char pair; encode
+    // then spends one symbol less per merged occurrence
+    val merges = Graft.bpeMerges(docs, steps = 1)
+      .as[(Long, String, Long)].collect()
+    assert(merges.head._2 == "a a" && merges.head._3 == 4L)
+    val enc = Graft.bpeEncodeStats(docs, steps = 1)
+      .as[(Long, Long, Double)].head()
+    assert(enc._1 == 26L && enc._2 == 26L - 4L)
+  }
 }
