@@ -975,7 +975,8 @@ object TextAnalytics {
       .groupBy($"term").agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "), array_join(split($"term", ""), " "), lit(" "))
         .as("s"), $"freq")
-    var cur = dict.cache()
+    val cachedDict = dict.cache()
+    var cur = cachedDict
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (step <- 1 to steps) {
       val top = cur
@@ -989,7 +990,9 @@ object TextAnalytics {
         replace($"s", lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))
           .as("s"), $"freq")
     }
-    cur.unpersist()
+    // unpersist the frame that was actually cached — `cur` has been
+    // reassigned to an uncached derivative, where unpersist is a no-op
+    cachedDict.unpersist()
     merges.result().toDF("step", "pair", "freq").orderBy($"step")
   }
 
