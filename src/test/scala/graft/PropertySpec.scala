@@ -168,4 +168,39 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         2L * keys.size)
     }
   }
+
+  test("round-5 batch-3 operators are invariant under repartitioning") {
+    import spark.implicits._
+    // every one of these derives its answer from values alone (window
+    // orders end in unique keys, aggregates are partial+final, BPE
+    // merges from deterministic argmax), so any partition layout must
+    // give byte-identical results — local[4] == a 1000-executor plan
+    val docs = (1L to 30L).map { i =>
+      (i, (1L to (i % 7) + 2).map(j => s"w${(i + j) % 9}").mkString(" "),
+        if (i % 3 == 0) "de" else "en")
+    }.toDF("doc_id", "text", "lang")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    for (parts <- Seq(1, 13)) {
+      val dp = docs.repartition(parts)
+      assert(rows(graft.operators.TextAnalytics.seqPackOf(dp, ctx = 8)) ==
+        rows(graft.operators.TextAnalytics.seqPackOf(docs, ctx = 8)))
+      assert(rows(graft.operators.TextAnalytics.docChunkOf(
+        dp.select($"doc_id", $"text"), chunk = 4, stride = 3)) ==
+        rows(graft.operators.TextAnalytics.docChunkOf(
+          docs.select($"doc_id", $"text"), chunk = 4, stride = 3)))
+      assert(rows(graft.operators.TextAnalytics.bpeTrainOf(dp, steps = 2)) ==
+        rows(graft.operators.TextAnalytics.bpeTrainOf(docs, steps = 2)))
+      assert(rows(graft.operators.Relational.columnProfileOf(
+        dp, Seq("doc_id"), Seq("lang"))) ==
+        rows(graft.operators.Relational.columnProfileOf(
+          docs, Seq("doc_id"), Seq("lang"))))
+    }
+    import java.sql.Timestamp
+    val changes = (1L to 40L).map { i =>
+      (i % 6, new Timestamp(86400000L * (i / 6 + 1)), i, s"a${i % 4}")
+    }.toDF("key", "ts", "seq", "attr")
+    val h1 = rows(graft.operators.TimeSeries.scd2Of(changes.repartition(1)))
+    val h13 = rows(graft.operators.TimeSeries.scd2Of(changes.repartition(13)))
+    assert(h1 == h13 && h1.nonEmpty)
+  }
 }
