@@ -95,6 +95,13 @@ object Graft {
   def bpeEncodeStats(docs: DataFrame, steps: Int = 3): DataFrame =
     operators.TextAnalytics.bpeEncodeOf(docs, steps)
 
+  /** Deterministic content-hash train/val/test split accounting —
+    * reproducible under resharding/incremental growth, and exact dups
+    * can never straddle the train/eval boundary. */
+  def corpusSplit(docs: DataFrame, trainPct: Int = 80,
+                  valPct: Int = 10): DataFrame =
+    operators.TextAnalytics.corpusSplitOf(docs, trainPct, valPct)
+
   // -- relational / time-series over caller frames ------------------
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on

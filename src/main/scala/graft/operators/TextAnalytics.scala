@@ -1141,6 +1141,53 @@ object TextAnalytics {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_split — deterministic train/val/test assignment
+  // ---------------------------------------------------------------
+
+  /** Hash-based corpus split (80/10/10 by default): each doc lands in
+    * exactly one of train/val/test by its salted content hash — the
+    * assignment every training pipeline needs to be REPRODUCIBLE
+    * (re-running on a re-sharded or incrementally grown corpus keeps
+    * every old doc's split), and content-keyed so byte-identical dups
+    * can never straddle the train/eval boundary. Reports per (split,
+    * lang) doc and token counts.
+    *
+    * Scale: one scan, per-row salted-md5 scalar (codegen'd), one
+    * partial+final aggregate on the 15-ary (split, lang) key. */
+  def corpusSplit(spark: SparkSession, sfDir: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    corpusSplitOf(docs(spark, sfDir), trainPct, valPct)
+
+  /** Caller-frame form over any `(text, lang)`-bearing frame. */
+  def corpusSplitOf(documents: DataFrame, trainPct: Int = 80,
+                    valPct: Int = 10): DataFrame = {
+    import documents.sparkSession.implicits._
+    val h = pmod(md5i32($"text", 17), lit(100))
+    documents
+      .withColumn("split",
+        when(h < trainPct, "train")
+          .when(h < trainPct + valPct, "val")
+          .otherwise("test"))
+      .withColumn("n_tokens", size(tokens($"text")).cast("long"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  def corpusSplitSql(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH d AS (
+       |  SELECT lang, len($tokensSql) AS n_tokens,
+       |         ${md5i32Sql("text", 17)} % 100 AS h
+       |  FROM documents)
+       |SELECT CASE WHEN h < $trainPct THEN 'train'
+       |            WHEN h < ${trainPct + valPct} THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_seq_pack — context-window packing accounting
   // ---------------------------------------------------------------
 

@@ -266,6 +266,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("corpus split: partition of the corpus, stable under growth") {
+    import spark.implicits._
+    val splits = TextAnalytics.corpusSplit(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(splits.map(_._3).sum == total, "every doc in exactly one split")
+    assert(splits.map(_._1).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // content-keyed: growing the corpus never reassigns an old doc
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"text", $"lang")
+    def assign(d: org.apache.spark.sql.DataFrame) =
+      TextAnalytics.corpusSplitOf(d)
+        .as[(String, String, Long, Long)].collect().toSet
+    val half = docs.filter(graft.functions.Hashing.md5i32($"text", 3) % 2 === 0)
+    val fromHalf = assign(half)
+    val fromAll = assign(docs)
+    // per-(split, lang) counts over the half-corpus are bounded by the
+    // full corpus's (a doc's split never depends on the other docs)
+    fromHalf.foreach { case (s, l, n, _) =>
+      val full = fromAll.find(r => r._1 == s && r._2 == l)
+      assert(full.exists(_._3 >= n), s"($s, $l) shrank when corpus grew")
+    }
+  }
+
   test("bpe train: step 1 == pair-stats argmax, freqs non-increasing") {
     import spark.implicits._
     val merges = TextAnalytics.bpeTrain(spark, sf, steps = 3)
