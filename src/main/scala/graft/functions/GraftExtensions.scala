@@ -14,9 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (or `spark.sql.extensions=graft.functions.GraftExtensions`) can
   * call them from SQL — `SELECT dot_product(a, b)` — as well as from
   * the typed Column API ([[VectorExpressions.dot_product]]).
+  *
+  * Also registers the whole-operator tier: the
+  * [[graft.plans.RowNumberTopKRewrite]] optimizer rule upgrades plain
+  * `row_number() <= k` window-filter SQL to the native heap-based
+  * [[graft.plans.TopKPerKey]] plan, and the matching planner strategy
+  * makes the logical node executable.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

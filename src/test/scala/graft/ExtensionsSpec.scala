@@ -47,4 +47,75 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("optimizer rule upgrades row_number()<=k SQL to the native top-k") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-rule-test")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.adaptive.enabled", "false") // stable plan tree
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      Seq(("a", 5L, 1), ("a", 1L, 2), ("a", 9L, 3), ("a", 7L, 4),
+        ("b", 2L, 5), ("c", 3L, 6), ("c", 4L, 7), ("c", 8L, 8))
+        .toDF("k", "v", "id").createOrReplaceTempView("t")
+      val q = spark.sql(
+        """SELECT k, v FROM (
+          |  SELECT k, v, row_number() OVER
+          |    (PARTITION BY k ORDER BY v DESC, id) AS rn FROM t)
+          |WHERE rn <= 2 ORDER BY k, v DESC""".stripMargin)
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec => t
+      }.nonEmpty, s"rewrite did not fire:\n$plan")
+      assert(plan.collectFirst {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"WindowExec survived the rewrite:\n$plan")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 9L), ("a", 7L), ("b", 2L), ("c", 8L), ("c", 4L)))
+      // residual conjunct rides above the operator, same result filtered
+      val r = spark.sql(
+        """SELECT k, v FROM (
+          |  SELECT k, v, row_number() OVER
+          |    (PARTITION BY k ORDER BY v DESC, id) AS rn FROM t)
+          |WHERE rn <= 2 AND v > 2 ORDER BY k, v DESC""".stripMargin)
+      assert(r.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec => t
+      }.nonEmpty)
+      assert(r.collect().map(r0 => (r0.getString(0), r0.getLong(1))).toSeq ==
+        Seq(("a", 9L), ("a", 7L), ("c", 8L), ("c", 4L)))
+      // NEGATIVE: rank kept in the output -> no rewrite (the native
+      // operator emits no rank column)
+      val keep = spark.sql(
+        """SELECT k, v, rn FROM (
+          |  SELECT k, v, row_number() OVER
+          |    (PARTITION BY k ORDER BY v DESC, id) AS rn FROM t)
+          |WHERE rn <= 2""".stripMargin)
+      assert(keep.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec => t
+      }.isEmpty, "rewrite must not fire when the rank column survives")
+      // NEGATIVE: rank/dense_rank keep ties -> no rewrite
+      val rank = spark.sql(
+        """SELECT k, v FROM (
+          |  SELECT k, v, rank() OVER
+          |    (PARTITION BY k ORDER BY v DESC) AS rn FROM t)
+          |WHERE rn <= 2""".stripMargin)
+      assert(rank.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec => t
+      }.isEmpty, "rewrite must not fire for rank()")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
