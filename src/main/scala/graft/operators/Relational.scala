@@ -1248,9 +1248,13 @@ object Relational {
     val bounds = o.agg(min($"o_totalprice").as("lo"),
       max($"o_totalprice").as("hi"))
     o.crossJoin(broadcast(bounds))
+      // degenerate all-equal column: width is 0 and the quotient NaN,
+      // whose long-cast differs between engines — pin bucket 0
       .withColumn("bucket",
-        least(floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / bins)),
-          lit(bins - 1L)).cast("long"))
+        when($"hi" === $"lo", 0L)
+          .otherwise(least(
+            floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / bins)),
+            lit(bins - 1L))).cast("long"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_orders"),
         sum(dec($"o_totalprice")).cast("double").as("bucket_total"))
@@ -1260,8 +1264,9 @@ object Relational {
   def histogramSql(bins: Int = 20): String =
     s"""WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
        |           FROM orders)
-       |SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / $bins))
-       |                  AS BIGINT), ${bins - 1}) AS bucket,
+       |SELECT CASE WHEN hi = lo THEN 0
+       |            ELSE LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / $bins))
+       |                       AS BIGINT), ${bins - 1}) END AS bucket,
        |  COUNT(*) AS n_orders,
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
        |    AS bucket_total
