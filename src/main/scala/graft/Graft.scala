@@ -229,6 +229,13 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.FunnelStageRow] =
     streaming.EventStreams.funnelStagesStream(events)
 
+  /** Ingest-time sequence packing over a `(doc_id, lang, n_tokens)`
+    * document stream: O(1) per-language cursor state assigns each doc
+    * its context-window bin; final on emission (Append mode). */
+  def packStream(docs: org.apache.spark.sql.Dataset[streaming.PackDoc],
+                 ctx: Int = 512): org.apache.spark.sql.Dataset[streaming.PackAssign] =
+    streaming.EventStreams.packStream(docs, ctx)
+
   // -- custom whole-operator tier ----------------------------------
 
   /** Per-key top-k via the native heap operator

@@ -454,4 +454,94 @@ object EventStreams {
       |  CAST(SUM(session_events) AS BIGINT) AS n_events,
       |  CAST(MAX(session_events) AS BIGINT) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // streaming sequence packing — stateful bin assignment on ingest
+  // ---------------------------------------------------------------
+
+  /** Incremental sequence packing over a document STREAM: each
+    * language keeps one counter (total tokens packed so far) as
+    * custom state, and every arriving doc is assigned the context
+    * window its first token lands in — the ingest-time form of
+    * [[graft.operators.TextAnalytics.seqPackOf]] (shards = 1), whose
+    * batch window-cumsum computes the identical assignment.
+    * Assignments are FINAL on emission (the cursor only moves
+    * forward), so the query runs in Append mode with O(1) state per
+    * language stream.
+    *
+    * Ordering contract: docs arrive in doc_id order per language
+    * across batches (ingestion order); within a micro-batch the
+    * group sorts by doc_id. */
+  def packStream(docs: Dataset[PackDoc], ctx: Int = 512): Dataset[PackAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fn = (lang: String, rows: Iterator[PackDoc],
+              state: GroupState[PackCursor]) => {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val start = cum
+        cum += d.n_tokens
+        PackAssign(d.doc_id, lang, start / ctx,
+          d.n_tokens > 0 && (cum - 1) / ctx > start / ctx)
+      }
+      state.update(PackCursor(cum))
+      out.iterator
+    }
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Harness entry (`llm_seq_pack_assign`): the batch twin's per-doc
+    * assignments over the documents table, oracle-checked row by row
+    * (the aggregate view is `llm_seq_pack`). */
+  def seqPackAssign(spark: SparkSession, sfDir: String,
+                    ctx: Int = 512): DataFrame = {
+    import spark.implicits._
+    packBatch(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", $"lang",
+          size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+            .as("n_tokens"))
+        .as[PackDoc], ctx)
+      .toDF().orderBy($"doc_id")
+  }
+
+  def seqPackAssignSql(ctx: Int = 512): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         len(${graft.functions.TextAnalysis.tokensSql}) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT doc_id, lang,
+       |  (cum - n_tokens) // $ctx AS bin,
+       |  n_tokens > 0 AND (cum - 1) // $ctx > (cum - n_tokens) // $ctx
+       |    AS crosses
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The batch twin of [[packStream]]: identical per-doc assignments
+    * from one window cumsum — the differential check's reference. */
+  def packBatch(docs: Dataset[PackDoc], ctx: Int = 512): Dataset[PackAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.toDF()
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang",
+        floor(($"cum" - $"n_tokens") / ctx).as("bin"),
+        ($"n_tokens" > 0 &&
+          floor(($"cum" - 1) / ctx) > floor(($"cum" - $"n_tokens") / ctx))
+          .as("crosses"))
+      .as[PackAssign]
+  }
 }
+
+case class PackDoc(doc_id: Long, lang: String, n_tokens: Long)
+case class PackCursor(cum: Long)
+case class PackAssign(doc_id: Long, lang: String, bin: Long, crosses: Boolean)

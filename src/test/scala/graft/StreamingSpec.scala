@@ -441,4 +441,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val want = EventStreams.tumblingHourly(graft.sources.Tables.events(spark, sf))
     assert(canon(got) == canon(want))
   }
+
+  test("streaming sequence packer: per-doc bins == batch window cumsum") {
+    import graft.streaming.{EventStreams, PackAssign, PackDoc}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ctx = 64
+    // real corpus token counts, in the ingestion (doc_id) order the
+    // packer's contract requires
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang",
+        size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+          .as("n_tokens"))
+      .as[PackDoc].collect().sortBy(_.doc_id).toSeq
+    val batch = EventStreams.packBatch(docs.toDS(), ctx)
+      .collect().map(a => a.doc_id -> a).toMap
+    val mem = MemoryStream[PackDoc]
+    val q = EventStreams.packStream(mem.toDS(), ctx)
+      .writeStream.format("memory").queryName("s_pack")
+      .outputMode("append").start()
+    try {
+      // three ordered micro-batches: bins must carry across batch
+      // boundaries through the per-language cursor state
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stream = spark.table("s_pack").as[PackAssign]
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(stream.keySet == batch.keySet && stream.nonEmpty)
+    stream.foreach { case (id, a) =>
+      assert(a == batch(id), s"doc $id: stream $a vs batch ${batch(id)}")
+    }
+    // at least one assignment must actually straddle batches: a later
+    // batch's doc landing in a bin opened earlier
+    assert(stream.values.groupBy(_.lang).exists(_._2.map(_.bin).toSet.size > 1))
+  }
 }
