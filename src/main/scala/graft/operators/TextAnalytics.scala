@@ -1247,6 +1247,48 @@ object TextAnalytics {
       .orderBy($"lang")
   }
 
+  /** Materialize the packed bins (shards = 1 stream per language):
+    * per (lang, bin) the doc count, token fill, and an md5 over the
+    * bin's concatenated documents in pack order — the content
+    * identity of the training sequence a sink would write. One window
+    * pass + one aggregate; the only wide column (text) moves once,
+    * into its own bin's group. */
+  def seqPackBins(spark: SparkSession, sfDir: String, ctx: Int = 512): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, sfDir)
+      .select($"doc_id", $"lang", $"text",
+        size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("bin", floor(($"cum" - $"n_tokens") / ctx))
+      .groupBy($"lang", $"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("bin_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"doc_id", $"text"))),
+            x => x.getField("text")), " ").cast("binary")).as("content_hash"))
+      .orderBy($"lang", $"bin")
+  }
+
+  def seqPackBinsSql(ctx: Int = 512): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text, len($tokensSql) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT lang, (cum - n_tokens) // $ctx AS bin,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_hash
+       |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
   def seqPackSql(ctx: Int = 512, shards: Int = 4): String =
     s"""WITH d AS (
        |  SELECT lang, doc_id, doc_id % $shards AS shard,

@@ -363,6 +363,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("seq pack bins: materialized bins reconcile with the audit") {
+    import spark.implicits._
+    val ctx = 512
+    val bins = TextAnalytics.seqPackBins(spark, sf, ctx)
+      .as[(String, Long, Long, Long, String)].collect()
+    val audit = TextAnalytics.seqPack(spark, sf, ctx, shards = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(bins.nonEmpty)
+    bins.groupBy(_._1).foreach { case (lang, bs) =>
+      val (_, nDocs, total, nBins, _, _) = audit(lang)
+      // a bin appears in the materialized view only when a doc STARTS
+      // in it — a doc spanning >2 windows leaves interior bins with no
+      // starter — so the view holds at most the audit's bin count and
+      // its ids live in the audit's range
+      assert(bs.length <= nBins, s"$lang bin count")
+      assert(bs.map(_._3).sum == nDocs && bs.map(_._4).sum == total)
+      assert(bs.forall(b => b._2 >= 0 && b._2 < nBins && b._4 > 0))
+      assert(bs.map(_._2).distinct.length == bs.length)
+      assert(bs.exists(_._2 == 0L), s"$lang stream must start at bin 0")
+    }
+  }
+
   test("doc chunk: hand-computed windows and corpus ceil identity") {
     import spark.implicits._
     // 150 known tokens, chunk 64 / stride 48 → starts 1,49,97,145
