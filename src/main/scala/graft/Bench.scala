@@ -77,8 +77,11 @@ object Bench {
           -1.0
         }
       }
-      val a = pass()
-      name -> (if (a < 0) a else math.min(a, pass()))
+      // a transiently failing pass must not discard the other pass's
+      // valid time (min with the -1 sentinel would); only a query
+      // failing BOTH passes reports as errored
+      val times = Seq(pass(), pass()).filter(_ >= 0)
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // ms precision, trailing zeros stripped — keeps the one-line JSON
     // inside the driver's tail-capture budget.

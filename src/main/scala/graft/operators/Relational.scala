@@ -1189,16 +1189,17 @@ object Relational {
       lit(null).cast("double").as("max_val"),
       lit(null).cast("double").as("avg_val"))
     val cols = numericCols.map(_ -> true) ++ categoricalCols.map(_ -> false)
+    // pure Column API (no expr()-parsed stack): arbitrary column names
+    // — spaces, quotes, dots — never pass through the SQL parser
     val moments = df.agg(
       count(lit(1)).as("n_rows"),
-      cols.map { case (c, isNum) =>
-        (if (isNum) numeric(c) else categorical(c)).as(s"p_$c")
-      }: _*)
-    val stack = cols.map { case (c, _) => s"'$c', p_$c" }
-      .mkString(s"stack(${cols.size}, ", ", ", ") as (col_name, p)")
-    val stacked = moments.select(expr(stack), $"n_rows")
-      .select($"col_name", $"n_rows", $"p.n_nulls",
-        $"p.min_val", $"p.max_val", $"p.avg_val")
+      array(cols.map { case (c, isNum) =>
+        struct(lit(c).as("col_name"),
+          (if (isNum) numeric(c) else categorical(c)).as("p"))
+      }: _*).as("ps"))
+    val stacked = moments.select(explode($"ps").as("x"), $"n_rows")
+      .select($"x.col_name".as("col_name"), $"n_rows", $"x.p.n_nulls",
+        $"x.p.min_val", $"x.p.max_val", $"x.p.avg_val")
     val distincts = cols.map { case (c, _) =>
       df.agg(countDistinct(col(c)).as("n_distinct"))
         .select(lit(c).as("col_name"), $"n_distinct")
@@ -1306,7 +1307,9 @@ object Relational {
       .withColumn("z", round(
         ($"revenue" - avg($"revenue").over(all)) /
           stddev_samp($"revenue").over(all), 4))
-      .filter(abs($"z") >= zCut)
+      // zero-variance / single-day series: z is NaN, and Spark orders
+      // NaN ABOVE every double, so abs(z) >= cut would flag EVERY day
+      .filter(!isnan($"z") && abs($"z") >= zCut)
       .select($"day", $"revenue", $"n_orders", $"z")
       .orderBy($"day")
   }
@@ -1323,5 +1326,5 @@ object Relational {
       |               STDDEV_SAMP(revenue) OVER (), 4) AS z
       |  FROM daily)
       |SELECT day, revenue, n_orders, z FROM scored
-      |WHERE ABS(z) >= 2.0 ORDER BY day""".stripMargin
+      |WHERE NOT isnan(z) AND ABS(z) >= 2.0 ORDER BY day""".stripMargin
 }

@@ -952,43 +952,68 @@ object TextAnalytics {
     * corpus-wide, recount. Returns the merge table
     * `(step, pair, freq)` — the model a BPE tokenizer ships.
     *
-    * Symbols ride as space-joined strings with sentinel spaces, so a
-    * merge is ONE literal `replace(' a b ' → ' ab ')`: left-to-right
-    * non-overlapping in both engines, which IS greedy BPE merge
-    * semantics on runs like `a a a`.
+    * Every symbol rides with its OWN boundary spaces (`' a  b '` =
+    * `' a '` + `' b '`), so one literal
+    * `replace(' a  b ' → ' ab ')` is exact greedy left-to-right BPE:
+    * a match consumes only its own boundaries, never the NEXT
+    * occurrence's leading space — `a b a b` merges to `[ab, ab]`
+    * (a single-space encoding would eat the shared separator and
+    * merge alternate occurrences only), while overlapping runs like
+    * `a a a` still merge greedily to `[aa, a]`.
     *
     * Scale posture: BPE trains on the (word, freq) dictionary, never
     * the corpus — one corpus shuffle builds the dict (vocabulary-
     * bounded), then each round is a dict-sized pair count
     * (partial+final sum) plus a 1-row argmax collect. Driver state is
     * `steps` strings (the k-means centroid precedent). The oracle
-    * replays the identical loop as chained CTEs. */
+    * replays the identical loop as chained CTEs. Training stops early
+    * (short merge table) when no pair is left to merge. */
   def bpeTrain(spark: SparkSession, sfDir: String, steps: Int = 3): DataFrame =
     bpeTrainOf(docs(spark, sfDir), steps)
+
+  /** The `(sentinel-encoded word, freq)` dictionary both BPE passes
+    * train/encode over: chars double-space-joined so each symbol owns
+    * a leading AND trailing space. */
+  private def bpeDictOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), array_join(split($"term", ""), "  "), lit(" "))
+        .as("s"), $"freq")
+  }
+
+  /** One merge's literal search/replacement under the double-space
+    * encoding; `pair` is the space-joined symbol pair (`"a b"`). */
+  private def bpeSearch(pair: String) = s" ${pair.replace(" ", "  ")} "
+  private def bpeReplacement(pair: String) = s" ${pair.replace(" ", "")} "
+
+  /** Symbols of an encoded dict string (tokens carry no spaces). */
+  private def bpeSymbols(s: org.apache.spark.sql.Column) =
+    regexp_extract_all(s, lit("\\S+"), lit(0))
 
   /** Caller-frame form over any `(text)` -bearing frame. */
   def bpeTrainOf(documents: DataFrame, steps: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val dict = documents
-      .select(explode(tokens($"text")).as("term"))
-      .groupBy($"term").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "), array_join(split($"term", ""), " "), lit(" "))
-        .as("s"), $"freq")
-    val cachedDict = dict.cache()
-    var cur = cachedDict
+    val cachedDict = bpeDictOf(documents).cache()
+    var cur: DataFrame = cachedDict
     val merges = Seq.newBuilder[(Long, String, Long)]
-    for (step <- 1 to steps) {
-      val top = cur
-        .select(explode(shingles(split(trim($"s"), " "), 2)).as("pair"), $"freq")
+    var exhausted = false
+    for (step <- 1 to steps if !exhausted) {
+      cur
+        .select(explode(shingles(bpeSymbols($"s"), 2)).as("pair"), $"freq")
         .groupBy($"pair").agg(sum($"freq").as("c"))
         .orderBy($"c".desc, $"pair").limit(1)
-        .head()
-      val (pair, c) = (top.getString(0), top.getLong(1))
-      merges += ((step.toLong, pair, c))
-      cur = cur.select(
-        replace($"s", lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))
-          .as("s"), $"freq")
+        .collect().headOption match {
+        case None => exhausted = true // no pair left: stop early
+        case Some(top) =>
+          val (pair, c) = (top.getString(0), top.getLong(1))
+          merges += ((step.toLong, pair, c))
+          cur = cur.select(
+            replace($"s", lit(bpeSearch(pair)), lit(bpeReplacement(pair)))
+              .as("s"), $"freq")
+      }
     }
     // unpersist the frame that was actually cached — `cur` has been
     // reassigned to an uncached derivative, where unpersist is a no-op
@@ -1012,19 +1037,14 @@ object TextAnalytics {
     import spark.implicits._
     val merges = bpeTrainOf(documents, steps)
       .select($"pair").as[String].collect()
-    val dict = documents
-      .select(explode(tokens($"text")).as("term"))
-      .groupBy($"term").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "), array_join(split($"term", ""), " "), lit(" "))
-        .as("s"), $"freq")
-    val encoded = merges.foldLeft(dict) { (df, pair) =>
+    val encoded = merges.foldLeft(bpeDictOf(documents)) { (df, pair) =>
       df.withColumn("s",
-        replace($"s", lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")))
+        replace($"s", lit(bpeSearch(pair)), lit(bpeReplacement(pair))))
     }
     encoded
       .select($"freq",
-        size(split(trim($"s"), " ")).cast("long").as("n_sym"),
-        length(regexp_replace(trim($"s"), " ", "")).cast("long").as("n_chars"))
+        size(bpeSymbols($"s")).cast("long").as("n_sym"),
+        length(regexp_replace($"s", " ", "")).cast("long").as("n_chars"))
       .agg(
         sum($"freq" * $"n_chars").cast("long").as("symbols_before"),
         sum($"freq" * $"n_sym").cast("long").as("symbols_after"),
@@ -1036,24 +1056,26 @@ object TextAnalytics {
     val chain = bpeChainSql(steps)
     s"""$chain
        |SELECT
-       |  CAST(SUM(freq * len(replace(trim(s), ' ', ''))) AS BIGINT)
+       |  CAST(SUM(freq * len(replace(s, ' ', ''))) AS BIGINT)
        |    AS symbols_before,
-       |  CAST(SUM(freq * len(string_split(trim(s), ' '))) AS BIGINT)
+       |  CAST(SUM(freq * len(regexp_extract_all(s, '\\S+'))) AS BIGINT)
        |    AS symbols_after,
-       |  ROUND(SUM(freq * len(string_split(trim(s), ' ')))
+       |  ROUND(SUM(freq * len(regexp_extract_all(s, '\\S+')))
        |        / CAST(SUM(freq) AS DOUBLE), 6) AS avg_symbols_per_word
        |FROM d$steps""".stripMargin
   }
 
   /** The shared training chain: CTEs `d0..d$steps` (dictionary
     * strings after each merge) and `t1..t$steps` (each round's argmax
-    * pair + weighted count). */
+    * pair + weighted count). Mirrors the double-space sentinel
+    * encoding: every symbol owns its boundary spaces, so the literal
+    * replace is exact greedy left-to-right BPE (see [[bpeTrain]]). */
   private def bpeChainSql(steps: Int): String = {
     val head =
       s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
          |dict AS (SELECT term, COUNT(*) AS freq FROM terms GROUP BY term),
          |d0 AS (SELECT ' ' || list_aggregate(string_split(term, ''),
-         |                                    'string_agg', ' ') || ' ' AS s,
+         |                                    'string_agg', '  ') || ' ' AS s,
          |              freq
          |       FROM dict)""".stripMargin
     val rounds = (1 to steps).map { i =>
@@ -1061,11 +1083,12 @@ object TextAnalytics {
          |  SELECT pair, SUM(freq) AS c FROM (
          |    SELECT unnest([ts[j] || ' ' || ts[j+1]
          |                   for j in range(1, len(ts))]) AS pair, freq
-         |    FROM (SELECT string_split(trim(s), ' ') AS ts, freq FROM d${i - 1}))
+         |    FROM (SELECT regexp_extract_all(s, '\\S+') AS ts, freq
+         |          FROM d${i - 1}))
          |  GROUP BY pair),
          |t$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
          |d$i AS (SELECT replace(s,
-         |          ' ' || (SELECT pair FROM t$i) || ' ',
+         |          ' ' || (SELECT replace(pair, ' ', '  ') FROM t$i) || ' ',
          |          ' ' || (SELECT replace(pair, ' ', '') FROM t$i) || ' ') AS s,
          |        freq FROM d${i - 1})""".stripMargin
     }.mkString(",\n", ",\n", "")

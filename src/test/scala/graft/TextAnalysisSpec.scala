@@ -312,6 +312,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpe merge is exact greedy BPE: adjacent occurrences all merge") {
+    import spark.implicits._
+    // 'abab': pair (a,b) occurs twice DISJOINTLY; true greedy BPE
+    // yields [ab, ab] (4 symbols over freq 2). A single-space sentinel
+    // encoding would eat the shared separator and leave [ab, a, b].
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val enc = TextAnalytics.bpeEncodeOf(docs, steps = 1)
+      .as[(Long, Long, Double)].head()
+    assert(enc == ((8L, 4L, 2.0)), s"got $enc")
+    // overlapping run 'aaa' with pair (a,a): greedy left-to-right
+    // merges the first two only -> [aa, a]
+    val run = TextAnalytics.bpeEncodeOf(
+      Seq((1L, "aaa aaa")).toDF("doc_id", "text"), steps = 1)
+      .as[(Long, Long, Double)].head()
+    assert(run == ((6L, 4L, 2.0)), s"got $run")
+    // exhausting all pairs stops training early instead of crashing
+    val single = TextAnalytics.bpeTrainOf(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), steps = 3)
+    assert(single.count() == 0)
+  }
+
   test("bpe encode: char mass preserved, reduction bounded by merge counts") {
     import spark.implicits._
     val (before, after, avg) = TextAnalytics.bpeEncode(spark, sf, steps = 3)
