@@ -1034,8 +1034,8 @@ object Relational {
     val payload = base.columns.filter(_ != key)
     base.as("b").join(changes.as("c"), Seq(key), "full_outer")
       .filter(coalesce(col(s"c.$opCol"), lit("")) =!= "D")
-      .select(col(key) +: payload.map(c =>
-        coalesce(col(s"c.$c"), col(s"b.$c")).as(c)): _*)
+      .select((col(key) +: payload.toSeq.map(c =>
+        coalesce(col(s"c.$c"), col(s"b.$c")).as(c))): _*)
   }
 
   val mergeUpsertSql: String =

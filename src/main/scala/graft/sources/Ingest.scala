@@ -50,7 +50,7 @@ object Ingest {
 
   private def parseMovies(raw: DataFrame): DataFrame = {
     val cols = raw.columns
-    val actorCols = array(cols.drop(2).map(c => col(c)): _*)
+    val actorCols = array(cols.drop(2).toSeq.map(c => col(c)): _*)
     raw
       .filter(col(cols(0)).isNotNull && col(cols(1)).isNotNull) // S4 blank-line filter
       .select(
