@@ -20,10 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    timings off the end in round 3) and the full line is ALSO
   *    written to ${java.io.tmpdir}/graft_bench.json so nothing is
   *    lost even if stdout is truncated.
-  *  - Best-of-2 timed passes per query (round 5): the shared-host
-  *    noise floor moves 2-5x run-to-run and a single-pass design
-  *    randomly brands one query slow; the min of two passes measures
-  *    the engine, not the neighbor.
+  *  - Best-of-3 timed passes per query (round 5 used 2; round-5
+  *    verdict item 6 asked for 3): the shared-host noise floor moves
+  *    2-5x run-to-run and a single-pass design randomly brands one
+  *    query slow; the min of three passes measures the engine, not
+  *    the neighbor.
   *  - spark.sql.adaptive.enabled is pinned `true` explicitly (the
   *    Spark 3.2+ default, but the bench posture should not depend on
   *    a default): AQE coalesces post-shuffle partitions and splits
@@ -63,11 +64,11 @@ object Bench {
     }
 
     // a failed query must NOT masquerade as a fast one: report -1 for
-    // its time and list it under "errors". Each query is timed TWICE
-    // and the better pass reported: the host is a shared microVM and
-    // a transient neighbor spike during a single pass otherwise
+    // its time and list it under "errors". Each query is timed THREE
+    // times and the best pass reported: the host is a shared microVM
+    // and a transient neighbor spike during a single pass otherwise
     // brands a random query 5-10x slow (observed run-to-run on
-    // identical code); a genuinely slow query is slow on both passes.
+    // identical code); a genuinely slow query is slow on every pass.
     val results = queries.map { case (name, fn) =>
       def pass(): Double = {
         val t0 = System.nanoTime()
@@ -77,10 +78,10 @@ object Bench {
           -1.0
         }
       }
-      // a transiently failing pass must not discard the other pass's
+      // a transiently failing pass must not discard another pass's
       // valid time (min with the -1 sentinel would); only a query
-      // failing BOTH passes reports as errored
-      val times = Seq(pass(), pass()).filter(_ >= 0)
+      // failing ALL passes reports as errored
+      val times = Seq.fill(3)(pass()).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // ms precision, trailing zeros stripped — keeps the one-line JSON

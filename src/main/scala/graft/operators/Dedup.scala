@@ -353,17 +353,29 @@ object Dedup {
       e.groupBy($"ha", $"hb").agg(count(lit(1)).as("df"))
         .filter($"df" <= dfCap).select($"ha", $"hb"),
       Seq("ha", "hb")))
-    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    // sizes feed BOTH join lookups below: cache them once (small —
+    // one long per doc), and the cached count gives the tier its row
+    // bound for free
+    val sizes = cached(s"ngram-sizes-$dfCap",
+      capped.groupBy($"doc_id").agg(count(lit(1)).as("sz")))
+    val nSized = sizes.count()
     val inter = capped.select($"doc_id".as("a"), $"ha", $"hb")
       .join(capped.select($"doc_id".as("b"), $"ha", $"hb"), Seq("ha", "hb"))
       .filter($"a" < $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("inter"))
     // per-doc sizes are |docs| rows (one long each) — broadcast both
-    // lookups so the pair frame never shuffles for them
+    // lookups so the pair frame never shuffles for them. Capacity
+    // tier: |docs| rows is corpus-proportional, so past ~1M docs the
+    // hint is dropped (the pair frame already shuffles on (a,b) for
+    // its group-by; the extra equi-join is cheap, and AQE may still
+    // broadcast from actual sizes)
+    import graft.util.Broadcasting.maybeBroadcast
     inter
-      .join(broadcast(sizes.select($"doc_id".as("a"), $"sz".as("sza"))), "a")
-      .join(broadcast(sizes.select($"doc_id".as("b"), $"sz".as("szb"))), "b")
+      .join(maybeBroadcast(
+        sizes.select($"doc_id".as("a"), $"sz".as("sza")), nSized), "a")
+      .join(maybeBroadcast(
+        sizes.select($"doc_id".as("b"), $"sz".as("szb")), nSized), "b")
       .withColumn("jaccard", $"inter".cast("double") / ($"sza" + $"szb" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a".cast("long").as("doc_a"), $"b".cast("long").as("doc_b"), $"jaccard")
@@ -373,16 +385,21 @@ object Dedup {
   /** End-to-end dedup application: near-dup pairs → connected
     * components → keep only cluster survivors (min id) → anti-join
     * the drop-list against the corpus. The complete "dedup this
-    * corpus" answer, reported per language. The drop-list is tiny
-    * relative to the corpus (non-survivor ids only) so the anti-join
-    * broadcasts at any scale. */
+    * corpus" answer, reported per language. The drop-list is bounded
+    * by the corpus but NOT tiny on real web corpora (non-survivors
+    * run 30–50% of documents), so the anti-join's broadcast is
+    * capacity-tiered on the corpus row count — a parquet
+    * metadata-only count — and past the cap join selection is left
+    * to Catalyst/AQE. */
   def dedupApply(spark: SparkSession, sfDir: String,
                  threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
     val cc = connectedComponents(minHashNearDups(spark, sfDir, threshold))
     val drop = cc.filter($"id" =!= $"label").select($"id".as("doc_id"))
-    Tables.documents(spark, sfDir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+    val corpus = Tables.documents(spark, sfDir)
+    corpus
+      .join(graft.util.Broadcasting.maybeBroadcast(drop, corpus.count()),
+        Seq("doc_id"), "left_anti")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_surviving"),
         sum($"n_chars").cast("long").as("surviving_chars"))

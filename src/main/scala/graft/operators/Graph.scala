@@ -46,9 +46,13 @@ object Graph {
   }
 
   /** PageRank over the co-actor graph: `iters` synchronous updates of
-    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u), top-20 by final rank.
-    * Isolated actors (solo casts) keep the teleport mass (1−d)/N;
-    * dangling mass is dropped identically in both engines. */
+    * r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/deg(u) + m/N) where m is the
+    * dangling mass Σ_{deg(u)=0} r(u), top-20 by final rank. The
+    * dangling term is the standard correction: without it the mass of
+    * out-degree-0 nodes silently drains each update, and Σr decays —
+    * negligible on a toy graph, rank-skewing at scale. With it Σr = 1
+    * every iteration (modulo the 8-decimal rounding contract), which
+    * the mass-conservation spec asserts. */
   def pagerankActors(spark: SparkSession, sfDir: String,
                      iters: Int = 5, d: Double = 0.85, k: Int = 20): DataFrame = {
     import spark.implicits._
@@ -69,11 +73,8 @@ object Graph {
     import spark.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     // the two frames every iteration re-reads are cached ONCE per
-    // (session, input); the iterations themselves stay lazy — five
-    // join+agg layers pipeline as one job, and the (small) rank frame
-    // broadcasts into the edge join instead of shuffling the edges
-    // five times. An eager checkpoint per iteration would serialize
-    // five materializations and hide the broadcast opportunity.
+    // (session, input); the (small) rank frame broadcasts into the
+    // edge join instead of shuffling the edges five times
     val edgesDeg = cached("pagerank-edges", edges.join(deg, "src"))
     val nodes = cached("pagerank-nodes", nodes0)
     val n = nodes.count()
@@ -82,22 +83,46 @@ object Graph {
     // (replacing a per-iteration nodes-side join + broadcast)
     val noInbound = cached("pagerank-noin",
       nodes.join(edgesDeg.select($"dst"), nodes("a") === $"dst", "left_anti"))
+    // dangling = no OUT-edges; on the symmetric co-actor graph this
+    // coincides with noInbound (isolated actors), but the operator is
+    // generic over any directed edge frame so the two sets are kept
+    // distinct
+    val dangling = cached("pagerank-dangling",
+      nodes.join(edgesDeg.select($"src"), nodes("a") === $"src", "left_anti"))
     var ranks = nodes.select($"a", round(lit(1.0) / n, 8).as("r"))
+    // the dangling-mass term makes each iteration consume the
+    // previous rank frame TWICE (the scalar aggregate + the
+    // contribution join): left lazy, that recursive double reference
+    // recomputes level i-1 twice, i-2 four times — 2^iters total. A
+    // per-iteration localCheckpoint (the GraphX discipline) bounds
+    // each level to ONE materialization of an O(|V|) frame and keeps
+    // the logical plan constant-size; the superseded checkpoint is
+    // released as soon as its successor is materialized
+    var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
+      val prev = ranks.localCheckpoint()
+      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+      prevCkpt = prev
+      // dangling mass this iteration: ONE scalar row, re-entering the
+      // update as a broadcast-NLJ cross join — no per-node state, no
+      // driver round-trip
+      val m = dangling.join(prev, Seq("a"))
+        .agg(coalesce(sum($"r"), lit(0.0)).as("m"))
       // ranks are node-cardinality (≪ edges): broadcast them so the
       // edge list is never shuffled — per iteration the only exchange
-      // is the partial+final sum on dst. Capacity tier: the hint
-      // holds while the rank frame fits executor memory (~16 B ×
-      // |V|); past that, drop it and pre-repartition edges by src so
-      // the sort-merge path co-locates instead
-      val contribs = edgesDeg.join(broadcast(ranks), edgesDeg("src") === ranks("a"))
+      // is the partial+final sum on dst. Capacity tier (n is already
+      // counted): past ~1M nodes the hint is dropped and Catalyst/AQE
+      // pick the sort-merge or runtime-broadcast route on actual sizes
+      val contribs = edgesDeg
+        .join(graft.util.Broadcasting.maybeBroadcast(prev, n),
+          edgesDeg("src") === prev("a"))
         .select($"dst", ($"r" / $"deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      ranks = contribs
-        .select($"dst".as("a"),
-          round(lit((1 - d)) / n + lit(d) * $"s", 8).as("r"))
-        .unionByName(noInbound.select($"a",
-          round(lit((1 - d)) / n, 8).as("r")))
+      ranks = contribs.select($"dst".as("a"), $"s")
+        .unionByName(noInbound.select($"a", lit(0.0).as("s")))
+        .crossJoin(m)
+        .select($"a",
+          round(lit(1 - d) / n + lit(d) * ($"s" + $"m" / n), 8).as("r"))
     }
     ranks
   }
@@ -146,15 +171,18 @@ object Graph {
     // orientation stores each undirected edge once, so join on the
     // canonicalized pair. The edge set is |E| while the wedge stream
     // is Σ outdeg² ≫ |E| — broadcast the edges so the wedges never
-    // shuffle (past broadcast capacity, drop the hint: the wedge
-    // shuffle is the textbook MapReduce triangle count)
+    // shuffle. Capacity tier: |E| is counted up front (oriented is
+    // cached, the count doubles as its materialization) and past ~1M
+    // edges the hint is dropped — the wedge shuffle IS the textbook
+    // MapReduce triangle count, and AQE may still broadcast from
+    // actual sizes
+    val nE = oriented.count()
     val closing = oriented.select(
       least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
     val tri = wedges
       .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
-      .join(broadcast(closing), Seq("a", "b"))
+      .join(graft.util.Broadcasting.maybeBroadcast(closing, nE), Seq("a", "b"))
       .count()
-    val nE = oriented.count()
     val nV = nodes.count()
     Seq((nV, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
@@ -192,12 +220,19 @@ object Graph {
          |ed AS (SELECT src, dst, deg FROM edges
          |       JOIN (SELECT src AS s2, COUNT(*) AS deg
          |             FROM edges GROUP BY src) ON src = s2),
+         |dangling AS (SELECT a FROM nodes
+         |             WHERE a NOT IN (SELECT src FROM edges)),
          |r0 AS (SELECT a, ROUND(1.0e0 / (SELECT n FROM nn), 8) AS r FROM nodes)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""r$i AS (
+      s"""m$i AS (
+         |  SELECT COALESCE(SUM(r), 0.0e0) AS m FROM r${i - 1}
+         |  WHERE a IN (SELECT a FROM dangling)),
+         |r$i AS (
          |  SELECT nd.a,
          |    ROUND(${1 - d}e0 / (SELECT n FROM nn)
-         |          + ${d}e0 * COALESCE(s.c, 0.0e0), 8) AS r
+         |          + ${d}e0 * (COALESCE(s.c, 0.0e0)
+         |                      + (SELECT m FROM m$i) / (SELECT n FROM nn)),
+         |          8) AS r
          |  FROM nodes nd LEFT JOIN (
          |    SELECT ed.dst AS a, SUM(p.r / ed.deg) AS c
          |    FROM ed JOIN r${i - 1} p ON ed.src = p.a

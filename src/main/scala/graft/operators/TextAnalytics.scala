@@ -996,28 +996,38 @@ object TextAnalytics {
   def bpeTrainOf(documents: DataFrame, steps: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val cachedDict = bpeDictOf(documents).cache()
-    var cur: DataFrame = cachedDict
+    // each round's dict is cached so the next round's pair count is
+    // ONE replace over the previous cache — O(dict) per round — not a
+    // re-execution of the whole merge chain from the initial dict
+    // (O(steps²) passes for deeper merge tables). The previous
+    // round's cache is released only after this round's collect has
+    // materialized the new one.
+    var cur: DataFrame = bpeDictOf(documents).cache()
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, Long)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
-      cur
+      val top = cur
         .select(explode(shingles(bpeSymbols($"s"), 2)).as("pair"), $"freq")
         .groupBy($"pair").agg(sum($"freq").as("c"))
         .orderBy($"c".desc, $"pair").limit(1)
-        .collect().headOption match {
+        .collect().headOption
+      // `cur` is materialized by the collect above; its parent cache
+      // is no longer an input to anything
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      top match {
         case None => exhausted = true // no pair left: stop early
-        case Some(top) =>
-          val (pair, c) = (top.getString(0), top.getLong(1))
+        case Some(row) =>
+          val (pair, c) = (row.getString(0), row.getLong(1))
           merges += ((step.toLong, pair, c))
+          prev = cur
           cur = cur.select(
             replace($"s", lit(bpeSearch(pair)), lit(bpeReplacement(pair)))
-              .as("s"), $"freq")
+              .as("s"), $"freq").cache()
       }
     }
-    // unpersist the frame that was actually cached — `cur` has been
-    // reassigned to an uncached derivative, where unpersist is a no-op
-    cachedDict.unpersist()
+    if (prev != null) prev.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
     merges.result().toDF("step", "pair", "freq").orderBy($"step")
   }
 
@@ -1306,7 +1316,7 @@ object TextAnalytics {
        |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |                             ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM d)
-       |SELECT lang, (cum - n_tokens) // $ctx AS bin,
+       |SELECT lang, CAST((cum - n_tokens) // $ctx AS BIGINT) AS bin,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_hash

@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.IntegerType
   *    `row_number()` (rank/dense_rank keep ties and need the sort);
   *  - the filter bounds that attribute by a literal (`<= k`, `< k`,
   *    `= 1`, reversed forms), any residual conjuncts reference only
-  *    the window's input;
+  *    the window's input and are deterministic (as is the
+  *    projection — a `rand()` residual re-evaluated over the
+  *    operator's reduced row set would change results);
   *  - the rank attribute is projected away (the operator does not
   *    emit a rank column);
   *  - the partition spec is non-empty (a global top-k is already
@@ -66,6 +68,12 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         .filter(_ => w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty)
         .filter(_ => residual.forall(_.references.subsetOf(w.child.outputSet)))
         .filter(_ => projectList.forall(_.references.subsetOf(w.child.outputSet)))
+        // moving a nondeterministic residual below/above the window
+        // (or re-evaluating a nondeterministic projection over a
+        // differently-ordered row set) changes results — the same
+        // guard Catalyst's own predicate-movement rules apply
+        .filter(_ => residual.forall(_.deterministic))
+        .filter(_ => projectList.forall(_.deterministic))
         .map { k =>
           // strip Spark's own group-limit for the SAME spec: the
           // native operator replaces exactly that work

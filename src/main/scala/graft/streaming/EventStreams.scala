@@ -517,7 +517,88 @@ object EventStreams {
        |                             ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM d)
        |SELECT doc_id, lang,
-       |  (cum - n_tokens) // $ctx AS bin,
+       |  CAST((cum - n_tokens) // $ctx AS BIGINT) AS bin,
+       |  n_tokens > 0 AND (cum - 1) // $ctx > (cum - n_tokens) // $ctx
+       |    AS crosses
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** [[packStream]] at production parallelism: state keyed on
+    * `(lang, shard)` with `shard = doc_id % shards`, so concurrent
+    * cursors scale with `langs × shards` instead of hitting the
+    * |langs| ceiling one-cursor-per-language imposes at 100 TB ingest
+    * (round-5 verdict item 4). Bins never span shards — the same
+    * contract as [[graft.operators.TextAnalytics.seqPackOf]]'s
+    * sharded audit — so each cursor is still O(1) state and
+    * assignments stay final on emission (Append mode). Ordering
+    * contract: docs arrive in doc_id order per language, which
+    * implies doc_id order per (lang, shard). */
+  def packStreamSharded(docs: Dataset[PackDoc], ctx: Int = 512,
+                        shards: Int = 4): Dataset[PackAssignShard] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fn = (key: (String, Long), rows: Iterator[PackDoc],
+              state: GroupState[PackCursor]) => {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val start = cum
+        cum += d.n_tokens
+        PackAssignShard(d.doc_id, key._1, key._2, start / ctx,
+          d.n_tokens > 0 && (cum - 1) / ctx > start / ctx)
+      }
+      state.update(PackCursor(cum))
+      out.iterator
+    }
+    docs.groupByKey(d => (d.lang, d.doc_id % shards))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The batch twin of [[packStreamSharded]]: one window cumsum per
+    * (lang, shard) stream. */
+  def packBatchSharded(docs: Dataset[PackDoc], ctx: Int = 512,
+                       shards: Int = 4): Dataset[PackAssignShard] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.toDF()
+      .withColumn("shard", pmod($"doc_id", lit(shards)).cast("long"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"shard",
+        floor(($"cum" - $"n_tokens") / ctx).as("bin"),
+        ($"n_tokens" > 0 &&
+          floor(($"cum" - 1) / ctx) > floor(($"cum" - $"n_tokens") / ctx))
+          .as("crosses"))
+      .as[PackAssignShard]
+  }
+
+  /** Harness entry (`llm_seq_pack_assign_sharded`): the sharded batch
+    * twin's per-doc assignments over the documents table. */
+  def seqPackAssignSharded(spark: SparkSession, sfDir: String,
+                           ctx: Int = 512, shards: Int = 4): DataFrame = {
+    import spark.implicits._
+    packBatchSharded(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", $"lang",
+          size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+            .as("n_tokens"))
+        .as[PackDoc], ctx, shards)
+      .toDF().orderBy($"doc_id")
+  }
+
+  def seqPackAssignShardedSql(ctx: Int = 512, shards: Int = 4): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, doc_id % $shards AS shard,
+       |         len(${graft.functions.TextAnalysis.tokensSql}) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+       |  CAST((cum - n_tokens) // $ctx AS BIGINT) AS bin,
        |  n_tokens > 0 AND (cum - 1) // $ctx > (cum - n_tokens) // $ctx
        |    AS crosses
        |FROM c ORDER BY doc_id""".stripMargin
@@ -545,3 +626,5 @@ object EventStreams {
 case class PackDoc(doc_id: Long, lang: String, n_tokens: Long)
 case class PackCursor(cum: Long)
 case class PackAssign(doc_id: Long, lang: String, bin: Long, crosses: Boolean)
+case class PackAssignShard(doc_id: Long, lang: String, shard: Long,
+                           bin: Long, crosses: Boolean)

@@ -1,0 +1,40 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-conditioned broadcast hints (round-5 verdict items 2): a
+  * forced `broadcast()` bypasses Catalyst's size check, so a hint on a
+  * corpus-proportional frame (PageRank's rank frame, triangle count's
+  * edge set, a dedup drop-list) that is profitable at bench scale
+  * becomes a driver OOM at 100 TB. [[maybeBroadcast]] applies the hint
+  * only when a caller-supplied row bound says the frame fits broadcast
+  * capacity; past the cap it returns the frame unhinted and join
+  * selection falls back to Catalyst/AQE (which can still choose a
+  * runtime broadcast from ACTUAL sizes, or the shuffled route) — the
+  * same capacity tiering `Clustering.semDedup` applies past k=64.
+  */
+object Broadcasting {
+
+  /** Session conf key overriding the row cap — tests set it to 0 to
+    * force every tiered call down the non-broadcast route. */
+  val maxRowsKey = "graft.broadcast.maxRows"
+
+  /** Default cap: ~1M rows. The tiered frames carry tens of bytes per
+    * row (a key plus a counter/rank), so the cap bounds the broadcast
+    * at tens of MB — comfortably inside executor/driver budgets while
+    * still covering every bench-scale input. */
+  val defaultMaxRows: Long = 1L << 20
+
+  /** `broadcast(df)` iff `rowBound` (an UPPER bound on df's rows,
+    * from a count the caller already paid for or a cheap metadata
+    * count of a superset frame) is within capacity; otherwise `df`
+    * untouched. `rowBound` is by-name so callers may pass a count
+    * that is only evaluated when the conf has not disabled the tier
+    * outright. */
+  def maybeBroadcast(df: DataFrame, rowBound: => Long): DataFrame = {
+    val cap = df.sparkSession.conf.getOption(maxRowsKey)
+      .map(_.toLong).getOrElse(defaultMaxRows)
+    if (cap > 0 && rowBound <= cap) broadcast(df) else df
+  }
+}

@@ -78,6 +78,80 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graph scale curve: hub bound holds, wedges and wall time near-linear") {
+    import org.apache.spark.sql.functions._
+    // Empirical backing for the degree-orientation claims at two
+    // corpus sizes spanning 10×: (a) the oriented out-degree never
+    // exceeds √(2·|E|) (the hub bound that keeps the wedge self-join
+    // from exploding), (b) the wedge count Σ C(outdeg, 2) grows
+    // near-linearly with the edge count, (c) triangle-count and
+    // 5-iteration PageRank wall time grow far slower than the
+    // quadratic a naive all-pairs design would show. The measured
+    // curve is committed to PLANS.md ("Graph scale curve").
+    case class Pt(dir: String, edges: Long, wedges: Long,
+                  triSecs: Double, prSecs: Double)
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def times(dir: String): (Double, Double) =
+      (secs(graft.operators.Graph.triangleCount(spark, dir).count()),
+        secs(graft.operators.Graph.pagerankActors(spark, dir).count()))
+    val pts = Seq("sf0.01", "sf0.1").map { s =>
+      val dir = s"/root/testdata/$s"
+      // the spec's OWN oriented graph (independent of the operator):
+      // distinct co-actor edges, degree-oriented low→high
+      val sel = graft.sources.Tables.movies(spark, dir)
+        .select(col("id"), explode(col("actors")).as("a"))
+      val edges = sel.as("x").join(sel.as("y"), Seq("id"))
+        .filter(col("x.a") =!= col("y.a"))
+        .select(col("x.a").cast("long").as("src"),
+          col("y.a").cast("long").as("dst"))
+        .distinct()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("v"), col("deg"))
+      val oriented = edges
+        .join(deg.select(col("v").as("src"), col("deg").as("ds")), "src")
+        .join(deg.select(col("v").as("dst"), col("deg").as("dd")), "dst")
+        .filter(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("src") < col("dst")))
+        .select(col("src"), col("dst"))
+      val od = oriented.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
+      val nE = oriented.count()
+      val (wedges, maxOd) = od
+        .agg(sum(col("od") * (col("od") - 1) / 2), max(col("od")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      od.unpersist()
+      // the orientation theorem, measured: max out-degree ≤ √(2|E|)
+      assert(maxOd <= math.sqrt(2.0 * nE) + 1,
+        s"$s: hub out-degree $maxOd breaks the √(2·$nE) bound")
+      val (triS, prS) = times(dir)
+      info(f"$s%-8s edges=$nE%7d wedges=$wedges%8d maxOutDeg=$maxOd%4d " +
+        f"triangle=${triS}%.2fs pagerank=${prS}%.2fs")
+      Pt(dir, nE, wedges, triS, prS)
+    }
+    val Seq(lo, hi) = pts
+    val eRatio = hi.edges.toDouble / lo.edges
+    // wedge growth ≤ 3× linear in the edge step (a skew blow-up in
+    // the self-join would show quadratically here)
+    assert(hi.wedges <= 3.0 * eRatio * math.max(lo.wedges, 1),
+      s"wedges ${hi.wedges} vs ${lo.wedges} grew super-linearly " +
+        s"for a ${eRatio}× edge step")
+    // wall time: 6×-linear guard with the dedup curve's retry
+    // discipline (suite-concurrency spikes, not code, fail one pass)
+    def ok(loS: Double, hiS: Double, loT: Double, hiT: Double) =
+      hiS <= 6.0 * eRatio * math.max(loS, 0.5) &&
+        hiT <= 6.0 * eRatio * math.max(loT, 0.5)
+    val passed = ok(lo.triSecs, hi.triSecs, lo.prSecs, hi.prSecs) || {
+      val (lo2t, lo2p) = times(lo.dir)
+      val (hi2t, hi2p) = times(hi.dir)
+      info(f"retry ${lo.dir} tri=${lo2t}%.2fs pr=${lo2p}%.2fs " +
+        f"${hi.dir} tri=${hi2t}%.2fs pr=${hi2p}%.2fs")
+      ok(math.min(lo.triSecs, lo2t), math.min(hi.triSecs, hi2t),
+        math.min(lo.prSecs, lo2p), math.min(hi.prSecs, hi2p))
+    }
+    assert(passed, s"graph chain wall time grew super-linearly: $pts")
+  }
+
   test("semDedup pairs ⊆ exact cosine pairs at sf0.1, with bounded recall") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

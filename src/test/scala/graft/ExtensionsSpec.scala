@@ -111,6 +111,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rank.queryExecution.executedPlan.collectFirst {
         case t: graft.plans.TopKPerKeyExec => t
       }.isEmpty, "rewrite must not fire for rank()")
+      // NEGATIVE: nondeterministic residual -> no rewrite (it would
+      // re-evaluate over the operator's reduced row set instead of
+      // the window's full one — the same guard Catalyst's own
+      // predicate-movement rules apply)
+      val nondet = spark.sql(
+        """SELECT k, v FROM (
+          |  SELECT k, v, row_number() OVER
+          |    (PARTITION BY k ORDER BY v DESC, id) AS rn FROM t)
+          |WHERE rn <= 2 AND rand() < 0.5""".stripMargin)
+      assert(nondet.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec => t
+      }.isEmpty, "rewrite must not fire with a nondeterministic residual")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -477,4 +477,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // batch's doc landing in a bin opened earlier
     assert(stream.values.groupBy(_.lang).exists(_._2.map(_.bin).toSet.size > 1))
   }
+
+  test("sharded streaming packer: stream == batch twin, shard-invariant at 1") {
+    import graft.streaming.{EventStreams, PackAssignShard, PackDoc}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (ctx, shards) = (64, 4)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang",
+        size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+          .as("n_tokens"))
+      .as[PackDoc].collect().sortBy(_.doc_id).toSeq
+    val batch = EventStreams.packBatchSharded(docs.toDS(), ctx, shards)
+      .collect().map(a => a.doc_id -> a).toMap
+    val mem = MemoryStream[PackDoc]
+    val q = EventStreams.packStreamSharded(mem.toDS(), ctx, shards)
+      .writeStream.format("memory").queryName("s_pack_sh")
+      .outputMode("append").start()
+    try {
+      // bins must carry across micro-batch boundaries through every
+      // (lang, shard) cursor
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stream = spark.table("s_pack_sh").as[PackAssignShard]
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(stream.keySet == batch.keySet && stream.nonEmpty)
+    stream.foreach { case (id, a) =>
+      assert(a == batch(id), s"doc $id: stream $a vs batch ${batch(id)}")
+    }
+    // the parallelism the sharding buys is real: several shard
+    // cursors carried documents, and some bins straddled batches
+    assert(stream.values.map(_.shard).toSet.size > 1)
+    assert(stream.values.groupBy(a => (a.lang, a.shard))
+      .exists(_._2.map(_.bin).toSet.size > 1))
+    // shards = 1 degenerates to the unsharded packer exactly
+    val one = EventStreams.packBatchSharded(docs.toDS(), ctx, 1)
+      .collect().map(a => a.doc_id -> (a.lang, a.bin, a.crosses)).toMap
+    val flat = EventStreams.packBatch(docs.toDS(), ctx)
+      .collect().map(a => a.doc_id -> (a.lang, a.bin, a.crosses)).toMap
+    assert(one == flat)
+  }
 }
