@@ -20,11 +20,13 @@ object Broadcasting {
     * force every tiered call down the non-broadcast route. */
   val maxRowsKey = "graft.broadcast.maxRows"
 
-  /** Default cap: ~1M rows. The tiered frames carry tens of bytes per
+  /** Default cap: ~4M rows. The tiered frames carry tens of bytes per
     * row (a key plus a counter/rank), so the cap bounds the broadcast
-    * at tens of MB — comfortably inside executor/driver budgets while
-    * still covering every bench-scale input. */
-  val defaultMaxRows: Long = 1L << 20
+    * at ~100 MB — comfortably inside executor/driver budgets (Spark's
+    * own hard broadcast ceiling is 8 GB) while still covering every
+    * bench-scale input; the corpus-proportional frames it guards
+    * against run to hundreds of millions of rows at 100 TB. */
+  val defaultMaxRows: Long = 4L << 20
 
   /** `broadcast(df)` iff `rowBound` (an UPPER bound on df's rows,
     * from a count the caller already paid for or a cheap metadata

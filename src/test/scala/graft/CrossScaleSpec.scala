@@ -118,7 +118,7 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
       val od = oriented.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
       val nE = oriented.count()
       val (wedges, maxOd) = od
-        .agg(sum(col("od") * (col("od") - 1) / 2), max(col("od")))
+        .agg(sum(expr("od * (od - 1) DIV 2")), max(col("od")))
         .collect().map(r => (r.getLong(0), r.getLong(1))).head
       od.unpersist()
       // the orientation theorem, measured: max out-degree ≤ √(2|E|)

@@ -38,12 +38,15 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     val noChanges = Seq.empty[(Long, String, String)].toDF("k", "op", "name")
     assert(graft.operators.Relational.applyChanges(base, noChanges, "k")
       .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
-    // pagerank with no edges: every node keeps the teleport mass
+    // pagerank with no edges: every node is dangling, so its mass
+    // redistributes uniformly right back — the uniform 1/n is the
+    // fixed point (pre-round-6 the dangling mass leaked and every
+    // node decayed to the bare teleport (1−d)/n)
     val nodes = Seq("x", "y").toDF("a")
     val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
     val r = graft.operators.Graph.pagerankOf(noEdges, nodes, iters = 2)
       .as[(String, Double)].collect().toMap
-    assert(r.keySet == Set("x", "y") && r.values.forall(v => math.abs(v - 0.075) < 1e-9))
+    assert(r.keySet == Set("x", "y") && r.values.forall(v => math.abs(v - 0.5) < 1e-9))
   }
 
   test("round-5 batch-3 operators degrade on empty/trivial inputs") {
