@@ -24,6 +24,14 @@ object TextAnalytics {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
 
+  // the shared session-keyed frame cache (the Dedup/Graph idiom) for
+  // the few operators here whose intermediate feeds multiple branches
+  private val frameCache = new graft.util.FrameCache()
+
+  private def cached(stage: String, df: DataFrame): DataFrame =
+    frameCache.getOrElseUpdate(df.sparkSession,
+      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+
   // ---------------------------------------------------------------
   // llm_text_stats — per-language corpus statistics
   // ---------------------------------------------------------------
@@ -468,6 +476,115 @@ object TextAnalytics {
        |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min,
        |  CAST(SUM(fp) AS BIGINT) AS fp_sum
        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_dup_spans — cross-document duplicate-span detection
+  // ---------------------------------------------------------------
+
+  /** Cross-document duplicate-span detection — the "exact substring
+    * dedup" signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a span is `k` consecutive word tokens,
+    * and an occurrence is DUPLICATED when the same span text appears
+    * in at least one OTHER document. Per document: total span
+    * occurrences, duplicated occurrences, duplicated fraction — the
+    * cross-corpus quality signal a C4/RefinedWeb-style filter
+    * thresholds on ([[repetitionSignals]] is the within-doc
+    * complement). Documents shorter than `k` tokens have no spans and
+    * no row.
+    *
+    * Scale posture (100 TB): spans are token-proportional, so the
+    * document-frequency aggregate over span identities is THE corpus
+    * shuffle — the same shape as TF-IDF's df pass. Span identity
+    * travels as the codegen'd md5 64-bit word pair, never the ~k-word
+    * string (16 fixed bytes per posting — the n-gram Jaccard
+    * discipline, `Dedup.scala`). The dup-span set joined back is
+    * corpus-proportional in the worst case, so it carries NO
+    * broadcast hint — both sides share the (ha, hb) shuffle key and
+    * AQE picks the strategy from actual sizes. */
+  def dupSpans(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    dupSpansOf(docs(spark, sfDir), k)
+
+  /** [[dupSpans]] over any `(doc_id, text)`-bearing frame. */
+  def dupSpansOf(documents: DataFrame, k: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"span width must be >= 1, got $k")
+    // the hashed span stream feeds the df aggregate AND the join
+    // back — cache it once per (session, input)
+    val sp = cached(s"dupspans-$k", documents
+      .select($"doc_id", explode(shingles(tokens($"text"), k)).as("sh"))
+      .withColumn("p", md5Pair($"sh"))
+      .select($"doc_id", $"p.a".as("ha"), $"p.b".bitwiseOR(lit(1L)).as("hb")))
+    val dup = sp.select($"doc_id", $"ha", $"hb").distinct()
+      .groupBy($"ha", $"hb").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"ha", $"hb")
+    val tot = sp.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    val dups = sp.join(dup, Seq("ha", "hb"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dups, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_dup", lit(0L)).as("n_dup_spans"),
+        round(coalesce($"n_dup", lit(0L)).cast("double") /
+          $"n_spans".cast("double"), 6).as("dup_fraction"))
+      .orderBy($"doc_id")
+  }
+
+  def dupSpansSql(k: Int = 5): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |s AS (SELECT doc_id, unnest(${shinglesNSql("ts", k)}) AS sh FROM t),
+       |h AS (SELECT doc_id, $md5PairASql AS ha, $md5PairBSql AS hb FROM s),
+       |df AS (SELECT ha, hb FROM (
+       |         SELECT ha, hb, COUNT(DISTINCT doc_id) AS df
+       |         FROM h GROUP BY ha, hb) x WHERE df >= 2),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM h GROUP BY doc_id),
+       |dup AS (SELECT doc_id, COUNT(*) AS n_dup
+       |        FROM h JOIN df USING (ha, hb) GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       |  ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE)
+       |        / CAST(t.n_spans AS DOUBLE), 6) AS dup_fraction
+       |FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_mix_weights — temperature-weighted source mixing
+  // ---------------------------------------------------------------
+
+  /** Temperature-based source mixing (the multilingual sampling rule
+    * of GPT-3 / XLM-R: p_i ∝ n_i^α with α < 1 upweighting
+    * low-resource sources): per language, document/token counts, the
+    * α-tempered sampling weight over TOKEN counts, and the expected
+    * documents drawn per epoch at a fixed budget. One partial+final
+    * aggregate collapses the corpus to ≤|sources| rows; the weight
+    * arithmetic (including the 1-row normalizer re-entering as a
+    * broadcast-NLJ cross join) never touches corpus-sized data. */
+  def mixWeights(spark: SparkSession, sfDir: String,
+                 alpha: Double = 0.3, budget: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val per = docs(spark, sfDir)
+      .select($"lang", size(tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("toks"))
+    val z = per.agg(sum(pow($"toks", alpha)).as("z"))
+    per.crossJoin(z)
+      .select($"lang", $"n_docs", $"toks".cast("long").as("n_tokens"),
+        round(pow($"toks", alpha) / $"z", 6).as("weight"),
+        round(lit(budget.toDouble) * pow($"toks", alpha) / $"z", 2)
+          .as("expected_docs"))
+      .orderBy($"lang")
+  }
+
+  def mixWeightsSql(alpha: Double = 0.3, budget: Long = 100000L): String =
+    s"""WITH per AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         SUM(len($tokensSql)) AS toks
+       |  FROM documents GROUP BY lang),
+       |z AS (SELECT SUM(pow(toks, ${alpha}e0)) AS z FROM per)
+       |SELECT lang, n_docs, CAST(toks AS BIGINT) AS n_tokens,
+       |  ROUND(pow(toks, ${alpha}e0) / z.z, 6) AS weight,
+       |  ROUND(${budget.toDouble}e0 * pow(toks, ${alpha}e0) / z.z, 2)
+       |    AS expected_docs
+       |FROM per, z ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
   // llm_heavy_hitters_bound — Count-Min-Sketch certification

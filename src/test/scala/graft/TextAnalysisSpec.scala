@@ -434,4 +434,61 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       assert(lastTok == n, s"doc $doc coverage")
     }
   }
+
+  test("dup spans: hand-built cross-doc duplicates, bounds on real corpus") {
+    import spark.implicits._
+    // doc 1 and 2 share one 5-token span ("a b c d e"); doc 3 is
+    // unique; doc 4 too short for any span
+    val docs = Seq(
+      (1L, "a b c d e x y z"),   // 4 spans, 1 duplicated
+      (2L, "q a b c d e"),       // 2 spans, 1 duplicated
+      (3L, "u v w p r s t"),     // 3 spans, 0 duplicated
+      (4L, "one two")            // no spans
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.dupSpansOf(docs, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 0.25), (2L, 2L, 1L, 0.5), (3L, 3L, 0L, 0.0)))
+    // within-doc repeats do NOT count as cross-doc duplicates
+    val solo = TextAnalytics.dupSpansOf(
+      Seq((1L, "a b c d e f a b c d e f")).toDF("doc_id", "text"), k = 5)
+      .as[(Long, Long, Long, Double)].head()
+    assert(solo == ((1L, 8L, 0L, 0.0)))
+    // real corpus: 0 <= dup <= total per doc, and the synthetic
+    // near-dup documents guarantee SOME duplicated spans exist
+    val real = TextAnalytics.dupSpans(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (doc, tot, dup, frac) =>
+      assert(dup >= 0 && dup <= tot, s"doc $doc bounds")
+      assert(math.abs(frac - math.rint(dup.toDouble / tot * 1e6) / 1e6) < 1e-9,
+        s"doc $doc fraction")
+    }
+    assert(real.exists(_._3 > 0), "expected some cross-doc duplicate spans")
+  }
+
+  test("mix weights: normalized, monotone in size, budget conserved") {
+    import spark.implicits._
+    val r = TextAnalytics.mixWeights(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(r.nonEmpty)
+    // weights form a distribution and expected docs re-spend the budget
+    assert(math.abs(r.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(r.map(_._5).sum - 100000.0) < 1.0)
+    // alpha < 1 tempering: weight order follows token-count order,
+    // but ratios compress — the largest source is downweighted vs its
+    // proportional share, the smallest upweighted
+    val bySize = r.sortBy(_._3)
+    assert(bySize.map(_._4).toSeq == bySize.map(_._4).sorted.toSeq)
+    val totalToks = r.map(_._3).sum.toDouble
+    val (small, big) = (bySize.head, bySize.last)
+    assert(small._4 > small._3 / totalToks - 1e-9, "small source upweighted")
+    assert(big._4 < big._3 / totalToks + 1e-9, "large source downweighted")
+    // alpha = 1 recovers proportional sampling exactly
+    val prop = TextAnalytics.mixWeights(spark, sf, alpha = 1.0)
+      .as[(String, Long, Long, Double, Double)].collect()
+    prop.foreach { case (_, _, toks, w, _) =>
+      assert(math.abs(w - toks / totalToks) < 5e-7)
+    }
+  }
 }
