@@ -518,7 +518,12 @@ object TextAnalytics {
     val dup = sp.select($"doc_id", $"ha", $"hb").distinct()
       .groupBy($"ha", $"hb").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2).select($"ha", $"hb")
-    val tot = sp.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    // total spans per doc is arithmetic (n_tokens − k + 1, duplicates
+    // kept by construction) — no reason to shuffle the span stream
+    // for a count the tokenizer already knows
+    val tot = documents.select($"doc_id",
+      (size(tokens($"text")) - (k - 1)).cast("long").as("n_spans"))
+      .filter($"n_spans" >= 1)
     val dups = sp.join(dup, Seq("ha", "hb"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
     tot.join(dups, Seq("doc_id"), "left")
@@ -536,7 +541,8 @@ object TextAnalytics {
        |df AS (SELECT ha, hb FROM (
        |         SELECT ha, hb, COUNT(DISTINCT doc_id) AS df
        |         FROM h GROUP BY ha, hb) x WHERE df >= 2),
-       |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM h GROUP BY doc_id),
+       |tot AS (SELECT doc_id, len(ts) - ${k - 1} AS n_spans FROM t
+       |        WHERE len(ts) >= $k),
        |dup AS (SELECT doc_id, COUNT(*) AS n_dup
        |        FROM h JOIN df USING (ha, hb) GROUP BY doc_id)
        |SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
