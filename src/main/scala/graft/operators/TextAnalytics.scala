@@ -551,6 +551,39 @@ object TextAnalytics {
        |        / CAST(t.n_spans AS DOUBLE), 6) AS dup_fraction
        |FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** The inspection companion of [[dupSpans]]: the most-shared span
+    * TEXTS (top `topN` by distinct-document count, ties by span) —
+    * what a pipeline owner actually reads when tuning a dedup
+    * threshold: boilerplate, licenses, navigation chrome. Diagnostic
+    * top-N: the span string shuffles here (~k words vs the 16-byte
+    * hash posting — a small constant); a production variant at 100 TB
+    * keys the df pass on the hash pair as [[dupSpansOf]] does and
+    * joins the strings back for only the N winners. */
+  def topDupSpans(spark: SparkSession, sfDir: String,
+                  k: Int = 5, topN: Int = 20): DataFrame =
+    topDupSpansOf(docs(spark, sfDir), k, topN)
+
+  /** [[topDupSpans]] over any `(doc_id, text)`-bearing frame. */
+  def topDupSpansOf(documents: DataFrame, k: Int = 5,
+                    topN: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select($"doc_id", explode(shingles(tokens($"text"), k)).as("span"))
+      .distinct()
+      .groupBy($"span").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"span").limit(topN)
+  }
+
+  def topDupSpansSql(k: Int = 5, topN: Int = 20): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |s AS (SELECT DISTINCT doc_id, unnest(${shinglesNSql("ts", k)}) AS span
+       |      FROM t)
+       |SELECT span, COUNT(*) AS n_docs FROM s GROUP BY span
+       |HAVING COUNT(*) >= 2
+       |ORDER BY n_docs DESC, span LIMIT $topN""".stripMargin
+
   // ---------------------------------------------------------------
   // llm_mix_weights — temperature-weighted source mixing
   // ---------------------------------------------------------------

@@ -465,6 +465,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
         s"doc $doc fraction")
     }
     assert(real.exists(_._3 > 0), "expected some cross-doc duplicate spans")
+    // the inspection companion: exactly the one shared span, df = 2
+    val top = TextAnalytics.topDupSpansOf(docs, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b c d e", 2L)))
+    // real corpus: every reported span is shared by >= 2 docs, sorted
+    val topReal = TextAnalytics.topDupSpans(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(topReal.nonEmpty && topReal.forall(_._2 >= 2))
+    assert(topReal.map(_._2) == topReal.map(_._2).sortBy(-_))
   }
 
   test("mix weights: normalized, monotone in size, budget conserved") {
