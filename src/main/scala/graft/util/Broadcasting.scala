@@ -35,8 +35,12 @@ object Broadcasting {
     * that is only evaluated when the conf has not disabled the tier
     * outright. */
   def maybeBroadcast(df: DataFrame, rowBound: => Long): DataFrame = {
+    // a malformed override must not crash the query mid-plan; fall
+    // back to the default cap (misconfiguration degrades to the
+    // shipped posture, never to a failure)
     val cap = df.sparkSession.conf.getOption(maxRowsKey)
-      .map(_.toLong).getOrElse(defaultMaxRows)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(defaultMaxRows)
     if (cap > 0 && rowBound <= cap) broadcast(df) else df
   }
 }

@@ -39,6 +39,11 @@ class BroadcastTierSpec extends AnyFunSuite with SparkSpec {
       assert(hinted(Broadcasting.maybeBroadcast(df, 5)))
       assert(!hinted(Broadcasting.maybeBroadcast(df, 6)))
     }
+    // malformed override degrades to the default cap, never a crash
+    withCap("not-a-number") {
+      assert(hinted(Broadcasting.maybeBroadcast(df, 10)))
+      assert(!hinted(Broadcasting.maybeBroadcast(df, Long.MaxValue)))
+    }
   }
 
   test("pagerank is identical via the non-broadcast route") {
