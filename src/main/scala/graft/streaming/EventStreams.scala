@@ -163,11 +163,17 @@ object EventStreams {
     * no watermark and broadcasts into every micro-batch; state is
     * keyed on the (coarser) enriched key, so enrichment also SHRINKS
     * streaming state vs aggregating on raw user_id. Works identically
-    * on a batch frame (the spec's stream==batch witness). */
+    * on a batch frame (the spec's stream==batch witness).
+    *
+    * A user dimension is user-population-proportional, so the
+    * broadcast is capacity-tiered like every other such hint (one
+    * count of the STATIC side at plan construction — metadata-cheap
+    * for a table read, never per micro-batch); past the cap the
+    * per-batch join strategy is Catalyst's to pick. */
   def enrichedTumbling(events: DataFrame, dim: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.join(broadcast(dim), "user_id")
+    events.join(graft.util.Broadcasting.maybeBroadcast(dim, dim.count()), "user_id")
       .groupBy(window($"ts", "1 hour"), $"segment")
       .agg(count(lit(1)).as("n"),
         sum(dec($"value")).cast("double").as("sum_value"))

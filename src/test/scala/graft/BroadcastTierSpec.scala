@@ -69,4 +69,11 @@ class BroadcastTierSpec extends AnyFunSuite with SparkSpec {
     val got = withCap("0")(rows(Dedup.dedupApply(spark, sf)))
     assert(got == want && want.nonEmpty)
   }
+
+  test("stream-static enrichment is identical via the non-broadcast route") {
+    val want = rows(graft.streaming.EventStreams.eventsEnriched(spark, sf))
+    val got = withCap("0")(
+      rows(graft.streaming.EventStreams.eventsEnriched(spark, sf)))
+    assert(got == want && want.nonEmpty)
+  }
 }
