@@ -102,6 +102,23 @@ object Graft {
                   valPct: Int = 10): DataFrame =
     operators.TextAnalytics.corpusSplitOf(docs, trainPct, valPct)
 
+  /** Cross-document duplicate-span signal per doc: of its `k`-token
+    * spans, how many appear verbatim in at least one OTHER document
+    * (`doc_id, n_spans, n_dup_spans, dup_fraction`). */
+  def dupSpans(docs: DataFrame, k: Int = 5): DataFrame =
+    operators.TextAnalytics.dupSpansOf(docs, k)
+
+  /** The most-shared `k`-token span texts with distinct-doc counts —
+    * the boilerplate list read when tuning exact-substring dedup. */
+  def topDupSpans(docs: DataFrame, k: Int = 5, topN: Int = 20): DataFrame =
+    operators.TextAnalytics.topDupSpansOf(docs, k, topN)
+
+  /** Temperature-tempered source sampling weights (p_i ∝ tokens_i^α)
+    * and expected per-epoch document draws at `budget`. */
+  def mixWeights(docs: DataFrame, alpha: Double = 0.3,
+                 budget: Long = 100000L): DataFrame =
+    operators.TextAnalytics.mixWeightsOf(docs, alpha, budget)
+
   // -- relational / time-series over caller frames ------------------
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on
@@ -235,6 +252,14 @@ object Graft {
   def packStream(docs: org.apache.spark.sql.Dataset[streaming.PackDoc],
                  ctx: Int = 512): org.apache.spark.sql.Dataset[streaming.PackAssign] =
     streaming.EventStreams.packStream(docs, ctx)
+
+  /** [[packStream]] at production parallelism: cursor state keyed
+    * (lang, shard = doc_id % shards), so concurrent cursors scale
+    * with langs × shards; bins never span shards. */
+  def packStreamSharded(docs: org.apache.spark.sql.Dataset[streaming.PackDoc],
+                        ctx: Int = 512, shards: Int = 4)
+  : org.apache.spark.sql.Dataset[streaming.PackAssignShard] =
+    streaming.EventStreams.packStreamSharded(docs, ctx, shards)
 
   // -- custom whole-operator tier ----------------------------------
 

@@ -597,10 +597,16 @@ object TextAnalytics {
     * arithmetic (including the 1-row normalizer re-entering as a
     * broadcast-NLJ cross join) never touches corpus-sized data. */
   def mixWeights(spark: SparkSession, sfDir: String,
-                 alpha: Double = 0.3, budget: Long = 100000L): DataFrame = {
+                 alpha: Double = 0.3, budget: Long = 100000L): DataFrame =
+    mixWeightsOf(docs(spark, sfDir), alpha, budget)
+
+  /** [[mixWeights]] over any `(lang, text)`-bearing frame. */
+  def mixWeightsOf(documents: DataFrame,
+                   alpha: Double = 0.3, budget: Long = 100000L): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val per = docs(spark, sfDir)
+    val per = documents
       .select($"lang", size(tokens($"text")).cast("long").as("n_tokens"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("toks"))

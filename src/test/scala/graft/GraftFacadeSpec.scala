@@ -177,4 +177,27 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(enc._1 == 26L && enc._2 == 26L - 4L)
   }
+
+  test("dup spans + mix weights run on caller-provided frames") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "w x y z q a b"),
+      (2L, "en", "p w x y z q r"),
+      (3L, "de", "k l m n o")
+    ).toDF("doc_id", "lang", "text")
+    // docs 1 and 2 share exactly one 5-token span "w x y z q"
+    val ds = Graft.dupSpans(docs.select($"doc_id", $"text"), k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ds == Map(1L -> ((3L, 1L)), 2L -> ((3L, 1L)), 3L -> ((1L, 0L))))
+    val top = Graft.topDupSpans(docs.select($"doc_id", $"text"), k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("w x y z q", 2L)))
+    val mw = Graft.mixWeights(docs, alpha = 1.0)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // α=1: proportional to tokens (en 14, de 5)
+    assert(math.abs(mw("en") - 14.0 / 19) < 1e-6)
+    assert(math.abs(mw("de") - 5.0 / 19) < 1e-6)
+  }
 }
