@@ -160,29 +160,45 @@ object Graph {
       .join(deg.select($"v".as("dst"), $"deg".as("dd")), "dst")
       .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
       .select($"src", $"dst"))
-    // NOTE: broadcasting e2 here measured SLOWER than the shuffled
-    // self-join — both sides share one exchange, so the "free" side
-    // of the broadcast was already free
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
-      .filter(col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-    // a wedge (a, b) closes iff the oriented edge a→b or b→a exists;
-    // orientation stores each undirected edge once, so join on the
-    // canonicalized pair. The edge set is |E| while the wedge stream
-    // is Σ outdeg² ≫ |E| — broadcast the edges so the wedges never
-    // shuffle. Capacity tier: |E| is counted up front (oriented is
-    // cached, the count doubles as its materialization) and past ~1M
-    // edges the hint is dropped — the wedge shuffle IS the textbook
-    // MapReduce triangle count, and AQE may still broadcast from
-    // actual sizes
     val nE = oriented.count()
-    val closing = oriented.select(
-      least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-    val tri = wedges
-      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
-      .join(graft.util.Broadcasting.maybeBroadcast(closing, nE), Seq("a", "b"))
-      .count()
+    // Two capacity-tiered algorithms (the adjacency table totals |E|
+    // longs — the same bound as the closing-edge set):
+    //
+    // UNDER CAP — adjacency intersection: tri = Σ over oriented edges
+    // (u,v) of |N⁺(u) ∩ N⁺(v)|. In the acyclic degree orientation
+    // every triangle has one source, one middle, one sink; only the
+    // source→middle edge sees the sink in both out-neighborhoods, so
+    // each triangle is counted exactly once. The corpus-sized
+    // intermediate of the wedge formulation (Σ outdeg² rows) never
+    // materializes — the job is one |E|-row scan against a broadcast
+    // adjacency map with a per-row bounded intersection (arrays ≤
+    // √(2|E|) by the orientation bound). Measured 2.9 s → see
+    // PLANS.md at sf0.1 vs the wedge route.
+    //
+    // OVER CAP — the textbook MapReduce wedge count: enumerate wedges
+    // at their apex, shuffle-join against the closing-edge set; both
+    // sides shuffle on the canonical pair, AQE picks the strategy.
+    val tri = if (graft.util.Broadcasting.fits(spark, nE)) {
+      val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
+      oriented
+        .join(broadcast(adj.select($"src", $"nbrs".as("nu"))), Seq("src"))
+        .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nv"))),
+          Seq("dst"), "left")
+        .select(when($"nv".isNull, lit(0))
+          .otherwise(size(array_intersect($"nu", $"nv"))).as("c"))
+        .agg(coalesce(sum($"c"), lit(0L))).head().getLong(0)
+    } else {
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+        .filter(col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      val closing = oriented.select(
+        least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      wedges
+        .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+        .join(closing, Seq("a", "b"))
+        .count()
+    }
     val nV = nodes.count()
     Seq((nV, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }

@@ -34,13 +34,20 @@ object Broadcasting {
     * untouched. `rowBound` is by-name so callers may pass a count
     * that is only evaluated when the conf has not disabled the tier
     * outright. */
-  def maybeBroadcast(df: DataFrame, rowBound: => Long): DataFrame = {
+  /** The tier predicate itself — for operators that pick a whole
+    * ALGORITHM by capacity (triangle count's adjacency-intersection
+    * vs wedge-shuffle paths), not just a join hint. */
+  def fits(session: org.apache.spark.sql.SparkSession,
+           rowBound: => Long): Boolean = {
     // a malformed override must not crash the query mid-plan; fall
     // back to the default cap (misconfiguration degrades to the
     // shipped posture, never to a failure)
-    val cap = df.sparkSession.conf.getOption(maxRowsKey)
+    val cap = session.conf.getOption(maxRowsKey)
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .getOrElse(defaultMaxRows)
-    if (cap > 0 && rowBound <= cap) broadcast(df) else df
+    cap > 0 && rowBound <= cap
   }
+
+  def maybeBroadcast(df: DataFrame, rowBound: => Long): DataFrame =
+    if (fits(df.sparkSession, rowBound)) broadcast(df) else df
 }
