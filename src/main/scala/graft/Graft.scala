@@ -119,6 +119,19 @@ object Graft {
                  budget: Long = 100000L): DataFrame =
     operators.TextAnalytics.mixWeightsOf(docs, alpha, budget)
 
+  /** Okapi BM25 top-`k` doc ids + scores for a lexical query. */
+  def bm25(docs: DataFrame, query: Seq[String], k: Int = 15): DataFrame =
+    operators.TextAnalytics.bm25Of(docs, query, k)
+
+  /** Per-language OOV accounting against the corpus's top-`v` vocab. */
+  def vocabCoverage(docs: DataFrame, v: Int = 100): DataFrame =
+    operators.TextAnalytics.vocabCoverageOf(docs, v)
+
+  /** Fixed-ladder sequence-length bucket plan (docs, batches, pad
+    * waste per rung) for inference batching. */
+  def lengthBuckets(docs: DataFrame, batch: Int = 8): DataFrame =
+    operators.TextAnalytics.lengthBucketsOf(docs, batch)
+
   // -- relational / time-series over caller frames ------------------
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on

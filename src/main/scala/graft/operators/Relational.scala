@@ -151,6 +151,41 @@ object Relational {
       |ORDER BY o_orderpriority, drank, o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_window_distinct — distinct count over a window partition
+  // ---------------------------------------------------------------
+
+  /** Distinct-count-over-window: each order row sees how many
+    * DISTINCT priorities its customer has ever used, then the rows
+    * histogram by that breadth. Spark has no `COUNT(DISTINCT) OVER`,
+    * so the canonical form is `size(collect_set(...) over w)` — the
+    * window state is bounded by the distinct-value count per
+    * partition (≤5 priorities here), NOT the partition row count, so
+    * the pattern survives hot customers at any corpus size. One
+    * shuffle on the partition key, then a tiny (≤5-group) aggregate.
+    */
+  def windowDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("n_prio",
+        size(collect_set($"o_orderpriority").over(w)).cast("long"))
+      .groupBy($"n_prio")
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct($"o_custkey").as("n_customers"))
+      .orderBy($"n_prio")
+  }
+
+  val windowDistinctSql: String =
+    """WITH x AS (
+      |  SELECT o_custkey,
+      |         COUNT(DISTINCT o_orderpriority)
+      |           OVER (PARTITION BY o_custkey) AS n_prio
+      |  FROM orders)
+      |SELECT CAST(n_prio AS BIGINT) AS n_prio, COUNT(*) AS n_orders,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM x GROUP BY n_prio ORDER BY n_prio""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_fuzzy_join — blocked Levenshtein similarity join
   // ---------------------------------------------------------------
 

@@ -1568,4 +1568,227 @@ object TextAnalytics {
        |  md5(list_aggregate(ts[start : start + ${chunk - 1}],
        |      'string_agg', ' ')) AS chunk_hash
        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_bm25 — Okapi BM25 keyword retrieval
+  // ---------------------------------------------------------------
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) top-`k` retrieval for a fixed
+    * query-term set — the classic lexical ranker a retrieval /
+    * RAG-indexing pipeline pairs with the [[tfidf]] characteristic
+    * terms and the kNN dense retrievers (`Similarity.scala`). Uses
+    * the +1-inside-the-log idf variant so scores stay positive even
+    * for terms in more than half the corpus.
+    *
+    * Scale posture (100 TB): NO per-term explode and no join — per-doc
+    * term frequencies for the |q| query terms are codegen'd
+    * `size(filter(...))` array scans in ONE projection, so the whole
+    * query is scan → 1-row global aggregate (N, avgdl, per-term df)
+    * → broadcast cross join back → TakeOrderedAndProject. The only
+    * shuffle is the |q|+2-column single-row aggregate; the corpus
+    * moves exactly once end to end.
+    */
+  def bm25(spark: SparkSession, sfDir: String,
+           query: Seq[String] = bm25DefaultQuery, k: Int = 15): DataFrame =
+    bm25Of(docs(spark, sfDir), query, k)
+
+  val bm25DefaultQuery: Seq[String] = Seq("spark", "join", "window", "stream")
+
+  /** [[bm25]] over any `(doc_id, text)`-bearing frame. */
+  def bm25Of(documents: DataFrame, query: Seq[String] = bm25DefaultQuery,
+             k: Int = 15): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    val k1 = 1.2
+    val b = 0.75
+    val tfCols = query.indices.map(i =>
+      size(filter($"tk", x => x === lit(query(i)))).cast("long").as(s"tf_$i"))
+    val per = documents
+      .select($"doc_id", tokens($"text").as("tk"))
+      .select($"doc_id" +: size($"tk").cast("long").as("dl") +: tfCols: _*)
+    // one single-row aggregate carries every corpus statistic the
+    // scorer needs; it re-enters the plan as a broadcast cross join
+    // (the tfidf/unigramLogprob discipline — no driver action fires)
+    val aggCols =
+      count(lit(1)).cast("double").as("n") +:
+        (sum($"dl").cast("double") / count(lit(1))).as("avgdl") +:
+        query.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("double").as(s"df_$i"))
+    val g = per.agg(aggCols.head, aggCols.tail: _*)
+    // fixed left-to-right term order keeps the float sum bit-identical
+    // with the oracle's expression order
+    val score = query.indices.map { i =>
+      val df = col(s"df_$i")
+      log(($"n" - df + 0.5) / (df + 0.5) + 1.0) *
+        (col(s"tf_$i") * lit(k1 + 1)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl"))
+    }.reduce(_ + _)
+    per.crossJoin(broadcast(g))
+      .withColumn("score", round(score, 4))
+      .filter($"score" > 0)
+      .select($"doc_id", $"score")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
+  def bm25Sql(query: Seq[String] = bm25DefaultQuery, k: Int = 15): String = {
+    val k1 = 1.2
+    val b = 0.75
+    val tfs = query.indices.map(i =>
+      s"len(list_filter(tk, x -> x = '${query(i)}')) AS tf_$i").mkString(",\n|        ")
+    val dfs = query.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i")
+      .mkString(",\n|        ")
+    val terms = query.indices.map(i =>
+      s"ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * ${k1 + 1}) / " +
+        s"(tf_$i + $k1 * (${1 - b} + $b * dl / avgdl))").mkString("\n|    + ")
+    s"""WITH base AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |per AS (SELECT doc_id, len(tk) AS dl,
+       |        $tfs
+       |        FROM base),
+       |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |        CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |        $dfs
+       |      FROM per),
+       |scored AS (SELECT doc_id, round(
+       |    $terms, 4) AS score
+       |  FROM per CROSS JOIN g)
+       |SELECT doc_id, score FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_vocab_coverage — OOV rate against a corpus-derived vocabulary
+  // ---------------------------------------------------------------
+
+  /** Out-of-vocabulary accounting per language against the corpus's
+    * own top-`v` terms — the coverage check run before committing to
+    * a tokenizer vocabulary (how much of each language's token mass
+    * falls outside the shared vocab). Docs with zero tokens carry no
+    * token mass and drop out of the per-doc stage; `n_docs` counts
+    * token-bearing documents.
+    *
+    * Scale posture (100 TB): the vocab is parameter-bounded (`v`
+    * rows after a partial+final term count and a top-`v` heap), so
+    * its broadcast is justified at ANY corpus size — unlike the
+    * corpus-proportional hints round 5 flagged. The token stream
+    * then left-joins the broadcast vocab map-side (no shuffle of the
+    * stream beyond the per-doc aggregate it needs anyway), and the
+    * per-doc rows collapse to ≤|langs| output rows.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String, v: Int = 100): DataFrame =
+    vocabCoverageOf(docs(spark, sfDir), v)
+
+  /** [[vocabCoverage]] over any `(doc_id, lang, text)` frame. */
+  def vocabCoverageOf(documents: DataFrame, v: Int = 100): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(v >= 1, s"vocab size must be >= 1, got $v")
+    val terms = documents
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+    val vocab = terms.groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term").limit(v)
+      .select($"term", lit(1).as("in_vocab"))
+    val perDoc = terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1).otherwise(0)).as("n_oov"))
+    perDoc.groupBy($"lang")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_tokens").cast("long").as("total_tokens"),
+        sum($"n_oov").cast("long").as("oov_tokens"),
+        round(sum($"n_oov").cast("double") / sum($"n_tokens"), 6).as("oov_rate"))
+      .orderBy($"lang")
+  }
+
+  def vocabCoverageSql(v: Int = 100): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, lang, unnest($tokensSql) AS term FROM documents),
+       |vocab AS (SELECT term FROM (
+       |  SELECT term, COUNT(*) AS n FROM terms GROUP BY term
+       |  ORDER BY n DESC, term LIMIT $v)),
+       |pd AS (
+       |  SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+       |         SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM terms t LEFT JOIN vocab v ON t.term = v.term
+       |  GROUP BY t.doc_id, t.lang)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+       |  round(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tokens), 6) AS oov_rate
+       |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_length_buckets — sequence-length bucketing for inference
+  // ---------------------------------------------------------------
+
+  /** Fixed-ladder sequence-length bucketing (16, 32, …, 2048 with a
+    * 4096 overflow) — the batching planner for inference / eval
+    * serving, where every sequence pads to its bucket length and
+    * batches of `batch` sequences form within a bucket. Sequences
+    * longer than the top rung TRUNCATE to it (the serving default),
+    * so token counts here are post-truncation. Reports per bucket
+    * the doc count, batch count, kept vs padded token mass, and
+    * padding waste — the numbers that pick ladder rungs.
+    *
+    * The ladder is CASE-compared (no `log2`), so bucket assignment is
+    * bit-identical across engines; batch count is arithmetic
+    * (`ceil(n_docs/batch)`), not a window pass — at corpus scale
+    * this is ONE scan and ONE tiny aggregate (≤9 groups), nothing
+    * else. The actual batch-member assignment at scale is
+    * [[seqPackAssign]]'s shape; this op is the planner that sizes it.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String, batch: Int = 8): DataFrame =
+    lengthBucketsOf(docs(spark, sfDir), batch)
+
+  /** Bucket rungs: powers of two from 16 to 2048, then 4096 overflow. */
+  private val bucketLadder: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** [[lengthBuckets]] over any `(text)`-bearing frame. */
+  def lengthBucketsOf(documents: DataFrame, batch: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(batch >= 1, s"batch size must be >= 1, got $batch")
+    val bucket = bucketLadder.foldRight(lit(4096L)) { (rung, fall) =>
+      when($"n_tokens" <= rung, lit(rung)).otherwise(fall)
+    }
+    documents
+      .select(least(size(tokens($"text")).cast("long"), lit(4096L))
+        .as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+      .withColumn("n_batches",
+        (floor(($"n_docs" - 1) / batch) + 1).cast("long"))
+      .withColumn("padded_tokens", ($"n_docs" * $"bucket").cast("long"))
+      .withColumn("pad_waste",
+        round(lit(1.0) - $"total_tokens".cast("double") / $"padded_tokens", 6))
+      .select($"bucket", $"n_docs", $"n_batches", $"total_tokens",
+        $"padded_tokens", $"pad_waste")
+      .orderBy($"bucket")
+  }
+
+  def lengthBucketsSql(batch: Int = 8): String = {
+    val ladder = bucketLadder
+      .map(r => s"WHEN n_tokens <= $r THEN $r").mkString("\n|      ")
+    s"""WITH d AS (
+       |  SELECT least(len($tokensSql), 4096) AS n_tokens FROM documents),
+       |b AS (SELECT n_tokens,
+       |    CASE $ladder
+       |      ELSE 4096 END AS bucket
+       |  FROM d),
+       |g AS (SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+       |      FROM b GROUP BY bucket)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
+       |  CAST((n_docs - 1) // $batch + 1 AS BIGINT) AS n_batches,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  CAST(n_docs * bucket AS BIGINT) AS padded_tokens,
+       |  round(1.0 - CAST(total_tokens AS DOUBLE) / (n_docs * bucket), 6)
+       |    AS pad_waste
+       |FROM g ORDER BY bucket""".stripMargin
+  }
 }

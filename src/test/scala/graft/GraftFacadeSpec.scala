@@ -200,4 +200,33 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(mw("en") - 14.0 / 19) < 1e-6)
     assert(math.abs(mw("de") - 5.0 / 19) < 1e-6)
   }
+
+  test("bm25, vocab coverage, and length buckets run on caller frames") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "spark spark join fast"),
+      (2L, "en", "join window"),
+      (3L, "fr", "entirely unrelated words")
+    ).toDF("doc_id", "lang", "text")
+    // doc 1 hits "spark" twice + "join"; doc 2 hits "join" once with
+    // a shorter dl — both rank, doc 3 never appears
+    val hits = Graft.bm25(docs.select($"doc_id", $"text"),
+      Seq("spark", "join"), k = 10).as[(Long, Double)].collect()
+    assert(hits.map(_._1).toSet == Set(1L, 2L))
+    assert(hits.head._1 == 1L, "two-term doc outranks one-term doc")
+    assert(hits.forall(_._2 > 0))
+    // v = 3 vocab: {join (2), fast/spark... ties by term} — just
+    // assert the accounting identity on a caller frame
+    val vc = Graft.vocabCoverage(docs, v = 3)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(vc.map(_._1).toSeq.sorted == Seq("en", "fr"))
+    vc.foreach { case (_, nd, tot, oov, rate) =>
+      assert(oov <= tot && nd >= 1)
+      assert(math.abs(rate - math.rint(oov.toDouble / tot * 1e6) / 1e6) < 1e-9)
+    }
+    val lb = Graft.lengthBuckets(docs.select($"doc_id", $"text"), batch = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // all three docs are <= 16 tokens: one bucket, two batches
+    assert(lb.toSeq == Seq((16L, 3L, 2L, 9L, 48L, 0.8125)))
+  }
 }

@@ -105,4 +105,23 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (d, z) => assert(math.abs(z - want(d)) <= 1e-4) }
     assert(got.nonEmpty, "sf0.001 should flag at least one outlier day")
   }
+
+  test("window distinct equals the groupBy-distinct replay") {
+    import spark.implicits._
+    val got = Relational.windowDistinct(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    // replay without the window: per-customer distinct priorities by
+    // aggregate, weighted by that customer's order count
+    val want = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .groupBy($"n_prio")
+      .agg(sum($"n_orders").as("n_orders"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"n_prio")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall { case (np, _, _) => np >= 1 && np <= 5 })
+  }
 }

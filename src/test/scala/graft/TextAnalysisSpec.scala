@@ -500,4 +500,96 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(w - toks / totalToks) < 5e-7)
     }
   }
+
+  test("bm25 matches an independent driver-side replay") {
+    import spark.implicits._
+    val query = TextAnalytics.bm25DefaultQuery
+    val got = TextAnalytics.bm25(spark, sf, query, k = 15)
+      .as[(Long, Double)].collect().toSeq
+    // replay: same tokenizer, same formula, same rounding, driver-side
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tok = "[\\p{L}\\p{N}_]+".r
+    val toks = docs.map { case (id, t) => id -> tok.findAllIn(t.toLowerCase).toVector }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / toks.length
+    val dfm = query.map(q => q -> toks.count(_._2.contains(q)).toDouble).toMap
+    val k1 = 1.2; val b = 0.75
+    def score(tk: Vector[String]): Double = {
+      val dl = tk.length
+      val raw = query.foldLeft(0.0) { (acc, q) =>
+        val tf = tk.count(_ == q).toDouble
+        val df = dfm(q)
+        acc + math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+      }
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = toks.map { case (id, tk) => (id, score(tk)) }
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(15).toSeq
+    assert(got == want)
+    // degenerate guards
+    intercept[IllegalArgumentException](TextAnalytics.bm25Of(
+      Seq((1L, "a")).toDF("doc_id", "text"), Seq.empty))
+    // a term absent from the corpus contributes nothing: df = 0 makes
+    // every tf 0 → excluded rows only
+    val none = TextAnalytics.bm25Of(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), Seq("zzz_missing"))
+    assert(none.count() == 0)
+  }
+
+  test("vocab coverage: hand fixture, and oov rate monotone in vocab size") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a a b"),
+      (2L, "en", "a c"),
+      (3L, "fr", "b b d e"),
+      (4L, "de", "")
+    ).toDF("doc_id", "lang", "text")
+    // top-2 vocab = {a, b} (3 each; ties broken by term)
+    val got = TextAnalytics.vocabCoverageOf(docs, v = 2)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("en", 2L, 5L, 1L, 0.2),    // doc 2's "c" is OOV
+      ("fr", 1L, 4L, 2L, 0.5)))   // "d e" OOV; empty de doc drops out
+    // real corpus: rates in [0,1] and shrinking the vocab can only
+    // raise (or keep) each language's OOV rate
+    val wide = TextAnalytics.vocabCoverage(spark, sf, v = 100)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    val narrow = TextAnalytics.vocabCoverage(spark, sf, v = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(wide.nonEmpty && wide.keySet == narrow.keySet)
+    wide.foreach { case (lang, r) =>
+      assert(r >= 0.0 && r <= 1.0, s"$lang rate in range")
+      assert(narrow(lang) >= r - 1e-9, s"$lang monotone under smaller vocab")
+    }
+  }
+
+  test("length buckets: fixture ladder walk and corpus accounting") {
+    import spark.implicits._
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(10, 16, 17, 100, 5000).zipWithIndex
+      .map { case (n, i) => (i.toLong, text(n)) }.toDF("doc_id", "text")
+    val got = TextAnalytics.lengthBucketsOf(docs, batch = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (16L, 2L, 1L, 26L, 32L, 0.1875),     // 10 and 16 share a batch
+      (32L, 1L, 1L, 17L, 32L, 0.46875),    // 17 rounds up to 32
+      (128L, 1L, 1L, 100L, 128L, 0.21875),
+      // 5000 tokens truncate to the 4096 top rung: zero pad waste
+      (4096L, 1L, 1L, 4096L, 4096L, 0.0)))
+    // real corpus: every doc lands in exactly one bucket, padding
+    // never loses tokens, batch counts are the ceilings they claim
+    val real = TextAnalytics.lengthBuckets(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(real.map(_._2).sum == nDocs)
+    real.foreach { case (bucket, nd, nb, tot, pad, waste) =>
+      assert(pad == nd * bucket && pad >= tot)
+      assert(nb == (nd - 1) / 8 + 1)
+      assert(waste >= 0.0 && waste < 1.0)
+    }
+  }
 }
