@@ -175,6 +175,11 @@ object Graft {
   def triangleCount(edges: DataFrame, nodes: DataFrame): DataFrame =
     operators.Graph.triangleCountOf(edges, nodes)
 
+  /** Frontier-iteration BFS: minimum hop distance (≤ `hops`) from the
+    * `seed` node frame `(a)` over a directed edge frame → `(a, hop)`. */
+  def khop(edges: DataFrame, seed: DataFrame, hops: Int): DataFrame =
+    operators.Graph.khopOf(edges, seed, hops)
+
   // -- similarity over (vec_id, embedding) frames ------------------
 
   /** Unit-normalize embeddings (cache if reused). */

@@ -203,6 +203,91 @@ object Graph {
     Seq((nV, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** k-hop BFS reachability histogram from the lowest-id actor:
+    * minimum hop distance over the co-actor graph, reported as
+    * `(hop, n_actors)` for every reached level 0..`hops`. The seed
+    * is a 1-row aggregate (`MIN(a)`), never a driver-side literal,
+    * so the whole query stays declarative.
+    *
+    * Scale posture (100 TB): classic frontier iteration — per hop
+    * ONE equi-join of the edge list with the current frontier (the
+    * frontier broadcasts only under the capacity tier; a saturated
+    * frontier on a small-diameter social graph is corpus-proportional
+    * and falls back to the shuffled route) and one anti-join against
+    * the visited set, both on the node key. The visited set is
+    * node-cardinality, stays distributed, and is `localCheckpoint`ed
+    * each hop so the recursive double reference (anti-join + union)
+    * costs one materialization per level, not 2^hops. The per-hop
+    * frontier count the tier needs doubles as the early-exit test on
+    * an exhausted component. */
+  def khopActors(spark: SparkSession, sfDir: String, hops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (edges, nodes) = coActorEdges(spark, sfDir)
+    val e = edges.select($"src".cast("long").as("src"), $"dst".cast("long").as("dst"))
+    val seed = nodes.agg(min($"a".cast("long")).as("a"))
+    khopOf(e, seed, hops)
+      .groupBy($"hop")
+      .agg(count(lit(1)).as("n_actors"))
+      .orderBy($"hop")
+  }
+
+  /** [[khopActors]] over any directed edge frame `(src, dst)` and a
+    * seed frame `(a)` (one or more source nodes). Returns `(a, hop)`
+    * with the MINIMUM hop per reached node. */
+  def khopOf(edges: DataFrame, seed: DataFrame, hops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(hops >= 0, s"hop count must be >= 0, got $hops")
+    val e = cached("khop-edges", edges)
+    var dist = seed.select($"a", lit(0L).as("hop")).localCheckpoint()
+    var prevCkpt: DataFrame = dist
+    var frontierRows = -1L // unknown until the first count below
+    var hop = 1L
+    while (hop <= hops && frontierRows != 0L) {
+      val frontier = dist.filter($"hop" === (hop - 1L)).select($"a")
+      // one bounded driver long per hop: feeds the broadcast tier AND
+      // terminates the loop when the component is exhausted (skipping
+      // `hops - diameter` empty joins)
+      frontierRows = frontier.count()
+      if (frontierRows != 0L) {
+        val next = e
+          .join(graft.util.Broadcasting.maybeBroadcast(frontier, frontierRows),
+            e("src") === frontier("a"))
+          .select($"dst".as("a")).distinct()
+          .join(dist, Seq("a"), "left_anti")
+          .select($"a", lit(hop).as("hop"))
+        dist = dist.unionByName(next).localCheckpoint()
+        prevCkpt.unpersist(blocking = false)
+        prevCkpt = dist
+      }
+      hop += 1
+    }
+    dist
+  }
+
+  def khopActorsSql(hops: Int = 3): String = {
+    val head =
+      s"""WITH movies AS (${Tables.moviesSql}),
+         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+         |edges AS (SELECT DISTINCT CAST(x.a AS BIGINT) AS src,
+         |                 CAST(y.a AS BIGINT) AS dst
+         |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
+         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
+         |d0 AS (SELECT MIN(a) AS a, 0 AS hop FROM nodes)""".stripMargin
+    val steps = (1 to hops).map { i =>
+      s"""d$i AS (
+         |  SELECT a, hop FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT a, $i AS hop FROM (
+         |    SELECT DISTINCT e.dst AS a FROM edges e
+         |    JOIN d${i - 1} f ON e.src = f.a AND f.hop = ${i - 1}
+         |    WHERE e.dst NOT IN (SELECT a FROM d${i - 1})))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$steps
+       |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_actors
+       |FROM d$hops GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   val triangleCountSql: String =
     s"""WITH movies AS (${Tables.moviesSql}),
        |sel AS (SELECT id, unnest(actors) AS a FROM movies),

@@ -40,6 +40,33 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r == ((5L, 7L, 4L)), s"got $r")
   }
 
+  test("khop BFS: min-hop fixture, early exit, and tier-forced route agree") {
+    import spark.implicits._
+    // diamond 1→{2,3}→4 plus tail 4→5 and isolated 6: node 4 is
+    // reachable at hop 2 two ways but must appear ONCE with hop 2
+    val und = Seq((1, 2), (1, 3), (2, 4), (3, 4), (4, 5))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val seed = Seq(1L).toDF("a")
+    val got = Graph.khopOf(edges, seed, 3).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L)))
+    // hops past the eccentricity terminate early and add nothing
+    assert(Graph.khopOf(edges, seed, 10).as[(Long, Long)].collect().toSet == got)
+    // cap 0 forces the shuffled frontier join; result identical
+    spark.conf.set(graft.util.Broadcasting.maxRowsKey, "0")
+    try assert(Graph.khopOf(edges, seed, 3).as[(Long, Long)].collect().toSet == got)
+    finally spark.conf.unset(graft.util.Broadcasting.maxRowsKey)
+  }
+
+  test("khop histogram on the corpus: one seed, contiguous levels") {
+    import spark.implicits._
+    val rows = Graph.khopActors(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(rows.headOption.contains((0L, 1L)), "hop 0 is the single seed")
+    assert(rows.map(_._1) == rows.indices.map(_.toLong),
+      "reached levels are contiguous from 0")
+    assert(rows.forall(_._2 >= 1))
+  }
+
   test("funnel stage counts are monotone and rates consistent") {
     import spark.implicits._
     val row = Relational.eventsFunnel(spark, sf)
