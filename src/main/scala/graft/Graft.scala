@@ -132,6 +132,16 @@ object Graft {
   def lengthBuckets(docs: DataFrame, batch: Int = 8): DataFrame =
     operators.TextAnalytics.lengthBucketsOf(docs, batch)
 
+  /** Per-language Zipf fit (ln freq vs ln rank slope/intercept/R²)
+    * over each language's top-`v` terms. */
+  def zipfFit(docs: DataFrame, v: Int = 500): DataFrame =
+    operators.TextAnalytics.zipfFitOf(docs, v)
+
+  /** Deterministic weighted sample (Efraimidis–Spirakis, weight =
+    * token count, md5-derived uniforms) of `k` documents. */
+  def weightedSample(docs: DataFrame, k: Int = 20): DataFrame =
+    operators.TextAnalytics.weightedSampleOf(docs, k)
+
   // -- relational / time-series over caller frames ------------------
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on

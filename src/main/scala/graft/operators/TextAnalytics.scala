@@ -1791,4 +1791,113 @@ object TextAnalytics {
        |    AS pad_waste
        |FROM g ORDER BY bucket""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // llm_zipf_fit — Zipf's-law fit of the term-frequency distribution
+  // ---------------------------------------------------------------
+
+  /** Per-language Zipf's-law fit: least-squares slope / intercept /
+    * R² of ln(freq) against ln(rank) over each language's top-`v`
+    * terms. Natural corpora track slope ≈ −1; a corpus whose slope or
+    * R² drifts (template spam flattens the head, boilerplate floods
+    * single ranks) fails the health check before training does.
+    *
+    * Scale posture (100 TB): term counts are one partial+final
+    * shuffle on (lang, term) — vocabulary-cardinality, ≪ corpus. The
+    * per-language top-`v` cut is the `row_number() ≤ k` window-filter
+    * shape [[graft.plans.RowNumberTopKRewrite]] upgrades to the
+    * native bounded-heap plan under the library extensions, so the
+    * rank pass holds v rows per language, not the vocabulary. The
+    * regression itself runs over ≤ v·|langs| rows — driver-trivial,
+    * executed distributed anyway. */
+  def zipfFit(spark: SparkSession, sfDir: String, v: Int = 500): DataFrame =
+    zipfFitOf(docs(spark, sfDir), v)
+
+  /** [[zipfFit]] over any `(lang, text)`-bearing frame. */
+  def zipfFitOf(documents: DataFrame, v: Int = 500): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(v >= 2, s"need at least 2 ranked terms for a fit, got $v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"term")
+    documents
+      .select($"lang", explode(tokens($"text")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= v)
+      .select($"lang",
+        log($"rnk".cast("double")).as("x"), log($"n".cast("double")).as("y"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(y, x)"), 6).as("slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+        round(expr("regr_r2(y, x)"), 6).as("r2"))
+      .orderBy($"lang")
+  }
+
+  def zipfFitSql(v: Int = 500): String =
+    s"""WITH terms AS (
+       |  SELECT lang, unnest($tokensSql) AS term FROM documents),
+       |tc AS (SELECT lang, term, COUNT(*) AS n FROM terms
+       |       GROUP BY lang, term),
+       |rk AS (SELECT lang, term, n, ROW_NUMBER() OVER (
+       |         PARTITION BY lang ORDER BY n DESC, term) AS rnk
+       |       FROM tc),
+       |xy AS (SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x,
+       |              ln(CAST(n AS DOUBLE)) AS y
+       |       FROM rk WHERE rnk <= $v)
+       |SELECT lang, COUNT(*) AS n_terms,
+       |  round(regr_slope(y, x), 6) AS slope,
+       |  round(regr_intercept(y, x), 6) AS intercept,
+       |  round(regr_r2(y, x), 6) AS r2
+       |FROM xy GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_weighted_sample — deterministic weighted sampling (A-ES)
+  // ---------------------------------------------------------------
+
+  /** Efraimidis–Spirakis weighted sampling without replacement:
+    * each document draws a deterministic uniform u from its content
+    * hash and ranks by key = −ln(u)/w with weight w = token count —
+    * the top-`k` by smallest key IS a weight-proportional sample
+    * (heavier documents draw systematically smaller keys). The md5
+    * derivation makes the "randomness" reproducible across engines
+    * and re-runs — the same property [[hashSample]]'s Bernoulli
+    * variant pins, upgraded to weighted-without-replacement.
+    *
+    * Zero-weight (empty) documents are excluded outright rather than
+    * riding division-by-zero semantics, which the two engines don't
+    * share. Scale posture: scan → filter → TakeOrdered(k); no
+    * shuffle beyond the top-k merge, nothing corpus-proportional. */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    weightedSampleOf(docs(spark, sfDir), k)
+
+  /** [[weightedSample]] over any `(doc_id, lang, text)` frame. */
+  def weightedSampleOf(documents: DataFrame, k: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    // u ∈ (0, 1]: the +1 keeps ln defined at the all-zero digest
+    val u = (md5i32($"text", 11).cast("double") + 1.0) / 4294967296.0
+    documents
+      .select($"doc_id", $"lang",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        (-log(u)).as("nl"))
+      .filter($"n_tokens" > 0)
+      .withColumn("key", $"nl" / $"n_tokens")
+      .orderBy($"key".asc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"lang", $"n_tokens", round($"key", 6).as("sample_key"))
+  }
+
+  def weightedSampleSql(k: Int = 20): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len($tokensSql) AS n_tokens,
+       |    -ln((${md5i32Sql("text", 11)} + 1.0) / 4294967296.0)
+       |      AS nl
+       |  FROM documents)
+       |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(nl / n_tokens, 6) AS sample_key
+       |FROM d WHERE n_tokens > 0
+       |ORDER BY nl / n_tokens, doc_id LIMIT $k""".stripMargin
 }

@@ -229,4 +229,22 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     // all three docs are <= 16 tokens: one bucket, two batches
     assert(lb.toSeq == Seq((16L, 3L, 2L, 9L, 48L, 0.8125)))
   }
+
+  test("zipf fit and weighted sample run on caller frames") {
+    import spark.implicits._
+    // "a" appears 4×, "b" 2×, "c" 1× in en — a strictly decreasing
+    // head, so the fit slopes down with a defined R²
+    val docs = Seq(
+      (1L, "en", "a a b c"),
+      (2L, "en", "a a b")
+    ).toDF("doc_id", "lang", "text")
+    val zf = Graft.zipfFit(docs, v = 10)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(zf.map(_._1) == Seq("en") && zf.head._2 == 3L)
+    assert(zf.head._3 < 0 && zf.head._5 >= 0 && zf.head._5 <= 1)
+    val ws = Graft.weightedSample(docs, k = 1)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(ws.length == 1 && Set(1L, 2L).contains(ws.head._1))
+    assert(ws.head._4 > 0)
+  }
 }

@@ -567,6 +567,76 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("zipf fit matches a driver-side least-squares replay") {
+    import spark.implicits._
+    val got = TextAnalytics.zipfFit(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // replay: same tokenizer, same rank cut, plain least squares
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+    val tok = "[\\p{L}\\p{N}_]+".r
+    val counts = docs.flatMap { case (l, t) =>
+      tok.findAllIn(t.toLowerCase).map(l -> _)
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    got.foreach { case (lang, nTerms, slope, intercept, r2) =>
+      val ranked = counts.collect { case ((l, term), n) if l == lang => (term, n) }
+        .toSeq.sortBy { case (term, n) => (-n, term) }.take(500)
+      assert(nTerms == ranked.length)
+      val xy = ranked.zipWithIndex.map { case ((_, n), i) =>
+        (math.log(i + 1.0), math.log(n.toDouble)) }
+      val (mx, my) = (xy.map(_._1).sum / xy.length, xy.map(_._2).sum / xy.length)
+      val sxx = xy.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val sxy = xy.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val syy = xy.map(p => (p._2 - my) * (p._2 - my)).sum
+      assert(math.abs(slope - sxy / sxx) < 1e-4, s"$lang slope")
+      assert(math.abs(intercept - (my - sxy / sxx * mx)) < 1e-4, s"$lang intercept")
+      assert(math.abs(r2 - sxy * sxy / (sxx * syy)) < 1e-4, s"$lang r2")
+      // freq is non-increasing in rank by construction, so the fit
+      // slopes down; R² stays a valid fraction (the synthetic corpus
+      // is deliberately NOT Zipfian — near-flat heads give small R²,
+      // which is exactly the drift signal the operator exists to show)
+      assert(slope < 0, s"$lang slope $slope should be negative")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$lang r2 $r2")
+    }
+  }
+
+  test("weighted sample matches the A-ES replay and excludes zero weights") {
+    import spark.implicits._
+    val got = TextAnalytics.weightedSample(spark, sf, k = 20)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got.length == 20)
+    // driver replay: same md5-derived uniform, same key, same order
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val tok = "[\\p{L}\\p{N}_]+".r
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val hex = md.digest(s"11:$s".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = docs.flatMap { case (id, lang, t) =>
+      val w = tok.findAllIn(t.toLowerCase).length
+      if (w == 0) None else {
+        val key = -math.log((u32(t) + 1.0) / 4294967296.0) / w
+        Some((id, lang, w.toLong, key))
+      }
+    }.sortBy { case (id, _, _, key) => (key, id) }.take(20)
+      .map { case (id, lang, w, key) =>
+        (id, lang, w, BigDecimal(key).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    assert(got == want)
+    // deterministic: a second run returns the identical sample
+    assert(TextAnalytics.weightedSample(spark, sf, k = 20)
+      .as[(Long, String, Long, Double)].collect().toSeq == got)
+    // zero-weight docs can never be drawn
+    val fixture = Seq((1L, "en", "some words here"), (2L, "en", ""))
+      .toDF("doc_id", "lang", "text")
+    assert(TextAnalytics.weightedSampleOf(fixture, k = 10)
+      .as[(Long, String, Long, Double)].collect().map(_._1).toSeq == Seq(1L))
+  }
+
   test("length buckets: fixture ladder walk and corpus accounting") {
     import spark.implicits._
     def text(n: Int) = Seq.fill(n)("w").mkString(" ")
