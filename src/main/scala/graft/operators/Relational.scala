@@ -83,6 +83,42 @@ object Relational {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_bucketed_join — co-bucketed big⋈big join, shuffle-free
+  // ---------------------------------------------------------------
+
+  /** The big⋈big join through CO-BUCKETED layout: orders and
+    * lineitem are materialized bucketed+sorted by their join key
+    * (same bucket count both sides), so the join reads bucket i
+    * against bucket i with NO exchange on either side — the layout
+    * answer to the one join in this library that has no broadcast
+    * escape at 100 TB (both sides are fact tables). Semantically
+    * identical to the plain route (the oracle is ordinary SQL); the
+    * bucketed layout is pure physical design, and the
+    * `BucketedViewSpec` pins the no-Exchange plan shape with
+    * broadcast disabled. At bench scale Catalyst may still broadcast
+    * the smaller side — correct there, moot at target scale — so the
+    * shipped query leaves strategy choice to the optimizer. */
+  def bucketedJoin(spark: SparkSession, sfDir: String, buckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val o = Tables.bucketed(spark, sfDir, "orders", "o_orderkey", buckets)
+    val l = Tables.bucketed(spark, sfDir, "lineitem", "l_orderkey", buckets)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_stats_aggregates — moments / correlation / regression
   // ---------------------------------------------------------------
 

@@ -120,6 +120,30 @@ object Tables {
     spark.table(name)
   }
 
+  /** Any base table MATERIALIZED bucketed+sorted by `key` — the
+    * generic form of [[moviesBucketed]]'s layout. Two fact tables
+    * bucketed by their join key with the same bucket count
+    * co-partition: the join reads bucket i against bucket i and the
+    * plan carries NO shuffle on either side — the layout that makes
+    * a big⋈big join (orders⋈lineitem at 100 TB, where neither side
+    * broadcasts) affordable. Written once per (session, sfDir, key,
+    * buckets); same external-path discipline as [[moviesBucketed]].
+    */
+  def bucketed(spark: SparkSession, sfDir: String, tbl: String,
+               key: String, buckets: Int = 16): DataFrame = {
+    val name = s"graft_${tbl}_${sfDir.hashCode.toHexString}_${key}_b$buckets"
+    if (!spark.catalog.tableExists(name)) {
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$name"
+      table(spark, sfDir, tbl).write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
   /** DuckDB mirror of [[movies]] as a CTE body (FIXTURES.md §3). */
   val moviesSql: String =
     """SELECT l_orderkey AS id,

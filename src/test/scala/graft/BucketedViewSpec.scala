@@ -29,4 +29,43 @@ class BucketedViewSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("co-bucketed orders-lineitem join carries no exchange and matches plain route") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // force the big-big strategy (no broadcast escape, as at 100 TB)
+    // so the co-partitioned layout is what makes the join shuffle-free
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    prev.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      val o = Tables.bucketed(spark, sf, "orders", "o_orderkey")
+      val l = Tables.bucketed(spark, sf, "lineitem", "l_orderkey")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), o("o_orderpriority"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // and the full shipped aggregate equals the plain-table route
+      val got = graft.operators.Relational.bucketedJoin(spark, sf)
+        .as[(String, Double, Long)].collect().toSeq
+      val plain = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1.0) - $"l_discount").cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+        .as[(String, Double, Long)].collect().toSeq
+      assert(got == plain && got.nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
