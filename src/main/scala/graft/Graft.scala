@@ -132,6 +132,11 @@ object Graft {
   def lengthBuckets(docs: DataFrame, batch: Int = 8): DataFrame =
     operators.TextAnalytics.lengthBucketsOf(docs, batch)
 
+  /** Top-`k` shared-`p`-token-prefix groups ranked by KV-cache
+    * token savings (prefix-cache batch planning). */
+  def prefixGroups(docs: DataFrame, p: Int = 16, k: Int = 20): DataFrame =
+    operators.TextAnalytics.prefixGroupsOf(docs, p, k)
+
   /** Per-language Zipf fit (ln freq vs ln rank slope/intercept/R²)
     * over each language's top-`v` terms. */
   def zipfFit(docs: DataFrame, v: Int = 500): DataFrame =

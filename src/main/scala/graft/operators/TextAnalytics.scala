@@ -1793,6 +1793,62 @@ object TextAnalytics {
   }
 
   // ---------------------------------------------------------------
+  // llm_prefix_groups — shared-prefix grouping (KV-cache planning)
+  // ---------------------------------------------------------------
+
+  /** Shared-prefix grouping: documents whose first `p` tokens are
+    * identical form a group, ranked by the KV-cache token savings of
+    * serving them together — after the first member pays the prefix,
+    * every further member reuses its cache entry, saving
+    * `(n_docs − 1) · prefix_len` prefill tokens. This is the batch
+    * planner behind prefix-cache-aware request routing (and, on
+    * training data, a template/boilerplate detector: big groups are
+    * shared headers). Documents shorter than `p` group on their whole
+    * text. Top-`k` groups by savings, identified by prefix md5.
+    *
+    * Scale posture (100 TB): prefix hash is a codegen'd scalar per
+    * row; ONE partial+final count on the 16-byte hash (never the
+    * prefix text), then TakeOrdered(k). Nothing corpus-proportional
+    * leaves the aggregate. */
+  def prefixGroups(spark: SparkSession, sfDir: String,
+                   p: Int = 16, k: Int = 20): DataFrame =
+    prefixGroupsOf(docs(spark, sfDir), p, k)
+
+  /** [[prefixGroups]] over any `(doc_id, text)`-bearing frame. */
+  def prefixGroupsOf(documents: DataFrame, p: Int = 16, k: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(p >= 1, s"prefix length must be >= 1, got $p")
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    documents
+      .select($"doc_id", slice(tokens($"text"), 1, p).as("pfx"))
+      .filter(size($"pfx") > 0)
+      .select(md5(concat_ws(" ", $"pfx")).as("prefix_hash"),
+        size($"pfx").cast("long").as("prefix_len"))
+      .groupBy($"prefix_hash", $"prefix_len")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .withColumn("tokens_saved", ($"n_docs" - 1) * $"prefix_len")
+      .select($"prefix_hash", $"prefix_len", $"n_docs", $"tokens_saved")
+      .orderBy($"tokens_saved".desc, $"prefix_hash")
+      .limit(k)
+  }
+
+  def prefixGroupsSql(p: Int = 16, k: Int = 20): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_slice($tokensSql, 1, $p) AS pfx
+       |  FROM documents),
+       |h AS (SELECT md5(list_aggregate(pfx, 'string_agg', ' ')) AS prefix_hash,
+       |             CAST(len(pfx) AS BIGINT) AS prefix_len
+       |      FROM d WHERE len(pfx) > 0),
+       |g AS (SELECT prefix_hash, prefix_len, COUNT(*) AS n_docs
+       |      FROM h GROUP BY prefix_hash, prefix_len)
+       |SELECT prefix_hash, prefix_len, n_docs,
+       |  CAST((n_docs - 1) * prefix_len AS BIGINT) AS tokens_saved
+       |FROM g WHERE n_docs >= 2
+       |ORDER BY tokens_saved DESC, prefix_hash LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_zipf_fit — Zipf's-law fit of the term-frequency distribution
   // ---------------------------------------------------------------
 

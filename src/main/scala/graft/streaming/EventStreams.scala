@@ -373,6 +373,30 @@ object EventStreams {
         col("purchase_value"))
   }
 
+  /** LEFT-OUTER click→purchase attribution: every click exactly once
+    * per matching purchase, PLUS unmatched clicks null-padded — the
+    * conversion-funnel form of [[attributionPairs]] (an unconverted
+    * click is the signal there). Same ONE-transform-both-modes
+    * discipline: in streaming, an unmatched click is held in state
+    * and emitted null-padded only once the watermark proves no
+    * qualifying purchase can still arrive (watermark past click_ts +
+    * 30 min); state eviction is identical to the inner form. As a
+    * batch join it is the oracle-checked twin. */
+  def attributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(
+      col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
   // -- batch twins (oracle-checked) --------------------------------
 
   def eventsSliding(spark: SparkSession, sfDir: String): DataFrame = {
@@ -428,6 +452,33 @@ object EventStreams {
       |  ON c.user_id = p.user_id
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
+  /** Batch twin of [[attributionOuter]]: per-user conversion funnel —
+    * matched pairs, unconverted clicks, attributed value. */
+  def eventsAttributionOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    attributionOuter(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "purchase"))
+      .groupBy($"user_id")
+      .agg(count($"purchase_id").as("n_attributed"),
+        sum(when($"purchase_id".isNull, 1).otherwise(0)).cast("long")
+          .as("n_unmatched_clicks"),
+        sum(dec($"purchase_value")).cast("double").as("attributed_value"))
+      .orderBy($"user_id")
+  }
+
+  val eventsAttributionOuterSql: String =
+    """SELECT c.user_id, COUNT(p.event_id) AS n_attributed,
+      |  CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched_clicks,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM events c LEFT JOIN events p
+      |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |WHERE c.event_type = 'click'
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
   def eventsSession(spark: SparkSession, sfDir: String): DataFrame = {

@@ -637,6 +637,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, Long, Double)].collect().map(_._1).toSeq == Seq(1L))
   }
 
+  test("prefix groups: fixture savings arithmetic and short-doc grouping") {
+    import spark.implicits._
+    // docs 1-3 share a 4-token prefix; 4-5 are identical 2-token docs
+    // (shorter than p, grouped on whole text); 6 is unique; 7 is empty
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox sleeps today"),
+      (3L, "the quick brown fox"),
+      (4L, "hello world"),
+      (5L, "hello world"),
+      (6L, "entirely different text"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.prefixGroupsOf(docs, p = 4, k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // group A: 3 docs × 4-token prefix → saves 2·4 = 8
+    // group B: 2 docs × 2-token prefix → saves 1·2 = 2
+    assert(got.map(g => (g._2, g._3, g._4)) == Seq((4L, 3L, 8L), (2L, 2L, 2L)))
+    // the empty and unique docs never form groups
+    assert(got.map(_._3).sum == 5L)
+    // corpus smoke: savings are positive multiples of the group size
+    val real = TextAnalytics.prefixGroups(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    real.foreach { case (_, len, n, saved) =>
+      assert(n >= 2 && saved == (n - 1) * len)
+    }
+  }
+
   test("length buckets: fixture ladder walk and corpus accounting") {
     import spark.implicits._
     def text(n: Int) = Seq.fill(n)("w").mkString(" ")
