@@ -187,6 +187,48 @@ object TimeSeries {
       .orderBy($"key", $"version")
   }
 
+  // ---------------------------------------------------------------
+  // rel_events_retention — cohort retention matrix
+  // ---------------------------------------------------------------
+
+  /** Cohort retention matrix: users cohorted by their FIRST active
+    * day, then counted distinct per (cohort_day, day_offset) for
+    * offsets 0..`maxOffset` — the product-analytics complement of
+    * the funnel (how many of each day's new users come back on day
+    * k). `n_users` at offset 0 is the cohort size.
+    *
+    * Scale posture (100 TB): the event stream collapses FIRST to
+    * distinct (user, day) — bounded by users × active days, ≪ raw
+    * events — in one partial+final aggregate; the cohort frame
+    * (per-user min day) groups on the same user key, so the join
+    * back is user-co-partitioned (AQE reuses the exchange), and the
+    * matrix itself is ≤ days × offsets rows. Nothing after the first
+    * aggregate is corpus-proportional. */
+  def eventsRetention(spark: SparkSession, sfDir: String,
+                      maxOffset: Int = 14): DataFrame = {
+    import spark.implicits._
+    require(maxOffset >= 0, s"offset bound must be >= 0, got $maxOffset")
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("day_offset", datediff($"d", $"cohort_day").cast("long"))
+      .filter($"day_offset" <= maxOffset)
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count_distinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  def eventsRetentionSql(maxOffset: Int = 14): String =
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       |c AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)
+       |SELECT c.cohort_day, CAST(ev.d - c.cohort_day AS BIGINT) AS day_offset,
+       |  COUNT(DISTINCT ev.user_id) AS n_users
+       |FROM ev JOIN c ON ev.user_id = c.user_id
+       |WHERE ev.d - c.cohort_day <= $maxOffset
+       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
   def scd2Sql(maxUser: Long = 30L): String =
     s"""WITH s AS (
        |  SELECT user_id AS key, ts, event_id AS seq, event_type AS attr

@@ -118,4 +118,25 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("retention matrix: cohort sizes at offset 0 partition the user base") {
+    import spark.implicits._
+    val got = TimeSeries.eventsRetention(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // every cohort leads with offset 0, and no later offset exceeds
+    // the cohort size (a user can't return without having arrived)
+    got.groupBy(_._1).foreach { case (day, rows) =>
+      val byOffset = rows.map(r => r._2 -> r._3)
+      assert(byOffset.head._1 == 0L, s"cohort $day missing offset 0")
+      val size = byOffset.head._2
+      byOffset.tail.foreach { case (off, n) =>
+        assert(n <= size, s"cohort $day offset $off: $n > cohort size $size")
+      }
+    }
+    // offset-0 counts partition the distinct-user base exactly
+    val users = graft.sources.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(got.filter(_._2 == 0L).map(_._3).sum == users)
+  }
 }
