@@ -59,6 +59,13 @@ object Graft {
     operators.Dedup.simHashNearDupsOf(docs, maxHamming)
 
   /** Exhaustive n-gram Jaccard pairs (inverted index, df cap). */
+  /** Directed containment pairs |A∩B|/min(|A|,|B|) ≥ `threshold`
+    * over df-capped shingles (catches short-doc-inside-long-doc dups
+    * Jaccard misses). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       dfCap: Int = 50): DataFrame =
+    operators.Dedup.containmentPairsOf(docs, threshold, dfCap)
+
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         dfCap: Int = 50): DataFrame =
     operators.Dedup.ngramJaccardPairsOf(docs, threshold, dfCap)

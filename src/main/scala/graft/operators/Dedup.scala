@@ -382,6 +382,91 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** ASYMMETRIC containment pairs: |A∩B| / min(|A|,|B|) over the same
+    * df-capped shingle postings as [[ngramJaccardPairsOf]] — the
+    * signal Jaccard structurally misses: a short document quoted
+    * whole inside a much longer one has tiny J = inter/union (the big
+    * doc's shingles dominate the union) but containment ≈ 1. Output
+    * is directed smaller-set → larger-set (`contained_doc` is the doc
+    * whose shingle set is smaller; ties break to the lower id, which
+    * is also the pair orientation), the form a drop-the-contained-dup
+    * policy consumes directly.
+    *
+    * Scale posture: identical to the Jaccard op — same inverted
+    * index, same cap² fan-out bound, same tiered size lookups; in one
+    * session the two SHARE the cached capped postings and sizes, so
+    * running both costs one index build. */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.8, dfCap: Int = 50): DataFrame =
+    containmentPairsOf(Tables.documents(spark, sfDir), threshold, dfCap)
+
+  /** [[containmentPairs]] over any `(doc_id, text)` frame. */
+  def containmentPairsOf(docs: DataFrame,
+                         threshold: Double = 0.8, dfCap: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val e = shingleSetsOf(docs)
+      .select($"doc_id", explode($"shs").as("sh"))
+      .withColumn("p", md5Pair($"sh"))
+      .select($"doc_id",
+        $"p.a".as("ha"), $"p.b".bitwiseOR(lit(1L)).as("hb"))
+    val capped = cached(s"ngram-capped-$dfCap", e.join(
+      e.groupBy($"ha", $"hb").agg(count(lit(1)).as("df"))
+        .filter($"df" <= dfCap).select($"ha", $"hb"),
+      Seq("ha", "hb")))
+    val sizes = cached(s"ngram-sizes-$dfCap",
+      capped.groupBy($"doc_id").agg(count(lit(1)).as("sz")))
+    val nSized = sizes.count()
+    val inter = capped.select($"doc_id".as("a"), $"ha", $"hb")
+      .join(capped.select($"doc_id".as("b"), $"ha", $"hb"), Seq("ha", "hb"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("inter"))
+    import graft.util.Broadcasting.maybeBroadcast
+    inter
+      .join(maybeBroadcast(
+        sizes.select($"doc_id".as("a"), $"sz".as("sza")), nSized), "a")
+      .join(maybeBroadcast(
+        sizes.select($"doc_id".as("b"), $"sz".as("szb")), nSized), "b")
+      .withColumn("containment",
+        $"inter".cast("double") / least($"sza", $"szb"))
+      .filter($"containment" >= threshold)
+      .select(
+        when($"szb" < $"sza", $"b").otherwise($"a")
+          .cast("long").as("contained_doc"),
+        when($"szb" < $"sza", $"a").otherwise($"b")
+          .cast("long").as("container_doc"),
+        $"containment")
+      .orderBy($"contained_doc", $"container_doc")
+  }
+
+  def containmentPairsSql(threshold: Double = 0.8, dfCap: Int = 50): String =
+    s"""WITH sets AS ($shingleSetsSql),
+       |e AS (SELECT doc_id, $md5PairASql AS ha, $md5PairBSql AS hb
+       |      FROM (SELECT doc_id, unnest(shs) AS sh FROM sets)),
+       |capped AS (
+       |  SELECT e.doc_id, e.ha, e.hb FROM e
+       |  JOIN (SELECT ha, hb FROM e GROUP BY ha, hb HAVING COUNT(*) <= $dfCap) ok
+       |    ON e.ha = ok.ha AND e.hb = ok.hb
+       |), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+       |inter AS (
+       |  SELECT ca.doc_id AS a, cb.doc_id AS b, COUNT(*) AS inter
+       |  FROM capped ca JOIN capped cb
+       |    ON ca.ha = cb.ha AND ca.hb = cb.hb AND ca.doc_id < cb.doc_id
+       |  GROUP BY ca.doc_id, cb.doc_id
+       |)
+       |SELECT
+       |  CAST(CASE WHEN sb.sz < sa.sz THEN b ELSE a END AS BIGINT)
+       |    AS contained_doc,
+       |  CAST(CASE WHEN sb.sz < sa.sz THEN a ELSE b END AS BIGINT)
+       |    AS container_doc,
+       |  inter::DOUBLE / LEAST(sa.sz, sb.sz) AS containment
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE inter::DOUBLE / LEAST(sa.sz, sb.sz) >= $threshold
+       |ORDER BY contained_doc, container_doc""".stripMargin
+
   /** End-to-end dedup application: near-dup pairs → connected
     * components → keep only cluster survivors (min id) → anti-join
     * the drop-list against the corpus. The complete "dedup this

@@ -104,4 +104,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sim.diff(verified).size <= 2,
       s"simhash false positives: ${sim.diff(verified)}")
   }
+
+  test("containment catches the short-doc-inside-long-doc dup Jaccard misses") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val filler = (1 to 60).map(i => s"filler$i word$i extra$i").mkString(" ")
+    // doc 7 (HIGH id, SMALL set) is quoted whole inside doc 2
+    val docs = Seq(
+      (2L, s"$filler $quote $filler"),
+      (7L, quote),
+      (9L, "an entirely unrelated document about different things altogether")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairsOf(docs, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    // direction: the smaller-set doc is the contained one, id order aside
+    assert(got.map(p => (p._1, p._2)) == Seq((7L, 2L)), s"got $got")
+    assert(got.head._3 >= 0.99, "full quote → containment ~1")
+    // the same pair is invisible to Jaccard at any useful threshold:
+    // the long doc's shingles dominate the union
+    val j = graft.operators.Dedup.ngramJaccardPairsOf(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(!j.exists(p => p._1 == 2L && p._2 == 7L), s"jaccard found $j")
+  }
 }
