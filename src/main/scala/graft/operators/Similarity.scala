@@ -510,5 +510,77 @@ object Similarity {
        |)
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_knn_label_eval — embedding quality via label consistency
+  // ---------------------------------------------------------------
+
+  /** Embedding-quality evaluation by kNN label consistency: each of
+    * the first `numProbes` vectors is classified by the MAJORITY
+    * label of its `k` exact cosine neighbors (ties to the smaller
+    * label) and compared to its own label — the standard
+    * label-agreement probe of an embedding space (neighbors sharing
+    * labels ⇒ the geometry respects the labeling). Output per true
+    * label: probes, correct votes, accuracy.
+    *
+    * Scale posture: the probe set is parameter-bounded, so its
+    * broadcast is justified at any corpus size; ONE corpus scan
+    * scores all probes, the per-probe `row_number() ≤ k` cut is the
+    * native-heap rewrite shape, and everything after the cut is
+    * ≤ numProbes·k rows. */
+  def knnLabelEval(spark: SparkSession, sfDir: String,
+                   numProbes: Int = 32, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(numProbes >= 1 && k >= 1, "probes and k must be >= 1")
+    val el = embNormed(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"label".cast("long").as("lb")), "vec_id")
+    val probes = el.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"lb".as("own"))
+    val ranked = el.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cosine", round(dot($"v", $"pv"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" <= k)
+    val pred = ranked
+      .groupBy($"probe_id", $"own", $"lb").agg(count(lit(1)).as("nv"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"nv".desc, $"lb")))
+      .filter($"r" === 1)
+    pred.groupBy($"own".as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when($"lb" === $"own", 1).otherwise(0)).cast("long")
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round($"n_correct".cast("double") / $"n_probes", 6))
+      .orderBy($"label")
+  }
+
+  def knnLabelEvalSql(numProbes: Int = 32, k: Int = 10): String =
+    s"""WITH e AS ($embNormedSql),
+       |el AS (SELECT e.vec_id, e.v, CAST(m.label AS BIGINT) AS lb
+       |       FROM e JOIN embeddings m ON e.vec_id = m.vec_id),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, lb AS own
+       |           FROM el WHERE vec_id < $numProbes),
+       |ranked AS (
+       |  SELECT probe_id, own, lb,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY round(list_dot_product(v, pv), 6) DESC, vec_id)
+       |           AS rank
+       |  FROM el, probes WHERE el.vec_id <> probe_id
+       |), votes AS (
+       |  SELECT probe_id, own, lb, COUNT(*) AS nv
+       |  FROM ranked WHERE rank <= $k GROUP BY probe_id, own, lb
+       |), pred AS (
+       |  SELECT probe_id, own, lb,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY nv DESC, lb) AS r
+       |  FROM votes)
+       |SELECT own AS label, COUNT(*) AS n_probes,
+       |  CAST(SUM(CASE WHEN lb = own THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  round(SUM(CASE WHEN lb = own THEN 1 ELSE 0 END)::DOUBLE / COUNT(*),
+       |        6) AS accuracy
+       |FROM pred WHERE r = 1 GROUP BY own ORDER BY label""".stripMargin
 }
 

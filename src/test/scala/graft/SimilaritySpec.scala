@@ -136,4 +136,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .head()
     assert(codes.getDouble(0) <= 127.0 && codes.getLong(1) == 0L)
   }
+
+  test("knn label eval agrees with a vote over knnExact's own neighbor lists") {
+    import spark.implicits._
+    val got = Similarity.knnLabelEval(spark, sf, numProbes = 8, k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // independent replay: take the ALREADY-SPEC'D exact kNN output,
+    // join labels, majority-vote driver-side
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val nbrs = Similarity.knnExact(spark, sf, numProbes = 8, k = 10)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val pred = nbrs.groupBy(_._1).map { case (p, rows) =>
+      val vote = rows.map(r => labels(r._2))
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (lb, n) => (-n, lb) }.head._1
+      p -> vote
+    }
+    val want = pred.toSeq.groupBy { case (p, _) => labels(p) }
+      .map { case (own, ps) =>
+        val correct = ps.count { case (p, v) => v == labels(p) }
+        (own, ps.size.toLong, correct.toLong,
+          math.rint(correct.toDouble / ps.size * 1e6) / 1e6)
+      }.toSeq.sortBy(_._1)
+    assert(got == want)
+    got.foreach { case (_, n, c, acc) =>
+      assert(c <= n && acc >= 0.0 && acc <= 1.0)
+    }
+  }
 }
