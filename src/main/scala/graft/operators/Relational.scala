@@ -1333,6 +1333,95 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  // ---------------------------------------------------------------
+  // rel_psi_drift — population-stability-index drift monitor
+  // ---------------------------------------------------------------
+
+  /** Population Stability Index between the first and second half of
+    * the event timeline, per event type: equi-width bins over `value`
+    * with edges fixed from the REFERENCE (first-half) min/max — the
+    * production convention, so the monitor alarm can't be defused by
+    * the drift it measures — and smoothed PSI
+    * Σ (q−p)·ln(q/p) with p,q the additively-smoothed
+    * (cnt + 0.5)/(N + 0.5·bins) bin fractions — a one-sided-empty
+    * bin contributes finitely instead of ±∞, and a bin empty in BOTH
+    * periods (absent from the aggregate) is skipped identically in
+    * both engines. PSI < 0.1 is the classic
+    * "stable" gate; this is the drift monitor run between every
+    * training snapshot and the last.
+    *
+    * Scale posture: three corpus reads, ZERO corpus shuffles — the
+    * timeline bounds and the reference value bounds are 1-row
+    * aggregates broadcast back into the scan (the [[histogram]]
+    * discipline), and the binned counts are a (types × bins × 2)-ary
+    * aggregate. Out-of-range current values clamp to the edge bins. */
+  def psiDrift(spark: SparkSession, sfDir: String, bins: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"value", $"ts".cast("double").as("tsd"))
+    val tb = ev.agg(min($"tsd").as("t0"), max($"tsd").as("t1"))
+    val split = ev.crossJoin(broadcast(tb))
+      .withColumn("cur", ($"tsd" >= ($"t0" + $"t1") / 2).cast("int"))
+      .select($"event_type", $"value", $"cur")
+    val vb = split.filter($"cur" === 0)
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    val binned = split.crossJoin(broadcast(vb))
+      .withColumn("bucket",
+        when($"hi" === $"lo", 0L)
+          .otherwise(greatest(least(
+            floor(($"value" - $"lo") / (($"hi" - $"lo") / bins)),
+            lit(bins - 1L)), lit(0L))).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum(when($"cur" === 0, 1).otherwise(0)).as("np"),
+        sum(when($"cur" === 1, 1).otherwise(0)).as("nq"))
+    binned
+      .groupBy($"event_type")
+      .agg(sum($"np").as("tp"), sum($"nq").as("tq"),
+        // smoothed fractions need the per-type totals: carry the
+        // per-bin terms through a second small aggregate instead of a
+        // window (bins-ary rows per type — driver-trivial)
+        collect_list(struct($"bucket", $"np", $"nq")).as("cells"))
+      .select($"event_type", $"tp", $"tq",
+        aggregate($"cells", lit(0.0), (acc, c) => {
+          val p = (c("np") + lit(0.5)) / ($"tp" + lit(0.5) * bins)
+          val q = (c("nq") + lit(0.5)) / ($"tq" + lit(0.5) * bins)
+          acc + (q - p) * log(q / p)
+        }).as("psi_raw"))
+      .select($"event_type", $"tp".cast("long").as("n_ref"),
+        $"tq".cast("long").as("n_cur"), round($"psi_raw", 6).as("psi"))
+      .orderBy($"event_type")
+  }
+
+  def psiDriftSql(bins: Int = 10): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value, epoch(CAST(ts AS TIMESTAMP)) AS tsd
+       |  FROM events),
+       |tb AS (SELECT MIN(tsd) AS t0, MAX(tsd) AS t1 FROM ev),
+       |sp AS (SELECT event_type, value,
+       |         CASE WHEN tsd >= (t0 + t1) / 2 THEN 1 ELSE 0 END AS cur
+       |       FROM ev, tb),
+       |vb AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM sp WHERE cur = 0),
+       |binned AS (
+       |  SELECT event_type,
+       |    CASE WHEN hi = lo THEN 0
+       |         ELSE GREATEST(LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / $bins))
+       |                             AS BIGINT), ${bins - 1}), 0) END AS bucket,
+       |    SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS np,
+       |    SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS nq
+       |  FROM sp, vb GROUP BY 1, 2),
+       |tot AS (SELECT event_type, SUM(np) AS tp, SUM(nq) AS tq
+       |        FROM binned GROUP BY event_type)
+       |SELECT b.event_type,
+       |  CAST(t.tp AS BIGINT) AS n_ref, CAST(t.tq AS BIGINT) AS n_cur,
+       |  round(SUM(
+       |    ((b.nq + 0.5) / (t.tq + 0.5 * $bins)
+       |      - (b.np + 0.5) / (t.tp + 0.5 * $bins))
+       |    * ln(((b.nq + 0.5) / (t.tq + 0.5 * $bins))
+       |         / ((b.np + 0.5) / (t.tp + 0.5 * $bins)))), 6) AS psi
+       |FROM binned b JOIN tot t ON b.event_type = t.event_type
+       |GROUP BY 1, 2, 3 ORDER BY b.event_type""".stripMargin
+
   def histogramSql(bins: Int = 20): String =
     s"""WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
        |           FROM orders)

@@ -106,6 +106,41 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "sf0.001 should flag at least one outlier day")
   }
 
+  test("psi drift matches a driver-side replay of the smoothed formula") {
+    import spark.implicits._
+    val bins = 10
+    val got = Relational.psiDrift(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // replay: same split, same reference-edged bins, same smoothing
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_type", $"value", $"ts".cast("double"))
+      .as[(String, Double, Double)].collect()
+    val (t0, t1) = (ev.map(_._3).min, ev.map(_._3).max)
+    val mid = (t0 + t1) / 2
+    val ref = ev.filter(_._3 < mid)
+    val (lo, hi) = (ref.map(_._2).min, ref.map(_._2).max)
+    def bucket(v: Double): Long =
+      if (hi == lo) 0L
+      else math.max(math.min(math.floor((v - lo) / ((hi - lo) / bins)), bins - 1L), 0L).toLong
+    got.foreach { case (et, nRef, nCur, psi) =>
+      val rows = ev.filter(_._1 == et)
+      val (p0, p1) = rows.partition(_._3 < mid)
+      assert(nRef == p0.length && nCur == p1.length)
+      val cells = rows.map(r => bucket(r._2)).distinct
+      val want = cells.map { b =>
+        val np = p0.count(r => bucket(r._2) == b)
+        val nq = p1.count(r => bucket(r._2) == b)
+        val p = (np + 0.5) / (p0.length + 0.5 * bins)
+        val q = (nq + 0.5) / (p1.length + 0.5 * bins)
+        (q - p) * math.log(q / p)
+      }.sum
+      assert(math.abs(psi - want) < 1e-5, s"$et psi $psi vs $want")
+      // same generator both halves → the monitor reads stable
+      assert(psi < 0.1, s"$et unexpectedly drifted: $psi")
+    }
+  }
+
   test("window distinct equals the groupBy-distinct replay") {
     import spark.implicits._
     val got = Relational.windowDistinct(spark, sf)
