@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Hashing
+import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -273,6 +274,70 @@ object Clustering {
        |SELECT m.cell::INT AS cell, m.dim::INT AS dim, m.m AS cval, s.n_members
        |FROM m$iters m JOIN sizes s USING (cell)
        |ORDER BY cell, dim""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_kmeans_purity — cell label purity of the trained model
+  // ---------------------------------------------------------------
+
+  /** Label purity of the trained k-means cells: every vector assigned
+    * to its cell (same cached model as `llm_kmeans` — trained once
+    * per session), each cell scored by the fraction its majority
+    * label holds (ties to the smaller label). The clustering never
+    * saw the labels, so high purity certifies the embedding geometry
+    * separates the label classes — the unsupervised counterpart of
+    * [[Similarity.knnLabelEval]], and the quality gate run before
+    * trusting the cells for SemDeDup / IVF routing.
+    *
+    * Scale posture: assignment is the same map-side argmax as
+    * training (k·d doubles broadcast, one corpus scan); everything
+    * after is (cells × labels)-ary. */
+  def kmeansPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val model = kmeansModel(spark, sfDir)
+    val e = Similarity.normalized(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".cast("long").as("lb"))
+    val counts = withCell(e, model).join(labels, "vec_id")
+      .groupBy($"cell", $"lb").agg(count(lit(1)).as("n"))
+    val top = counts.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"cell").orderBy($"n".desc, $"lb")))
+      .filter($"r" === 1)
+      .select($"cell", $"lb".as("majority_label"), $"n".as("n_majority"))
+    counts.groupBy($"cell").agg(sum($"n").as("n_vecs"))
+      .join(top, "cell")
+      .select($"cell".cast("long").as("cell"), $"n_vecs",
+        $"majority_label", $"n_majority",
+        round($"n_majority".cast("double") / $"n_vecs", 6).as("purity"))
+      .orderBy($"cell")
+  }
+
+  def kmeansPuritySql(k: Int = K, iters: Int = Iters): String =
+    s"""WITH e AS (${Similarity.normalizedSql}),
+       |${kmeansChainSql(k, iters)},
+       |sf AS (
+       |  SELECT e.vec_id, c.cell,
+       |         round(list_dot_product(e.v, c.cv)
+       |               - 0.5 * list_dot_product(c.cv, c.cv), 6) AS score
+       |  FROM e, c$iters c),
+       |af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rn FROM sf) WHERE rn = 1),
+       |j AS (SELECT a.cell, CAST(m.label AS BIGINT) AS lb
+       |      FROM af a JOIN embeddings m ON a.vec_id = m.vec_id),
+       |counts AS (SELECT cell, lb, COUNT(*) AS n FROM j GROUP BY cell, lb),
+       |top AS (
+       |  SELECT cell, lb AS majority_label, n AS n_majority FROM (
+       |    SELECT cell, lb, n, row_number() OVER (PARTITION BY cell
+       |      ORDER BY n DESC, lb) AS r FROM counts) WHERE r = 1),
+       |tot AS (SELECT cell, SUM(n) AS n_vecs FROM counts GROUP BY cell)
+       |SELECT CAST(t.cell AS BIGINT) AS cell,
+       |  CAST(t.n_vecs AS BIGINT) AS n_vecs,
+       |  p.majority_label, p.n_majority,
+       |  round(p.n_majority::DOUBLE / t.n_vecs, 6) AS purity
+       |FROM tot t JOIN top p ON t.cell = p.cell
+       |ORDER BY cell""".stripMargin
 
   // ---------------------------------------------------------------
   // llm_semdedup — cluster-scoped semantic near-dedup (SemDeDup shape)

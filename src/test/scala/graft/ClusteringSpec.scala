@@ -113,4 +113,32 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.2, s"k-means IVF recall $recall vs exact top-$k")
   }
+
+  test("cell purity replays from the model's own assignments") {
+    import spark.implicits._
+    val got = Clustering.kmeansPurity(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // replay off the same cached model and assignment path
+    val model = Clustering.kmeansModel(spark, sf)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val assigned = Clustering.withCell(
+      Similarity.normalizeOf(graft.sources.Tables.embeddings(spark, sf)), model)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    val want = assigned.groupBy(_._2).map { case (cell, vs) =>
+      val byLb = vs.map(v => labels(v._1))
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (lb, n) => (-n, lb) }
+      val (mlb, mn) = byLb.head
+      (cell.toLong, vs.length.toLong, mlb, mn.toLong,
+        math.rint(mn.toDouble / vs.length * 1e6) / 1e6)
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+    // every vector is in exactly one cell; purity is a valid fraction
+    assert(got.map(_._2).sum == assigned.length)
+    got.foreach { case (_, n, _, m, p) =>
+      assert(m <= n && p > 0.0 && p <= 1.0)
+    }
+  }
 }

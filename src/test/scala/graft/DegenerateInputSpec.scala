@@ -49,6 +49,25 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(r.keySet == Set("x", "y") && r.values.forall(v => math.abs(v - 0.5) < 1e-9))
   }
 
+  test("round-6 operators degrade to empty on empty inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    val dt = noDocs.select($"doc_id", $"text")
+    assert(graft.operators.TextAnalytics.bm25Of(dt, Seq("anything")).count() == 0)
+    assert(graft.operators.TextAnalytics.vocabCoverageOf(noDocs).count() == 0)
+    assert(graft.operators.TextAnalytics.lengthBucketsOf(dt).count() == 0)
+    assert(graft.operators.TextAnalytics.zipfFitOf(noDocs).count() == 0)
+    assert(graft.operators.TextAnalytics.weightedSampleOf(noDocs).count() == 0)
+    assert(graft.operators.TextAnalytics.prefixGroupsOf(dt).count() == 0)
+    assert(graft.operators.Dedup.containmentPairsOf(dt).count() == 0)
+    // BFS from a seed with no edges: the seed itself, nothing else
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val khop = graft.operators.Graph.khopOf(noEdges, Seq(1L).toDF("a"), 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(khop == Seq((1L, 0L)))
+  }
+
   test("round-5 batch-3 operators degrade on empty/trivial inputs") {
     import spark.implicits._
     import java.sql.Timestamp
