@@ -29,6 +29,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"wildcard blocking regressed to a cartesian plan:\n$plan")
   }
 
+  test("bm25 plans array scans — no explode, no corpus-keyed shuffle") {
+    val qe = graft.operators.TextAnalytics.bm25(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // per-term tf is size(filter(...)) in ONE projection: an explode
+    // (Generate) would put a corpus×terms intermediate on the wire
+    assert(!plan.contains("Generate"),
+      s"bm25 regressed to a per-term explode:\n$plan")
+    // the only exchange is the 1-row stats aggregate + the broadcast
+    // back + the top-k: nothing hash-partitions the corpus
+    assert(!plan.contains("hashpartitioning"),
+      s"bm25 shuffles the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k is not a bounded TakeOrdered:\n$plan")
+  }
+
   test("z-order box predicates push down to the parquet scan") {
     import spark.implicits._
     val probe = Ingest.zorderedLineitem(spark, sf)
