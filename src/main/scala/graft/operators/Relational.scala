@@ -802,6 +802,47 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY k_mod10""".stripMargin
 
+  // ---------------------------------------------------------------
+  // rel_join_null_safe — null-safe equi-join (<=> / IS NOT DISTINCT)
+  // ---------------------------------------------------------------
+
+  /** Null-safe equi-join semantics: a nullable key (one residue class
+    * nulled via NULLIF) joined with `<=>`, where the NULL group
+    * MATCHES the dimension's null row instead of silently dropping —
+    * the semantics ETL needs when "unknown" is itself a category.
+    * Spark plans `<=>` as a hash/merge equi-join on the coalesced
+    * key struct (no fallback to nested-loop), so the null-safe form
+    * costs the same shuffle as plain equality; the oracle is DuckDB's
+    * `IS NOT DISTINCT FROM`. A plain `=` join here would lose the
+    * null bucket — the spec pins exactly that difference. */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("k",
+        expr("nullif(cast(get_json_object(props, '$.k') as bigint) % 10, 5)"))
+    val dim = ev.select($"k").distinct()
+      .withColumn("label",
+        concat(lit("bucket-"), coalesce($"k".cast("string"), lit("null"))))
+    ev.as("e").join(dim.as("d"), col("e.k") <=> col("d.k"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"label")
+  }
+
+  val joinNullSafeSql: String =
+    """WITH ev AS (
+      |  SELECT NULLIF(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10, 5)
+      |           AS k, value
+      |  FROM events),
+      |dim AS (SELECT DISTINCT k,
+      |          'bucket-' || COALESCE(CAST(k AS VARCHAR), 'null') AS label
+      |        FROM ev)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+      |GROUP BY label ORDER BY label""".stripMargin
+
   /** Batch tumbling window over the event stream table — the same
     * `window()` construct the streaming path uses (§2.7 extension),
     * verified here in batch where DuckDB can mirror it with

@@ -106,6 +106,25 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "sf0.001 should flag at least one outlier day")
   }
 
+  test("null-safe join keeps the null bucket a plain equi-join drops") {
+    import spark.implicits._
+    val got = Relational.joinNullSafe(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val labels = got.map(_._1)
+    assert(labels.contains("bucket-null"), s"null bucket missing: $labels")
+    // the null-safe join covers every event exactly once
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(got.map(_._2).sum == total)
+    // a plain `=` join on the same frames loses exactly the null rows
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("k",
+        expr("nullif(cast(get_json_object(props, '$.k') as bigint) % 10, 5)"))
+    val dim = ev.select($"k").distinct()
+    val plain = ev.as("e").join(dim.as("d"), col("e.k") === col("d.k")).count()
+    val nulls = got.find(_._1 == "bucket-null").get._2
+    assert(plain == total - nulls)
+  }
+
   test("psi drift matches a driver-side replay of the smoothed formula") {
     import spark.implicits._
     val bins = 10
