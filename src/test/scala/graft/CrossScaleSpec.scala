@@ -152,6 +152,33 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     assert(passed, s"graph chain wall time grew super-linearly: $pts")
   }
 
+  test("khop scale curve: hop work tracks the frontier, wall time near-linear") {
+    // BFS cost is Σ per-hop frontier joins; on a 10× corpus the total
+    // reached-node count grows at most with the graph, never
+    // quadratically, and wall time tracks the edge step with the
+    // suite's retry discipline.
+    def run(dir: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val reached = graft.operators.Graph.khopActors(spark, dir)
+        .collect().map(_.getLong(1)).sum
+      (reached, (System.nanoTime() - t0) / 1e9)
+    }
+    val (rLo, tLo) = run("/root/testdata/sf0.01")
+    val (rHi, tHi) = run("/root/testdata/sf0.1")
+    info(f"sf0.01 reached=$rLo in $tLo%.2fs; sf0.1 reached=$rHi in $tHi%.2fs")
+    assert(rLo >= 1 && rHi >= 1)
+    // nodes scale ~10×; reached can't exceed the node count, so a 30×
+    // guard catches any combinatorial blow-up in frontier handling
+    assert(rHi <= 30L * rLo, s"reached $rHi vs $rLo grew super-linearly")
+    val passed = tHi <= 6.0 * 10 * math.max(tLo, 0.5) || {
+      val (_, tLo2) = run("/root/testdata/sf0.01")
+      val (_, tHi2) = run("/root/testdata/sf0.1")
+      info(f"retry: sf0.01 $tLo2%.2fs sf0.1 $tHi2%.2fs")
+      math.min(tHi, tHi2) <= 6.0 * 10 * math.max(math.min(tLo, tLo2), 0.5)
+    }
+    assert(passed, s"khop wall time grew super-linearly: $tLo -> $tHi")
+  }
+
   test("semDedup pairs ⊆ exact cosine pairs at sf0.1, with bounded recall") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
