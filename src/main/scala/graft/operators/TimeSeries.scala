@@ -229,6 +229,49 @@ object TimeSeries {
        |WHERE ev.d - c.cohort_day <= $maxOffset
        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------
+  // rel_events_dau_wau — rolling distinct-active stickiness
+  // ---------------------------------------------------------------
+
+  /** DAU / trailing-7-day WAU per day (the "stickiness" product
+    * metric). Distinct-over-a-sliding-window can't ride a plain
+    * window function (count_distinct isn't decomposable), so each
+    * (user, day) activity is EXPLODED to the 7 trailing windows it
+    * belongs to and WAU is an ordinary distinct count per day — the
+    * scatter-to-windows trick the sliding-window stream op uses,
+    * with fan-out fixed at 7.
+    *
+    * Scale posture: the corpus collapses FIRST to distinct
+    * (user, day); the 7× explode applies to that bounded frame, not
+    * the raw events, and both distinct counts shuffle on (day, user)
+    * — nothing corpus-proportional past the opening aggregate. */
+  def eventsDauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+    val wau = ud
+      .select(explode(sequence($"d", date_add($"d", 6))).as("day"), $"user_id")
+      .groupBy($"day").agg(count_distinct($"user_id").as("wau"))
+    val dau = ud.groupBy($"d".as("day"))
+      .agg(count_distinct($"user_id").as("dau"))
+    dau.join(wau, "day")
+      .select($"day", $"dau", $"wau",
+        round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  val eventsDauWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |w AS (SELECT d + CAST(k AS INT) AS day, user_id
+      |      FROM ud, range(7) t(k)),
+      |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY day),
+      |dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+      |        FROM ud GROUP BY d)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  round(dau::DOUBLE / wau, 6) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   def scd2Sql(maxUser: Long = 30L): String =
     s"""WITH s AS (
        |  SELECT user_id AS key, ts, event_id AS seq, event_type AS attr

@@ -119,6 +119,29 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dau/wau: wau dominates dau and equals a direct trailing-range replay") {
+    import spark.implicits._
+    val got = TimeSeries.eventsDauWau(spark, sf)
+      .as[(java.sql.Date, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // direct replay: distinct users per day, WAU(d) = |∪ users over
+    // [d-6, d]| — no explode, brute force over collected pairs
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+      .as[(java.sql.Date, Long)].collect()
+    val byDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (day, dau, wau, stick) =>
+      val want = byDay(day)
+      assert(dau == want.size, s"$day dau")
+      val trailing = (0 to 6).flatMap { k =>
+        byDay.get(java.sql.Date.valueOf(day.toLocalDate.minusDays(k)))
+          .getOrElse(Set.empty)
+      }.toSet
+      assert(wau == trailing.size, s"$day wau")
+      assert(wau >= dau && stick > 0 && stick <= 1.0)
+    }
+  }
+
   test("retention matrix: cohort sizes at offset 0 partition the user base") {
     import spark.implicits._
     val got = TimeSeries.eventsRetention(spark, sf)
