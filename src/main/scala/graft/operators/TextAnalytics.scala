@@ -1581,12 +1581,15 @@ object TextAnalytics {
     * for terms in more than half the corpus.
     *
     * Scale posture (100 TB): NO per-term explode and no join — per-doc
-    * term frequencies for the |q| query terms are codegen'd
-    * `size(filter(...))` array scans in ONE projection, so the whole
-    * query is scan → 1-row global aggregate (N, avgdl, per-term df)
-    * → broadcast cross join back → TakeOrderedAndProject. The only
-    * shuffle is the |q|+2-column single-row aggregate; the corpus
-    * moves exactly once end to end.
+    * term frequencies for the |q| query terms are `size(filter(...))`
+    * array scans in ONE projection (higher-order functions run
+    * interpreted per element, but over |q| small terms per row that
+    * is a constant-factor scan cost, not a shuffle or blow-up; the
+    * plan-shape spec pins no-Generate / no-hashpartitioning), so the
+    * whole query is scan → 1-row global aggregate (N, avgdl,
+    * per-term df) → broadcast cross join back →
+    * TakeOrderedAndProject. The only shuffle is the |q|+2-column
+    * single-row aggregate; the corpus moves exactly once end to end.
     */
   def bm25(spark: SparkSession, sfDir: String,
            query: Seq[String] = bm25DefaultQuery, k: Int = 15): DataFrame =
