@@ -181,6 +181,72 @@ object Shingles {
     GraftSqlBridge.toColumn(Shingles(GraftSqlBridge.toExpression(toks), n))
 }
 
+/** Codegen'd count of exact matches of a CONSTANT term in an
+  * `array<string>` column: `count_token_eq(tk, t)` ==
+  * `size(filter(tk, x -> x = t))` (spec-pinned bit equality, null
+  * elements never match — the same rows the HOF's null-propagating
+  * predicate drops).
+  *
+  * Why it exists: higher-order functions are `CodegenFallback`, so
+  * the BM25 scorer's per-term tf — the hottest projection of a
+  * retrieval query, |q| array scans over EVERY corpus row — paid
+  * interpreted lambda dispatch per array element. Here each scan is
+  * a tight `UTF8String.equals` loop inside whole-stage codegen (the
+  * [[Shingles]]/[[Md5Int32]] discipline). DuckDB oracles keep the
+  * `list_filter` formulation — same values by construction.
+  */
+case class CountTokenEq(child: Expression, term: String)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"count_token_eq expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val termUtf8 = UTF8String.fromString(term)
+
+  override def nullSafeEval(a: Any): Any =
+    CountTokenEq.countEq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], termUtf8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the term rides as a pre-built UTF8String reference object — no
+    // per-row string conversion, the loop compares raw bytes
+    val t = ctx.addReferenceObj("cteTerm", UTF8String.fromString(term),
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CountTokenEq.countEq($c, $t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CountTokenEq {
+  /** Matches per element; null elements never match (HOF parity —
+    * `x = t` is null there and filter drops it). */
+  def countEq(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              term: UTF8String): Long = {
+    val n = arr.numElements()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).equals(term)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column-level entry point. */
+  def count_token_eq(toks: Column, term: String): Column =
+    GraftSqlBridge.toColumn(
+      CountTokenEq(GraftSqlBridge.toExpression(toks), term))
+}
+
 object Md5Int32 {
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))

@@ -31,17 +31,21 @@ object Graph {
     frameCache.getOrElseUpdate(df.sparkSession,
       s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
 
-  /** Distinct directed co-actor edges (a→b and b→a both present), the
-    * all-nodes frame, and per-node out-degree. */
-  private def coActorEdges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  /** Distinct directed co-actor edges (a→b and b→a both present) and
+    * the all-nodes frame. BOTH are cached here, keyed on the movies
+    * source plan: the explode → self-join → distinct derivation is a
+    * corpus-sized shuffle, and all three graph queries (pagerank /
+    * triangles / k-hop) start from it — sharing the cache means one
+    * session pays that derivation once, not once per query. */
+  private[graft] def coActorEdges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val sel = Tables.movies(spark, sfDir)
       .select($"id", explode($"actors").as("a"))
-    val edges = sel.as("x").join(sel.as("y"), Seq("id"))
+    val edges = cached("coactor-edges", sel.as("x").join(sel.as("y"), Seq("id"))
       .filter($"x.a" =!= $"y.a")
       .select($"x.a".as("src"), $"y.a".as("dst"))
-      .distinct()
-    val nodes = sel.select($"a").distinct()
+      .distinct())
+    val nodes = cached("coactor-nodes", sel.select($"a").distinct())
     (edges, nodes)
   }
 
@@ -66,9 +70,27 @@ object Graph {
   /** [[pagerankActors]] over any distinct directed edge frame
     * `(src, dst)` plus the full node frame `(a)` (nodes with no
     * edges keep the teleport mass). Returns `(a, r)` with `r`
-    * rounded to 8 decimals — the deterministic-replay contract. */
+    * rounded to 8 decimals — the deterministic-replay contract.
+    *
+    * `eps > 0` turns on the ε-convergence tier: the loop exits as
+    * soon as the per-iteration L1 rank delta Σ|r−r'| falls below
+    * `eps` — at scale, iterations dominate PageRank cost and a
+    * converged graph should not pay `iters − t_converged` more
+    * shuffles. The delta is ONE more scalar aggregate off the two
+    * rank frames the iteration already materialized (a bounded
+    * driver double per iteration, never corpus rows). `eps = 0`
+    * (the default, and what the oracle-checked query uses) keeps
+    * the fixed-iteration replay contract bit-for-bit. */
   def pagerankOf(edges: DataFrame, nodes0: DataFrame,
-                 iters: Int = 5, d: Double = 0.85): DataFrame = {
+                 iters: Int = 5, d: Double = 0.85,
+                 eps: Double = 0.0): DataFrame =
+    pagerankWithStats(edges, nodes0, iters, d, eps)._1
+
+  /** [[pagerankOf]] plus the number of iterations actually run —
+    * the observable the convergence spec pins. */
+  private[graft] def pagerankWithStats(edges: DataFrame, nodes0: DataFrame,
+                                       iters: Int = 5, d: Double = 0.85,
+                                       eps: Double = 0.0): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -99,9 +121,15 @@ object Graph {
     // the logical plan constant-size; the superseded checkpoint is
     // released as soon as its successor is materialized
     var prevCkpt: DataFrame = null
-    for (_ <- 1 to iters) {
-      val prev = ranks.localCheckpoint()
-      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+    // ranksCkpted: the ε-tier checkpoints the NEW frame each round
+    // (the delta aggregate consumes it anyway) — the next loop head
+    // must not checkpoint it a second time
+    var ranksCkpted = false
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val prev = if (ranksCkpted) ranks else ranks.localCheckpoint()
+      if (prevCkpt != null && !(prevCkpt eq prev)) prevCkpt.unpersist(blocking = false)
       prevCkpt = prev
       // dangling mass this iteration: ONE scalar row, re-entering the
       // update as a broadcast-NLJ cross join — no per-node state, no
@@ -118,13 +146,30 @@ object Graph {
           edgesDeg("src") === prev("a"))
         .select($"dst", ($"r" / $"deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      ranks = contribs.select($"dst".as("a"), $"s")
+      val next = contribs.select($"dst".as("a"), $"s")
         .unionByName(noInbound.select($"a", lit(0.0).as("s")))
         .crossJoin(m)
         .select($"a",
           round(lit(1 - d) / n + lit(d) * ($"s" + $"m" / n), 8).as("r"))
+      if (eps > 0) {
+        val cur = next.localCheckpoint()
+        // L1 delta vs the previous ranks: an |V|-row join collapsing
+        // to one driver double — the convergence witness
+        val delta = cur.join(prev.select($"a", $"r".as("rp")), Seq("a"))
+          .agg(coalesce(sum(abs($"r" - $"rp")), lit(0.0)))
+          .head().getDouble(0)
+        prev.unpersist(blocking = false)
+        prevCkpt = cur
+        ranks = cur
+        ranksCkpted = true
+        if (delta < eps) converged = true
+      } else {
+        ranks = next
+        ranksCkpted = false
+      }
+      it += 1
     }
-    ranks
+    (ranks, it)
   }
 
   /** Triangle count on the co-actor graph via degree orientation:

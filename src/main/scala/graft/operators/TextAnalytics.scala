@@ -1581,11 +1581,11 @@ object TextAnalytics {
     * for terms in more than half the corpus.
     *
     * Scale posture (100 TB): NO per-term explode and no join — per-doc
-    * term frequencies for the |q| query terms are `size(filter(...))`
-    * array scans in ONE projection (higher-order functions run
-    * interpreted per element, but over |q| small terms per row that
-    * is a constant-factor scan cost, not a shuffle or blow-up; the
-    * plan-shape spec pins no-Generate / no-hashpartitioning), so the
+    * term frequencies for the |q| query terms are codegen'd
+    * [[graft.functions.CountTokenEq]] array scans in ONE projection
+    * (bit-identical to the interpreted `size(filter(...))` HOF form
+    * it replaces — spec-pinned; the plan-shape spec pins no-Generate /
+    * no-hashpartitioning / no-CodegenFallback in the scorer), so the
     * whole query is scan → 1-row global aggregate (N, avgdl,
     * per-term df) → broadcast cross join back →
     * TakeOrderedAndProject. The only shuffle is the |q|+2-column
@@ -1607,7 +1607,7 @@ object TextAnalytics {
     val k1 = 1.2
     val b = 0.75
     val tfCols = query.indices.map(i =>
-      size(filter($"tk", x => x === lit(query(i)))).cast("long").as(s"tf_$i"))
+      graft.functions.CountTokenEq.count_token_eq($"tk", query(i)).as(s"tf_$i"))
     val per = documents
       .select($"doc_id", tokens($"text").as("tk"))
       .select($"doc_id" +: size($"tk").cast("long").as("dl") +: tfCols: _*)

@@ -28,6 +28,45 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         .as[(String, Double)].collect().sortBy(_._1).take(20).toSeq)
   }
 
+  test("graph trio shares ONE cached co-actor edge derivation") {
+    // the explode → self-join → distinct edge build is the expensive
+    // shared prefix of pagerank/triangles/k-hop: every call must get
+    // the SAME cached frames back (the FrameCache returns the stored
+    // instance on a hit), so a session pays the derivation once
+    val (e1, n1) = Graph.coActorEdges(spark, sf)
+    val (e2, n2) = Graph.coActorEdges(spark, sf)
+    assert((e1 eq e2) && (n1 eq n2),
+      "co-actor edges/nodes rebuilt instead of reused from the session cache")
+  }
+
+  test("pagerank ε-tier exits early on a converged graph, same ranks") {
+    import spark.implicits._
+    // a 2-regular symmetric triangle: the uniform start vector IS the
+    // stationary distribution, so the first update is a no-op and the
+    // L1 delta is 0 — the ε-tier must stop after iteration 1
+    val und = Seq((1, 2), (2, 3), (3, 1))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toString, b.toString) }
+      .toDF("src", "dst")
+    val nodes = Seq("1", "2", "3").toDF("a")
+    val (ranks, itersRun) = Graph.pagerankWithStats(edges, nodes,
+      iters = 10, eps = 1e-9)
+    assert(itersRun == 1, s"converged fixture ran $itersRun iterations")
+    val got = ranks.as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("1", "2", "3"))
+    got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-6))
+    // on the real graph the ε route (stopping at whatever t it
+    // converges) equals the fixed-iteration route run for the same t
+    val (epsRanks, t) = Graph.pagerankWithStats(
+      Graph.coActorEdges(spark, sf)._1, Graph.coActorEdges(spark, sf)._2,
+      iters = 8, eps = 1e-4)
+    assert(t <= 8)
+    val fixed = Graph.pagerankOf(
+      Graph.coActorEdges(spark, sf)._1, Graph.coActorEdges(spark, sf)._2,
+      iters = t)
+    assert(epsRanks.as[(String, Double)].collect().sortBy(_._1).toSeq ==
+      fixed.as[(String, Double)].collect().sortBy(_._1).toSeq)
+  }
+
   test("triangle count is exact on a known graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) plus a pendant 5-1 (0 triangles)

@@ -42,6 +42,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"bm25 shuffles the corpus:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"bm25 top-k is not a bounded TakeOrdered:\n$plan")
+    // the per-term tf kernel is the codegen'd CountTokenEq — nothing
+    // in the physical plan may run as an interpreted CodegenFallback
+    // (the HOF filter() form it replaced was one)
+    val fallbacks = qe.executedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+      })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"bm25 plan contains interpreted expressions: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
   }
 
   test("z-order box predicates push down to the parquet scan") {

@@ -63,6 +63,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("CountTokenEq expression == size(filter(...)) HOF on real docs") {
+    import spark.implicits._
+    // the codegen'd term-frequency kernel must count exactly what the
+    // interpreted higher-order form it replaced counted — including
+    // zero-hit docs, empty arrays, and repeated terms
+    val terms = TextAnalytics.bm25DefaultQuery :+ "no_such_token_xyz"
+    val bad = graft.sources.Tables.documents(spark, sf)
+      .select(tokens($"text").as("tk"))
+      .filter(terms.map(t =>
+        graft.functions.CountTokenEq.count_token_eq($"tk", t) =!=
+          size(filter($"tk", x => x === lit(t))).cast("long"))
+        .reduce(_ || _))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("CountTokenEq whole-stage-compiles and handles null rows/elements") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val got = Seq(
+        Some(Seq(Some("a"), Some("b"), Some("a"), None)),
+        Some(Seq.empty[Option[String]]),
+        None
+      ).toDF("tk")
+        .select(graft.functions.CountTokenEq.count_token_eq($"tk", "a").as("c"))
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+      // null element never matches (HOF parity); null array ⇒ null out
+      assert(got == Seq(2L, 0L, -1L))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("Shingles expression == higher-order formulation on real docs") {
     import spark.implicits._
     // the codegen'd shingler must produce byte-identical arrays to
