@@ -1251,6 +1251,78 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** AQE skew-join demonstration — the AUTOMATIC complement of
+    * [[saltedJoin]]: the same hot-key problem, handled by the engine
+    * at runtime instead of by a hand-rolled salt. The fact side's
+    * derived key is DELIBERATELY skewed (three quarters of lineitem
+    * collapses onto key 0, the rest spreads over 1..99 — the
+    * default-value-sink shape real event data has), the `merge` hint
+    * pins a sort-merge join, and `OptimizeSkewedJoin` splits the hot
+    * partition into advisory-sized sub-reads at runtime, each joined
+    * against a replicated copy of the dimension's matching rows.
+    * Splitting never changes the row set, so the oracle is the plain
+    * unskewed SQL — the check proves AQE's rewrite is semantically
+    * free, the spec pins that it actually FIRED (`skew=true` in the
+    * final adaptive plan under production-shaped thresholds).
+    *
+    * Scale posture (100 TB): this is the default answer to join skew
+    * — salting ([[saltedJoin]]) remains for the cases AQE can't see
+    * (aggregation skew, non-shuffle stages). No config knobs here:
+    * the production thresholds (256 MB skew threshold, 5× median)
+    * are exactly what a 1000-executor run wants; the spec lowers
+    * them only to reproduce the firing at test scale. */
+  def skewJoinAqe(spark: SparkSession, sfDir: String): DataFrame =
+    skewJoinAqeOf(Tables.lineitem(spark, sfDir))
+
+  /** [[skewJoinAqe]] over any frame with `l_orderkey`/`l_quantity`.
+    * AQE splits a skewed reduce partition along MAPPER boundaries, so
+    * firing needs > 1 map task upstream of the join shuffle — given
+    * for any real multi-split scan; the spec feeds a repartitioned
+    * frame because a one-row-group test parquet scans as one task. */
+  def skewJoinAqeOf(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val li = lineitem
+      .select(
+        when($"l_orderkey" % 4 =!= 0, lit(0L))
+          .otherwise(pmod($"l_orderkey", lit(100L))).as("k"),
+        $"l_quantity")
+    // the dimension is a generated 100-key table with a derived
+    // payload: OptimizeSkewedJoin pattern-matches SMJ(Sort(Shuffle),
+    // Sort(Shuffle)) with ENSURE_REQUIREMENTS shuffles on BOTH sides,
+    // so the build side must reach the join through a plain exchange
+    // (an aggregate or repartition directly under the join defeats
+    // the rewrite — found the hard way, pinned by the plan spec)
+    val dim = spark.range(0L, 100L)
+      .select($"id".as("k"), pmod($"id" * 7, lit(13L)).as("wt"))
+    // the rollup key (k % 10) deliberately differs from the join key:
+    // a same-key aggregate would REUSE the join's partitioning, and
+    // AQE (correctly) refuses to split a skewed partition whose
+    // output partitioning a parent stage still needs — the rewrite
+    // only fires when the split is shuffle-free, which is exactly the
+    // join-then-rollup-elsewhere shape real reporting queries have
+    li.hint("merge").join(dim, Seq("k"))
+      .groupBy(pmod($"k", lit(10L)).as("kb"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum($"wt").cast("long").as("sum_wt"))
+      .select($"kb".cast("long").as("kb"), $"n_items", $"sum_qty", $"sum_wt")
+      .orderBy($"kb")
+  }
+
+  val skewJoinAqeSql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+      |              ELSE l_orderkey % 100 END AS k,
+      |         l_quantity
+      |  FROM lineitem),
+      |dim AS (SELECT k, k * 7 % 13 AS wt FROM range(0, 100) t(k))
+      |SELECT CAST(k % 10 AS BIGINT) AS kb, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(wt) AS BIGINT) AS sum_wt
+      |FROM li JOIN dim USING (k)
+      |GROUP BY 1 ORDER BY kb""".stripMargin
+
   def hashSampleSql(pct: Int = 20): String =
     s"""SELECT lang, COUNT(*) AS n_sampled,
        |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars

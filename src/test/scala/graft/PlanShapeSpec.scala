@@ -54,6 +54,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"bm25 plan contains interpreted expressions: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
   }
 
+  test("AQE splits the skewed join partition (skew=true) without changing rows") {
+    // production thresholds (256 MB / 5× median) can't trip at test
+    // scale, so shrink them until the deliberately-hot key 0 (3/4 of
+    // lineitem) crosses the bar — then assert the runtime rewrite
+    // actually fired AND that it is semantically free
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1024",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      // keep the SMJ an SMJ: no runtime demotion to broadcast
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // a coalesced single reducer would hide the skew split
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 8 mappers: AQE splits a skewed reduce partition along mapper
+      // boundaries, and the single-row-group test parquet scans as
+      // one task (nothing to split) without the repartition
+      val li = graft.sources.Tables.lineitem(spark, sf).repartition(8)
+      val df = Relational.skewJoinAqeOf(li)
+      val skewedRows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+      // same query with the skew rewrite off — identical result set
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plainRows = Relational.skewJoinAqeOf(li).collect()
+      assert(skewedRows.toSeq == plainRows.toSeq,
+        "skew-split changed the join result")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-order box predicates push down to the parquet scan") {
     import spark.implicits._
     val probe = Ingest.zorderedLineitem(spark, sf)
