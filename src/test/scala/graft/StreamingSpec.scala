@@ -565,4 +565,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(a => a.doc_id -> (a.lang, a.bin, a.crosses)).toMap
     assert(one == flat)
   }
+
+  test("sharded packer under the RocksDB state store: same results, provider engaged") {
+    // the 100-TB state posture: HDFSBackedStateStoreProvider keeps
+    // every key in executor heap — fine for (lang × shards) cursors at
+    // bench scale, an OOM at production key cardinality. RocksDB spills
+    // state to local SSD and is the provider a real deployment pins;
+    // the custom-state operator must produce identical assignments
+    // under it, with the swap being pure configuration.
+    import graft.streaming.{EventStreams, PackAssignShard, PackDoc}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ctx, shards) = (64, 4)
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select($"doc_id", $"lang",
+          size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+            .as("n_tokens"))
+        .as[PackDoc].collect().sortBy(_.doc_id).toSeq
+      val batch = EventStreams.packBatchSharded(docs.toDS(), ctx, shards)
+        .collect().map(a => a.doc_id -> a).toMap
+      val mem = MemoryStream[PackDoc]
+      val q = EventStreams.packStreamSharded(mem.toDS(), ctx, shards)
+        .writeStream.format("memory").queryName("s_pack_rocks")
+        .outputMode("append").start()
+      try {
+        docs.grouped((docs.size + 1) / 2).foreach { chunk =>
+          mem.addData(chunk); q.processAllAvailable()
+        }
+        // witness the provider actually served the state operator:
+        // RocksDB surfaces its own custom metrics in query progress
+        val metrics = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"state operator not on RocksDB; metrics=$metrics")
+      } finally q.stop()
+      val stream = spark.table("s_pack_rocks").as[PackAssignShard]
+        .collect().map(a => a.doc_id -> a).toMap
+      assert(stream.keySet == batch.keySet && stream.nonEmpty)
+      stream.foreach { case (id, a) =>
+        assert(a == batch(id), s"doc $id: rocksdb $a vs batch ${batch(id)}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
