@@ -74,6 +74,13 @@ object Clustering {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Centroid]]
 
+  // training-run witness for the persisted-index no-retrain spec:
+  // incremented once per actual Lloyd's training, never by cache or
+  // index-serve hits
+  private[graft] val trainRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+
   // Session-keyed frame cache (shared util): the assigned/blocked
   // frame feeds three plan subtrees in semDedup (size agg + both join
   // sides) — materialize it once per (input, model) instead of
@@ -173,6 +180,7 @@ object Clustering {
   def trainKmeansOf(e: DataFrame, k: Int = K, iters: Int = Iters): Seq[Centroid] = {
     val spark = e.sparkSession
     import spark.implicits._
+    trainRuns.incrementAndGet()
     val init = e
       .withColumn("h", Hashing.md5i32($"vec_id".cast("string"), InitSalt))
       .orderBy($"h", $"vec_id")

@@ -345,20 +345,108 @@ object Similarity {
     ivfSearch(embNormed(spark, sfDir), centroids, numProbes, k, nprobe)
   }
 
+  // ---------------------------------------------------------------
+  // llm_knn_ivf_persisted — build-once / query-many persisted index
+  // ---------------------------------------------------------------
+
+  /** Write a trained IVF index as a parquet layout under `dir`:
+    * `centroids/` holds the k·d matrix `(cell, cv)`, `cells/` holds
+    * the inverted assignment `(vec_id, v, cell)` PARTITIONED BY cell —
+    * so a probe batch that searches `nprobe` cells reads exactly those
+    * cell directories and leaves the rest of the corpus on disk (the
+    * S5 snapshot discipline applied to the index itself). This is the
+    * production retrieval shape: training is an offline job that runs
+    * once; query batches mount the index and never touch the raw
+    * embeddings again. */
+  def writeIvfIndex(e: DataFrame, model: Seq[Clustering.Centroid],
+                    dir: String): Unit = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centroids = spark.createDataFrame(model.map(c => (c.cell, c.cv.toSeq)))
+      .toDF("cell", "cv")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(e, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Mount a persisted IVF index: `(centroids, cells)` frames off the
+    * parquet layout [[writeIvfIndex]] wrote. Pure reads — no
+    * training, no corpus scan. */
+  def readIvfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/cells"))
+
+  /** Serve kNN queries from a MOUNTED index directory — the read
+    * path of the build-once/query-many contract. Never trains and
+    * never reads the embeddings table: everything comes off the
+    * index parquet (spec-pinned via the training-run counter). */
+  def knnIvfServe(spark: SparkSession, dir: String,
+                  numProbes: Int = 20, k: Int = 5,
+                  nprobe: Int = IvfNProbe): DataFrame = {
+    val (centroids, cells) = readIvfIndex(spark, dir)
+    ivfServe(cells, centroids, numProbes, k, nprobe)
+  }
+
+  // one disk build per (sfDir, k) per JVM — the bench's min-of-3 and
+  // a session's repeated probes reuse the layout, mirroring the
+  // offline-build/online-serve split
+  private val indexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def ivfIndexDir(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_v1_${
+      java.lang.Integer.toHexString(sfDir.hashCode)}_k${Clustering.K}"
+
+  /** [[knnIvfKmeans]] through a PERSISTED index: train (session-cached
+    * model), write the parquet index once per (corpus, k), then serve
+    * every query from the mounted layout. Result-identical to the
+    * in-session route — parquet round-trips doubles exactly and the
+    * serve arithmetic is shared ([[ivfServe]]) — so the oracle is the
+    * same replayed k-means chain. */
+  def knnIvfPersisted(spark: SparkSession, sfDir: String,
+                      numProbes: Int = 20, k: Int = 5,
+                      nprobe: Int = IvfNProbe): DataFrame = {
+    val dir = indexDirs.getOrElseUpdate(sfDir, {
+      val d = ivfIndexDir(sfDir)
+      writeIvfIndex(embNormed(spark, sfDir),
+        Clustering.kmeansModel(spark, sfDir), d)
+      d
+    })
+    knnIvfServe(spark, dir, numProbes, k, nprobe)
+  }
+
   /** The IVF index search given a `(cell, cv)` centroid frame: assign
     * corpus vectors to nearest cells, probe the `nprobe` nearest cells
     * per query, rank candidates by exact cosine. */
   private def ivfSearch(e: DataFrame, centroids: DataFrame,
-                        numProbes: Int, k: Int, nprobe: Int): DataFrame = {
+                        numProbes: Int, k: Int, nprobe: Int): DataFrame =
+    ivfServe(ivfAssign(e, centroids), centroids, numProbes, k, nprobe)
+
+  /** The BUILD half of IVF: nearest-cell assignment by rounded cosine
+    * (ties to the lowest cell). Shared verbatim between the in-session
+    * search and [[writeIvfIndex]] — the persisted inverted lists must
+    * hold exactly the cells the live route would assign, or
+    * boundary-line vectors silently change cells between the two. */
+  private def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val scored = e.join(broadcast(centroids))
+    e.join(broadcast(centroids))
       .withColumn("cos_c", round(dot($"v", $"cv"), 6))
-    val assign = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cell")))
       .filter($"rn" === 1)
       .select($"vec_id", $"v", $"cell")
+  }
+
+  /** The SERVE half of IVF: given an already-built index — the
+    * `(vec_id, v, cell)` inverted assignment and the `(cell, cv)`
+    * centroid frame — rank the `nprobe`-cell candidates per probe.
+    * Split out so the persisted-index path serves without ever
+    * seeing the raw corpus (the no-retrain contract). */
+  private def ivfServe(assign: DataFrame, centroids: DataFrame,
+                       numProbes: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = assign.sparkSession
+    import spark.implicits._
     val probeCells = assign.filter($"vec_id" < numProbes)
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
       .join(broadcast(centroids))

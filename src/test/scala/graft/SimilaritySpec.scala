@@ -165,4 +165,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(c <= n && acc >= 0.0 && acc <= 1.0)
     }
   }
+
+  test("persisted IVF index: same results as in-session, NO retrain on serve") {
+    import graft.operators.{Clustering, Similarity}
+    val want = Similarity.knnIvfKmeans(spark, sf).collect().toSeq
+    // first call trains (or reuses the session model) and writes the
+    // parquet index layout
+    val first = Similarity.knnIvfPersisted(spark, sf).collect().toSeq
+    assert(first == want, "persisted route diverged from in-session IVF")
+    // the no-retrain contract: clear the in-memory model cache, serve
+    // straight off the mounted index, and witness that Lloyd's never
+    // ran again — the read path only touches the index parquet
+    Clustering.clearModelCache()
+    val runsBefore = Clustering.trainRuns.get()
+    val served = Similarity.knnIvfServe(
+      spark, Similarity.ivfIndexDir(sf)).collect().toSeq
+    assert(Clustering.trainRuns.get() == runsBefore,
+      "serving from the persisted index retrained the model")
+    assert(served == want)
+    // the inverted layout is cell-partitioned on disk — the pruning
+    // unit a probe batch reads
+    val cells = new java.io.File(s"${Similarity.ivfIndexDir(sf)}/cells")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cells.nonEmpty, "cells layout is not partitioned by cell")
+  }
 }
