@@ -196,8 +196,11 @@ object Dedup {
   /** Shared oracle-SQL scaffolding: the sets→exploded→signature→
     * banded-buckets CTE chain used by every MinHash-based oracle —
     * declared ONCE so band count / hash family changes cannot
-    * silently diverge between the self-join and incremental mirrors. */
-  private def minHashBucketsCtes: String = {
+    * silently diverge between the self-join and incremental mirrors.
+    * `setsSql` defaults to the whole-corpus shingle sets; the
+    * pipeline oracle passes a survivor-subset variant. */
+  private[operators] def minHashBucketsCtes(
+      setsSql: String = shingleSetsSql): String = {
     val hashes = (0 until MinHashFns)
       .map(i => s"MIN(${affine32Sql(md5PairASql, md5PairBSql, i)}) AS h$i")
       .mkString(",\n  ")
@@ -206,7 +209,7 @@ object Dedup {
         .map(j => s"h${b * RowsPerBand + j}::VARCHAR").mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""sets AS ($shingleSetsSql),
+    s"""sets AS ($setsSql),
        |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
        |sig AS (SELECT doc_id,
        |  $hashes
@@ -214,8 +217,12 @@ object Dedup {
        |buckets AS ($bandSelects)""".stripMargin
   }
 
-  def minHashNearDupsSql(threshold: Double = 0.8): String = {
-    s"""WITH $minHashBucketsCtes,
+  /** The full candidate→verify CTE chain (through `verified` with
+    * per-pair exact Jaccard) — reused by [[minHashNearDupsSql]] and
+    * the pipeline oracle's near-dedup stage. */
+  private[operators] def minHashPairsCtes(
+      setsSql: String = shingleSetsSql): String =
+    s"""${minHashBucketsCtes(setsSql)},
        |cand AS (
        |  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
        |  FROM buckets ba JOIN buckets bb
@@ -227,7 +234,10 @@ object Dedup {
        |  FROM cand c
        |  JOIN sets sa ON sa.doc_id = c.a
        |  JOIN sets sb ON sb.doc_id = c.b
-       |)
+       |)""".stripMargin
+
+  def minHashNearDupsSql(threshold: Double = 0.8): String = {
+    s"""WITH ${minHashPairsCtes()}
        |SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b, jaccard
        |FROM verified WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -540,7 +550,7 @@ object Dedup {
   }
 
   def incrementalNearDupsSql(splitAt: Long = 400, threshold: Double = 0.8): String = {
-    s"""WITH $minHashBucketsCtes,
+    s"""WITH ${minHashBucketsCtes()},
        |cand AS (
        |  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
        |  FROM buckets nb JOIN buckets cb
