@@ -52,9 +52,21 @@ object Pipeline {
   val PackShards = 4
 
   private val frameCache = new graft.util.FrameCache()
+
+  // localCheckpoint, NOT cache(): stage s4's logical plan embeds s3's,
+  // which embeds the MinHash chain referencing the shingle-set frame
+  // 8× (4 band branches × 2 join sides), which embeds s2's plan … —
+  // with plain cache() the COMPOSED plan tree is exponential in stage
+  // depth (~10^5 printed nodes) and every evaluation pays ~20 s of
+  // driver-side analysis/canonicalization before a single task runs
+  // (measured; execution itself is ~2 s warm). Checkpointing cuts each
+  // stage to a leaf, which is also the production posture: a real run
+  // materializes every stage as a parquet snapshot (S5) so stages
+  // restart independently.
   private def cached(stage: String, df: DataFrame): DataFrame =
     frameCache.getOrElseUpdate(df.sparkSession,
-      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+      s"$stage:${df.queryExecution.analyzed.semanticHash()}",
+      unpersistOnEvict = false)(df.localCheckpoint())
 
   /** The stage survivor frames, each `(doc_id, lang, text, n_tokens)`
     * — exposed for the reconciliation spec, which pins every stage to
