@@ -122,6 +122,13 @@ object Graft {
 
   /** Temperature-tempered source sampling weights (p_i ∝ tokens_i^α)
     * and expected per-epoch document draws at `budget`. */
+  /** The composed preprocessing chain (quality → exact dedup →
+    * MinHash near-dedup → decontaminate → mix+pack accounting) over
+    * any `(doc_id, lang, text)` frame: one survivorship row per
+    * (stage, lang) — the audit log a curation run is judged by. */
+  def preprocessingPipeline(docs: DataFrame): DataFrame =
+    operators.Pipeline.pipelineOf(docs)
+
   def mixWeights(docs: DataFrame, alpha: Double = 0.3,
                  budget: Long = 100000L): DataFrame =
     operators.TextAnalytics.mixWeightsOf(docs, alpha, budget)
@@ -187,10 +194,13 @@ object Graft {
     operators.TimeSeries.rangeJoinOf(probe, tsCol, intervals, startCol, endCol, bucketDays)
 
   /** PageRank over a distinct directed edge frame `(src, dst)` and a
-    * node frame `(a)` → `(a, r)`; deterministic-replay rounding. */
+    * node frame `(a)` → `(a, r)`; deterministic-replay rounding.
+    * `eps > 0` enables early exit once the per-iteration L1 rank
+    * delta converges below it (iterations dominate cost at scale). */
   def pagerank(edges: DataFrame, nodes: DataFrame,
-               iters: Int = 5, damping: Double = 0.85): DataFrame =
-    operators.Graph.pagerankOf(edges, nodes, iters, damping)
+               iters: Int = 5, damping: Double = 0.85,
+               eps: Double = 0.0): DataFrame =
+    operators.Graph.pagerankOf(edges, nodes, iters, damping, eps)
 
   /** Degree-oriented exact triangle count over a directed edge frame
     * holding both arcs → one row (n_nodes, n_edges, n_triangles). */
@@ -222,6 +232,21 @@ object Graft {
 
   /** Distributed Lloyd's k-means over raw embeddings; returns the
     * trained centroid matrix (k·d doubles). */
+  /** Build-once half of the persisted IVF index: train elsewhere
+    * ([[trainKmeans]]), then write centroids + cell-partitioned
+    * inverted lists as a parquet layout under `dir`. */
+  def writeIvfIndex(embeddings: DataFrame,
+                    model: Seq[operators.Clustering.Centroid],
+                    dir: String): Unit =
+    operators.Similarity.writeIvfIndex(normalize(embeddings), model, dir)
+
+  /** Query-many half: serve cosine top-k from a mounted index
+    * directory — never retrains, never reads the raw corpus. */
+  def knnFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   numProbes: Int = 20, k: Int = 5,
+                   nprobe: Int = operators.Similarity.IvfNProbe): DataFrame =
+    operators.Similarity.knnIvfServe(spark, dir, numProbes, k, nprobe)
+
   def trainKmeans(embeddings: DataFrame, k: Int = operators.Clustering.K,
                   iters: Int = operators.Clustering.Iters)
       : Seq[operators.Clustering.Centroid] =

@@ -368,6 +368,45 @@ object Ingest {
        |WHERE l_partkey BETWEEN $pLo AND $pHi
        |  AND l_suppkey BETWEEN $sLo AND $sHi""".stripMargin
 
+  /** Dynamic partition pruning over the month-partitioned snapshot —
+    * the RUNTIME complement of the static prune `src_partitioned
+    * _snapshot` demonstrates: here the month set comes from a JOIN
+    * against a filtered dimension (the months containing an urgent
+    * order from the 1-in-199 customer cohort), so no literal
+    * predicate exists at plan time. Catalyst's DPP rewrite plants the
+    * broadcast result of the dim side as a `dynamicpruningexpression`
+    * in the scan's PartitionFilters, and the fact scan reads ONLY the
+    * surviving month directories (spec-pinned: pruning expression
+    * present + selected partitions < total). At 100 TB this is THE
+    * mechanism that makes fact-to-dim joins over a date-partitioned
+    * lake affordable — the fact side never enumerates history. The
+    * oracle applies the same dim semantics to the raw table. */
+  def dppSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_custkey" % 199 === 0)
+      .select(date_format($"o_orderdate", "yyyy-MM").as("m"))
+      .distinct()
+    partitionedOrders(spark, sfDir)
+      .join(dim, $"o_month" === $"m")
+      .groupBy($"o_month")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy($"o_month")
+  }
+
+  val dppSnapshotSql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT strftime(o_orderdate::TIMESTAMP, '%Y-%m') AS m
+      |  FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_custkey % 199 = 0)
+      |SELECT strftime(o_orderdate::TIMESTAMP, '%Y-%m') AS o_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN m ON strftime(o_orderdate::TIMESTAMP, '%Y-%m') = m.m
+      |GROUP BY 1 ORDER BY o_month""".stripMargin
+
   def partitionedSnapshotSql(month: String = "1996-06"): String =
     s"""SELECT COUNT(*) AS n_orders,
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

@@ -20,6 +20,40 @@ class PartitionPruneSpec extends AnyFunSuite with SparkSpec {
       s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
   }
 
+  test("dim join prunes the month partitions DYNAMICALLY (DPP fired)") {
+    import spark.implicits._
+    // AQE wraps stages in AdaptiveSparkPlanExec (opaque to collect);
+    // DPP is an optimizer/physical-planning rewrite, so pin the plan
+    // statically for inspection
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try dppBody() finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def dppBody(): Unit = {
+    import spark.implicits._
+    val df = Ingest.dppSnapshot(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the month-partitioned fact scan must carry a runtime pruning
+    // subquery — no literal month predicate exists at plan time
+    val factScan = scans.find(_.partitionFilters.nonEmpty)
+    assert(factScan.nonEmpty, s"no partition-filtered scan:\n$scans")
+    assert(factScan.get.partitionFilters.mkString.contains("dynamicpruning"),
+      s"DPP did not fire: ${factScan.get.partitionFilters}")
+    // and it actually skipped directories at RUNTIME: the executed
+    // scan's partition metric (post-dynamic-filter) < total months
+    // (selectedPartitions is the static pre-filter listing)
+    val total = Ingest.partitionedOrders(spark, sf)
+      .select($"o_month").distinct().count()
+    val read = factScan.get.metrics("numPartitions").value
+    assert(read < total, s"scan read all $total partitions — nothing pruned")
+    assert(rows.length.toLong == read, "one output row per surviving month")
+  }
+
   test("partitioned layout is lossless vs the raw table") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
