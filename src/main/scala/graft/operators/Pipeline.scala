@@ -197,23 +197,35 @@ object Pipeline {
       .orderBy($"stage", $"lang")
   }
 
+  /** The pipeline's ARTIFACT view: the surviving training corpus
+    * after every drop stage, as a `(doc_id, lang, n_tokens)` manifest
+    * in id order — what a run actually hands to tokenization/packing
+    * (the accounting report is [[pipeline]]; this is the data). Costs
+    * nothing extra in-session: it reads the same checkpointed stage-4
+    * frame. */
+  def pipelineSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    stagesOf(Tables.documents(spark, sfDir)).s4
+      .select($"doc_id".cast("long").as("doc_id"), $"lang", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  def pipelineSurvivorsSql: String =
+    s"""WITH ${chainCtes()}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM s4 ORDER BY doc_id""".stripMargin
+
   /** Oracle: the full chain replayed as CTEs — quality gate, content-
     * hash dedup, the shared MinHash pair chain over the survivor
     * subset, gram-overlap decontamination, then the accounting. */
-  def pipelineSql: String = {
+  /** The drop-stage CTE chain through `s4`, shared by both oracles. */
+  private def chainCtes(): String = {
     val pipeSets =
       s"""SELECT doc_id, list_distinct(${shingles3Sql("ts")}) AS shs
          |FROM tq WHERE doc_id IN (SELECT doc_id FROM s2)
          |  AND len(ts) >= 3""".stripMargin
-    def acctSql(stage: Int, name: String, src: String): String =
-      s"""a$stage AS (SELECT CAST($stage AS BIGINT) AS stage,
-         |  '$name' AS stage_name, lang, COUNT(*) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(NULL AS DOUBLE) AS weight,
-         |  CAST(NULL AS BIGINT) AS n_bins,
-         |  CAST(NULL AS BIGINT) AS pad_tokens
-         |  FROM $src GROUP BY lang)""".stripMargin
-    s"""WITH d0 AS (SELECT doc_id, lang, text,
+    s"""d0 AS (SELECT doc_id, lang, text,
        |  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
        |tq AS (SELECT doc_id, $tokensSql AS ts FROM documents),
        |w AS (
@@ -259,7 +271,19 @@ object Pipeline {
        |  WHERE g IN (SELECT g FROM bg)),
        |s4 AS (SELECT * FROM s3
        |       WHERE doc_id NOT IN (SELECT doc_id FROM bench)
-       |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |         AND doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+  }
+
+  def pipelineSql: String = {
+    def acctSql(stage: Int, name: String, src: String): String =
+      s"""a$stage AS (SELECT CAST($stage AS BIGINT) AS stage,
+         |  '$name' AS stage_name, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(NULL AS DOUBLE) AS weight,
+         |  CAST(NULL AS BIGINT) AS n_bins,
+         |  CAST(NULL AS BIGINT) AS pad_tokens
+         |  FROM $src GROUP BY lang)""".stripMargin
+    s"""WITH ${chainCtes()},
        |${acctSql(0, "corpus", "d0")},
        |${acctSql(1, "quality", "s1")},
        |${acctSql(2, "exact_dedup", "s2")},
