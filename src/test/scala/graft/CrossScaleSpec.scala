@@ -78,6 +78,42 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pipeline scale curve: survivor rates stable, wall time near-linear") {
+    // the composed chain must inherit its stages' near-linearity: a
+    // 10× corpus step may not blow up the end-to-end build, and the
+    // survivorship RATES (not counts) should be scale-stable because
+    // the synthetic corpus is drawn from one distribution
+    case class Pt(dir: String, n: Long, surv: Long, secs: Double)
+    def run(dir: String): Pt = {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val t0 = System.nanoTime()
+      val st = graft.operators.Pipeline.stagesOf(docs)
+      val (n, surv) = (st.d0.count(), st.s4.count())
+      Pt(dir, n, surv, (System.nanoTime() - t0) / 1e9)
+    }
+    val pts = Seq("sf0.01", "sf0.1").map { s =>
+      val p = run(s"/root/testdata/$s")
+      info(f"${p.dir}%-22s n=${p.n}%6d survivors=${p.surv}%6d build=${p.secs}%.2fs")
+      p
+    }
+    pts.foreach { p =>
+      val rate = p.surv.toDouble / p.n
+      assert(rate > 0.4 && rate < 1.0, s"${p.dir}: survivor rate $rate")
+    }
+    val Seq(lo, hi) = pts
+    val nRatio = hi.n.toDouble / lo.n
+    // same 6×-linear guard + re-measure discipline as the dedup curve
+    def ok(loS: Double, hiS: Double) = hiS <= 6.0 * nRatio * math.max(loS, 0.5)
+    val passed = ok(lo.secs, hi.secs) || {
+      // caches are keyed per input, so a re-run measures warm plans —
+      // still a valid super-linearity probe (O(n²) stays 100×)
+      val (lo2, hi2) = (run(lo.dir).secs, run(hi.dir).secs)
+      info(f"retry ${lo.dir}=${lo2}%.2fs ${hi.dir}=${hi2}%.2fs")
+      ok(math.min(lo.secs, lo2), math.min(hi.secs, hi2))
+    }
+    assert(passed, s"pipeline build ${hi.secs}s at ${hi.dir} vs ${lo.secs}s at ${lo.dir}")
+  }
+
   test("graph scale curve: hub bound holds, wedges and wall time near-linear") {
     import org.apache.spark.sql.functions._
     // Empirical backing for the degree-orientation claims at two
