@@ -566,6 +566,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(one == flat)
   }
 
+  test("sharded packer state survives a query RESTART from checkpoint") {
+    // the exactly-once production posture: stop the query mid-corpus,
+    // start a NEW query from the same checkpoint, and the per-(lang,
+    // shard) bin cursors must resume where they left off — documents
+    // packed after the restart land in the same bins the uninterrupted
+    // batch twin assigns
+    import graft.streaming.{EventStreams, PackAssignShard, PackDoc}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (ctx, shards) = (64, 4)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang",
+        size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+          .as("n_tokens"))
+      .as[PackDoc].collect().sortBy(_.doc_id).toSeq
+    val batch = EventStreams.packBatchSharded(docs.toDS(), ctx, shards)
+      .collect().map(a => a.doc_id -> a).toMap
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-pack-ckpt").toString
+    val (first, second) = docs.splitAt(docs.size / 2)
+    val mem = MemoryStream[PackDoc]
+    // foreachBatch is the recoverable custom sink (the memory sink
+    // refuses checkpoint recovery); the buffer lives on the driver
+    val sunk = new scala.collection.mutable.ArrayBuffer[PackAssignShard]
+    def start() =
+      EventStreams.packStreamSharded(mem.toDS(), ctx, shards)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[PackAssignShard],
+                         _: Long) =>
+          sunk.synchronized { sunk ++= df.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    val q1 = start()
+    try { mem.addData(first); q1.processAllAvailable() } finally q1.stop()
+    val before = sunk.synchronized(sunk.toArray)
+    // the restarted query replays nothing (offsets committed) and
+    // resumes the cursors from state
+    val q2 = start()
+    try { mem.addData(second); q2.processAllAvailable() } finally q2.stop()
+    val after = sunk.synchronized(sunk.toArray).drop(before.length)
+    val stream = (before ++ after).map(a => a.doc_id -> a).toMap
+    assert(stream.keySet == batch.keySet && after.nonEmpty)
+    stream.foreach { case (id, a) =>
+      assert(a == batch(id), s"doc $id after restart: $a vs batch ${batch(id)}")
+    }
+    // the continuity witness: some post-restart doc joined a bin its
+    // stream opened BEFORE the restart (cursor state, not a fresh 0)
+    val openBins = before.groupBy(a => (a.lang, a.shard))
+      .map { case (k, as) => k -> as.map(_.bin).max }
+    assert(after.exists(a =>
+      openBins.get((a.lang, a.shard)).exists(_ == a.bin)),
+      "no post-restart doc continued a pre-restart bin")
+  }
+
   test("sharded packer under the RocksDB state store: same results, provider engaged") {
     // the 100-TB state posture: HDFSBackedStateStoreProvider keeps
     // every key in executor heap — fine for (lang × shards) cursors at
