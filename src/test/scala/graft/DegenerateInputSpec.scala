@@ -133,6 +133,19 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("non-empty corpus"))
   }
 
+  test("round-7 operators degrade to empty on empty inputs") {
+    import spark.implicits._
+    // the composed pipeline on an empty corpus: every stage is empty,
+    // the accounting report has no rows, and nothing throws — the
+    // contract a chained curation run needs when a source is dry
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(graft.operators.Pipeline.pipelineOf(noDocs).count() == 0)
+    // skew-join demo over an empty fact side: empty join, empty rollup
+    val noLi = Seq.empty[(Long, Double)].toDF("l_orderkey", "l_quantity")
+    assert(graft.operators.Relational.skewJoinAqeOf(noLi).count() == 0)
+  }
+
   test("documents shorter than the shingle width produce no shingles") {
     import spark.implicits._
     val got = Seq("one", "two words", "").toDF("text")
