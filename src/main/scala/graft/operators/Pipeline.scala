@@ -83,27 +83,14 @@ object Pipeline {
         size(tokens($"text")).cast("long").as("n_tokens")))
     val surv = Seq($"doc_id", $"lang", $"text", $"n_tokens")
 
-    // stage 1 — quality gate (the qualityFilter rules verbatim;
-    // the spec reconciles per-lang counts against that operator)
+    // stage 1 — quality gate: the SAME stats frames and keep
+    // predicate qualityFilter uses (shared helpers, zero divergence;
+    // the spec additionally reconciles per-lang counts)
     val t = d0.select($"doc_id", tokens($"text").as("ts"))
-    val w = t.select($"doc_id", explode($"ts").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(
-        sum($"c").cast("long").as("n_words"),
-        sum(length($"term") * $"c").cast("long").as("wchars"),
-        max($"c").cast("long").as("max_c"))
-    val s = t.select($"doc_id", explode(shingles($"ts", 3)).as("shn"))
-      .groupBy($"doc_id", $"shn").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(
-        sum($"c").cast("long").as("n_sh"),
-        count(lit(1)).as("d_sh"))
-    val keep = $"n_words" >= 20 &&
-      ($"wchars".cast("double") / $"n_words").between(3.0, 10.0) &&
-      $"max_c".cast("double") / $"n_words" <= 0.2 &&
-      coalesce(lit(1.0) - $"d_sh".cast("double") / $"n_sh", lit(0.0)) <= 0.6
     val s1 = cached("pipe-s1", d0
-      .join(w, "doc_id").join(s, Seq("doc_id"), "left")
-      .filter(keep).select(surv: _*))
+      .join(TextAnalytics.qualityWordStats(t), "doc_id")
+      .join(TextAnalytics.qualityShingleStats(t), Seq("doc_id"), "left")
+      .filter(TextAnalytics.qualityKeepCond).select(surv: _*))
 
     // stage 2 — exact dedup among survivors: min-id per content hash
     val ex = s1.groupBy(md5($"text").as("ch"))

@@ -799,28 +799,47 @@ object TextAnalytics {
     * number a curation run actually acts on. Two per-doc hash
     * aggregates (word stats, shingle stats) joined on doc_id, then
     * one partial+final rollup on lang. */
-  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val t = docs(spark, sfDir)
-      .select($"doc_id", $"lang", $"n_chars", tokens($"text").as("ts"))
-    val w = t.select($"doc_id", explode($"ts").as("term"))
+  /** Per-doc word statistics feeding the Gopher-style gate — shared
+    * verbatim by [[qualityFilter]] and the composed pipeline's stage
+    * 1 so the two can never diverge. `t` must carry `(doc_id, ts)`. */
+  private[operators] def qualityWordStats(t: DataFrame): DataFrame = {
+    import t.sparkSession.implicits._
+    t.select($"doc_id", explode($"ts").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(
         sum($"c").cast("long").as("n_words"),
         sum(length($"term") * $"c").cast("long").as("wchars"),
         max($"c").cast("long").as("max_c"))
-    val s = t.select($"doc_id", explode(shingles($"ts", 3)).as("sh"))
+  }
+
+  /** Per-doc 3-shingle duplication statistics (same sharing). */
+  private[operators] def qualityShingleStats(t: DataFrame): DataFrame = {
+    import t.sparkSession.implicits._
+    t.select($"doc_id", explode(shingles($"ts", 3)).as("sh"))
       .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(
         sum($"c").cast("long").as("n_sh"),
         count(lit(1)).as("d_sh"))
-    val keep = $"n_words" >= 20 &&
-      ($"wchars".cast("double") / $"n_words").between(3.0, 10.0) &&
-      $"max_c".cast("double") / $"n_words" <= 0.2 &&
-      coalesce(lit(1.0) - $"d_sh".cast("double") / $"n_sh", lit(0.0)) <= 0.6
+  }
+
+  /** The composite keep predicate over the joined stats columns. */
+  private[operators] def qualityKeepCond: Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    col("n_words") >= 20 &&
+      (col("wchars").cast("double") / col("n_words")).between(3.0, 10.0) &&
+      col("max_c").cast("double") / col("n_words") <= 0.2 &&
+      coalesce(lit(1.0) - col("d_sh").cast("double") / col("n_sh"),
+        lit(0.0)) <= 0.6
+  }
+
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = docs(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars", tokens($"text").as("ts"))
     t.select($"doc_id", $"lang", $"n_chars")
-      .join(w, "doc_id").join(s, Seq("doc_id"), "left")
-      .withColumn("keep", keep.cast("long"))
+      .join(qualityWordStats(t), "doc_id")
+      .join(qualityShingleStats(t), Seq("doc_id"), "left")
+      .withColumn("keep", qualityKeepCond.cast("long"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
