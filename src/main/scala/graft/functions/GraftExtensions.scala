@@ -58,6 +58,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"md5_i32 offset must be in [0, 12], got $offset")
         Md5Int32(args.head, prefix, offset)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("count_token_eq"),
+      new ExpressionInfo(classOf[CountTokenEq].getName, "count_token_eq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "count_token_eq(tokens, term) takes exactly 2 arguments")
+        val term = args(1) match {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"count_token_eq term must be a string literal, got $other")
+        }
+        CountTokenEq(args.head, term)
+      }))
   }
 
   private def litInt(e: Expression, what: String): Int = e match {

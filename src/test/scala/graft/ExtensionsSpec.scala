@@ -40,6 +40,11 @@ class ExtensionsSpec extends AnyFunSuite {
           .digest("7:abc".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(8), 16)
       assert(h == ref)
+      // the round-7 tf kernel is SQL-callable too
+      val c = spark.sql(
+        "SELECT count_token_eq(array('a','b','a'), 'a') AS c")
+        .head().getLong(0)
+      assert(c == 2L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
