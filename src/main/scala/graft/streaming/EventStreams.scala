@@ -609,6 +609,58 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** [[packStreamSharded]] re-expressed on Spark 4's
+    * `transformWithState` — the successor API to
+    * `flatMapGroupsWithState`, and the forward-looking 100-TB state
+    * story: named state variables (`ValueState`) instead of one
+    * opaque blob, per-variable TTL, and a contract that REQUIRES the
+    * RocksDB state store (state lives on executor SSD, not heap).
+    * Assignment arithmetic and the ordering contract are shared with
+    * the fMGWS form verbatim; the spec pins assignment-level equality
+    * between the two APIs and the batch twin. */
+  def packStreamTws(docs: Dataset[PackDoc], ctx: Int = 512,
+                    shards: Int = 4): Dataset[PackAssignShard] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(d => (d.lang, d.doc_id % shards))
+      .transformWithState(new PackProcessor(ctx),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The per-(lang, shard) cursor as a [[StatefulProcessor]]: one
+    * named `ValueState[Long]` ("cum", no TTL — packing state is
+    * permanent for the stream's lifetime) holding tokens packed so
+    * far; every arriving doc is assigned the bin its first token
+    * lands in, final on emission. */
+  private class PackProcessor(ctx: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (String, Long), PackDoc, PackAssignShard] {
+
+    @transient private var cursor:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cursor = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[PackDoc],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PackAssignShard] = {
+      var cum = if (cursor.exists()) cursor.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val start = cum
+        cum += d.n_tokens
+        PackAssignShard(d.doc_id, key._1, key._2, start / ctx,
+          d.n_tokens > 0 && (cum - 1) / ctx > start / ctx)
+      }
+      cursor.update(cum)
+      out.iterator
+    }
+  }
+
   /** The batch twin of [[packStreamSharded]]: one window cumsum per
     * (lang, shard) stream. */
   def packBatchSharded(docs: Dataset[PackDoc], ctx: Int = 512,

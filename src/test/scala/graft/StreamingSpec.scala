@@ -621,6 +621,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "no post-restart doc continued a pre-restart bin")
   }
 
+  test("transformWithState packer == fMGWS packer == batch twin") {
+    // Spark 4's successor state API must produce the identical
+    // assignment stream; it REQUIRES the RocksDB provider, so this is
+    // also a second engagement witness for that posture
+    import graft.streaming.{EventStreams, PackAssignShard, PackDoc}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (ctx, shards) = (64, 4)
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select($"doc_id", $"lang",
+          size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+            .as("n_tokens"))
+        .as[PackDoc].collect().sortBy(_.doc_id).toSeq
+      val batch = EventStreams.packBatchSharded(docs.toDS(), ctx, shards)
+        .collect().map(a => a.doc_id -> a).toMap
+      val mem = MemoryStream[PackDoc]
+      val q = EventStreams.packStreamTws(mem.toDS(), ctx, shards)
+        .writeStream.format("memory").queryName("s_pack_tws")
+        .outputMode("append").start()
+      try {
+        // state must carry across micro-batch boundaries here too
+        docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+          mem.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val tws = spark.table("s_pack_tws").as[PackAssignShard]
+        .collect().map(a => a.doc_id -> a).toMap
+      assert(tws.keySet == batch.keySet && tws.nonEmpty)
+      tws.foreach { case (id, a) =>
+        assert(a == batch(id), s"doc $id: tws $a vs batch ${batch(id)}")
+      }
+      // and some bin genuinely straddled micro-batches (cursor state)
+      assert(tws.values.groupBy(a => (a.lang, a.shard))
+        .exists(_._2.map(_.bin).toSet.size > 1))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sharded packer under the RocksDB state store: same results, provider engaged") {
     // the 100-TB state posture: HDFSBackedStateStoreProvider keeps
     // every key in executor heap — fine for (lang × shards) cursors at
