@@ -122,16 +122,17 @@ object Graft {
 
   /** Temperature-tempered source sampling weights (p_i ∝ tokens_i^α)
     * and expected per-epoch document draws at `budget`. */
+  def mixWeights(docs: DataFrame,
+                 alpha: Double = operators.TextAnalytics.MixAlphaDefault,
+                 budget: Long = 100000L): DataFrame =
+    operators.TextAnalytics.mixWeightsOf(docs, alpha, budget)
+
   /** The composed preprocessing chain (quality → exact dedup →
     * MinHash near-dedup → decontaminate → mix+pack accounting) over
     * any `(doc_id, lang, text)` frame: one survivorship row per
     * (stage, lang) — the audit log a curation run is judged by. */
   def preprocessingPipeline(docs: DataFrame): DataFrame =
     operators.Pipeline.pipelineOf(docs)
-
-  def mixWeights(docs: DataFrame, alpha: Double = 0.3,
-                 budget: Long = 100000L): DataFrame =
-    operators.TextAnalytics.mixWeightsOf(docs, alpha, budget)
 
   /** Okapi BM25 top-`k` doc ids + scores for a lexical query. */
   def bm25(docs: DataFrame, query: Seq[String], k: Int = 15): DataFrame =
@@ -232,6 +233,12 @@ object Graft {
 
   /** Distributed Lloyd's k-means over raw embeddings; returns the
     * trained centroid matrix (k·d doubles). */
+  def trainKmeans(embeddings: DataFrame, k: Int = operators.Clustering.K,
+                  iters: Int = operators.Clustering.Iters)
+      : Seq[operators.Clustering.Centroid] =
+    operators.Clustering.trainKmeansOf(
+      operators.Similarity.normalizeOf(embeddings), k, iters)
+
   /** Build-once half of the persisted IVF index: train elsewhere
     * ([[trainKmeans]]), then write centroids + cell-partitioned
     * inverted lists as a parquet layout under `dir`. */
@@ -246,12 +253,6 @@ object Graft {
                    numProbes: Int = 20, k: Int = 5,
                    nprobe: Int = operators.Similarity.IvfNProbe): DataFrame =
     operators.Similarity.knnIvfServe(spark, dir, numProbes, k, nprobe)
-
-  def trainKmeans(embeddings: DataFrame, k: Int = operators.Clustering.K,
-                  iters: Int = operators.Clustering.Iters)
-      : Seq[operators.Clustering.Centroid] =
-    operators.Clustering.trainKmeansOf(
-      operators.Similarity.normalizeOf(embeddings), k, iters)
 
   /** Lloyd's objective (mean squared distance to assigned centroid)
     * of a model over a corpus — for training/monitoring loops. */

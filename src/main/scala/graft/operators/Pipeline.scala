@@ -44,12 +44,15 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  val MinHashThreshold = 0.8
-  val BenchK = 25
-  val DecontamN = 5
-  val MixAlpha = 0.3
-  val PackCtx = 512
-  val PackShards = 4
+  // every stage runs at its standalone operator's default tuning —
+  // the constants are REFERENCES, not re-typed literals, so a change
+  // at the operator propagates to the chain (both Scala and SQL)
+  val MinHashThreshold = 0.8 // Dedup.minHashNearDupsOf default
+  val BenchK: Int = TextAnalytics.DecontamBenchK
+  val DecontamN: Int = TextAnalytics.DecontamNgram
+  val MixAlpha: Double = TextAnalytics.MixAlphaDefault
+  val PackCtx: Int = TextAnalytics.PackCtxDefault
+  val PackShards: Int = TextAnalytics.PackShardsDefault
 
   private val frameCache = new graft.util.FrameCache()
 
@@ -108,11 +111,14 @@ object Pipeline {
     // the FULL corpus (the eval suite exists before curation);
     // survivors sharing any distinct 5-gram with it leave, and the
     // benchmark docs themselves never train
-    val benchIds = d0
-      .withColumn("h", md5i32($"text", 31))
+    // checkpointed like the stage frames: three consumers below
+    // (benchGrams, contamIds, s4) would otherwise each pay the
+    // corpus-wide hash-rank for the same 25 ids
+    val benchIds = cached("pipe-bench", d0
+      .withColumn("h", md5i32($"text", TextAnalytics.DecontamSalt))
       .orderBy($"h", $"doc_id")
       .limit(BenchK)
-      .select($"doc_id".as("bench_id"))
+      .select($"doc_id".as("bench_id")))
     val benchGrams = d0
       .join(broadcast(benchIds), $"doc_id" === $"bench_id")
       .select(explode(array_distinct(
@@ -215,27 +221,11 @@ object Pipeline {
     s"""d0 AS (SELECT doc_id, lang, text,
        |  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
        |tq AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-       |w AS (
-       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
-       |         CAST(SUM(length(term) * c) AS BIGINT) AS wchars,
-       |         CAST(MAX(c) AS BIGINT) AS max_c
-       |  FROM (SELECT doc_id, term, COUNT(*) AS c
-       |        FROM (SELECT doc_id, unnest(ts) AS term FROM tq)
-       |        GROUP BY doc_id, term)
-       |  GROUP BY doc_id),
-       |sh3 AS (
-       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh, COUNT(*) AS d_sh
-       |  FROM (SELECT doc_id, sh, COUNT(*) AS c
-       |        FROM (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM tq)
-       |        GROUP BY doc_id, sh)
-       |  GROUP BY doc_id),
+       |${TextAnalytics.qualityStatsCtesSql("tq")},
        |keepids AS (
        |  SELECT tq.doc_id FROM tq JOIN w USING (doc_id)
        |  LEFT JOIN sh3 USING (doc_id)
-       |  WHERE w.n_words >= 20
-       |    AND w.wchars::DOUBLE / w.n_words BETWEEN 3.0 AND 10.0
-       |    AND w.max_c::DOUBLE / w.n_words <= 0.2
-       |    AND COALESCE(1.0 - sh3.d_sh::DOUBLE / sh3.n_sh, 0.0) <= 0.6),
+       |  WHERE ${TextAnalytics.qualityKeepWhereSql}),
        |s1 AS (SELECT * FROM d0 WHERE doc_id IN (SELECT doc_id FROM keepids)),
        |ex AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
        |s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM ex)),
@@ -244,9 +234,7 @@ object Pipeline {
        |          WHERE jaccard >= $MinHashThreshold),
        |s3 AS (SELECT * FROM s2
        |       WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
-       |bench AS (SELECT doc_id FROM (
-       |  SELECT doc_id, ${md5i32Sql("text", 31)} AS h
-       |  FROM documents ORDER BY h, doc_id LIMIT $BenchK)),
+       |bench AS (${TextAnalytics.benchIdsSubSql(BenchK)}),
        |bg AS (SELECT DISTINCT g FROM (
        |  SELECT unnest(list_distinct(${shinglesNSql("ts", DecontamN)})) AS g
        |  FROM tq WHERE doc_id IN (SELECT doc_id FROM bench))),

@@ -1254,9 +1254,12 @@ object Relational {
   /** AQE skew-join demonstration — the AUTOMATIC complement of
     * [[saltedJoin]]: the same hot-key problem, handled by the engine
     * at runtime instead of by a hand-rolled salt. The fact side's
-    * derived key is DELIBERATELY skewed (three quarters of lineitem
-    * collapses onto key 0, the rest spreads over 1..99 — the
-    * default-value-sink shape real event data has), the `merge` hint
+    * derived key is DELIBERATELY skewed (rows with l_orderkey % 4 ≠ 0
+    * — just over three quarters of lineitem, since multiples of 100
+    * also land there — collapse onto key 0; the rest spread over the
+    * multiples of 4 in [4, 96], so 25 of the dim's 100 keys match.
+    * The default-value-sink shape real event data has), the `merge`
+    * hint
     * pins a sort-merge join, and `OptimizeSkewedJoin` splits the hot
     * partition into advisory-sized sub-reads at runtime, each joined
     * against a replicated copy of the dimension's matching rows.

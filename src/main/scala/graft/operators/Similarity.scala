@@ -393,26 +393,51 @@ object Similarity {
   private val indexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // full-path-sanitized name, NOT a 32-bit hash: two corpora must
+  // never share an index directory (String.hashCode collisions are
+  // trivially constructible, and a collision here silently serves
+  // neighbors from the wrong corpus)
   private[graft] def ivfIndexDir(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_v1_${
-      java.lang.Integer.toHexString(sfDir.hashCode)}_k${Clustering.K}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_v2_${
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_k${Clustering.K}"
 
   /** [[knnIvfKmeans]] through a PERSISTED index: train (session-cached
     * model), write the parquet index once per (corpus, k), then serve
     * every query from the mounted layout. Result-identical to the
     * in-session route — parquet round-trips doubles exactly and the
     * serve arithmetic is shared ([[ivfServe]]) — so the oracle is the
-    * same replayed k-means chain. */
+    * same replayed k-means chain.
+    *
+    * The on-disk build is crash/concurrency-safe: writers build into
+    * a process-unique staging dir and PROMOTE with an atomic rename,
+    * so another process (e.g. Verify and Bench against the same
+    * corpus) either sees no index or a complete one — never a torn
+    * overwrite. Losing builders delete their stage and serve the
+    * winner's layout (identical content: the build is deterministic). */
   def knnIvfPersisted(spark: SparkSession, sfDir: String,
                       numProbes: Int = 20, k: Int = 5,
                       nprobe: Int = IvfNProbe): DataFrame = {
     val dir = indexDirs.getOrElseUpdate(sfDir, {
       val d = ivfIndexDir(sfDir)
-      writeIvfIndex(embNormed(spark, sfDir),
-        Clustering.kmeansModel(spark, sfDir), d)
+      if (!new java.io.File(s"$d/cells/_SUCCESS").exists()) {
+        val stage = s"${d}_stage_${java.lang.ProcessHandle.current().pid()}_${System.nanoTime()}"
+        writeIvfIndex(embNormed(spark, sfDir),
+          Clustering.kmeansModel(spark, sfDir), stage)
+        if (!new java.io.File(s"$d/cells/_SUCCESS").exists())
+          new java.io.File(stage).renameTo(new java.io.File(d))
+        // a losing (or racing) builder's stage is dead weight
+        val leftover = new java.io.File(stage)
+        if (leftover.exists()) deleteRecursively(leftover)
+      }
       d
     })
     knnIvfServe(spark, dir, numProbes, k, nprobe)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
 
   /** The IVF index search given a `(cell, cv)` centroid frame: assign

@@ -24,6 +24,18 @@ object TextAnalytics {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
 
+  // Named tuning defaults, referenced by BOTH the Scala operators and
+  // their oracle SQL (and by the composed pipeline's chain on both
+  // sides) — a change here propagates everywhere or nowhere; a
+  // literal re-typed in one place is exactly how an oracle silently
+  // diverges from the operator it checks.
+  val DecontamBenchK = 25
+  val DecontamNgram = 5
+  val DecontamSalt = 31
+  val MixAlphaDefault = 0.3
+  val PackCtxDefault = 512
+  val PackShardsDefault = 4
+
   // the shared session-keyed frame cache (the Dedup/Graph idiom) for
   // the few operators here whose intermediate feeds multiple branches
   private val frameCache = new graft.util.FrameCache()
@@ -597,12 +609,12 @@ object TextAnalytics {
     * arithmetic (including the 1-row normalizer re-entering as a
     * broadcast-NLJ cross join) never touches corpus-sized data. */
   def mixWeights(spark: SparkSession, sfDir: String,
-                 alpha: Double = 0.3, budget: Long = 100000L): DataFrame =
+                 alpha: Double = MixAlphaDefault, budget: Long = 100000L): DataFrame =
     mixWeightsOf(docs(spark, sfDir), alpha, budget)
 
   /** [[mixWeights]] over any `(lang, text)`-bearing frame. */
   def mixWeightsOf(documents: DataFrame,
-                   alpha: Double = 0.3, budget: Long = 100000L): DataFrame = {
+                   alpha: Double = MixAlphaDefault, budget: Long = 100000L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
@@ -619,7 +631,7 @@ object TextAnalytics {
       .orderBy($"lang")
   }
 
-  def mixWeightsSql(alpha: Double = 0.3, budget: Long = 100000L): String =
+  def mixWeightsSql(alpha: Double = MixAlphaDefault, budget: Long = 100000L): String =
     s"""WITH per AS (
        |  SELECT lang, COUNT(*) AS n_docs,
        |         SUM(len($tokensSql)) AS toks
@@ -849,30 +861,49 @@ object TextAnalytics {
       .orderBy($"lang")
   }
 
-  val qualityFilterSql: String =
-    s"""WITH t AS (SELECT doc_id, lang, n_chars, $tokensSql AS ts FROM documents),
-       |w AS (
+  /** SQL mirror of [[qualityWordStats]]/[[qualityShingleStats]] over
+    * a token CTE `src(doc_id, ts)`, as CTEs `w`/`sh3` — shared by
+    * [[qualityFilterSql]] and the pipeline oracle so the gate's SQL
+    * can no more diverge than its Scala side. */
+  private[operators] def qualityStatsCtesSql(src: String): String =
+    s"""w AS (
        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
        |         CAST(SUM(length(term) * c) AS BIGINT) AS wchars,
        |         CAST(MAX(c) AS BIGINT) AS max_c
        |  FROM (SELECT doc_id, term, COUNT(*) AS c
-       |        FROM (SELECT doc_id, unnest(ts) AS term FROM t)
+       |        FROM (SELECT doc_id, unnest(ts) AS term FROM $src)
        |        GROUP BY doc_id, term)
        |  GROUP BY doc_id),
-       |s AS (
+       |sh3 AS (
        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh, COUNT(*) AS d_sh
        |  FROM (SELECT doc_id, sh, COUNT(*) AS c
-       |        FROM (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM t)
+       |        FROM (SELECT doc_id, unnest(${shingles3Sql("ts")}) AS sh FROM $src)
        |        GROUP BY doc_id, sh)
-       |  GROUP BY doc_id),
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** The keep predicate over joined `w`/`sh3` columns (SQL mirror of
+    * [[qualityKeepCond]]). */
+  private[operators] val qualityKeepWhereSql: String =
+    """w.n_words >= 20
+      |          AND w.wchars::DOUBLE / w.n_words BETWEEN 3.0 AND 10.0
+      |          AND w.max_c::DOUBLE / w.n_words <= 0.2
+      |          AND COALESCE(1.0 - sh3.d_sh::DOUBLE / sh3.n_sh, 0.0) <= 0.6""".stripMargin
+
+  /** The hash-ranked benchmark id pick (SQL), shared with the
+    * pipeline oracle's `bench` CTE. */
+  private[operators] def benchIdsSubSql(benchK: Int = DecontamBenchK): String =
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id, ${md5i32Sql("text", DecontamSalt)} AS h
+       |  FROM documents ORDER BY h, doc_id LIMIT $benchK)""".stripMargin
+
+  val qualityFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, n_chars, $tokensSql AS ts FROM documents),
+       |${qualityStatsCtesSql("t")},
        |k AS (
        |  SELECT t.lang, t.n_chars,
-       |    CASE WHEN w.n_words >= 20
-       |          AND w.wchars::DOUBLE / w.n_words BETWEEN 3.0 AND 10.0
-       |          AND w.max_c::DOUBLE / w.n_words <= 0.2
-       |          AND COALESCE(1.0 - s.d_sh::DOUBLE / s.n_sh, 0.0) <= 0.6
+       |    CASE WHEN $qualityKeepWhereSql
        |         THEN 1 ELSE 0 END AS keep
-       |  FROM t JOIN w USING (doc_id) LEFT JOIN s USING (doc_id))
+       |  FROM t JOIN w USING (doc_id) LEFT JOIN sh3 USING (doc_id))
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
        |  CAST(SUM(keep * n_chars) AS BIGINT) AS kept_chars,
@@ -999,13 +1030,13 @@ object TextAnalytics {
     * shuffle at all until the tiny flagged aggregate. This is the
     * asymmetric sibling of n-gram dedup (corpus×corpus). */
   def decontaminate(spark: SparkSession, sfDir: String,
-                    benchK: Int = 25, n: Int = 5,
+                    benchK: Int = DecontamBenchK, n: Int = DecontamNgram,
                     minShared: Long = 1L): DataFrame = {
     import spark.implicits._
     def gramsOf(d: DataFrame) = d.select($"doc_id",
       explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
     val benchIds = docs(spark, sfDir)
-      .withColumn("h", md5i32($"text", 31))
+      .withColumn("h", md5i32($"text", DecontamSalt))
       .orderBy($"h", $"doc_id")
       .limit(benchK)
       .select($"doc_id".as("bench_id"))
@@ -1044,13 +1075,13 @@ object TextAnalytics {
     * fold) — the same eager-model shape as [[Clustering.kmeansModel]].
     */
   def decontaminateBloom(spark: SparkSession, sfDir: String,
-                         benchK: Int = 25, n: Int = 5,
+                         benchK: Int = DecontamBenchK, n: Int = DecontamNgram,
                          minShared: Long = 1L, fpp: Double = 0.03): DataFrame = {
     import spark.implicits._
     def gramsOf(d: DataFrame) = d.select($"doc_id",
       explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
     val benchIds = docs(spark, sfDir)
-      .withColumn("h", md5i32($"text", 31))
+      .withColumn("h", md5i32($"text", DecontamSalt))
       .orderBy($"h", $"doc_id")
       .limit(benchK)
       .select($"doc_id".as("bench_id"))
@@ -1073,13 +1104,11 @@ object TextAnalytics {
       .orderBy($"doc_id", $"bench_id")
   }
 
-  def decontaminateSql(benchK: Int = 25, n: Int = 5,
+  def decontaminateSql(benchK: Int = DecontamBenchK, n: Int = DecontamNgram,
                        minShared: Long = 1L): String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
        |g AS (SELECT doc_id, unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM t),
-       |bench AS (SELECT doc_id AS bench_id FROM (
-       |  SELECT doc_id, ${md5i32Sql("text", 31)} AS h
-       |  FROM documents ORDER BY h, doc_id LIMIT $benchK)),
+       |bench AS (SELECT doc_id AS bench_id FROM (${benchIdsSubSql(benchK)})),
        |bg AS (SELECT bench_id, g FROM g JOIN bench ON g.doc_id = bench.bench_id),
        |cg AS (SELECT doc_id, g FROM g
        |       WHERE doc_id NOT IN (SELECT bench_id FROM bench))
@@ -1423,12 +1452,12 @@ object TextAnalytics {
     * partial+final aggregates; no joins.
     */
   def seqPack(spark: SparkSession, sfDir: String,
-              ctx: Int = 512, shards: Int = 4): DataFrame =
+              ctx: Int = PackCtxDefault, shards: Int = PackShardsDefault): DataFrame =
     seqPackOf(docs(spark, sfDir), ctx, shards)
 
   /** Caller-frame form over any `(doc_id, text, lang)` frame. */
-  def seqPackOf(documents: DataFrame, ctx: Int = 512,
-                shards: Int = 4): DataFrame = {
+  def seqPackOf(documents: DataFrame, ctx: Int = PackCtxDefault,
+                shards: Int = PackShardsDefault): DataFrame = {
     import documents.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang", $"shard").orderBy($"doc_id")
@@ -1503,7 +1532,7 @@ object TextAnalytics {
        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_hash
        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
-  def seqPackSql(ctx: Int = 512, shards: Int = 4): String =
+  def seqPackSql(ctx: Int = PackCtxDefault, shards: Int = PackShardsDefault): String =
     s"""WITH d AS (
        |  SELECT lang, doc_id, doc_id % $shards AS shard,
        |         len($tokensSql) AS n_tokens

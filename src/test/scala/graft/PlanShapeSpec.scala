@@ -44,14 +44,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"bm25 top-k is not a bounded TakeOrdered:\n$plan")
     // the per-term tf kernel is the codegen'd CountTokenEq — nothing
     // in the physical plan may run as an interpreted CodegenFallback
-    // (the HOF filter() form it replaced was one)
-    val fallbacks = qe.executedPlan.collect { case p =>
-      p.expressions.flatMap(_.collect {
-        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
-      })
-    }.flatten
-    assert(fallbacks.isEmpty,
-      s"bm25 plan contains interpreted expressions: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
+    // (the HOF filter() form it replaced was one). AQE's
+    // AdaptiveSparkPlanExec is a leaf to .collect, so re-plan with
+    // AQE off to make the real operator tree traversable — otherwise
+    // this assertion inspects one wrapper node and is vacuous
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val staticPlan = graft.operators.TextAnalytics.bm25(spark, sf)
+        .queryExecution.executedPlan
+      val scanned = staticPlan.collect { case p => p }
+      assert(scanned.length > 3, s"plan not traversed:\n$staticPlan")
+      val fallbacks = staticPlan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+        })
+      }.flatten
+      assert(fallbacks.isEmpty,
+        s"bm25 plan contains interpreted expressions: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("AQE splits the skewed join partition (skew=true) without changing rows") {
