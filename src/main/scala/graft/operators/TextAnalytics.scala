@@ -597,6 +597,94 @@ object TextAnalytics {
        |ORDER BY n_docs DESC, span LIMIT $topN""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_dup_span_removal — exact-substring dedup, applied
+  // ---------------------------------------------------------------
+
+  /** Exact-substring deduplication APPLIED (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" §4.1
+    * "ExactSubstr"): every token covered by a `k`-token span whose
+    * text occurs more than once in the corpus — in ANOTHER document
+    * or repeated within the same one — is removed, and each document
+    * is reassembled from its surviving tokens in order.
+    * [[dupSpans]] is the measurement (cross-doc df signal); this is
+    * the transformation that produces the cleaned corpus. The
+    * occurrence criterion here is total occurrences ≥ 2 (not distinct
+    * docs ≥ 2): a document that repeats its own k-span is boilerplate
+    * the paper's method also strips.
+    *
+    * Output per input document: original token count, tokens removed,
+    * and the cleaned text (tokens space-joined — the operator's
+    * contract is token stream in, token stream out). Documents
+    * shorter than `k` tokens have no spans and pass through intact.
+    *
+    * Scale posture (100 TB): the span-occurrence count over codegen'd
+    * 16-byte md5 span identities is THE corpus shuffle ([[dupSpans]]'s
+    * df shape); covered-position expansion is a ≤k-wide `sequence`
+    * explode off the dup-span occurrences only; the reassembly is a
+    * per-document grouped sort bounded by DOCUMENT length, never
+    * corpus size. The dup-span identity set is corpus-proportional in
+    * the worst case so the semi join carries NO broadcast hint — both
+    * sides share the (ha, hb) key and AQE picks the build side. */
+  def dupSpanRemoval(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    dupSpanRemovalOf(docs(spark, sfDir), k)
+
+  /** [[dupSpanRemoval]] over any `(doc_id, text)`-bearing frame. */
+  def dupSpanRemovalOf(documents: DataFrame, k: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"span width must be >= 1, got $k")
+    // hashed span occurrences with their start positions; shared with
+    // the occurrence-count aggregate AND the coverage join
+    val sp = cached(s"dupremove-$k", documents
+      .select($"doc_id", posexplode(shingles(tokens($"text"), k)).as(Seq("pos", "sh")))
+      .withColumn("p", md5Pair($"sh"))
+      .select($"doc_id", $"pos", $"p.a".as("ha"), $"p.b".bitwiseOR(lit(1L)).as("hb")))
+    val dup = sp.groupBy($"ha", $"hb").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"ha", $"hb")
+    // positions covered by some duplicated span: expand each dup
+    // occurrence to its k token positions, dedup overlaps
+    val covered = sp.join(dup, Seq("ha", "hb"), "left_semi")
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (k - 1))).as("cpos"))
+      .distinct()
+    val toks = documents
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("cpos", "tok")))
+    val clean = toks.join(covered, Seq("doc_id", "cpos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct($"cpos", $"tok"))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    documents
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .join(clean, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).cast("long").as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  def dupSpanRemovalSql(k: Int = 5): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |s AS (SELECT doc_id, generate_subscripts(shs, 1) - 1 AS pos, unnest(shs) AS sh
+       |      FROM (SELECT doc_id, ${shinglesNSql("ts", k)} AS shs FROM t)),
+       |dup AS (SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM s GROUP BY sh) x
+       |        WHERE c >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + g AS cpos
+       |        FROM (SELECT s.doc_id, s.pos FROM s JOIN dup USING (sh))
+       |        CROSS JOIN (SELECT unnest(range(0, $k)) AS g)),
+       |tok AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS cpos,
+       |               unnest(ts) AS tok FROM t),
+       |kept AS (SELECT tok.doc_id, tok.cpos, tok.tok FROM tok
+       |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.cpos = cov.cpos
+       |         WHERE cov.doc_id IS NULL),
+       |clean AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |                 string_agg(tok, ' ' ORDER BY cpos) AS clean_text
+       |          FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.ts) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(c.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN clean c USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_mix_weights — temperature-weighted source mixing
   // ---------------------------------------------------------------
 
@@ -1116,6 +1204,77 @@ object TextAnalytics {
        |FROM cg JOIN bg USING (g)
        |GROUP BY doc_id, bench_id HAVING COUNT(*) >= $minShared
        |ORDER BY doc_id, bench_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_decontaminate_overlap — doc-level coverage-ratio variant
+  // ---------------------------------------------------------------
+
+  /** Coverage-ratio decontamination: for every corpus document, the
+    * FRACTION of its distinct `n`-grams that appear anywhere in the
+    * benchmark set, flagged past `minFrac` — the document-level
+    * thresholding rule (GPT-3/PaLM-style "substantial overlap"
+    * decontamination), versus [[decontaminate]]'s strict
+    * any-shared-gram per-benchmark-pair rule. Pair attribution is
+    * dropped on purpose: the benchmark grams collapse to ONE distinct
+    * set, so a doc overlapping many benchmark entries is counted
+    * once, and the output is corpus-rows, not pairs.
+    *
+    * Scale: identical asymmetric shape to [[decontaminate]] — the
+    * distinct benchmark gram set is eval-suite-bounded and
+    * broadcasts ([[decontaminateBloom]]'s bitset is the swap-in when
+    * even that is large); the corpus side is one shingle scan whose
+    * left-semi probe and per-doc count never shuffle gram strings
+    * corpus-wide. */
+  def decontaminateOverlap(spark: SparkSession, sfDir: String,
+                           benchK: Int = DecontamBenchK, n: Int = DecontamNgram,
+                           minFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    require(minFrac >= 0 && minFrac <= 1, s"minFrac must be in [0,1], got $minFrac")
+    def gramsOf(d: DataFrame) = d.select($"doc_id",
+      explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
+    val benchIds = docs(spark, sfDir)
+      .withColumn("h", md5i32($"text", DecontamSalt))
+      .orderBy($"h", $"doc_id")
+      .limit(benchK)
+      .select($"doc_id".as("bench_id"))
+    val benchGramSet = gramsOf(docs(spark, sfDir)
+      .join(broadcast(benchIds), $"doc_id" === $"bench_id"))
+      .select($"g").distinct()
+    val corpusGrams = gramsOf(docs(spark, sfDir)
+      .join(broadcast(benchIds), $"doc_id" === $"bench_id", "left_anti"))
+    val shared = corpusGrams
+      .join(broadcast(benchGramSet), Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    corpusGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        round(coalesce($"n_shared", lit(0L)).cast("double") /
+          $"n_grams".cast("double"), 6).as("overlap_frac"),
+        (coalesce($"n_shared", lit(0L)).cast("double") /
+          $"n_grams".cast("double") >= minFrac).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  def decontaminateOverlapSql(benchK: Int = DecontamBenchK,
+                              n: Int = DecontamNgram,
+                              minFrac: Double = 0.5): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM t),
+       |bench AS (SELECT doc_id AS bench_id FROM (${benchIdsSubSql(benchK)})),
+       |bg AS (SELECT DISTINCT g FROM g JOIN bench ON g.doc_id = bench.bench_id),
+       |cg AS (SELECT doc_id, g FROM g
+       |       WHERE doc_id NOT IN (SELECT bench_id FROM bench)),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+       |sh AS (SELECT doc_id, COUNT(*) AS n_shared
+       |       FROM cg JOIN bg USING (g) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_grams,
+       |  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams, 6)
+       |    AS overlap_frac,
+       |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams >= ${minFrac}e0
+       |    AS contaminated
+       |FROM tot t LEFT JOIN sh s USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // llm_bpe_pairs — BPE merge-candidate statistics

@@ -272,6 +272,185 @@ object TimeSeries {
       |  round(dau::DOUBLE / wau, 6) AS stickiness
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // rel_point_in_time_features — leakage-safe training-set assembly
+  // ---------------------------------------------------------------
+
+  /** Point-in-time feature assembly — the feature-store operation
+    * behind every supervised training set built from event logs: for
+    * each prediction point (here: a `purchase` event, whose `value`
+    * is the label), attach per-user features computed ONLY from
+    * events STRICTLY BEFORE the prediction timestamp (click count,
+    * average click value, view count, last error value). The strict
+    * `[-∞, -1 row)` frame is what makes the join leakage-safe — a
+    * plain equi-join on user would leak future activity into the
+    * features.
+    *
+    * Implementation: all contributing event types are stacked into
+    * ONE stream and every feature rides the SAME per-user window
+    * (partition by user, order by (ts, event_id)) — one shuffle, one
+    * sort, N features; prediction rows are filtered AFTER the window
+    * pass. This is the scalable "stacked events" point-in-time shape:
+    * adding a feature table means adding rows to the union and
+    * conditional aggregates to the window, never another join. The
+    * as-of join ([[Relational.asofJoin]]) is the 1-feature special
+    * case.
+    *
+    * Scale posture (100 TB): one hash partition on user_id; window
+    * state is O(1) per feature (running sums / last-seen), sort is
+    * bounded by per-user event count. Sums ride decimals so the
+    * accumulation order the two engines choose cannot change the
+    * result. */
+  def pointInTimeFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    pointInTimeFeaturesOf(Tables.events(spark, sfDir))
+
+  /** [[pointInTimeFeatures]] over any
+    * `(event_id, user_id, ts, event_type, value)` frame. */
+  def pointInTimeFeaturesOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter($"event_type".isin("purchase", "click", "view", "error"))
+      .withColumn("n_clicks_prior",
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("click_value_sum",
+        sum(when($"event_type" === "click", dec($"value"))).over(w))
+      .withColumn("n_views_prior",
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).over(w))
+      .withColumn("last_error_value",
+        last(when($"event_type" === "error", $"value"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        $"value".as("label_value"),
+        coalesce($"n_clicks_prior", lit(0L)).cast("long").as("n_clicks_prior"),
+        when($"n_clicks_prior" > 0,
+          round($"click_value_sum".cast("double") / $"n_clicks_prior", 6))
+          .as("avg_click_value"),
+        coalesce($"n_views_prior", lit(0L)).cast("long").as("n_views_prior"),
+        $"last_error_value")
+      .orderBy($"event_id")
+  }
+
+  val pointInTimeFeaturesSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+      |      AS n_clicks_prior,
+      |    SUM(CASE WHEN event_type = 'click'
+      |             THEN CAST(value AS DECIMAL(18,2)) END) OVER w
+      |      AS click_value_sum,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+      |      AS n_views_prior,
+      |    LAST_VALUE(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+      |      OVER w AS last_error_value
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view', 'error')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  value AS label_value,
+      |  CAST(COALESCE(n_clicks_prior, 0) AS BIGINT) AS n_clicks_prior,
+      |  CASE WHEN n_clicks_prior > 0
+      |       THEN ROUND(CAST(click_value_sum AS DOUBLE) / n_clicks_prior, 6)
+      |  END AS avg_click_value,
+      |  CAST(COALESCE(n_views_prior, 0) AS BIGINT) AS n_views_prior,
+      |  last_error_value
+      |FROM s WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_concurrency_peak — interval sweep line, segmented by day
+  // ---------------------------------------------------------------
+
+  /** Peak concurrent sessions per day — the sweep-line interval
+    * aggregate (capacity planning, license counting, connection-pool
+    * sizing). Sessions are gaps-and-islands over the event stream
+    * (same ≥`gapMinutes` boundary rule as the session-window
+    * operator), active from their first event until `gapMinutes`
+    * after their last; each interval contributes +1 at start and −1
+    * at end, and concurrency at time t is the running sum of deltas.
+    *
+    * Scale posture (100 TB): a naive sweep is a running sum over ONE
+    * global sort — a single-partition window over corpus-sized data.
+    * Instead the sweep is SEGMENTED: deltas first coalesce per
+    * timestamp (one corpus-bounded aggregate), the running sum is
+    * computed per DAY partition, and each day's carry-in is the
+    * prefix sum of per-day nets — a second window over ≤ calendar
+    * days rows (the [[Relational.outlierZscore]] discipline: the
+    * single-partition window runs on calendar-bounded data only).
+    * Global running sum = carry-in + day-local running sum, exactly.
+    * Days with zero boundary events are not emitted (their peak is
+    * the standing carry — derivable, but not a boundary-day row). */
+  def concurrencyPeak(spark: SparkSession, sfDir: String,
+                      gapMinutes: Int = 30): DataFrame =
+    concurrencyPeakOf(Tables.events(spark, sfDir), gapMinutes)
+
+  /** [[concurrencyPeak]] over any `(user_id, ts)`-bearing frame. */
+  def concurrencyPeakOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(gapMinutes > 0, s"gap must be positive, got $gapMinutes")
+    val gap = s"INTERVAL $gapMinutes MINUTES"
+    val wU = Window.partitionBy($"user_id").orderBy($"ts")
+    val wRun = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events.select($"user_id", $"ts")
+      .withColumn("prev", lag($"ts", 1).over(wU))
+      .withColumn("new_s",
+        when($"prev".isNull || $"ts" >= $"prev" + expr(gap), 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("s_start"),
+        (max($"ts") + expr(gap)).as("s_end"))
+    val deltas = sessions.select($"s_start".as("t"), lit(1L).as("delta"))
+      .unionByName(sessions.select($"s_end".as("t"), lit(-1L).as("delta")))
+      .groupBy($"t").agg(sum($"delta").as("net"))
+      .withColumn("day", to_date($"t"))
+    val wDay = Window.partitionBy($"day").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("run", sum($"net").over(wDay))
+    // carry-in: prefix sum of per-day nets — ≤ calendar-days rows, the
+    // only single-partition window in the operator
+    val wCal = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy($"day").agg(sum($"net").as("day_net"))
+      .withColumn("carry", coalesce(sum($"day_net").over(wCal), lit(0L)))
+      .select($"day", $"carry")
+    local.join(carry, Seq("day"))
+      .groupBy($"day")
+      .agg(max($"carry" + $"run").cast("long").as("peak_concurrent"))
+      .orderBy($"day")
+  }
+
+  def concurrencyPeakSql(gapMinutes: Int = 30): String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts >= lag(ts) OVER w + INTERVAL $gapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked),
+       |iv AS (
+       |  SELECT MIN(ts) AS s_start,
+       |         MAX(ts) + INTERVAL $gapMinutes MINUTE AS s_end
+       |  FROM sess GROUP BY user_id, sid),
+       |d AS (
+       |  SELECT t, SUM(delta) AS net FROM (
+       |    SELECT s_start AS t, 1 AS delta FROM iv
+       |    UNION ALL SELECT s_end AS t, -1 AS delta FROM iv)
+       |  GROUP BY t),
+       |r AS (
+       |  SELECT CAST(t AS DATE) AS day,
+       |    SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM d)
+       |SELECT day, CAST(MAX(run) AS BIGINT) AS peak_concurrent
+       |FROM r GROUP BY day ORDER BY day""".stripMargin
+
   def scd2Sql(maxUser: Long = 30L): String =
     s"""WITH s AS (
        |  SELECT user_id AS key, ts, event_id AS seq, event_type AS attr
