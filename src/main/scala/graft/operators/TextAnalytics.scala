@@ -1240,8 +1240,13 @@ object TextAnalytics {
     val benchGramSet = gramsOf(docs(spark, sfDir)
       .join(broadcast(benchIds), $"doc_id" === $"bench_id"))
       .select($"g").distinct()
-    val corpusGrams = gramsOf(docs(spark, sfDir)
-      .join(broadcast(benchIds), $"doc_id" === $"bench_id", "left_anti"))
+    // cached: the corpus gram frame feeds BOTH the shared-count and
+    // total-count aggregates — without it the full corpus is
+    // tokenized and shingled twice, breaking the one-shingle-scan
+    // scale claim above
+    val corpusGrams = cached("decontamOverlapGrams",
+      gramsOf(docs(spark, sfDir)
+        .join(broadcast(benchIds), $"doc_id" === $"bench_id", "left_anti")))
     val shared = corpusGrams
       .join(broadcast(benchGramSet), Seq("g"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))

@@ -382,8 +382,12 @@ object TimeSeries {
     * days rows (the [[Relational.outlierZscore]] discipline: the
     * single-partition window runs on calendar-bounded data only).
     * Global running sum = carry-in + day-local running sum, exactly.
-    * Days with zero boundary events are not emitted (their peak is
-    * the standing carry — derivable, but not a boundary-day row). */
+    * Each emitted day's peak considers the day's standing carry-in
+    * level as well as every post-boundary level, so a day whose
+    * first delta is negative (a session end) still reports the
+    * higher level it started at. Days with zero boundary events are
+    * not emitted (their peak is the standing carry — derivable, but
+    * not a boundary-day row). */
   def concurrencyPeak(spark: SparkSession, sfDir: String,
                       gapMinutes: Int = 30): DataFrame =
     concurrencyPeakOf(Tables.events(spark, sfDir), gapMinutes)
@@ -417,9 +421,14 @@ object TimeSeries {
     val carry = deltas.groupBy($"day").agg(sum($"net").as("day_net"))
       .withColumn("carry", coalesce(sum($"day_net").over(wCal), lit(0L)))
       .select($"day", $"carry")
+    // `carry + run - net` is the level just BEFORE each boundary; for
+    // a day's first row that is exactly the carry-in, for later rows
+    // it duplicates the previous row's level — already a candidate —
+    // so the greatest() adds the one missing candidate and no others
     local.join(carry, Seq("day"))
       .groupBy($"day")
-      .agg(max($"carry" + $"run").cast("long").as("peak_concurrent"))
+      .agg(max(greatest($"carry" + $"run", $"carry" + $"run" - $"net"))
+        .cast("long").as("peak_concurrent"))
       .orderBy($"day")
   }
 
@@ -445,10 +454,11 @@ object TimeSeries {
        |    UNION ALL SELECT s_end AS t, -1 AS delta FROM iv)
        |  GROUP BY t),
        |r AS (
-       |  SELECT CAST(t AS DATE) AS day,
+       |  SELECT CAST(t AS DATE) AS day, net,
        |    SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run
        |  FROM d)
-       |SELECT day, CAST(MAX(run) AS BIGINT) AS peak_concurrent
+       |SELECT day,
+       |  CAST(MAX(GREATEST(run, run - net)) AS BIGINT) AS peak_concurrent
        |FROM r GROUP BY day ORDER BY day""".stripMargin
 
   def scd2Sql(maxUser: Long = 30L): String =

@@ -35,23 +35,60 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    * long (legacy conf) and truncate ns→µs explicitly — the same
-    * truncation Spark applies to µs-representable timestamps. */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    // Scope the legacy flag to this schema resolution: parquet→catalyst
-    // schema conversion happens eagerly in `spark.read.parquet`, so
-    // restoring the previous value right after keeps the session-wide
-    // conf untouched for later reads in the same session.
-    val key  = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try table(spark, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  /** events.parquet has carried `ts` under several parquet physical
+    * types across harness versions (TIMESTAMP(NANOS), now
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark ≥3.4
+    * reads natively as TIMESTAMP_NTZ). The library's contract is ONE
+    * stable surface regardless of writer: `ts: timestamp` at µs
+    * precision under the UTC session zone. Dispatch on the type the
+    * reader ACTUALLY produced rather than assuming any conf is
+    * honored — `spark.sql.legacy.parquet.nanosAsLong` is ignored by
+    * Spark 4.1+, which cost this repo 18 queries in round 7. */
+  def events(spark: SparkSession, d: String): DataFrame =
+    normalizeEventTs(eventsRaw(spark, d))
+
+  private def eventsRaw(spark: SparkSession, d: String): DataFrame =
+    eventsFrame(spark, s"$d/events.parquet")
+
+  /** An events parquet path as the reader yields it (no ts
+    * normalization). Falls back to the legacy nanosAsLong read —
+    * scoped to this one schema resolution — only when the plain read
+    * rejects a TIMESTAMP(NANOS) column (pre-4.1 readers without the
+    * conf). Shared with the streaming source's schema probe. */
+  private[graft] def eventsFrame(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      // the rejection's concrete class differs across reader versions
+      // (AnalysisException vs SparkException); key on the error text
+      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        val key  = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try spark.read.parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+    }
+
+  /** Normalize whatever type `ts` was read as to `timestamp` (µs,
+    * UTC session zone) — the single place the reader-version
+    * dispatch lives, shared by the batch table and the streaming
+    * source. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case TimestampType    => df
+      case TimestampNTZType =>
+        // NTZ wall-clock == the stored epoch-µs instant; casting under
+        // the UTC session zone reattaches the zone without shifting it
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         =>
+        // legacy nanosAsLong read: epoch ns as bigint → floor to µs
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other; expected timestamp, timestamp_ntz, or bigint")
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")

@@ -63,83 +63,32 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** File-based streaming source over an events parquet directory.
-    * The driver's events.parquet stores TIMESTAMP(NANOS), which the
-    * streaming parquet reader also needs the legacy conf for; the
-    * stream keeps the ns→µs truncation of [[Tables.events]].
-    *
-    * Unlike the batch reader (which save/restores around schema
-    * resolution), the flag must STAY set for the stream's lifetime —
-    * every micro-batch re-reads parquet footers. A
-    * StreamingQueryListener restores the prior value once the last
-    * active query on the session terminates, so the side effect is
-    * scoped to "while a nanos-parquet stream is running" instead of
-    * session-forever. */
-  // nanosAsLong restore bookkeeping: QueryTerminated events arrive
-  // ASYNCHRONOUSLY, so a restorer registered by an earlier stream can
-  // fire between a new stream's construction (which saw the flag
-  // already true and registered nothing) and its start — restoring
-  // the flag under the new stream's feet. A per-session build counter,
-  // with builder and listener serialized on a per-session monitor,
-  // closes the race: the listener only restores when NO build has
-  // happened since it last looked.
-  private val nanosMonitors =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Object]
-  private val nanosBuilds =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Long]
-
+    * Streaming file sources require a user-supplied schema, and the
+    * right `ts` schema depends on what the parquet writer stored and
+    * what this reader version yields for it (TIMESTAMP_NTZ on
+    * Spark ≥3.4 for isAdjustedToUTC=false µs timestamps; bigint on a
+    * pre-4.1 reader under the legacy nanosAsLong conf). Probe the
+    * directory ONCE with the batch reader at stream-construction
+    * time — one footer read, no data scan — then declare that exact
+    * type to the stream and apply [[Tables.normalizeEventTs]]'s
+    * dispatch so every micro-batch yields the library's stable
+    * `ts: timestamp` (µs, UTC session zone) surface. No session conf
+    * is touched, so nothing needs restoring when streams end. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val probedTs = Tables.eventsFrame(spark, dir).schema("ts").dataType
     val rawSchema = StructType(eventsSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f if f.name == "ts" => f.copy(dataType = probedTs)
       case f => f
     })
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    // sweep monitors of stopped sessions (their flags died with the
-    // context); live sessions keep ONE stable monitor forever
-    nanosMonitors.keys.foreach { s =>
-      if (s.sparkContext.isStopped) { nanosMonitors.remove(s); nanosBuilds.remove(s) }
+    if (probedTs == LongType) {
+      // legacy reader + TIMESTAMP(NANOS) file: micro-batch footer
+      // conversion needs the conf for the stream's whole lifetime.
+      // Set it session-wide — the conf only affects nanos columns,
+      // which this library uniformly treats as epoch-ns longs.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    val mon = nanosMonitors.getOrElseUpdate(spark, new Object)
-    mon.synchronized {
-      nanosBuilds.put(spark, nanosBuilds.getOrElse(spark, 0L) + 1L)
-      val prev = spark.conf.get(key, "false")
-      spark.conf.set(key, "true")
-      if (prev != "true") {
-        import org.apache.spark.sql.streaming.StreamingQueryListener
-        import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
-        val restorer = new StreamingQueryListener {
-          private var seenBuilds = nanosBuilds(spark)
-          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-            mon.synchronized {
-              val builds = nanosBuilds.getOrElse(spark, 0L)
-              if (builds != seenBuilds) {
-                // a nanos stream was built since the last look — it may
-                // not be started yet, so the flag must stay up; wait
-                // for a later termination
-                seenBuilds = builds
-              } else if (spark.streams.active.isEmpty) {
-                spark.conf.set(key, prev)
-                spark.streams.removeListener(this)
-                nanosBuilds.remove(spark)
-                // the monitor entry is deliberately NOT removed: a
-                // concurrent readEventsStream may already hold this
-                // monitor from getOrElseUpdate, and removing it would
-                // let the next builder mint a DIFFERENT monitor — the
-                // two would then synchronize on different objects,
-                // re-opening the restore-under-the-feet race. One
-                // Object per live session is the steady state;
-                // stopped sessions are swept on the next build.
-              }
-            }
-        }
-        spark.streams.addListener(restorer)
-      }
-    }
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir))
   }
 
   // -- shared transforms (batch twin == streaming body) ------------

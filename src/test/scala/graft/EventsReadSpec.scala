@@ -1,22 +1,32 @@
 package graft
 
 import graft.sources.Tables
+import org.apache.spark.sql.types.TimestampType
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The events table stores ts as TIMESTAMP(NANOS); Tables.events scopes
-  * the legacy nanosAsLong conf to its own schema resolution and must
-  * restore the session conf AND still execute correctly afterwards. */
+/** Tables.events must yield one stable surface — `ts: timestamp` at
+  * µs precision under the UTC session zone — no matter which parquet
+  * physical type the harness wrote (`TIMESTAMP(NANOS)` historically,
+  * `TIMESTAMP(MICROS)` isAdjustedToUTC=false today) or which reader
+  * path resolved it. Asserts the RESULT, not the conf mechanics. */
 class EventsReadSpec extends AnyFunSuite with SparkSpec {
-  test("events read works with scoped nanosAsLong conf and restores it") {
-    // pin a known prior state: another suite's readEventsStream may
-    // have legitimately left the flag set session-wide (streams need
-    // it across micro-batches); events() restores whatever it FOUND
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+  test("events read yields µs UTC timestamps and leaves session conf untouched") {
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
     val df = Tables.events(spark, "/root/testdata/sf0.001")
-    // getOption yields the entry's default ("false") when unset; the
-    // point is the flag is not left "true" session-wide.
-    assert(!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong").toBoolean)
+    assert(df.schema("ts").dataType == TimestampType)
     assert(df.count() > 0)
+    // the values are the instants the oracle (DuckDB) sees: the
+    // harness generates January-2024 event times
+    val (lo, hi) = {
+      import org.apache.spark.sql.functions._
+      val r = df.agg(min("ts").cast("string"), max("ts").cast("string")).head()
+      (r.getString(0), r.getString(1))
+    }
+    assert(lo.startsWith("2024-"), s"min ts looks wrong: $lo")
+    assert(hi.startsWith("2024-"), s"max ts looks wrong: $hi")
+    // whatever reader path ran, the session conf is as it was found
+    assert(spark.conf.getOption(key) == prev)
     // a later plain parquet read in the same session is unaffected
     assert(Tables.orders(spark, "/root/testdata/sf0.001").count() > 0)
   }

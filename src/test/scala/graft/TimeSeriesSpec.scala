@@ -162,4 +162,19 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .select($"user_id").distinct().count()
     assert(got.filter(_._2 == 0L).map(_._3).sum == users)
   }
+
+  test("concurrencyPeak counts a day's standing carry-in as a peak candidate") {
+    import spark.implicits._
+    // five users open sessions on day 1 (one event each); no day-2
+    // boundaries fall before the five session-ends at 00:30, so day
+    // 2's true peak is its CARRY-IN of 5 — a day whose first delta is
+    // negative must not report carry+run = 4
+    val ts = (u: Long, s: String) => (u, java.sql.Timestamp.valueOf(s))
+    val events = (1L to 5L).map(u => ts(u, "2024-01-01 23:59:00")).toDF("user_id", "ts")
+    val got = TimeSeries.concurrencyPeakOf(events, gapMinutes = 31)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(got(java.sql.Date.valueOf("2024-01-01")) == 5L)
+    // day 2 rows are the five -1 deltas at 00:30; peak = carry-in 5
+    assert(got(java.sql.Date.valueOf("2024-01-02")) == 5L)
+  }
 }
