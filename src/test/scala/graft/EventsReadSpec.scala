@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.Tables
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Tables.events must yield one stable surface — `ts: timestamp` at
@@ -29,5 +29,23 @@ class EventsReadSpec extends AnyFunSuite with SparkSpec {
     assert(spark.conf.getOption(key) == prev)
     // a later plain parquet read in the same session is unaffected
     assert(Tables.orders(spark, "/root/testdata/sf0.001").count() > 0)
+  }
+
+  test("normalizeEventTs yields the same instants from all three reader types") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one instant with sub-µs structure: 2024-01-05 06:07:08.123456789
+    val ns = 1704434828L * 1000000000L + 123456789L
+    val asLong = Seq(ns).toDF("ts") // legacy nanosAsLong read: epoch ns
+    val asNtz = Seq(ns / 1000).toDF("us")
+      .select(timestamp_micros($"us").cast(TimestampNTZType).as("ts")) // native NTZ read
+    val asTs = Seq(ns / 1000).toDF("us")
+      .select(timestamp_micros($"us").as("ts")) // already-normalized read
+    val got = Seq(asLong, asNtz, asTs).map { df =>
+      val out = Tables.normalizeEventTs(df)
+      assert(out.schema("ts").dataType == TimestampType)
+      out.select(col("ts").cast("string")).head().getString(0)
+    }
+    assert(got.distinct == Seq("2024-01-05 06:07:08.123456"), got.toString)
   }
 }
