@@ -239,29 +239,37 @@ object Clustering {
   /** Oracle CTE chain replaying the training run: init pick, then per
     * iteration an assign CTE (cross join + rank window — semantically
     * identical to the map-side argmax) and a mean-update CTE. */
-  private[operators] def kmeansChainSql(k: Int, iters: Int): String = {
+  private[operators] def kmeansChainSql(k: Int, iters: Int): String =
+    kmeansChainSql(k, iters, "e", "")
+
+  /** Parameterized chain: trains over CTE `src`, prefixing every
+    * chain CTE with `pfx` — so one oracle can replay SEVERAL
+    * independent trainings (the PQ sub-codebooks replay one chain
+    * per vector subspace). The final centroids land in `${pfx}c$iters`. */
+  private[operators] def kmeansChainSql(k: Int, iters: Int,
+                                        src: String, pfx: String): String = {
     val init =
-      s"""c0 AS (
+      s"""${pfx}c0 AS (
          |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
          |  FROM (SELECT vec_id, v, ${Hashing.md5i32Sql("vec_id::VARCHAR", InitSalt)} AS h
-         |        FROM e ORDER BY h, vec_id LIMIT $k))""".stripMargin
+         |        FROM $src ORDER BY h, vec_id LIMIT $k))""".stripMargin
     val steps = (1 to iters).map { t =>
-      s"""s$t AS (
+      s"""${pfx}s$t AS (
          |  SELECT e.vec_id, e.v, c.cell,
          |         round(list_dot_product(e.v, c.cv)
          |               - 0.5 * list_dot_product(c.cv, c.cv), 6) AS score
-         |  FROM e, c${t - 1} c),
-         |a$t AS (
+         |  FROM $src e, ${pfx}c${t - 1} c),
+         |${pfx}a$t AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT vec_id, v, cell,
          |           row_number() OVER (PARTITION BY vec_id
          |             ORDER BY score DESC, cell) AS rn
-         |    FROM s$t) WHERE rn = 1),
-         |m$t AS (
+         |    FROM ${pfx}s$t) WHERE rn = 1),
+         |${pfx}m$t AS (
          |  SELECT cell, dim, round(avg(val), 6) AS m FROM (
          |    SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS val
-         |    FROM a$t) GROUP BY cell, dim),
-         |c$t AS (SELECT cell, list(m ORDER BY dim) AS cv FROM m$t GROUP BY cell)""".stripMargin
+         |    FROM ${pfx}a$t) GROUP BY cell, dim),
+         |${pfx}c$t AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ${pfx}m$t GROUP BY cell)""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }

@@ -625,6 +625,145 @@ object Similarity {
        |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_knn_pq — product-quantization ANN (ADC over a coded corpus)
+  // ---------------------------------------------------------------
+
+  val PqSubspaces = 8
+  val PqSubDims: Int = Dims / PqSubspaces
+  val PqCodes = 16
+  val PqIters = 2
+
+  // PQ codebooks are M tiny k-means models (k·d/M doubles each) and
+  // depend only on the corpus path — driver-data cache, same idiom as
+  // Clustering.modelCache
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Clustering.Centroid]]]
+
+  /** One sub-codebook per disjoint `PqSubDims`-dim slice: Lloyd's on
+    * the SLICED corpus, reusing [[Clustering.trainKmeansOf]] verbatim
+    * so the oracle replays each training with the shared chain SQL. */
+  private def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Clustering.Centroid]] = {
+    import spark.implicits._
+    pqCache.getOrElseUpdate(s"$sfDir#$PqSubspaces#$PqCodes#$PqIters", {
+      val e = embNormed(spark, sfDir)
+      (0 until PqSubspaces).map { m =>
+        Clustering.trainKmeansOf(
+          e.select($"vec_id", slice($"v", m * PqSubDims + 1, PqSubDims).as("v")),
+          PqCodes, PqIters)
+      }
+    })
+  }
+
+  /** Product-quantization ANN — the COMPRESSION tier of the ANN
+    * ladder (LSH prunes by bucket, IVF prunes by cell, SQ shrinks
+    * 8×, PQ shrinks ~64×): each vector is stored as `PqSubspaces`
+    * small codes (nearest sub-centroid per disjoint slice), and a
+    * probe scores candidates WITHOUT touching vectors — asymmetric
+    * distance computation (ADC): dot(q, x) ≈ Σ_m LUT_m[code_m(x)]
+    * where `LUT_m[c] = dot(q_m, centroid_{m,c})` (Jégou et al.,
+    * IEEE TPAMI 2011).
+    *
+    * Scale posture (100 TB): the coded corpus is the ONLY
+    * corpus-wide scan and it is `PqSubspaces` small ints per vector
+    * — 64-dim f64 collapses to 4 codes; the LUT is
+    * probes × subspaces × codes rows, broadcast; the ADC sum is one
+    * partial+final aggregate over narrow rows. Training touches the
+    * corpus `PqIters` times offline (same posture as IVF-kmeans).
+    * The sub-dots are summed in FIXED subspace order (conditional
+    * sums, then `p0+p1+p2+p3`) so both engines add identically
+    * before the 6-dp round. */
+  def knnPq(spark: SparkSession, sfDir: String,
+            numProbes: Int = 20, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = embNormed(spark, sfDir)
+    val books = pqCodebooks(spark, sfDir)
+    // encode: per subspace a map-side literal argmax (zero shuffle),
+    // collected long-form as (m, vec_id, code) — the coded corpus
+    val codes = (0 until PqSubspaces).map { m =>
+      val em = e.select($"vec_id", slice($"v", m * PqSubDims + 1, PqSubDims).as("v"))
+      Clustering.withCell(em, books(m))
+        .select(lit(m).as("m"), $"vec_id", $"cell".as("code"))
+    }.reduce(_ unionByName _)
+    // LUT: per (probe, subspace, code) the probe-slice · centroid dot
+    val cbRows = books.zipWithIndex.flatMap { case (cs, m) =>
+      cs.map(c => (m, c.cell, c.cv.toSeq)) }
+    val cb = spark.createDataFrame(cbRows).toDF("m", "code", "cv")
+    val probes = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val lut = probes.join(cb)
+      .select($"probe_id", $"m", $"code",
+        dot(slice($"pv", $"m" * lit(PqSubDims) + lit(1), lit(PqSubDims)), $"cv")
+          .as("pdot"))
+    // ADC: coded corpus ⋈ broadcast LUT on (m, code); per (probe,
+    // candidate) the M partials collapse map-side, summed in fixed
+    // subspace order
+    val parts = (0 until PqSubspaces).map(m =>
+      sum(when($"m" === m, $"pdot")).as(s"p$m"))
+    val approx = (0 until PqSubspaces).map(m => col(s"p$m")).reduce(_ + _)
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter($"vec_id" =!= $"probe_id")
+      .groupBy($"probe_id", $"vec_id")
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("approx_score", round(approx, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"approx_score".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"approx_score")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  def knnPqSql(numProbes: Int = 20, k: Int = 5): String = {
+    val subs = 0 until PqSubspaces
+    val slices = subs.map { m =>
+      val a = m * PqSubDims + 1
+      val b = (m + 1) * PqSubDims
+      s"e$m AS (SELECT vec_id, v[$a:$b] AS v FROM e)"
+    }.mkString(",\n")
+    val chains = subs.map(m =>
+      Clustering.kmeansChainSql(PqCodes, PqIters, s"e$m", s"q$m")).mkString(",\n")
+    val cb = subs.map(m =>
+      s"SELECT $m AS m, cell AS code, cv FROM q${m}c$PqIters")
+      .mkString("cb AS (", "\n  UNION ALL ", ")")
+    // encode: the same rounded-score argmax the chain's assign step
+    // uses, against the FINAL centroids
+    val codes = subs.map { m =>
+      s"""SELECT $m AS m, vec_id, cell AS code FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_dot_product(e.v, c.cv)
+         |               - 0.5 * list_dot_product(c.cv, c.cv), 6) DESC, c.cell) AS rn
+         |    FROM e$m e, q${m}c$PqIters c) WHERE rn = 1""".stripMargin
+    }.mkString("codes AS (", "\n  UNION ALL ", ")")
+    val partCols = subs.map(m =>
+      s"SUM(CASE WHEN m = $m THEN pdot END) AS p$m").mkString(", ")
+    val partSum = subs.map(m => s"p$m").mkString(" + ")
+    s"""WITH e AS ($embNormedSql),
+       |$slices,
+       |$chains,
+       |$cb,
+       |$codes,
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
+       |lut AS (
+       |  SELECT probe_id, m, code,
+       |         list_dot_product(pv[m * $PqSubDims + 1 : (m + 1) * $PqSubDims], cv) AS pdot
+       |  FROM probes, cb),
+       |adc AS (
+       |  SELECT l.probe_id, c.vec_id, $partCols
+       |  FROM codes c JOIN lut l USING (m, code)
+       |  WHERE c.vec_id <> l.probe_id
+       |  GROUP BY l.probe_id, c.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, round($partSum, 6) AS approx_score,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY round($partSum, 6) DESC, vec_id) AS rank
+       |  FROM adc)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id, approx_score
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_knn_label_eval — embedding quality via label consistency
   // ---------------------------------------------------------------
 
