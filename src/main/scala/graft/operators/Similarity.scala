@@ -672,31 +672,39 @@ object Similarity {
     * The sub-dots are summed in FIXED subspace order (conditional
     * sums, then `p0+p1+p2+p3`) so both engines add identically
     * before the 6-dp round. */
-  def knnPq(spark: SparkSession, sfDir: String,
-            numProbes: Int = 20, k: Int = 5): DataFrame = {
+  /** The coded corpus, long-form `(m, vec_id, code)`: per subspace a
+    * map-side literal argmax (zero shuffle). Shared by [[knnPq]] and
+    * [[knnIvfPq]]. */
+  private def pqCodesLong(e: DataFrame, books: Seq[Seq[Clustering.Centroid]]): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = embNormed(spark, sfDir)
-    val books = pqCodebooks(spark, sfDir)
-    // encode: per subspace a map-side literal argmax (zero shuffle),
-    // collected long-form as (m, vec_id, code) — the coded corpus
-    val codes = (0 until PqSubspaces).map { m =>
+    (0 until PqSubspaces).map { m =>
       val em = e.select($"vec_id", slice($"v", m * PqSubDims + 1, PqSubDims).as("v"))
       Clustering.withCell(em, books(m))
         .select(lit(m).as("m"), $"vec_id", $"cell".as("code"))
     }.reduce(_ unionByName _)
-    // LUT: per (probe, subspace, code) the probe-slice · centroid dot
+  }
+
+  /** The per-probe ADC lookup table `(probe_id, m, code, pdot)` —
+    * probes × subspaces × codes rows, broadcast-sized by construction. */
+  private def pqLut(probes: DataFrame, books: Seq[Seq[Clustering.Centroid]]): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
     val cbRows = books.zipWithIndex.flatMap { case (cs, m) =>
       cs.map(c => (m, c.cell, c.cv.toSeq)) }
     val cb = spark.createDataFrame(cbRows).toDF("m", "code", "cv")
-    val probes = e.filter($"vec_id" < numProbes)
-      .select($"vec_id".as("probe_id"), $"v".as("pv"))
-    val lut = probes.join(cb)
+    probes.join(cb)
       .select($"probe_id", $"m", $"code",
         dot(slice($"pv", $"m" * lit(PqSubDims) + lit(1), lit(PqSubDims)), $"cv")
           .as("pdot"))
-    // ADC: coded corpus ⋈ broadcast LUT on (m, code); per (probe,
-    // candidate) the M partials collapse map-side, summed in fixed
-    // subspace order
+  }
+
+  /** ADC scoring + top-k cut over a `(m, vec_id, code)` coded frame
+    * joined to a broadcast LUT: the M partials collapse map-side,
+    * summed in FIXED subspace order before the 6-dp round. */
+  private def pqAdcRank(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val parts = (0 until PqSubspaces).map(m =>
       sum(when($"m" === m, $"pdot")).as(s"p$m"))
     val approx = (0 until PqSubspaces).map(m => col(s"p$m")).reduce(_ + _)
@@ -711,6 +719,16 @@ object Similarity {
       .select($"probe_id", $"rank".cast("long").as("rank"),
         $"vec_id".as("neighbor_id"), $"approx_score")
       .orderBy($"probe_id", $"rank")
+  }
+
+  def knnPq(spark: SparkSession, sfDir: String,
+            numProbes: Int = 20, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = embNormed(spark, sfDir)
+    val books = pqCodebooks(spark, sfDir)
+    val probes = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    pqAdcRank(pqCodesLong(e, books), pqLut(probes, books), k)
   }
 
   def knnPqSql(numProbes: Int = 20, k: Int = 5): String = {
@@ -753,6 +771,144 @@ object Similarity {
        |  FROM codes c JOIN lut l USING (m, code)
        |  WHERE c.vec_id <> l.probe_id
        |  GROUP BY l.probe_id, c.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, round($partSum, 6) AS approx_score,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY round($partSum, 6) DESC, vec_id) AS rank
+       |  FROM adc)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id, approx_score
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_knn_ivfpq — the composed Faiss-style index: IVF cells prune
+  // candidates, PQ codes score the survivors
+  // ---------------------------------------------------------------
+
+  /** IVF+PQ: the canonical billion-scale ANN layout (Jégou et al.'s
+    * IVFADC) — a trained coarse quantizer routes each probe to its
+    * `nprobe` nearest cells, and ONLY vectors in those cells are
+    * scored, by PQ code lookup (ADC), never by touching the raw
+    * vectors. Both halves are this library's existing operators
+    * composed: the [[knnIvfKmeans]] cell structure over
+    * [[Clustering.kmeansModel]], and [[knnPq]]'s coded corpus + LUT.
+    * (Codes quantize the raw vectors, not cell residuals — the
+    * simpler of the two published IVFADC variants; documented so the
+    * oracle's replay stays one shared chain per codebook.)
+    *
+    * Scale posture (100 TB): candidates per probe are bounded by
+    * cell occupancy × nprobe AND scored at 8 ints per vector — the
+    * two orthogonal cost cuts multiply: IVF reads ~nprobe/cells of
+    * the corpus, PQ reads ~1/64 of each vector's bytes. The coarse
+    * routing table (k cells) and the ADC LUT both broadcast; the
+    * only corpus-proportional frames are the cell assignment and the
+    * coded corpus, both narrow, both joined on their co-located key. */
+  def knnIvfPq(spark: SparkSession, sfDir: String,
+               numProbes: Int = 20, k: Int = 5,
+               nprobe: Int = IvfNProbe): DataFrame = {
+    import spark.implicits._
+    val e = embNormed(spark, sfDir)
+    val coarse = Clustering.kmeansModel(spark, sfDir)
+    val centroids = coarse.map(c => (c.cell, c.cv)).toDF("cell", "cv")
+    val books = pqCodebooks(spark, sfDir)
+    // cell route per probe: nprobe nearest coarse cells (same rounded
+    // ranking as the IVF serve path)
+    val probes = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val probeCells = probes.join(broadcast(centroids))
+      .withColumn("cos_c", round(dot($"pv", $"cv"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cos_c".desc, $"cell")))
+      .filter($"rn" <= nprobe)
+      .select($"probe_id", $"cell")
+    // candidate pairs: probes meet ONLY their routed cells' members
+    val cands = ivfAssign(e, centroids).select($"vec_id", $"cell")
+      .join(broadcast(probeCells), "cell")
+      .select($"probe_id", $"vec_id")
+    // ADC over candidates: code rows join the bounded candidate set
+    // first (narrow ⋈ narrow), then the broadcast LUT
+    val parts = (0 until PqSubspaces).map(m =>
+      sum(when($"m" === m, $"pdot")).as(s"p$m"))
+    val approx = (0 until PqSubspaces).map(m => col(s"p$m")).reduce(_ + _)
+    pqCodesLong(e, books)
+      .join(cands, "vec_id")
+      .filter($"vec_id" =!= $"probe_id")
+      .join(broadcast(pqLut(probes, books)), Seq("probe_id", "m", "code"))
+      .groupBy($"probe_id", $"vec_id")
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("approx_score", round(approx, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"approx_score".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"approx_score")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  def knnIvfPqSql(numProbes: Int = 20, k: Int = 5,
+                  kCells: Int = Clustering.K,
+                  coarseIters: Int = Clustering.Iters,
+                  nprobe: Int = IvfNProbe): String = {
+    val subs = 0 until PqSubspaces
+    val slices = subs.map { m =>
+      val a = m * PqSubDims + 1
+      val b = (m + 1) * PqSubDims
+      s"e$m AS (SELECT vec_id, v[$a:$b] AS v FROM e)"
+    }.mkString(",\n")
+    val chains = subs.map(m =>
+      Clustering.kmeansChainSql(PqCodes, PqIters, s"e$m", s"q$m")).mkString(",\n")
+    val cb = subs.map(m =>
+      s"SELECT $m AS m, cell AS code, cv FROM q${m}c$PqIters")
+      .mkString("cb AS (", "\n  UNION ALL ", ")")
+    val codes = subs.map { m =>
+      s"""SELECT $m AS m, vec_id, cell AS code FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_dot_product(e.v, c.cv)
+         |               - 0.5 * list_dot_product(c.cv, c.cv), 6) DESC, c.cell) AS rn
+         |    FROM e$m e, q${m}c$PqIters c) WHERE rn = 1""".stripMargin
+    }.mkString("codes AS (", "\n  UNION ALL ", ")")
+    val partCols = subs.map(m =>
+      s"SUM(CASE WHEN cd.m = $m THEN pdot END) AS p$m").mkString(", ")
+    val partSum = subs.map(m => s"p$m").mkString(" + ")
+    s"""WITH e AS ($embNormedSql),
+       |${Clustering.kmeansChainSql(kCells, coarseIters)},
+       |centroids AS (SELECT cell, cv FROM c$coarseIters),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC, c.cell) AS rn
+       |    FROM e, centroids c)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
+       |probe_cells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT p.probe_id, c.cell,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY round(list_dot_product(p.pv, c.cv), 6) DESC, c.cell) AS rn
+       |    FROM probes p, centroids c)
+       |  WHERE rn <= $nprobe),
+       |cands AS (
+       |  SELECT pc.probe_id, a.vec_id
+       |  FROM assign a JOIN probe_cells pc USING (cell)
+       |  WHERE a.vec_id <> pc.probe_id),
+       |$slices,
+       |$chains,
+       |$cb,
+       |$codes,
+       |lut AS (
+       |  SELECT probe_id, m, code,
+       |         list_dot_product(pv[m * $PqSubDims + 1 : (m + 1) * $PqSubDims], cv) AS pdot
+       |  FROM probes, cb),
+       |adc AS (
+       |  SELECT cd.probe_id, cd.vec_id, $partCols
+       |  FROM (SELECT ca.probe_id, c.vec_id, c.m, c.code
+       |        FROM codes c JOIN cands ca USING (vec_id)) cd
+       |  JOIN lut l ON l.probe_id = cd.probe_id
+       |            AND l.m = cd.m AND l.code = cd.code
+       |  GROUP BY cd.probe_id, cd.vec_id),
        |ranked AS (
        |  SELECT probe_id, vec_id, round($partSum, 6) AS approx_score,
        |         row_number() OVER (PARTITION BY probe_id

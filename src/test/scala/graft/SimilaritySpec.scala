@@ -129,6 +129,50 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.12, s"PQ recall $recall vs exact top-$k")
   }
 
+  test("IVFPQ: every neighbor lies in a routed cell; recall above chance") {
+    import spark.implicits._
+    val k = 5
+    val got = Similarity.knnIvfPq(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // rebuild the same coarse routing the operator used (cached model)
+    val model = graft.operators.Clustering.kmeansModel(spark, sf)
+    val centroids = model.map(c => (c.cell, c.cv)).toDF("cell", "cv")
+    val e = Similarity.normalizeOf(graft.sources.Tables.embeddings(spark, sf))
+    val assign = e.join(broadcast(centroids))
+      .withColumn("cos_c", round(
+        graft.functions.VectorExpressions.dot_product($"v", $"cv"), 6))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"cos_c".desc, $"cell")))
+      .filter($"rn" === 1).select($"vec_id", $"cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val routed = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+      .join(broadcast(centroids))
+      .withColumn("cos_c", round(
+        graft.functions.VectorExpressions.dot_product($"pv", $"cv"), 6))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"probe_id").orderBy($"cos_c".desc, $"cell")))
+      .filter($"rn" <= Similarity.IvfNProbe)
+      .select($"probe_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the IVF pruning contract: a neighbor outside the probe's routed
+    // cells can never be returned
+    got.foreach { case (p, n) =>
+      assert(routed((p, assign(n))), s"neighbor $n of probe $p from unrouted cell")
+    }
+    val exact = Similarity.knnExact(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.toSet.intersect(exact).size.toDouble / exact.size
+    // double approximation (cell pruning x code scoring) on random
+    // data — the loosest floor of the ladder, far above 0.01 chance
+    assert(recall >= 0.05, s"IVFPQ recall $recall vs exact top-$k")
+  }
+
   test("SQ top-k: int8-exact codes, high recall, exact re-rank scores") {
     import spark.implicits._
     val k = 10
