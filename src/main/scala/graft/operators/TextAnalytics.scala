@@ -888,6 +888,58 @@ object TextAnalytics {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_ppl_buckets — CCNet-style perplexity terciles per language
+  // ---------------------------------------------------------------
+
+  /** CCNet's curation move over the surprisal scores: per LANGUAGE,
+    * rank documents by perplexity and cut into head / middle / tail
+    * terciles; head+middle survive, the tail (the LM's least
+    * plausible text) is dropped (Wenzek et al., LREC 2020 — the
+    * pipeline behind the LLaMA CommonCrawl corpus). Emits one row
+    * per (lang, bucket): doc count, ppl bounds, chars carried, and
+    * the keep flag — the table a mixing step consumes.
+    *
+    * Scale posture: reuses [[unigramLogprob]]'s plan (vocab-sized
+    * broadcast + one token scan); the tercile cut is ntile over a
+    * per-language window — partition-bounded, no global sort; the
+    * output is (langs × 3) rows. Ties rank by (ppl, doc_id) so both
+    * engines cut identically. */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ppl = unigramLogprob(spark, sfDir).select($"doc_id", $"ppl")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"ppl", $"doc_id")
+    ppl.join(docs(spark, sfDir).select($"doc_id", $"lang", $"n_chars"), "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min($"ppl"), 4).as("ppl_lo"),
+        round(max($"ppl"), 4).as("ppl_hi"),
+        sum($"n_chars").cast("long").as("n_chars"),
+        (first($"bucket") <= 2L).as("keep"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val pplBucketsSql: String =
+    s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+       |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM terms),
+       |s AS (SELECT doc_id, -ln(cnt / tot) AS surprisal
+       |      FROM terms JOIN freq USING (term) CROSS JOIN tot),
+       |d AS (SELECT doc_id, round(avg(surprisal), 4) AS avg_surprisal
+       |      FROM s GROUP BY doc_id),
+       |p AS (SELECT doc_id, round(exp(avg_surprisal), 4) AS ppl FROM d),
+       |b AS (SELECT p.doc_id, doc.lang, doc.n_chars, p.ppl,
+       |             CAST(ntile(3) OVER (PARTITION BY doc.lang
+       |               ORDER BY p.ppl, p.doc_id) AS BIGINT) AS bucket
+       |      FROM p JOIN documents doc ON doc.doc_id = p.doc_id)
+       |SELECT lang, bucket, COUNT(*) AS n_docs,
+       |       round(MIN(ppl), 4) AS ppl_lo, round(MAX(ppl), 4) AS ppl_hi,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |       bucket <= 2 AS keep
+       |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_quality_filter — composite Gopher-style keep/drop gate
   // ---------------------------------------------------------------
 

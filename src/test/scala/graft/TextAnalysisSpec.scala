@@ -724,4 +724,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       assert(waste >= 0.0 && waste < 1.0)
     }
   }
+
+  test("ppl buckets: per-lang terciles partition docs, tail dropped, ranges ordered") {
+    import spark.implicits._
+    val got = TextAnalytics.pplBuckets(spark, sf)
+      .as[(String, Long, Long, Double, Double, Long, Boolean)].collect().toSeq
+    val langs = got.map(_._1).distinct
+    val docsPerLang = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    langs.foreach { lang =>
+      val rows = got.filter(_._1 == lang).sortBy(_._2)
+      // exactly the three ntile buckets, in order, tail flagged drop
+      assert(rows.map(_._2) == Seq(1L, 2L, 3L), s"$lang buckets")
+      assert(rows.map(_._7) == Seq(true, true, false), s"$lang keep flags")
+      // buckets partition the language's docs with ntile's ±1 balance
+      val sizes = rows.map(_._3)
+      assert(sizes.sum == docsPerLang(lang), s"$lang doc total")
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile balance $sizes")
+      // perplexity ranges are internally sane and non-overlapping
+      // across ordered buckets (ties may touch at the boundary)
+      rows.foreach { r => assert(r._4 <= r._5, s"$lang bucket ${r._2} bounds") }
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._4, s"$lang ${a._2}->${b._2} overlap")
+        case _ =>
+      }
+    }
+  }
 }
