@@ -229,6 +229,21 @@ object Graft {
                    refine: Int = 4): DataFrame =
     operators.Similarity.knnSqOf(embeddings, numProbes, k, refine)
 
+  /** Train PQ sub-codebooks (8 subspaces × 16 Lloyd's centroids over
+    * disjoint 8-dim slices) on a 64-dim embedding frame — the
+    * compression half of the ANN ladder; pair with [[knnCompressed]]. */
+  def trainPq(embeddings: DataFrame): Seq[Seq[operators.Clustering.Centroid]] =
+    operators.Similarity.trainPqOf(
+      operators.Similarity.normalizeOf(embeddings))
+
+  /** ADC search with caller-trained PQ codebooks: candidates score by
+    * code lookup-table sum — the corpus scan reads 8 small ints per
+    * vector, never the vectors. */
+  def knnCompressed(embeddings: DataFrame,
+                    books: Seq[Seq[operators.Clustering.Centroid]],
+                    numProbes: Int = 20, k: Int = 5): DataFrame =
+    operators.Similarity.knnPqOf(embeddings, books, numProbes, k)
+
   // -- clustering over (vec_id, embedding) frames ------------------
 
   /** Distributed Lloyd's k-means over raw embeddings; returns the

@@ -641,17 +641,34 @@ object Similarity {
 
   /** One sub-codebook per disjoint `PqSubDims`-dim slice: Lloyd's on
     * the SLICED corpus, reusing [[Clustering.trainKmeansOf]] verbatim
-    * so the oracle replays each training with the shared chain SQL. */
-  private def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Clustering.Centroid]] = {
+    * so the oracle replays each training with the shared chain SQL.
+    * Frame-parametric (the facade's PQ training entry); expects a
+    * unit-normalized `(vec_id, v)` frame of [[Dims]] dims. */
+  def trainPqOf(e: DataFrame): Seq[Seq[Clustering.Centroid]] = {
+    val spark = e.sparkSession
     import spark.implicits._
-    pqCache.getOrElseUpdate(s"$sfDir#$PqSubspaces#$PqCodes#$PqIters", {
-      val e = embNormed(spark, sfDir)
-      (0 until PqSubspaces).map { m =>
-        Clustering.trainKmeansOf(
-          e.select($"vec_id", slice($"v", m * PqSubDims + 1, PqSubDims).as("v")),
-          PqCodes, PqIters)
-      }
-    })
+    (0 until PqSubspaces).map { m =>
+      Clustering.trainKmeansOf(
+        e.select($"vec_id", slice($"v", m * PqSubDims + 1, PqSubDims).as("v")),
+        PqCodes, PqIters)
+    }
+  }
+
+  private def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Clustering.Centroid]] =
+    pqCache.getOrElseUpdate(s"$sfDir#$PqSubspaces#$PqCodes#$PqIters",
+      trainPqOf(embNormed(spark, sfDir)))
+
+  /** [[knnPq]] over any `(vec_id, embedding)` frame with
+    * caller-trained codebooks (normalizes inline) — the
+    * frame-parametric ADC search half. */
+  def knnPqOf(embeddings: DataFrame, books: Seq[Seq[Clustering.Centroid]],
+              numProbes: Int = 20, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = normalizeOf(embeddings)
+    val probes = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    pqAdcRank(pqCodesLong(e, books), pqLut(probes, books), k)
   }
 
   /** Product-quantization ANN — the COMPRESSION tier of the ANN

@@ -247,4 +247,21 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     assert(ws.length == 1 && Set(1L, 2L).contains(ws.head._1))
     assert(ws.head._4 > 0)
   }
+
+  test("PQ train + compressed search run on a caller embeddings frame") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val books = Graft.trainPq(emb)
+    assert(books.length == graft.operators.Similarity.PqSubspaces)
+    books.foreach { cs =>
+      assert(cs.nonEmpty && cs.length <= graft.operators.Similarity.PqCodes)
+      cs.foreach(c => assert(c.cv.length == graft.operators.Similarity.PqSubDims))
+    }
+    val got = Graft.knnCompressed(emb, books, numProbes = 20, k = 5)
+    // the facade route IS the catalog operator: same frame, same
+    // cached training inputs → identical rows
+    val catalog = graft.operators.Similarity.knnPq(spark, sf, numProbes = 20, k = 5)
+    assert(got.collect().toSeq == catalog.collect().toSeq)
+  }
 }
