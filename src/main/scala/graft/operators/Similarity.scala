@@ -799,6 +799,59 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // llm_knn_negatives — hard-negative mining for retrieval training
+  // ---------------------------------------------------------------
+
+  /** Hard-negative mining — the training-data generation step behind
+    * dense-retriever training (DPR's BM25 negatives, ANCE's
+    * ANN-refreshed negatives): for each probe, skip the top
+    * `skipTop` exact-cosine neighbors (presumed positives /
+    * near-duplicates of the query) and emit the next `numNeg` — the
+    * high-similarity-but-not-top band that makes contrastive
+    * training hard. Output rows carry the band rank (1-based within
+    * the negative band) so a sampler can weight by difficulty.
+    *
+    * Scale posture: identical to [[knnExact]] — broadcast probe set,
+    * ONE corpus scan, per-probe bounded heap (`row_number ≤
+    * skipTop+numNeg` is the native group-limit shape); the band
+    * filter is a post-cut projection, so mining negatives costs
+    * exactly one top-(skipTop+numNeg) pass. */
+  def knnNegatives(spark: SparkSession, sfDir: String,
+                   numProbes: Int = 20, skipTop: Int = 5,
+                   numNeg: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = embNormed(spark, sfDir)
+    val probes = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cosine", round(dot($"v", $"pv"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" > skipTop && $"rank" <= skipTop + numNeg)
+      .select($"probe_id", ($"rank" - skipTop).cast("long").as("neg_rank"),
+        $"vec_id".as("negative_id"), $"cosine")
+      .orderBy($"probe_id", $"neg_rank")
+  }
+
+  def knnNegativesSql(numProbes: Int = 20, skipTop: Int = 5,
+                      numNeg: Int = 10): String =
+    s"""WITH e AS ($embNormedSql),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
+       |scored AS (
+       |  SELECT probe_id, vec_id, round(list_dot_product(v, pv), 6) AS cosine
+       |  FROM e, probes WHERE vec_id <> probe_id
+       |), ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, CAST(rank - $skipTop AS BIGINT) AS neg_rank,
+       |       vec_id AS negative_id, cosine
+       |FROM ranked WHERE rank > $skipTop AND rank <= ${skipTop + numNeg}
+       |ORDER BY probe_id, neg_rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_knn_ivfpq — the composed Faiss-style index: IVF cells prune
   // candidates, PQ codes score the survivors
   // ---------------------------------------------------------------

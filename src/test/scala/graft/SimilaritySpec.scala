@@ -173,6 +173,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.05, s"IVFPQ recall $recall vs exact top-$k")
   }
 
+  test("hard negatives are exactly the exact-knn band below the skipped top") {
+    import spark.implicits._
+    val neg = Similarity.knnNegatives(spark, sf, numProbes = 20, skipTop = 5, numNeg = 10)
+      .select($"probe_id", $"neg_rank", $"negative_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the band IS ranks 6..15 of the exact ranking, re-based to 1..10
+    val exact = Similarity.knnExact(spark, sf, numProbes = 20, k = 15)
+      .select($"probe_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = exact.filter(_._2 > 5).map { case (p, r, n) => (p, r - 5, n) }.toSet
+    assert(neg == want)
+    // and never contains a presumed positive (top-5) pair
+    val top = exact.filter(_._2 <= 5).map(t => (t._1, t._3)).toSet
+    assert(neg.forall { case (p, _, n) => !top((p, n)) })
+  }
+
   test("SQ top-k: int8-exact codes, high recall, exact re-rank scores") {
     import spark.implicits._
     val k = 10
