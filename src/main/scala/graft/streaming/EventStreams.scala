@@ -72,8 +72,11 @@ object EventStreams {
     * time — one footer read, no data scan — then declare that exact
     * type to the stream and apply [[Tables.normalizeEventTs]]'s
     * dispatch so every micro-batch yields the library's stable
-    * `ts: timestamp` (µs, UTC session zone) surface. No session conf
-    * is touched, so nothing needs restoring when streams end. */
+    * `ts: timestamp` (µs, UTC session zone) surface. On the native
+    * timestamp/NTZ paths no session conf is touched, so nothing
+    * needs restoring when streams end; only the legacy
+    * bigint-for-nanos path (pre-4.1 readers) still sets the conf,
+    * session-wide, as documented on the branch below. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val probedTs = Tables.eventsFrame(spark, dir).schema("ts").dataType
     val rawSchema = StructType(eventsSchema.map {
