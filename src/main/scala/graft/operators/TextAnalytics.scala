@@ -333,8 +333,11 @@ object TextAnalytics {
     * may differ in the last ulp. */
   def tfidf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
-    val terms = docs(spark, sfDir)
-      .select($"doc_id", explode(tokens($"text")).as("term"))
+    // cached: feeds both the tf aggregate and the df distinct-count —
+    // one tokenize scan (shares the unigramLogprob cache discipline)
+    val terms = cached("tfidfTerms",
+      docs(spark, sfDir)
+        .select($"doc_id", explode(tokens($"text")).as("term")))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = terms.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
@@ -861,8 +864,12 @@ object TextAnalytics {
     * identical inputs in both engines. */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val terms = docs(spark, sfDir)
-      .select($"doc_id", explode(tokens($"text")).as("term"))
+    // cached: the token frame feeds THREE subtrees (vocab counts,
+    // corpus total, per-token join) — one tokenize scan, not three
+    // (the decontaminateOverlap lesson applied library-wide)
+    val terms = cached("unigramTerms",
+      docs(spark, sfDir)
+        .select($"doc_id", explode(tokens($"text")).as("term")))
     val freq = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
     val tot = terms.agg(count(lit(1)).cast("double").as("tot"))
     terms.join(broadcast(freq), "term")
@@ -1097,9 +1104,11 @@ object TextAnalytics {
     * corpus at any scale — they grow sub-linearly). */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bi = docs(spark, sfDir)
-      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
-      .withColumn("prev", split($"bg", " ").getItem(0))
+    // cached for the same three-subtree reason as [[unigramLogprob]]
+    val bi = cached("bigramShingles",
+      docs(spark, sfDir)
+        .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+        .withColumn("prev", split($"bg", " ").getItem(0)))
     val bgFreq = bi.groupBy($"bg").agg(count(lit(1)).as("cb"))
     val pvFreq = bi.groupBy($"prev").agg(count(lit(1)).as("cp"))
     bi.join(broadcast(bgFreq), "bg")
@@ -1953,8 +1962,10 @@ object TextAnalytics {
     val spark = documents.sparkSession
     import spark.implicits._
     require(v >= 1, s"vocab size must be >= 1, got $v")
-    val terms = documents
-      .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+    // cached: feeds both the vocab ranking and the per-doc OOV join
+    val terms = cached("vocabTerms",
+      documents
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("term")))
     val vocab = terms.groupBy($"term").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"term").limit(v)
       .select($"term", lit(1).as("in_vocab"))
