@@ -799,6 +799,76 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // llm_pq_error — PQ codebook quality (reconstruction error)
+  // ---------------------------------------------------------------
+
+  /** Per-subspace mean squared reconstruction error of the PQ
+    * codebooks — THE quality metric of a product quantizer (Faiss
+    * reports it per training run): for each vector slice, the
+    * squared distance to its assigned sub-centroid,
+    * `‖v_m‖² − 2·v_m·c + ‖c‖²`, averaged over the corpus. Rising
+    * error on a new corpus slice is the retrain signal; the
+    * per-subspace split shows WHICH slice of the embedding space the
+    * codebook no longer covers.
+    *
+    * Scale posture: one pass over the sliced corpus joined to its
+    * own code assignment (both narrow, same key) and the broadcast
+    * codebook; the output is `PqSubspaces` rows. */
+  def pqError(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNormed(spark, sfDir)
+    val books = pqCodebooks(spark, sfDir)
+    val slices = (0 until PqSubspaces).map { m =>
+      e.select($"vec_id", lit(m).as("m"),
+        slice($"v", m * PqSubDims + 1, PqSubDims).as("vm"))
+    }.reduce(_ unionByName _)
+    val cbRows = books.zipWithIndex.flatMap { case (cs, m) =>
+      cs.map(c => (m, c.cell, c.cv.toSeq)) }
+    val cb = spark.createDataFrame(cbRows).toDF("m", "code", "cv")
+    slices
+      .join(pqCodesLong(e, books), Seq("vec_id", "m"))
+      .join(broadcast(cb), Seq("m", "code"))
+      .withColumn("se",
+        dot($"vm", $"vm") - lit(2.0) * dot($"vm", $"cv") + dot($"cv", $"cv"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg($"se"), 6).as("mse"))
+      .select($"m".cast("long").as("subspace"), $"n_vectors", $"mse")
+      .orderBy($"subspace")
+  }
+
+  def pqErrorSql(): String = {
+    val subs = 0 until PqSubspaces
+    val slices = subs.map { m =>
+      val a = m * PqSubDims + 1
+      val b = (m + 1) * PqSubDims
+      s"e$m AS (SELECT vec_id, v[$a:$b] AS v FROM e)"
+    }.mkString(",\n")
+    val chains = subs.map(m =>
+      Clustering.kmeansChainSql(PqCodes, PqIters, s"e$m", s"q$m")).mkString(",\n")
+    // per subspace: assign (the chain's rounded argmax against the
+    // final centroids), then the squared reconstruction distance
+    val per = subs.map { m =>
+      s"""SELECT $m AS m, vec_id, v,
+         |       cv FROM (
+         |    SELECT e.vec_id, e.v, c.cv,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_dot_product(e.v, c.cv)
+         |               - 0.5 * list_dot_product(c.cv, c.cv), 6) DESC, c.cell) AS rn
+         |    FROM e$m e, q${m}c$PqIters c) WHERE rn = 1""".stripMargin
+    }.mkString("assigned AS (", "\n  UNION ALL ", ")")
+    s"""WITH e AS ($embNormedSql),
+       |$slices,
+       |$chains,
+       |$per
+       |SELECT CAST(m AS BIGINT) AS subspace, COUNT(*) AS n_vectors,
+       |       round(avg(list_dot_product(v, v)
+       |             - 2.0 * list_dot_product(v, cv)
+       |             + list_dot_product(cv, cv)), 6) AS mse
+       |FROM assigned GROUP BY m ORDER BY subspace""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_knn_negatives — hard-negative mining for retrieval training
   // ---------------------------------------------------------------
 

@@ -173,6 +173,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.05, s"IVFPQ recall $recall vs exact top-$k")
   }
 
+  test("PQ reconstruction error: one row per subspace, beats the trivial quantizer") {
+    import spark.implicits._
+    val got = Similarity.pqError(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(got.map(_._1) == (0L until Similarity.PqSubspaces.toLong))
+    got.foreach { case (m, nv, mse) =>
+      assert(nv == n, s"subspace $m covered $nv of $n vectors")
+      assert(mse >= 0.0, s"subspace $m negative mse $mse")
+    }
+    // unit vectors: Σ_m E‖v_m‖² = 1, so a codebook that beats the
+    // zero-vector quantizer must keep the summed mse below 1
+    assert(got.map(_._3).sum < 1.0, s"summed mse ${got.map(_._3).sum}")
+  }
+
   test("hard negatives are exactly the exact-knn band below the skipped top") {
     import spark.implicits._
     val neg = Similarity.knnNegatives(spark, sf, numProbes = 20, skipTop = 5, numNeg = 10)
