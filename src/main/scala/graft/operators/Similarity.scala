@@ -748,21 +748,32 @@ object Similarity {
     pqAdcRank(pqCodesLong(e, books), pqLut(probes, books), k)
   }
 
-  def knnPqSql(numProbes: Int = 20, k: Int = 5): String = {
-    val subs = 0 until PqSubspaces
-    val slices = subs.map { m =>
+  // -- shared PQ oracle-SQL fragments (used by knnPqSql, knnIvfPqSql,
+  // pqErrorSql, knnPqRefineSql) --------------------------------------
+
+  /** `e0..e{M-1}` slice CTEs over CTE `e`. */
+  private def pqSlicesSql: String =
+    (0 until PqSubspaces).map { m =>
       val a = m * PqSubDims + 1
       val b = (m + 1) * PqSubDims
       s"e$m AS (SELECT vec_id, v[$a:$b] AS v FROM e)"
     }.mkString(",\n")
-    val chains = subs.map(m =>
+
+  /** All M training chains (`q{m}c0..q{m}c$PqIters`). */
+  private def pqChainsSql: String =
+    (0 until PqSubspaces).map(m =>
       Clustering.kmeansChainSql(PqCodes, PqIters, s"e$m", s"q$m")).mkString(",\n")
-    val cb = subs.map(m =>
+
+  /** `cb(m, code, cv)`: the unioned final codebooks. */
+  private def pqCbSql: String =
+    (0 until PqSubspaces).map(m =>
       s"SELECT $m AS m, cell AS code, cv FROM q${m}c$PqIters")
       .mkString("cb AS (", "\n  UNION ALL ", ")")
-    // encode: the same rounded-score argmax the chain's assign step
-    // uses, against the FINAL centroids
-    val codes = subs.map { m =>
+
+  /** `codes(m, vec_id, code)`: the rounded-score argmax encode the
+    * chain's assign step uses, against the FINAL centroids. */
+  private def pqCodesSql: String =
+    (0 until PqSubspaces).map { m =>
       s"""SELECT $m AS m, vec_id, cell AS code FROM (
          |    SELECT e.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY e.vec_id
@@ -770,33 +781,117 @@ object Similarity {
          |               - 0.5 * list_dot_product(c.cv, c.cv), 6) DESC, c.cell) AS rn
          |    FROM e$m e, q${m}c$PqIters c) WHERE rn = 1""".stripMargin
     }.mkString("codes AS (", "\n  UNION ALL ", ")")
-    val partCols = subs.map(m =>
-      s"SUM(CASE WHEN m = $m THEN pdot END) AS p$m").mkString(", ")
-    val partSum = subs.map(m => s"p$m").mkString(" + ")
-    s"""WITH e AS ($embNormedSql),
-       |$slices,
-       |$chains,
-       |$cb,
-       |$codes,
-       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
-       |lut AS (
+
+  private def pqLutSqlFragment: String =
+    s"""lut AS (
        |  SELECT probe_id, m, code,
        |         list_dot_product(pv[m * $PqSubDims + 1 : (m + 1) * $PqSubDims], cv) AS pdot
-       |  FROM probes, cb),
+       |  FROM probes, cb)""".stripMargin
+
+  private def pqPartCols(qual: String = ""): String =
+    (0 until PqSubspaces).map(m =>
+      s"SUM(CASE WHEN ${qual}m = $m THEN pdot END) AS p$m").mkString(", ")
+
+  private def pqPartSum: String =
+    (0 until PqSubspaces).map(m => s"p$m").mkString(" + ")
+
+  def knnPqSql(numProbes: Int = 20, k: Int = 5): String =
+    s"""WITH e AS ($embNormedSql),
+       |$pqSlicesSql,
+       |$pqChainsSql,
+       |$pqCbSql,
+       |$pqCodesSql,
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
+       |$pqLutSqlFragment,
        |adc AS (
-       |  SELECT l.probe_id, c.vec_id, $partCols
+       |  SELECT l.probe_id, c.vec_id, ${pqPartCols()}
        |  FROM codes c JOIN lut l USING (m, code)
        |  WHERE c.vec_id <> l.probe_id
        |  GROUP BY l.probe_id, c.vec_id),
        |ranked AS (
-       |  SELECT probe_id, vec_id, round($partSum, 6) AS approx_score,
+       |  SELECT probe_id, vec_id, round($pqPartSum, 6) AS approx_score,
        |         row_number() OVER (PARTITION BY probe_id
-       |           ORDER BY round($partSum, 6) DESC, vec_id) AS rank
+       |           ORDER BY round($pqPartSum, 6) DESC, vec_id) AS rank
        |  FROM adc)
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank,
        |       vec_id AS neighbor_id, approx_score
        |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_knn_pq_refine — two-stage PQ serve: ADC shortlist + exact
+  // re-rank (how a PQ index actually answers queries)
+  // ---------------------------------------------------------------
+
+  /** The production PQ serve path: stage 1 shortlists each probe's
+    * top `k·refine` candidates by ADC over the coded corpus (codes
+    * only — the cheap, compressed scan); stage 2 re-ranks ONLY those
+    * candidates with the exact cosine on full vectors. The two-stage
+    * split is why PQ's lossy scores are acceptable in practice: the
+    * quantizer only has to keep true neighbors inside the shortlist,
+    * not rank them, and the refine factor buys shortlist recall at
+    * linear cost. (Same shape as [[knnSq]]'s int8 two-stage; this is
+    * its PQ counterpart with codes 8× smaller again.)
+    *
+    * Scale posture (100 TB): the only corpus-wide pass reads 8 small
+    * ints per vector; stage 2 fetches full vectors for
+    * probes × k·refine ids — a narrow equi-join against the corpus,
+    * never a second scan of it. */
+  def knnPqRefine(spark: SparkSession, sfDir: String,
+                  numProbes: Int = 20, k: Int = 5,
+                  refine: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = embNormed(spark, sfDir)
+    val books = pqCodebooks(spark, sfDir)
+    val probes = e.filter($"vec_id" < numProbes)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    // stage 1: ADC shortlist (the PQ rank cut at k·refine)
+    val shortlist = pqAdcRank(pqCodesLong(e, books), pqLut(probes, books), k * refine)
+      .select($"probe_id", $"neighbor_id".as("vec_id"))
+    // stage 2: exact re-rank of shortlist ids only
+    shortlist
+      .join(e, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cosine", round(dot($"v", $"pv"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" <= k)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"probe_id", $"rank")
   }
+
+  def knnPqRefineSql(numProbes: Int = 20, k: Int = 5,
+                     refine: Int = 4): String =
+    s"""WITH e AS ($embNormedSql),
+       |$pqSlicesSql,
+       |$pqChainsSql,
+       |$pqCbSql,
+       |$pqCodesSql,
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $numProbes),
+       |$pqLutSqlFragment,
+       |adc AS (
+       |  SELECT l.probe_id, c.vec_id, ${pqPartCols()}
+       |  FROM codes c JOIN lut l USING (m, code)
+       |  WHERE c.vec_id <> l.probe_id
+       |  GROUP BY l.probe_id, c.vec_id),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |             ORDER BY round($pqPartSum, 6) DESC, vec_id) AS arn
+       |    FROM adc)
+       |  WHERE arn <= ${k * refine}),
+       |ranked AS (
+       |  SELECT s.probe_id, s.vec_id,
+       |         round(list_dot_product(e.v, p.pv), 6) AS cosine,
+       |         row_number() OVER (PARTITION BY s.probe_id
+       |           ORDER BY round(list_dot_product(e.v, p.pv), 6) DESC, s.vec_id) AS rank
+       |  FROM shortlist s
+       |  JOIN e ON e.vec_id = s.vec_id
+       |  JOIN probes p ON p.probe_id = s.probe_id)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
   // llm_pq_error — PQ codebook quality (reconstruction error)
@@ -839,13 +934,8 @@ object Similarity {
 
   def pqErrorSql(): String = {
     val subs = 0 until PqSubspaces
-    val slices = subs.map { m =>
-      val a = m * PqSubDims + 1
-      val b = (m + 1) * PqSubDims
-      s"e$m AS (SELECT vec_id, v[$a:$b] AS v FROM e)"
-    }.mkString(",\n")
-    val chains = subs.map(m =>
-      Clustering.kmeansChainSql(PqCodes, PqIters, s"e$m", s"q$m")).mkString(",\n")
+    val slices = pqSlicesSql
+    val chains = pqChainsSql
     // per subspace: assign (the chain's rounded argmax against the
     // final centroids), then the squared reconstruction distance
     val per = subs.map { m =>
@@ -990,28 +1080,12 @@ object Similarity {
                   kCells: Int = Clustering.K,
                   coarseIters: Int = Clustering.Iters,
                   nprobe: Int = IvfNProbe): String = {
-    val subs = 0 until PqSubspaces
-    val slices = subs.map { m =>
-      val a = m * PqSubDims + 1
-      val b = (m + 1) * PqSubDims
-      s"e$m AS (SELECT vec_id, v[$a:$b] AS v FROM e)"
-    }.mkString(",\n")
-    val chains = subs.map(m =>
-      Clustering.kmeansChainSql(PqCodes, PqIters, s"e$m", s"q$m")).mkString(",\n")
-    val cb = subs.map(m =>
-      s"SELECT $m AS m, cell AS code, cv FROM q${m}c$PqIters")
-      .mkString("cb AS (", "\n  UNION ALL ", ")")
-    val codes = subs.map { m =>
-      s"""SELECT $m AS m, vec_id, cell AS code FROM (
-         |    SELECT e.vec_id, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(list_dot_product(e.v, c.cv)
-         |               - 0.5 * list_dot_product(c.cv, c.cv), 6) DESC, c.cell) AS rn
-         |    FROM e$m e, q${m}c$PqIters c) WHERE rn = 1""".stripMargin
-    }.mkString("codes AS (", "\n  UNION ALL ", ")")
-    val partCols = subs.map(m =>
-      s"SUM(CASE WHEN cd.m = $m THEN pdot END) AS p$m").mkString(", ")
-    val partSum = subs.map(m => s"p$m").mkString(" + ")
+    val slices = pqSlicesSql
+    val chains = pqChainsSql
+    val cb = pqCbSql
+    val codes = pqCodesSql
+    val partCols = pqPartCols("cd.")
+    val partSum = pqPartSum
     s"""WITH e AS ($embNormedSql),
        |${Clustering.kmeansChainSql(kCells, coarseIters)},
        |centroids AS (SELECT cell, cv FROM c$coarseIters),

@@ -188,6 +188,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._3).sum < 1.0, s"summed mse ${got.map(_._3).sum}")
   }
 
+  test("PQ+refine: results come from the ADC shortlist, scored exactly, recall >= plain PQ") {
+    import spark.implicits._
+    val k = 5
+    val ref = Similarity.knnPqRefine(spark, sf, numProbes = 20, k = k, refine = 4)
+      .select($"probe_id", $"neighbor_id", $"cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.knnExact(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id", $"cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ref.size == exact.size)
+    // stage 2 scores with FULL vectors: any pair both routes return
+    // carries the identical exact cosine
+    ref.keySet.intersect(exact.keySet).foreach { p =>
+      assert(ref(p) == exact(p), s"pair $p: ${ref(p)} vs ${exact(p)}")
+    }
+    // the re-ranked shortlist can only improve on raw ADC ranking
+    val plain = Similarity.knnPq(spark, sf, numProbes = 20, k = k)
+      .select($"probe_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRef = ref.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    val rPlain = plain.intersect(exact.keySet).size.toDouble / exact.size
+    assert(rRef >= rPlain, s"refine recall $rRef < plain PQ recall $rPlain")
+  }
+
   test("hard negatives are exactly the exact-knn band below the skipped top") {
     import spark.implicits._
     val neg = Similarity.knnNegatives(spark, sf, numProbes = 20, skipTop = 5, numNeg = 10)
