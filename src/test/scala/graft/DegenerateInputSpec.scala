@@ -133,6 +133,32 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("non-empty corpus"))
   }
 
+  test("PQ degrades gracefully on tiny corpora, rejects empty ones") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // corpus smaller than the per-subspace code count: each
+    // sub-codebook just has corpus-many centroids, search still works
+    val emb = Seq(
+      (0L, Array.fill(64)(1.0f).toSeq),
+      (1L, Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f).toSeq),
+      (2L, Array.tabulate(64)(i => if (i >= 32) 1.0f else 0.0f).toSeq)
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.trainPqOf(Similarity.normalizeOf(emb))
+    assert(books.length == Similarity.PqSubspaces)
+    books.foreach(cs => assert(cs.nonEmpty && cs.length <= 3))
+    val got = Similarity.knnPqOf(emb, books, numProbes = 2, k = 5)
+      .select($"probe_id", $"neighbor_id").collect()
+    // 2 probes over a 3-vector corpus: each sees the other 2 at most
+    assert(got.nonEmpty && got.length <= 4)
+    got.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    // empty corpus: rejected up front by the training require
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainPqOf(Similarity.normalizeOf(empty))
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
+
   test("round-7 operators degrade to empty on empty inputs") {
     import spark.implicits._
     // the composed pipeline on an empty corpus: every stage is empty,
