@@ -2234,4 +2234,96 @@ object TextAnalytics {
        |  round(nl / n_tokens, 6) AS sample_key
        |FROM d WHERE n_tokens > 0
        |ORDER BY nl / n_tokens, doc_id LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_dsir_select — importance-resampling data selection (DSIR)
+  // ---------------------------------------------------------------
+
+  val DsirDims = 256
+  val DsirSalt = 53
+  val DsirSelectN = 200
+  val DsirTargetLang = "en"
+
+  /** DSIR data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every
+    * raw document by how much more likely its hashed-unigram features
+    * are under a TARGET distribution than under the RAW corpus, keep
+    * the top N. The feature space is `dims` hash buckets (the
+    * [[featureHash]] trick — no vocabulary to build, broadcast, or
+    * keep consistent); both distributions are add-1-smoothed bucket
+    * unigram models, and a document's log importance weight is the
+    * sum of ln(p_target(bucket)/p_raw(bucket)) over its tokens. The
+    * target slice here is the corpus's own `lang = 'en'` partition —
+    * the stand-in for the paper's Wikipedia+books target corpus.
+    * Deterministic top-N replaces the paper's Gumbel-noised
+    * resampling (documented deviation: no RNG, so both engines and
+    * every re-run select identically).
+    *
+    * Scale posture: ONE token scan — the cached bucket frame feeds
+    * the bucket model, the totals, and the per-doc sum; the model is
+    * `dims` rows → broadcast, totals ride a broadcast 1-row cross
+    * join; the per-doc sum is a partial+final aggregate on doc_id.
+    * The exact global rank is a window at test scale; at 100 TB the
+    * keep set comes from an `approxQuantile` threshold on `lw`
+    * instead (selection is a weight threshold either way — only the
+    * exact rank column is test-scale luxury). Ranking uses the
+    * ROUNDED weight with doc_id ties so both engines cut the same
+    * boundary. */
+  def dsirSelect(spark: SparkSession, sfDir: String, dims: Int = DsirDims,
+                 selectN: Int = DsirSelectN): DataFrame = {
+    import spark.implicits._
+    require(dims >= 2, s"bucket count must be >= 2, got $dims")
+    require(selectN >= 1, s"selection size must be >= 1, got $selectN")
+    val terms = cached("dsirTerms",
+      docs(spark, sfDir)
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+        .select($"doc_id", $"lang",
+          pmod(md5i32($"term", DsirSalt), lit(dims)).as("b")))
+    val isTarget = $"lang" === DsirTargetLang
+    val buckets = terms.groupBy($"b")
+      .agg(count(lit(1)).cast("double").as("cr"),
+        sum(when(isTarget, 1L).otherwise(0L)).cast("double").as("ct"))
+    val tots = terms.agg(count(lit(1)).cast("double").as("nr"),
+      sum(when(isTarget, 1.0).otherwise(0.0)).as("nt"))
+    val llr = buckets.crossJoin(broadcast(tots))
+      .select($"b",
+        (log(($"ct" + 1.0) / ($"nt" + dims))
+          - log(($"cr" + 1.0) / ($"nr" + dims))).as("llr"))
+    val byDoc = terms.join(broadcast(llr), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(sum($"llr"), 4).as("lw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"lw".desc, $"doc_id")
+    docs(spark, sfDir).select($"doc_id", $"lang")
+      .join(byDoc, Seq("doc_id"), "left")
+      .na.fill(Map("n_tokens" -> 0L, "lw" -> 0.0))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("keep", $"rank" <= selectN)
+      .select($"doc_id", $"lang", $"n_tokens", $"lw", $"rank", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  def dsirSelectSql(dims: Int = DsirDims, selectN: Int = DsirSelectN): String =
+    s"""WITH t AS (SELECT doc_id, lang, unnest($tokensSql) AS term FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |        ${md5i32Sql("term", DsirSalt)} % $dims AS b FROM t),
+       |bk AS (SELECT b, COUNT(*)::DOUBLE AS cr,
+       |         SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)::DOUBLE AS ct
+       |       FROM h GROUP BY b),
+       |tt AS (SELECT COUNT(*)::DOUBLE AS nr,
+       |         SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)::DOUBLE AS nt
+       |       FROM h),
+       |s AS (SELECT h.doc_id,
+       |        ln((ct + 1) / (nt + $dims)) - ln((cr + 1) / (nr + $dims)) AS llr
+       |      FROM h JOIN bk USING (b) CROSS JOIN tt),
+       |d AS (SELECT doc_id, COUNT(*) AS n_tokens, round(SUM(llr), 4) AS lw
+       |      FROM s GROUP BY doc_id),
+       |j AS (SELECT doc.doc_id, doc.lang,
+       |        COALESCE(d.n_tokens, 0) AS n_tokens, COALESCE(d.lw, 0.0) AS lw
+       |      FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY lw DESC, doc_id) AS BIGINT)
+       |        AS rank FROM j)
+       |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, lw, rank,
+       |  rank <= $selectN AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -751,4 +751,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("dsir select: exact top-N cut, ranks a permutation, target lang favored") {
+    import spark.implicits._
+    val got = TextAnalytics.dsirSelect(spark, sf)
+      .as[(Long, String, Long, Double, Long, Boolean)].collect().toSeq
+    val n = got.size
+    // ranks are a permutation of 1..n and the keep flag IS the rank cut
+    assert(got.map(_._5).sorted == (1L to n).toSeq)
+    assert(got.count(_._6) == math.min(TextAnalytics.DsirSelectN, n))
+    got.foreach { r => assert(r._6 == (r._5 <= TextAnalytics.DsirSelectN)) }
+    // rank order agrees with the (rounded) weight order
+    val byRank = got.sortBy(_._5)
+    byRank.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ =>
+    }
+    // the importance weight does its job: the target slice scores
+    // higher on average and is over-represented in the keep set
+    val (en, rest) = got.partition(_._2 == TextAnalytics.DsirTargetLang)
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    assert(mean(en.map(_._4)) > mean(rest.map(_._4)))
+    val enKeepRate = en.count(_._6).toDouble / en.size
+    val restKeepRate = rest.count(_._6).toDouble / rest.size
+    assert(enKeepRate > restKeepRate)
+  }
 }
