@@ -1603,4 +1603,73 @@ object Relational {
       |  FROM daily)
       |SELECT day, revenue, n_orders, z FROM scored
       |WHERE NOT isnan(z) AND ABS(z) >= 2.0 ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_incremental_agg — incremental aggregate maintenance
+  // ---------------------------------------------------------------
+
+  /** Incremental maintenance of a grouped aggregate: the historical
+    * partition's PARTIAL aggregate (the stored rollup a warehouse
+    * keeps per ingested partition) merged with the fresh partition's
+    * partial via the aggregate merge algebra — counts and sums add,
+    * min/max take least/greatest, and avg is re-derived from the
+    * merged (sum, count) pair because avg itself is not algebraic.
+    * A full-outer merge with identity elements keeps groups that
+    * appear on only one side.
+    *
+    * The oracle is the FULL recompute over all rows, so the driver's
+    * hash equality certifies the merge algebra end-to-end — the
+    * property that lets a 100 TB warehouse fold one new day into a
+    * standing aggregate in O(groups) instead of re-scanning every
+    * historical partition. At scale the `hist` branch is a stored
+    * ~groups-sized table, not a scan; both partials shuffle on the
+    * same (flag, status) key so the merge join is co-partitioned. */
+  def incrementalAgg(spark: SparkSession, sfDir: String,
+                     cutoff: String = "1999-01-01"): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val cut = lit(cutoff).cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec($"l_quantity")).as("sq"),
+          max(dec($"l_extendedprice")).as("mp"),
+          min(to_date($"l_shipdate")).as("ms"))
+    val hist  = partial(li.filter($"l_shipdate" < cut))
+    val delta = partial(li.filter($"l_shipdate" >= cut))
+      .withColumnsRenamed(Map("n" -> "dn", "sq" -> "dsq",
+        "mp" -> "dmp", "ms" -> "dms"))
+    hist.join(delta, Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .select($"l_returnflag", $"l_linestatus",
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
+        (coalesce($"sq", dec(lit(0))) + coalesce($"dsq", dec(lit(0))))
+          .as("sq_dec"),
+        greatest_skipnull($"mp", $"dmp").as("mp_dec"),
+        least_skipnull($"ms", $"dms").as("min_ship"))
+      .select($"l_returnflag", $"l_linestatus", $"n",
+        $"sq_dec".cast("double").as("sum_qty"),
+        round($"sq_dec".cast("double") / $"n", 6).as("avg_qty"),
+        $"mp_dec".cast("double").as("max_price"),
+        $"min_ship")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // null-skipping merge for min/max partials: SQL greatest/least
+  // return NULL if ANY argument is null in neither engine... Spark's
+  // greatest/least already skip nulls (return the greatest non-null),
+  // matching the merge identity we need; these aliases just name the
+  // intent at the call site.
+  private def greatest_skipnull(a: org.apache.spark.sql.Column,
+                                b: org.apache.spark.sql.Column) = greatest(a, b)
+  private def least_skipnull(a: org.apache.spark.sql.Column,
+                             b: org.apache.spark.sql.Column) = least(a, b)
+
+  def incrementalAggSql(cutoff: String = "1999-01-01"): String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       |        / COUNT(*), 6) AS avg_qty,
+       |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+       |  CAST(MIN(l_shipdate) AS DATE) AS min_ship
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 }

@@ -178,4 +178,31 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
     assert(got.nonEmpty && got.forall { case (np, _, _) => np >= 1 && np <= 5 })
   }
+
+  test("incremental agg merge equals the full recompute at every cutoff shape") {
+    import spark.implicits._
+    // full recompute, straight groupBy — what the oracle runs
+    def full(): Seq[(String, String, Long, Double, Double, Double, java.sql.Date)] =
+      Tables.lineitem(spark, sf)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          round(sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 6).as("avg_qty"),
+          max($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("max_price"),
+          min(to_date($"l_shipdate")).as("min_ship"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+        .as[(String, String, Long, Double, Double, Double, java.sql.Date)]
+        .collect().toSeq
+    val want = full()
+    // mid-range cutoff (both partials non-empty), all-history cutoff
+    // (delta empty), all-delta cutoff (history empty): the merge with
+    // identity elements must reproduce the full aggregate in each
+    for (cutoff <- Seq("1999-01-01", "2005-01-01", "1990-01-01")) {
+      val got = Relational.incrementalAgg(spark, sf, cutoff)
+        .as[(String, String, Long, Double, Double, Double, java.sql.Date)]
+        .collect().toSeq
+      assert(got == want, s"cutoff $cutoff diverged from full recompute")
+    }
+  }
 }
