@@ -1177,6 +1177,67 @@ object Relational {
       |FROM merged WHERE op IS NULL OR op <> 'D'
       |GROUP BY pri ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------
+  // rel_cdc_compact — changelog compaction (last-writer-wins)
+  // ---------------------------------------------------------------
+
+  /** Compact a MULTI-entry ordered changelog to its latest snapshot:
+    * per key, the last operation in (ts, seq) order wins, and a key
+    * whose last op is a delete leaves the snapshot — Kafka log
+    * compaction / Debezium-envelope collapse semantics. Completes
+    * the change-data trio: [[applyChanges]] merges ONE batch with one
+    * op per key, [[TimeSeries.scd2]] keeps every version; this
+    * collapses an arbitrarily long per-key history to its head.
+    *
+    * The event stream plays the changelog: signup opens a key (I),
+    * error closes it (D), activity events update it (U).
+    *
+    * Scale posture (100 TB): deliberately an AGGREGATE (`max_by` over
+    * the (ts, seq) struct order + count), not the window+filter
+    * row_number form — aggregates carry map-side partial merge, so a
+    * key's history collapses inside each input partition before the
+    * one hash shuffle on key, and nothing re-sorts whole partitions.
+    * `seq` (unique) breaks same-timestamp ties deterministically. */
+  def cdcCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    cdcCompactOf(Tables.events(spark, sfDir)
+      .select($"user_id".as("key"), $"ts", $"event_id".as("seq"),
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D")
+          .otherwise("U").as("op"),
+        $"value"))
+  }
+
+  /** Caller-frame form over any `(key, ts, seq, op, value)` changelog
+    * (`seq` unique within key; `op` ∈ I/U/D). */
+  def cdcCompactOf(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
+    log.groupBy($"key")
+      .agg(count(lit(1)).as("n_ops"),
+        max_by(struct($"op", $"value", $"ts"), struct($"ts", $"seq")).as("last"))
+      .filter($"last.op" =!= "D")
+      .select($"key".as("user_id"), $"n_ops",
+        $"last.op".as("last_op"), $"last.value".as("last_value"),
+        date_format($"last.ts", "yyyy-MM-dd HH:mm:ss").as("last_ts_s"))
+      .orderBy($"user_id")
+  }
+
+  val cdcCompactSql: String =
+    """WITH log AS (
+      |  SELECT user_id AS key, ts, event_id AS seq,
+      |    CASE event_type WHEN 'signup' THEN 'I'
+      |                    WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key
+      |            ORDER BY ts DESC, seq DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY key) AS n_ops
+      |  FROM log)
+      |SELECT key AS user_id, n_ops, op AS last_op, value AS last_value,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts_s
+      |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
+
   /** Skew-resistant two-phase aggregation: pre-aggregate on
     * (key, salt) — spreading a hot key over `salts` reducers — then
     * finalize on the key alone. The salt cancels out, so the oracle

@@ -205,4 +205,44 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       assert(got == want, s"cutoff $cutoff diverged from full recompute")
     }
   }
+
+  test("cdc compact: fixture semantics and window-replay equivalence") {
+    import spark.implicits._
+    // hand changelog: key 1 I→U→U (last U wins); key 2 I→D (gone);
+    // key 3 D→I (delete then re-insert: I wins — order matters, not
+    // op precedence); key 4 same-ts tie broken by seq
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val log = Seq(
+      (1L, ts(0), 10L, "I", 1.0), (1L, ts(1), 11L, "U", 2.0),
+      (1L, ts(2), 12L, "U", 3.0),
+      (2L, ts(0), 20L, "I", 4.0), (2L, ts(5), 21L, "D", 0.0),
+      (3L, ts(0), 30L, "D", 0.0), (3L, ts(9), 31L, "I", 7.0),
+      (4L, ts(4), 41L, "U", 8.0), (4L, ts(4), 40L, "I", 9.0)
+    ).toDF("key", "ts", "seq", "op", "value")
+    val got = Relational.cdcCompactOf(log)
+      .as[(Long, Long, String, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "U", 3.0, "2024-01-01 00:00:02"),
+      (3L, 2L, "I", 7.0, "2024-01-01 00:00:09"),
+      (4L, 2L, "U", 8.0, "2024-01-01 00:00:04")))
+
+    // on real data, the aggregate form equals the window+filter replay
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val replay = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"n_ops",
+        when($"event_type" === "signup", "I").otherwise("U").as("last_op"),
+        $"value".as("last_value"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("last_ts_s"))
+      .orderBy($"user_id")
+      .as[(Long, Long, String, Double, String)].collect().toSeq
+    val real = Relational.cdcCompact(spark, sf)
+      .as[(Long, Long, String, Double, String)].collect().toSeq
+    assert(real == replay && real.nonEmpty)
+  }
 }
