@@ -2303,6 +2303,53 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // llm_shuffle_shards — deterministic global shuffle + sharding
+  // ---------------------------------------------------------------
+
+  val ShuffleShards = 8
+  val ShuffleSalt = 71
+
+  /** The training-order shuffle: every document gets a deterministic
+    * pseudo-random position (salted hash of its id), shards by
+    * position modulus, and takes a dense within-shard sequence in
+    * position order — the step that turns a curated corpus into N
+    * reproducibly-shuffled training shard files. Hash-derived order
+    * means no RNG state to checkpoint and byte-identical shards on
+    * re-run (same property every sampler here pins, applied to
+    * ordering); changing the salt is a fresh epoch-level reshuffle.
+    *
+    * Scale posture (100 TB): shard assignment is a scalar hash — no
+    * shuffle at all until the write repartitions on `shard` (one
+    * hash exchange); the sequence is a window PARTITIONED BY shard,
+    * so each sort is shard-local (corpus/N), never global. Collisions
+    * in the 32-bit position tie-break on doc_id in both engines. */
+  def shuffleShards(spark: SparkSession, sfDir: String,
+                    shards: Int = ShuffleShards): DataFrame = {
+    import spark.implicits._
+    require(shards >= 1, s"shard count must be >= 1, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"h", $"doc_id")
+    docs(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        md5i32($"doc_id".cast("string"), ShuffleSalt).as("h"))
+      .withColumn("shard", pmod($"h", lit(shards)).cast("long"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select($"shard", $"seq", $"doc_id", $"n_chars")
+      .orderBy($"shard", $"seq")
+  }
+
+  def shuffleShardsSql(shards: Int = ShuffleShards): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars,
+       |    ${md5i32Sql("CAST(doc_id AS VARCHAR)", ShuffleSalt)} AS h
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars, h, h % $shards AS shard FROM h)
+       |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
+       |         ORDER BY h, doc_id) AS BIGINT) AS seq,
+       |  doc_id, n_chars
+       |FROM s ORDER BY shard, seq""".stripMargin
+
   def dsirSelectSql(dims: Int = DsirDims, selectN: Int = DsirSelectN): String =
     s"""WITH t AS (SELECT doc_id, lang, unnest($tokensSql) AS term FROM documents),
        |h AS (SELECT doc_id, lang,

@@ -776,4 +776,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val restKeepRate = rest.count(_._6).toDouble / rest.size
     assert(enKeepRate > restKeepRate)
   }
+
+  test("shuffle shards: partition, dense sequences, balanced, deterministic, salt-sensitive") {
+    import spark.implicits._
+    val got = TextAnalytics.shuffleShards(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    // every doc lands in exactly one shard
+    assert(got.size.toLong == total)
+    assert(got.map(_._3).distinct.size.toLong == total)
+    val byShard = got.groupBy(_._1)
+    assert(byShard.keySet == (0L until TextAnalytics.ShuffleShards).toSet)
+    // within-shard sequences are dense 1..n_s
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq, s"shard $s")
+    }
+    // a 32-bit hash spreads 500 docs roughly evenly: no shard may
+    // hold more than twice the ideal share (a lax bound that still
+    // catches a broken modulus or constant hash)
+    val ideal = total.toDouble / TextAnalytics.ShuffleShards
+    assert(byShard.values.map(_.size).max <= ideal * 2)
+    // deterministic: a second run is byte-identical
+    val again = TextAnalytics.shuffleShards(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    // and the order is actually shuffled, not id order
+    val shard0Docs = byShard(0L).sortBy(_._2).map(_._3)
+    assert(shard0Docs != shard0Docs.sorted)
+  }
 }
