@@ -243,6 +243,79 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // llm_minhash_est_error — sketch-fidelity certification
+  // ---------------------------------------------------------------
+
+  /** The certification twin of [[minHashNearDups]] (the
+    * [[graft.operators.TextAnalytics]] `*_bound` discipline applied
+    * to LSH): for every candidate pair the bands surface, the
+    * MinHash ESTIMATE of Jaccard — the fraction of the 16 signature
+    * components that agree, the unbiased estimator the sketch
+    * exists to provide — side by side with the exact Jaccard over
+    * the shingle sets, and the absolute error. Granularity is 1/16,
+    * so |err| is structurally ≤ 1 and concentrates near 0 on the
+    * near-dup pairs the buckets select for; a drifting hash family
+    * or a broken band split shows up here as mass far from 0.
+    *
+    * Scale posture: identical to the dedup path it certifies —
+    * candidates come from the banded bucket join (never all pairs),
+    * signatures and sets are the SAME cached frames the dedup query
+    * uses, and the per-pair work is 16 column equalities. */
+  def minHashEstError(spark: SparkSession, sfDir: String): DataFrame =
+    minHashEstErrorOf(Tables.documents(spark, sfDir))
+
+  /** [[minHashEstError]] over any `(doc_id, text)` frame. */
+  def minHashEstErrorOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = cached("shingle-sets", shingleSetsOf(docs))
+    val sig = cached("minhash-sig", minHashSignatures(sets))
+    val buckets = bandedBuckets(sig)
+    val cand = buckets.as("ba")
+      .join(buckets.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bsig") === col("bb.bsig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
+      .distinct()
+    val sigA = sig.select(($"doc_id".as("a") +:
+      (0 until MinHashFns).map(i => col(s"h$i").as(s"a$i"))): _*)
+    val sigB = sig.select(($"doc_id".as("b") +:
+      (0 until MinHashFns).map(i => col(s"h$i").as(s"b$i"))): _*)
+    val nAgree = (0 until MinHashFns)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sigA, "a").join(sigB, "b")
+      .withColumn("n_agree", nAgree)
+      .join(sets.select($"doc_id".as("a"), $"shs".as("sa")), "a")
+      .join(sets.select($"doc_id".as("b"), $"shs".as("sb")), "b")
+      .withColumn("exact_j", jaccard($"sa", $"sb"))
+      .select($"a".cast("long").as("doc_a"), $"b".cast("long").as("doc_b"),
+        $"n_agree", ($"n_agree" / MinHashFns.toDouble).as("est_j"),
+        $"exact_j",
+        round(abs($"n_agree" / MinHashFns.toDouble - $"exact_j"), 6).as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def minHashEstErrorSql(): String = {
+    val agree = (0 until MinHashFns)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${minHashPairsCtes()},
+       |est AS (
+       |  SELECT c.a, c.b, $agree AS n_agree
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+       |              JOIN sig sb ON sb.doc_id = c.b)
+       |SELECT CAST(v.a AS BIGINT) AS doc_a, CAST(v.b AS BIGINT) AS doc_b,
+       |  CAST(e.n_agree AS BIGINT) AS n_agree,
+       |  e.n_agree / ${MinHashFns.toDouble} AS est_j,
+       |  v.jaccard AS exact_j,
+       |  round(abs(e.n_agree / ${MinHashFns.toDouble} - v.jaccard), 6) AS abs_err
+       |FROM verified v JOIN est e ON v.a = e.a AND v.b = e.b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // SimHash near-dup (pigeonhole-banded Hamming join)
   // ---------------------------------------------------------------
 

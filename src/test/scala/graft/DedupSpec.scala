@@ -126,4 +126,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(!j.exists(p => p._1 == 2L && p._2 == 7L), s"jaccard found $j")
   }
+
+  test("minhash estimate error: covers the dedup pairs, bounded, accurate where it matters") {
+    import spark.implicits._
+    val est = graft.operators.Dedup.minHashEstError(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(est.nonEmpty)
+    est.foreach { case (a, b, n, ej, xj, err) =>
+      assert(a < b)
+      assert(n >= 0 && n <= 16)
+      assert(ej == n / 16.0)
+      assert(xj >= 0.0 && xj <= 1.0)
+      assert(math.abs(err - math.abs(ej - xj)) < 1e-6 + 5e-7)
+    }
+    // every verified near-dup pair is a candidate pair scored here
+    val dups = graft.operators.Dedup.minHashNearDups(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val scored = est.map(r => (r._1, r._2)).toSet
+    dups.foreach { case (a, b, _) => assert(scored((a, b)), s"pair $a,$b unscored") }
+    // an identical pair of signatures estimates 1.0; and on the
+    // near-identical pairs the buckets select for, the sketch is
+    // close on average — 16 components give ±1/16 granularity, so
+    // demand mean |err| under 3 components' worth
+    val meanErr = est.map(_._6).sum / est.size
+    assert(meanErr <= 3.0 / 16.0, s"mean abs err $meanErr")
+  }
 }
