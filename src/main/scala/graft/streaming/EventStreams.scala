@@ -50,6 +50,22 @@ case class FunnelBuf(evs: Seq[(String, Long)])
   * stage unreached). */
 case class FunnelStageRow(user_id: Long, stage: Int, t1: Long, t2: Long, t3: Long)
 
+/** One changelog entry for the streaming compactor (`seq` unique
+  * within key breaks same-timestamp ties; `op` ∈ I/U/D). */
+case class CdcOp(key: Long, ts: java.sql.Timestamp, seq: Long,
+                 op: String, value: Double)
+
+/** Compactor state per key: the winning (ts, seq) entry so far plus
+  * the total op count — O(1) regardless of history length. */
+case class CdcState(ts_ms: Long, seq: Long, op: String, value: Double,
+                    n_ops: Long)
+
+/** Current snapshot row for a key (update mode: each micro-batch
+  * re-emits keys it touched; `last_op = "D"` is the retraction marker
+  * a sink uses to drop the key from the materialized snapshot). */
+case class CdcRow(user_id: Long, n_ops: Long, last_op: String,
+                  last_value: Double, last_ts_ms: Long)
+
 object EventStreams {
 
   private def dec(c: Column) = c.cast("decimal(18,2)")
@@ -463,6 +479,44 @@ object EventStreams {
       |  CAST(SUM(session_events) AS BIGINT) AS n_events,
       |  CAST(MAX(session_events) AS BIGINT) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // streaming changelog compaction — last-writer-wins on ingest
+  // ---------------------------------------------------------------
+
+  /** Streaming form of [[graft.operators.Relational.cdcCompactOf]]:
+    * maintain the latest-snapshot row per key as a changelog streams
+    * in. State per key is ONE (ts, seq, op, value) winner plus a
+    * counter — O(1) however long the history — and each micro-batch
+    * emits the refreshed snapshot row for the keys it touched
+    * (Update mode; a `last_op = "D"` row retracts the key
+    * downstream). Late entries are handled by VALUE, not arrival:
+    * the (ts, seq) comparison makes the merge order-insensitive, so
+    * no watermark is needed for correctness — the batch twin over
+    * the same log is bit-equal whatever the arrival order (spec
+    * replays shuffled arrivals).
+    *
+    * Scale posture: state is keys × O(1); the stream shuffles once
+    * on key per micro-batch. The same shape Kafka log compaction
+    * runs continuously, expressed as Spark streaming state. */
+  def cdcCompactStream(log: Dataset[CdcOp]): Dataset[CdcRow] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val fn = (key: Long, rows: Iterator[CdcOp], state: GroupState[CdcState]) => {
+      var st = state.getOption.getOrElse(
+        CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+      rows.foreach { r =>
+        val t = r.ts.getTime
+        val newer = t > st.ts_ms || (t == st.ts_ms && r.seq > st.seq)
+        st =
+          if (newer) CdcState(t, r.seq, r.op, r.value, st.n_ops + 1)
+          else st.copy(n_ops = st.n_ops + 1)
+      }
+      state.update(st)
+      CdcRow(key, st.n_ops, st.op, st.value, st.ts_ms)
+    }
+    log.groupByKey(_.key).mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 
   // ---------------------------------------------------------------
   // streaming sequence packing — stateful bin assignment on ingest

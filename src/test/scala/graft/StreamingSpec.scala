@@ -83,6 +83,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("streaming cdc compaction equals the batch compactor, any arrival order") {
+    import graft.streaming.{CdcOp, CdcRow}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = eventRows(600)
+    val ops = rows.map { e =>
+      val op = e.event_type match {
+        case "signup" => "I"
+        case "error"  => "D"
+        case _        => "U"
+      }
+      CdcOp(e.user_id, e.ts, e.event_id, op, e.value)
+    }
+    // batch truth from the SAME log via the oracle-checked operator
+    val want = graft.operators.Relational.cdcCompactOf(
+      ops.toDF("key", "ts", "seq", "op", "value"))
+      .as[(Long, Long, String, Double, String)].collect().toSeq
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    // arrival orders: natural, and deterministically shuffled — the
+    // (ts, seq) value comparison must make arrival order irrelevant
+    val shuffled = ops.sortBy(o => (o.seq * 2654435761L) & 0x7fffffffL)
+    for ((order, name) <- Seq((ops, "s_cdc_nat"), (shuffled, "s_cdc_shuf"))) {
+      val mem = MemoryStream[CdcOp]
+      val q = EventStreams.cdcCompactStream(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        val (a, b) = order.splitAt(order.size / 2)
+        mem.addData(a); q.processAllAvailable()
+        mem.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      // update mode re-emits a key per touching batch: final state =
+      // the row with that key's max op count
+      val got = spark.table(name).as[CdcRow].collect().toSeq
+        .groupBy(_.user_id).values.map(_.maxBy(_.n_ops))
+        .filter(_.last_op != "D")
+        .map(r => (r.user_id, r.n_ops, r.last_op, r.last_value)).toSet
+      assert(got == want, s"$name diverged from batch compactor")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("streaming exact dedup: duplicated stream converges to batch distinct") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
