@@ -1,0 +1,322 @@
+package graft.operators
+
+import graft.functions.TextAnalysis._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality and data-mixing operators for training-data
+  * curation, extending the engine past the reference's only text op
+  * (splitting a cast string on "," — `Code/mapReduce.erl:140-143`)
+  * toward the published filtering/weighting recipes used to build
+  * LLM pretraining corpora: the Gopher rule suite (Rae et al. 2021),
+  * soft deduplication by n-gram commonness (down-weighting instead of
+  * dropping), z-scored curriculum staging, and per-source n-gram
+  * novelty accounting.
+  *
+  * Scale posture (100 TB): every operator is scan → per-row codegen'd
+  * (or array-HOF) feature extraction → partial+final hash aggregates
+  * on low-cardinality keys (rule / stage / source) or on the shingle
+  * key. No global sorts, no windows over the raw corpus, no driver
+  * materialization beyond 1-row stats frames. Rule thresholds are
+  * compared in INTEGER arithmetic (`alpha*5 >= words*4`, not
+  * `alpha/words >= 0.8`) so the pass/fail boundary is exact on both
+  * engines; the one float boundary (curriculum z-cuts) is rounded to
+  * 4 dp first, the library-wide idiom for cross-engine float noise
+  * (see [[Relational.outlierZscoreOf]]).
+  */
+object CorpusQuality {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  // shared frame cache for the operators whose shingle stream feeds
+  // two aggregation branches (the Dedup/TextAnalytics idiom)
+  private val frameCache = new graft.util.FrameCache()
+
+  private def cached(stage: String, df: DataFrame): DataFrame =
+    frameCache.getOrElseUpdate(df.sparkSession,
+      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+
+  /** All five marker lists folded together — the Gopher stopword rule
+    * only asks "does the document contain common function words in
+    * ANY supported language". */
+  private val allMarkers: Seq[String] = langMarkers.flatMap(_._2)
+
+  // ---------------------------------------------------------------
+  // llm_gopher_rules — per-rule failure accounting (Rae et al. 2021)
+  // ---------------------------------------------------------------
+
+  /** The Gopher quality-rule suite, reported as one row per rule with
+    * its corpus-wide failure count and rate, plus an `any_rule` row
+    * (documents failing at least one rule — the fraction a
+    * Gopher-style gate would drop). Rules, adapted to what the
+    * corpus model here can express (no line structure):
+    *
+    *  - `word_count`        50 ≤ tokens ≤ 100 000
+    *  - `mean_word_length`  3 ≤ word-chars / tokens ≤ 10
+    *  - `alpha_ratio`       ≥ 80 % of tokens contain a letter
+    *  - `digit_ratio`       ≤ 30 % of tokens are all-digit
+    *  - `stopwords`         ≥ 2 distinct function-word markers
+    *
+    * All thresholds are evaluated in integer arithmetic so the
+    * boundary is bit-exact across engines. One scan, one 1-row
+    * aggregate, then a 6-row explode — nothing here grows with the
+    * corpus.
+    */
+  def gopherRulesOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val ts = tokens($"text")
+    val f = documents.select(
+      size(ts).cast("long").as("n_words"),
+      length(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}_]+", ""))
+        .cast("long").as("word_chars"),
+      size(filter(ts, t => t.rlike("\\p{L}"))).cast("long").as("alpha_words"),
+      size(filter(ts, t => t.rlike("^\\p{N}+$"))).cast("long").as("digit_words"),
+      size(array_intersect(array_distinct(ts),
+        array(allMarkers.map(lit): _*))).cast("long").as("stop_hits"))
+    val failWc    = !($"n_words" >= 50L && $"n_words" <= 100000L)
+    val failMwl   = !($"word_chars" >= $"n_words" * 3L &&
+      $"word_chars" <= $"n_words" * 10L)
+    val failAlpha = !($"alpha_words" * 5L >= $"n_words" * 4L)
+    val failDigit = !($"digit_words" * 10L <= $"n_words" * 3L)
+    val failStop  = !($"stop_hits" >= 2L)
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val agg = f.agg(
+      count(lit(1)).as("total"),
+      cnt(failWc).as("f_wc"), cnt(failMwl).as("f_mwl"),
+      cnt(failAlpha).as("f_alpha"), cnt(failDigit).as("f_digit"),
+      cnt(failStop).as("f_stop"),
+      cnt(failWc || failMwl || failAlpha || failDigit || failStop)
+        .as("f_any"))
+    agg.select($"total", explode(array(
+      struct(lit("alpha_ratio").as("rule"), $"f_alpha".as("n_fail")),
+      struct(lit("any_rule").as("rule"), $"f_any".as("n_fail")),
+      struct(lit("digit_ratio").as("rule"), $"f_digit".as("n_fail")),
+      struct(lit("mean_word_length").as("rule"), $"f_mwl".as("n_fail")),
+      struct(lit("stopwords").as("rule"), $"f_stop".as("n_fail")),
+      struct(lit("word_count").as("rule"), $"f_wc".as("n_fail")))).as("r"))
+      .select($"r.rule".as("rule"), $"r.n_fail".as("n_fail"),
+        ($"r.n_fail".cast("double") / $"total").as("fail_rate"))
+      .orderBy($"rule")
+  }
+
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOf(docs(spark, sfDir))
+
+  val gopherRulesSql: String = {
+    val markers = allMarkers.map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (SELECT $tokensSql AS ts, lower(text) AS lt FROM documents),
+       |f AS (SELECT len(ts) AS n_words,
+       |  length(regexp_replace(lt, '[^\\p{L}\\p{N}_]+', '', 'g')) AS word_chars,
+       |  len(list_filter(ts, x -> regexp_matches(x, '\\p{L}'))) AS alpha_words,
+       |  len(list_filter(ts, x -> regexp_matches(x, '^\\p{N}+$$'))) AS digit_words,
+       |  len(list_intersect(list_distinct(ts), [$markers])) AS stop_hits
+       |  FROM t),
+       |g AS (SELECT COUNT(*) AS total,
+       |  SUM(CASE WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 1 ELSE 0 END) AS f_wc,
+       |  SUM(CASE WHEN NOT (word_chars >= n_words * 3 AND word_chars <= n_words * 10) THEN 1 ELSE 0 END) AS f_mwl,
+       |  SUM(CASE WHEN NOT (alpha_words * 5 >= n_words * 4) THEN 1 ELSE 0 END) AS f_alpha,
+       |  SUM(CASE WHEN NOT (digit_words * 10 <= n_words * 3) THEN 1 ELSE 0 END) AS f_digit,
+       |  SUM(CASE WHEN NOT (stop_hits >= 2) THEN 1 ELSE 0 END) AS f_stop,
+       |  SUM(CASE WHEN NOT (n_words >= 50 AND n_words <= 100000)
+       |            OR NOT (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+       |            OR NOT (alpha_words * 5 >= n_words * 4)
+       |            OR NOT (digit_words * 10 <= n_words * 3)
+       |            OR NOT (stop_hits >= 2) THEN 1 ELSE 0 END) AS f_any
+       |  FROM f)
+       |SELECT rule, n_fail, CAST(n_fail AS DOUBLE) / total AS fail_rate
+       |FROM (
+       |  SELECT 'alpha_ratio' AS rule, f_alpha AS n_fail, total FROM g
+       |  UNION ALL SELECT 'any_rule', f_any, total FROM g
+       |  UNION ALL SELECT 'digit_ratio', f_digit, total FROM g
+       |  UNION ALL SELECT 'mean_word_length', f_mwl, total FROM g
+       |  UNION ALL SELECT 'stopwords', f_stop, total FROM g
+       |  UNION ALL SELECT 'word_count', f_wc, total FROM g)
+       |ORDER BY rule""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_soft_dedup — down-weighting by n-gram commonness
+  // ---------------------------------------------------------------
+
+  /** Soft deduplication (the SoftDeDup idea: arXiv 2403.00435 —
+    * re-weight common text instead of dropping it): each document's
+    * duplication factor is the mean corpus document-frequency of its
+    * distinct 3-gram shingles, its sampling weight is the reciprocal,
+    * and the report is the per-source effective corpus size
+    * (`Σ weight`) and effective token mass (`Σ weight · tokens`)
+    * against the raw counts.
+    *
+    * The duplication factor is `Σ df / n_grams` — a ratio of exact
+    * longs, so the per-document weight is bit-identical across
+    * engines; only the final per-source sums are float-order
+    * sensitive, far below the comparator's 9-significant-digit
+    * normalization. Shingle-less documents (< 3 tokens) get weight 1.
+    *
+    * Scale: the shingle stream is built once (cached — it feeds both
+    * the df aggregate and the join back), df is a partial+final
+    * aggregate on the shingle key, and the join back is shingle-key
+    * co-partitioned with the aggregate — no all-pairs stage anywhere,
+    * the same posture as the hard-dedup family in [[Dedup]].
+    */
+  def softDedupWeightsOf(documents: DataFrame, n: Int = 3): DataFrame = {
+    import documents.sparkSession.implicits._
+    val base = documents.select($"doc_id", $"source",
+      tokens($"text").as("ts"))
+    val g = cached("softDedupGrams",
+      base.select($"doc_id",
+        explode(array_distinct(shingles($"ts", n))).as("g")))
+    val dfreq = g.groupBy($"g").agg(count(lit(1)).as("df"))
+    val dup = g.join(dfreq, "g")
+      .groupBy($"doc_id")
+      .agg((sum($"df").cast("double") / count(lit(1))).as("dup"))
+    base.select($"doc_id", $"source", size($"ts").cast("long").as("n_tokens"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup", coalesce($"dup", lit(1.0)))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("raw_tokens"),
+        sum(lit(1.0) / $"dup").as("eff_docs"),
+        sum(($"n_tokens" / $"dup")).as("eff_tokens"),
+        avg($"dup").as("avg_dup"))
+      .orderBy($"source")
+  }
+
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame =
+    softDedupWeightsOf(docs(spark, sfDir))
+
+  def softDedupWeightsSql(n: Int = 3): String =
+    s"""WITH t AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM t),
+       |dfreq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+       |dup AS (SELECT doc_id, CAST(SUM(df) AS DOUBLE) / COUNT(*) AS dup
+       |        FROM g JOIN dfreq USING (g) GROUP BY doc_id),
+       |d AS (SELECT t.doc_id, t.source, len(ts) AS n_tokens,
+       |             COALESCE(dup, 1.0) AS dup
+       |      FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS raw_tokens,
+       |  SUM(1.0 / dup) AS eff_docs,
+       |  SUM(n_tokens / dup) AS eff_tokens,
+       |  AVG(dup) AS avg_dup
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_curriculum — z-scored difficulty staging
+  // ---------------------------------------------------------------
+
+  /** Curriculum staging: a lexical difficulty score per document
+    * (type-token ratio × mean word length — the vocabulary-density
+    * proxy), z-scored against the corpus and cut at −0.5 / 0 / +0.5
+    * into four stages, reported as per-stage composition.
+    *
+    * Deliberately NOT an equal-count `ntile`: an exact global ntile
+    * is a corpus-wide total order — a single-partition window at any
+    * scale. Fixed z-cuts need only a 1-row mean/stddev aggregate
+    * broadcast back over the scan, so the whole operator is two
+    * distributed passes whatever the corpus size. The z is rounded to
+    * 4 dp before cutting (the [[Relational.outlierZscoreOf]] idiom)
+    * so engine-order float noise cannot flip a stage assignment.
+    */
+  def curriculumStagesOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val ts = tokens($"text")
+    val f = documents.select($"doc_id", $"lang",
+      size(ts).cast("long").as("n_tokens"),
+      size(array_distinct(ts)).cast("long").as("n_types"),
+      length(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}_]+", ""))
+        .cast("long").as("word_chars"))
+      .withColumn("score",
+        ($"n_types".cast("double") / greatest($"n_tokens", lit(1L))) *
+          ($"word_chars".cast("double") / greatest($"n_tokens", lit(1L))))
+    val stats = f.agg(avg($"score").as("mu"),
+      stddev_samp($"score").as("sd"))
+    f.crossJoin(broadcast(stats))
+      .withColumn("z", round(($"score" - $"mu") / $"sd", 4))
+      .withColumn("stage",
+        when($"z" < -0.5, lit("s1_easy"))
+          .when($"z" < 0.0, lit("s2_medium"))
+          .when($"z" < 0.5, lit("s3_hard"))
+          .otherwise(lit("s4_hardest")))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_tokens").as("total_tokens"),
+        avg($"score").as("avg_score"))
+      .orderBy($"stage")
+  }
+
+  def curriculumStages(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumStagesOf(docs(spark, sfDir))
+
+  val curriculumStagesSql: String =
+    s"""WITH f AS (SELECT doc_id, lang,
+       |    len($tokensSql) AS n_tokens,
+       |    len(list_distinct($tokensSql)) AS n_types,
+       |    length(regexp_replace(lower(text), '[^\\p{L}\\p{N}_]+', '', 'g')) AS word_chars
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang, n_tokens,
+       |    (CAST(n_types AS DOUBLE) / greatest(n_tokens, 1)) *
+       |    (CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1)) AS score
+       |  FROM f),
+       |st AS (SELECT AVG(score) AS mu, STDDEV_SAMP(score) AS sd FROM sc),
+       |z AS (SELECT doc_id, lang, n_tokens, score,
+       |    ROUND((score - mu) / sd, 4) AS z FROM sc CROSS JOIN st)
+       |SELECT CASE WHEN z < -0.5 THEN 's1_easy'
+       |            WHEN z < 0.0 THEN 's2_medium'
+       |            WHEN z < 0.5 THEN 's3_hard'
+       |            ELSE 's4_hardest' END AS stage,
+       |  COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  SUM(n_tokens) AS total_tokens,
+       |  AVG(score) AS avg_score
+       |FROM z GROUP BY 1 ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_ngram_novelty — per-source exclusive-content accounting
+  // ---------------------------------------------------------------
+
+  /** Per-source n-gram novelty: of each source's distinct 3-gram
+    * vocabulary, how much appears in NO other source. High novelty =
+    * the source contributes unique content to the mix; low novelty =
+    * its text is restatements of what other sources already provide —
+    * the source-level complement of per-document dedup, used to set
+    * mixture weights.
+    *
+    * Scale: distinct (source, gram) pairs via one partial+final
+    * aggregate, gram spread via a second, then a co-partitioned join
+    * back on the gram key — the inverted-index shape of
+    * [[Dedup.ngramJaccard]], never all-pairs.
+    */
+  def ngramNoveltyOf(documents: DataFrame, n: Int = 3): DataFrame = {
+    import documents.sparkSession.implicits._
+    val sg = cached("noveltySourceGrams",
+      documents.select($"source",
+        explode(array_distinct(shingles(tokens($"text"), n))).as("g"))
+        .distinct())
+    val spread = sg.groupBy($"g").agg(count(lit(1)).as("n_sources"))
+    sg.join(spread, "g")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"n_sources" === 1L, 1L).otherwise(0L)).as("n_exclusive"))
+      .withColumn("novelty",
+        $"n_exclusive".cast("double") / greatest($"n_grams", lit(1L)))
+      .orderBy($"source")
+  }
+
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    ngramNoveltyOf(docs(spark, sfDir))
+
+  def ngramNoveltySql(n: Int = 3): String =
+    s"""WITH t AS (SELECT source, $tokensSql AS ts FROM documents),
+       |sg AS (SELECT DISTINCT source, unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM t),
+       |spread AS (SELECT g, COUNT(*) AS n_sources FROM sg GROUP BY g)
+       |SELECT source, COUNT(*) AS n_grams,
+       |  SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS n_exclusive,
+       |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / greatest(COUNT(*), 1) AS novelty
+       |FROM sg JOIN spread USING (g)
+       |GROUP BY source ORDER BY source""".stripMargin
+}

@@ -1733,4 +1733,60 @@ object Relational {
        |  CAST(MIN(l_shipdate) AS DATE) AS min_ship
        |FROM lineitem GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Bloom-prefiltered join (the semi-join-reduction pattern): build
+    * a Bloom filter over the filtered dimension's keys (urgent
+    * orders), probe the fact side with the codegen'd `might_contain`
+    * BEFORE its shuffle so non-matching lineitems never leave the
+    * scan stage, then run the exact join — false positives (bounded
+    * by `fpp`) are eliminated there, so the result is EXACTLY the
+    * plain join and the oracle is plain SQL.
+    *
+    * Scale rationale: at 100 TB the fact side dominates shuffle cost;
+    * a ~1 % selective dimension predicate means ~99 % of fact rows
+    * shuffle only to be dropped by the join. The filter costs one
+    * driver-held bitset (sized by `expectedItems`/`fpp`, independent
+    * of fact size — the same bounded-coordinator pattern as
+    * [[graft.operators.TextAnalytics.decontaminateBloom]]) shipped as
+    * a literal into the scan stage. This is exactly what Spark's own
+    * runtime-filter rule (`spark.sql.optimizer.runtime.bloomFilter`)
+    * injects when statistics expose the opportunity; here it is an
+    * explicit operator so the reduction is guaranteed, not
+    * stats-dependent.
+    */
+  def bloomJoin(spark: SparkSession, sfDir: String,
+                fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", to_date($"o_orderdate").as("o_date"))
+    // one count job to size the filter: bounded work on an already
+    // 1%-filtered dimension, and the exact-items sizing keeps the
+    // false-positive budget honest
+    val expected = math.max(1L, urgent.count())
+    val bloom = urgent
+      .agg(org.apache.spark.sql.GraftSqlBridge
+        .bloomFilterAgg($"o_orderkey", expected, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probed = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey",
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .as("rev"))
+      .filter(org.apache.spark.sql.GraftSqlBridge
+        .mightContain(bloom, $"l_orderkey"))
+    probed.join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy(to_date(date_trunc("month", $"o_date")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"rev").cast("double").as("revenue"))
+      .orderBy($"month")
+  }
+
+  val bloomJoinSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY month""".stripMargin
 }
