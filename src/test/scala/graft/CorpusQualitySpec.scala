@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{CorpusQuality, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the corpus-curation operators: crafted
+  * mini-corpora with hand-computed expectations, so the rules keep
+  * meaning what the docstrings say even if the registered queries
+  * stay hash-green by coincidence. */
+class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def rules(rows: Seq[(String, Long, Double)]): Map[String, Long] =
+    rows.map(r => r._1 -> r._2).toMap
+
+  test("gopher rules: each rule fires on its crafted violator") {
+    val good = (1 to 60).map(i => s"the word$i of and").mkString(" ") // 240 words, letters, stopwords
+    val short = "the tiny document of today"                          // fails word_count only
+    val digits = (1 to 60).map(i => s"${i}000 4200").mkString(" ")    // all-digit tokens
+    val docs = Seq((1L, good), (2L, short), (3L, digits))
+      .toDF("doc_id", "text")
+    val out = CorpusQuality.gopherRulesOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byRule = rules(out.toIndexedSeq)
+    assert(byRule("word_count") === 1L)       // only `short`
+    assert(byRule("alpha_ratio") === 1L)      // only `digits`
+    assert(byRule("digit_ratio") === 1L)      // only `digits`
+    assert(byRule("stopwords") === 1L)        // only `digits` (no markers)
+    assert(byRule("mean_word_length") === 0L) // everyone in [3,10]
+    assert(byRule("any_rule") === 2L)         // short + digits
+    val rates = out.map(r => r._1 -> r._3).toMap
+    assert(rates("any_rule") === 2.0 / 3.0)
+  }
+
+  test("soft dedup: duplicated text is down-weighted, unique text is not") {
+    // a1/a2 share every 3-gram (df=2 → dup=2 → weight 0.5 each);
+    // b is unique (dup=1 → weight 1)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "alpha beta gamma delta", "srcA"),
+      (3L, "epsilon zeta eta theta", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusQuality.softDedupWeightsOf(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(5))).toMap
+    val (na, effA, dupA) = out("srcA")
+    assert(na === 2L && effA === 1.0 && dupA === 2.0)
+    val (nb, effB, dupB) = out("srcB")
+    assert(nb === 1L && effB === 1.0 && dupB === 1.0)
+  }
+
+  test("soft dedup: shingle-less documents default to weight 1") {
+    val docs = Seq((1L, "just two", "srcX")).toDF("doc_id", "text", "source")
+    val row = CorpusQuality.softDedupWeightsOf(docs).collect().head
+    assert(row.getDouble(3) === 1.0) // eff_docs
+    assert(row.getDouble(5) === 1.0) // avg_dup
+  }
+
+  test("curriculum stages partition the corpus and order by difficulty") {
+    val out = CorpusQuality.curriculumStages(spark, sf).collect()
+    val stages = out.map(_.getString(0)).toSeq
+    assert(stages === stages.sorted, "stages must come out ordered")
+    assert(stages.toSet.subsetOf(
+      Set("s1_easy", "s2_medium", "s3_hard", "s4_hardest")))
+    val total = out.map(_.getLong(1)).sum
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(total === corpus, "every document lands in exactly one stage")
+  }
+
+  test("ngram novelty: exclusive source scores 1.0, mirrored sources 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "alpha beta gamma delta", "srcB"), // mirrors srcA exactly
+      (3L, "epsilon zeta eta theta iota", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusQuality.ngramNoveltyOf(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("srcA") === 0.0 && out("srcB") === 0.0)
+    assert(out("srcC") === 1.0)
+  }
+
+  test("bloom join: might_contain probe reaches the plan, result is exact") {
+    val df = Relational.bloomJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+    // exactness: the bloom path must agree with the plain join
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf)
+          .filter($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey")
+      .count()
+    assert(df.agg(org.apache.spark.sql.functions.sum($"n_items"))
+      .collect().head.getLong(0) === plain)
+  }
+}
