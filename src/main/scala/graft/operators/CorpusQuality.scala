@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Hashing.md5i32Sql
 import graft.functions.TextAnalysis._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -319,4 +320,186 @@ object CorpusQuality {
        |    / greatest(COUNT(*), 1) AS novelty
        |FROM sg JOIN spread USING (g)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_span_corruption — T5-style denoising mask accounting
+  // ---------------------------------------------------------------
+
+  /** Span-corruption sample prep (the T5 denoising objective): each
+    * token position is masked by a deterministic salted hash of
+    * `(doc_id, position)` at rate 1/`rate`, runs of masked positions
+    * collapse into sentinel spans, and the report is the per-document
+    * mask accounting a seq2seq packer consumes (`n_spans` = number of
+    * sentinels inserted, `n_masked` = target-side length). Hash-keyed
+    * masking is what makes the corruption REPRODUCIBLE across reruns
+    * and re-shards — the rand() alternative changes every sample on
+    * every execution plan.
+    *
+    * Scale: posexplode → per-row codegen'd hash → one window lag
+    * PARTITIONED BY doc (never a global order) → per-doc aggregate.
+    */
+  def spanCorruptionOf(documents: DataFrame, rate: Int = 6,
+                       salt: Int = 17): DataFrame = {
+    import documents.sparkSession.implicits._
+    require(rate >= 2, s"mask rate denominator must be >= 2, got $rate")
+    val toks = documents
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    toks
+      .withColumn("masked",
+        graft.functions.Hashing.md5i32(
+          concat($"doc_id".cast("string"), lit(":"), $"pos".cast("string")),
+          salt) % rate === 0)
+      .withColumn("span_start",
+        $"masked" && !coalesce(lag($"masked", 1).over(w), lit(false)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"masked", 1L).otherwise(0L)).as("n_masked"),
+        sum(when($"span_start", 1L).otherwise(0L)).as("n_spans"))
+      .withColumn("corruption_rate",
+        $"n_masked".cast("double") / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame =
+    spanCorruptionOf(docs(spark, sfDir))
+
+  def spanCorruptionSql(rate: Int = 6, salt: Int = 17): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |p AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos FROM t),
+       |m AS (SELECT doc_id, pos,
+       |        ${md5i32Sql("doc_id || ':' || pos", salt)} % $rate = 0 AS masked
+       |      FROM p),
+       |s AS (SELECT doc_id, masked,
+       |        masked AND NOT coalesce(
+       |          lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false)
+       |          AS span_start
+       |      FROM m)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+       |  SUM(CASE WHEN span_start THEN 1 ELSE 0 END) AS n_spans,
+       |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS corruption_rate
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_char_entropy — character-entropy quality signal
+  // ---------------------------------------------------------------
+
+  /** Per-document Shannon entropy over the character distribution —
+    * the classic gibberish/boilerplate detector (near-zero entropy =
+    * one repeated character; binary-garbage and keyboard-mash text
+    * sit far from the natural-language band). Computed as
+    * `ln(N) − Σ c·ln(c) / N` from exact per-character counts so the
+    * only float work is the final two-term expression, rounded to
+    * 4 dp (the cross-engine `ln` ulp guard).
+    *
+    * Scale: explode to (doc, char) → partial+final count aggregate
+    * (map-side combine collapses each partition to its local char
+    * histogram first) → per-doc fold. Alphabet-bounded intermediate:
+    * rows after the first aggregate ≤ docs × |alphabet|.
+    */
+  def charEntropyOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
+      .select($"doc_id",
+        explode(regexp_extract_all($"text", lit("."), lit(0))).as("ch"))
+      .groupBy($"doc_id", $"ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"),
+        count(lit(1)).as("uniq_chars"),
+        round(log(sum($"c")) -
+          sum($"c".cast("double") * log($"c")) / sum($"c"), 4)
+          .as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    charEntropyOf(docs(spark, sfDir))
+
+  val charEntropySql: String =
+    """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      |            FROM documents),
+      |h AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
+      |SELECT doc_id, SUM(c) AS n_chars, COUNT(*) AS uniq_chars,
+      |  round(ln(SUM(c)) - SUM(c::DOUBLE * ln(c)) / SUM(c), 4) AS entropy
+      |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_split_leakage — near-dup contamination across splits
+  // ---------------------------------------------------------------
+
+  /** Cross-split leakage audit: after the content-hash train/val/test
+    * assignment (same salt-17 rule as
+    * [[TextAnalytics.corpusSplitOf]]), find document pairs in
+    * DIFFERENT splits that share ≥ `minShared` distinct 3-grams —
+    * exact duplicates can't straddle the boundary (the split is
+    * content-keyed) but near-duplicates can, and each one leaks
+    * training text into eval. Reports pair counts and the worst
+    * overlap per split pair.
+    *
+    * Scale: the df-capped inverted-index shape of [[Dedup]] — a
+    * shingle with document frequency > `dfCap` is too common to
+    * signal near-duplication and is dropped BEFORE the posting-list
+    * self-join, so no hot shingle can go quadratic.
+    */
+  def splitLeakageOf(documents: DataFrame, n: Int = 3, dfCap: Int = 16,
+                     minShared: Long = 2L, trainPct: Int = 80,
+                     valPct: Int = 10): DataFrame = {
+    import documents.sparkSession.implicits._
+    val h = pmod(graft.functions.Hashing.md5i32($"text", 17), lit(100))
+    val d = documents.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+    val g = cached("leakageGrams",
+      d.select($"doc_id", $"split",
+        explode(array_distinct(shingles(tokens($"text"), n))).as("g")))
+    val capped = g.groupBy($"g")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= dfCap)
+      .select($"g")
+    val posts = g.join(capped, "g")
+    val pairs = posts.as("a").join(posts.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.split" =!= $"b.split")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        least($"a.split", $"b.split").as("split_lo"),
+        greatest($"a.split", $"b.split").as("split_hi"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= minShared)
+    pairs.groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        max($"shared").as("max_shared"))
+      .orderBy($"split_lo", $"split_hi")
+  }
+
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakageOf(docs(spark, sfDir))
+
+  def splitLeakageSql(n: Int = 3, dfCap: Int = 16, minShared: Long = 2L,
+                      trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS ts,
+       |    CASE WHEN ${md5i32Sql("text", 17)} % 100 < $trainPct THEN 'train'
+       |         WHEN ${md5i32Sql("text", 17)} % 100 < ${trainPct + valPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |g AS (SELECT doc_id, split,
+       |        unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM d),
+       |capped AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+       |           WHERE df >= 2 AND df <= $dfCap),
+       |posts AS (SELECT doc_id, split, g FROM g JOIN capped USING (g)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         least(a.split, b.split) AS split_lo,
+       |         greatest(a.split, b.split) AS split_hi,
+       |         COUNT(*) AS shared
+       |  FROM posts a JOIN posts b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id AND a.split <> b.split
+       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= $minShared)
+       |SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+       |  MAX(shared) AS max_shared
+       |FROM pairs GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
 }

@@ -80,6 +80,50 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(out("srcC") === 1.0)
   }
 
+  test("span corruption: reproducible, position-keyed, spans <= masked") {
+    val a = CorpusQuality.spanCorruption(spark, sf).collect()
+    val b = CorpusQuality.spanCorruption(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "masking must be deterministic across runs")
+    a.foreach { r =>
+      val (tok, masked, spans) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(spans <= masked && masked <= tok)
+    }
+    // corpus-wide rate ~1/6 (binomial, thousands of positions)
+    val rate = a.map(_.getLong(2)).sum.toDouble / a.map(_.getLong(1)).sum
+    assert(rate > 0.10 && rate < 0.24, s"mask rate $rate far from 1/6")
+    // position-keyed: same text under different doc ids masks differently
+    val twin = Seq((1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val rows = CorpusQuality.spanCorruptionOf(twin, rate = 2).collect()
+    assert(rows.length === 2) // both docs present; masks derive from (id, pos)
+  }
+
+  test("char entropy: zero for a one-symbol doc, hand value for a small one") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab ab")).toDF("doc_id", "text")
+    val out = CorpusQuality.charEntropyOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 0.0)
+    // chars a,b,' ' with counts 2,2,1: ln5 - (2ln2+2ln2)/5 = 1.0549
+    assert(out(2L) === 1.0549)
+  }
+
+  test("split leakage: exact duplicates cannot straddle the split") {
+    val dups = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    assert(CorpusQuality.splitLeakageOf(dups).count() === 0L,
+      "content-keyed split puts byte-identical docs in ONE split")
+  }
+
+  test("split leakage on the corpus: canonical pair order, nonzero signal") {
+    val rows = CorpusQuality.splitLeakage(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty, "sf0.01 corpus is known to contain near-dups")
+    rows.foreach(r => assert(r.getString(0) < r.getString(1),
+      "split pairs must come out canonicalized lo < hi"))
+  }
+
   test("bloom join: might_contain probe reaches the plan, result is exact") {
     val df = Relational.bloomJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
