@@ -356,6 +356,105 @@ object Multimodal {
   // pins decoded pixel values exactly instead)
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // llm_multimodal_phash — perceptual-hash image near-dup
+  // (rows-only check: the PNG decode step is not SQL-expressible;
+  // the spec pins twin recovery and the banded-join plan instead)
+  // ---------------------------------------------------------------
+
+  /** Id offset marking the perturbed re-encode twins — far above any
+    * real asset id, so provenance survives the union. */
+  private[graft] val PhashTwinOffset = 1L << 40
+
+  /** Image corpus + perturbed re-encode twins: every image is decoded,
+    * ~4 % of pixels get +1 luminance, and the result is re-encoded
+    * through the SAME real PNG codec under `asset_id + PhashTwinOffset`.
+    * This is the controlled near-duplicate a perceptual-hash detector
+    * must recover (re-encoded ≠ byte-identical, so content hashing
+    * cannot find it). */
+  private[graft] def imagesWithTwins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = assetsWithRealPayloads(spark, sfDir).filter($"kind" === "image")
+    val twins = imgs
+      .select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
+      .as[(Long, String, Array[Byte], Int, Int, Int)]
+      .mapPartitions { rows =>
+        // one codec scope per partition, as everywhere in this module
+        rows.map { case (id, kind, bytes, w, h, f) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"asset $id: undecodable image payload")
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              if ((x + y) % 23 == 0) {
+                val g0 = img.getRGB(x, y) & 0xff
+                val g = math.min(255, g0 + 1)
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id + PhashTwinOffset, kind, bos.toByteArray, w, h, f)
+        }
+      }
+      .toDF("asset_id", "kind", "bytes", "width", "height", "n_frames")
+    imgs.select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
+      .union(twins)
+  }
+
+  /** Perceptual-hash near-duplicate pairs over the image corpus (+
+    * controlled twins): decode → 8×8 average-pool → 64-bit aHash
+    * (bit i = cell i above the grid mean) → SimHash-style banded
+    * candidate generation (4 × 16-bit bands; Hamming ≤ 3 ⇒ the
+    * pigeonhole guarantees one equal band) → exact `bit_count(a ⊕ b)`
+    * verify. Candidates come from a band equi-join — never an
+    * all-pairs signature comparison — which is the posture that
+    * survives an image corpus of billions.
+    */
+  def imagePhashPairs(spark: SparkSession, sfDir: String,
+                      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole covers Hamming <= 3, got $maxHamming")
+    val sigs = resizePooled(decodeAssets(imagesWithTwins(spark, sfDir)))
+      .select($"asset_id", $"pixels")
+      .as[(Long, Array[Float])]
+      .map { case (id, px) =>
+        var s = 0.0
+        var i = 0
+        while (i < px.length) { s += px(i); i += 1 }
+        val mean = s / px.length
+        var sig = 0L
+        i = 0
+        while (i < px.length && i < 64) {
+          if (px(i) > mean) sig |= (1L << i)
+          i += 1
+        }
+        (id, sig)
+      }
+      .toDF("asset_id", "sig")
+    val banded = sigs.select($"asset_id", $"sig",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sig", 16 * b).bitwiseAND(lit(0xffffL)).as("bits"))): _*))
+        .as("bb"))
+      .select($"asset_id", $"sig", $"bb.band", $"bb.bits")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+      .distinct() // a close pair can collide in several bands
+      .filter($"hamming" <= maxHamming)
+      .withColumn("is_twin", $"id_b" - $"id_a" === PhashTwinOffset)
+      .orderBy($"id_a", $"id_b")
+  }
+
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pooled = resizePooled(decodeAssets(assetsWithRealPayloads(spark, sfDir)))

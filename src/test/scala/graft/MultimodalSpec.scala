@@ -111,4 +111,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .filter($"got" =!= $"want").count()
     assert(bad == 0)
   }
+
+  test("phash near-dup recovers re-encoded twins through a banded equi-join") {
+    import spark.implicits._
+    val pairs = Multimodal.imagePhashPairs(spark, sf)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"signature comparison regressed to all-pairs:\n$plan")
+    val rows = pairs.collect()
+    val nImages = Multimodal.assetsWithRealPayloads(spark, sf)
+      .filter($"kind" === "image").count()
+    val twins = rows.count(_.getBoolean(3))
+    // a +1-on-4%-of-pixels re-encode must hash within Hamming 3 of its
+    // original for (nearly) every image — the detector's whole point
+    assert(twins >= (nImages * 9) / 10,
+      s"recovered only $twins/$nImages perturbed twins")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical a < b")
+      assert(r.getInt(2) <= 3, "verify stage must enforce the Hamming cap")
+    }
+  }
 }
