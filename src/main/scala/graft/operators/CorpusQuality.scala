@@ -322,6 +322,53 @@ object CorpusQuality {
        |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_tokenizer_fertility — tokenizer economics per language
+  // ---------------------------------------------------------------
+
+  /** Tokenizer fertility per language: subword pieces emitted per
+    * word (the ≤4-char greedy chunking of
+    * [[TextAnalytics.tokenCount]], but in Unicode classes so CJK
+    * counts) and characters covered per subword. Fertility is THE
+    * number that decides how a fixed token budget divides across
+    * languages — a lang at fertility 2 pays twice the sequence length
+    * of one at 1 for the same word count. One scan, one aggregate on
+    * the 5-ary language key; ratios divide exact corpus-level longs,
+    * so they are bit-identical across engines.
+    */
+  def tokenizerFertilityOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
+      .select($"lang",
+        regexp_count($"text", lit("[\\p{L}\\p{N}_]+")).cast("long").as("words"),
+        regexp_count($"text", lit("[\\p{L}\\p{N}_]{1,4}")).cast("long").as("subwords"),
+        length(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}_]+", ""))
+          .cast("long").as("word_chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"words").as("words"),
+        sum($"subwords").as("subwords"),
+        (sum($"subwords").cast("double") / sum($"words")).as("fertility"),
+        (sum($"word_chars").cast("double") / sum($"subwords"))
+          .as("chars_per_subword"))
+      .orderBy($"lang")
+  }
+
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizerFertilityOf(docs(spark, sfDir))
+
+  val tokenizerFertilitySql: String =
+    """WITH f AS (SELECT lang,
+      |    len(regexp_extract_all(text, '[\p{L}\p{N}_]+')) AS words,
+      |    len(regexp_extract_all(text, '[\p{L}\p{N}_]{1,4}')) AS subwords,
+      |    length(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', '', 'g')) AS word_chars
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(words) AS words, SUM(subwords) AS subwords,
+      |  CAST(SUM(subwords) AS DOUBLE) / SUM(words) AS fertility,
+      |  CAST(SUM(word_chars) AS DOUBLE) / SUM(subwords) AS chars_per_subword
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_span_corruption — T5-style denoising mask accounting
   // ---------------------------------------------------------------
 

@@ -80,6 +80,17 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(out("srcC") === 1.0)
   }
 
+  test("tokenizer fertility: long words chunk, CJK counts per codepoint") {
+    val docs = Seq(
+      (1L, "en", "internationalization"), // 20 chars -> 5 subwords, 1 word
+      (2L, "zh", "的 是 在"))             // 3 one-char words -> 3 subwords
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusQuality.tokenizerFertilityOf(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("en") === ((1L, 5L, 5.0)))
+    assert(out("zh") === ((3L, 3L, 1.0)))
+  }
+
   test("span corruption: reproducible, position-keyed, spans <= masked") {
     val a = CorpusQuality.spanCorruption(spark, sf).collect()
     val b = CorpusQuality.spanCorruption(spark, sf).collect()
