@@ -1,6 +1,8 @@
 package graft
 
+import graft.functions.TextAnalysis.tokens
 import graft.operators.{CorpusQuality, Relational}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantic pins for the corpus-curation operators: crafted
@@ -117,6 +119,35 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) === 0.0)
     // chars a,b,' ' with counts 2,2,1: ln5 - (2ln2+2ln2)/5 = 1.0549
     assert(out(2L) === 1.0549)
+  }
+
+  test("quality classifier: deterministic weights that beat the majority class") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val w1 = CorpusQuality.qualityClassifierOf(docs).collect()
+    val w2 = CorpusQuality.qualityClassifierOf(docs).collect()
+    assert(w1.toSeq === w2.toSeq, "training must be deterministic")
+    assert(w1.length === CorpusQuality.ClfDims + 3)
+    val w = w1.map(_.getDouble(1))
+    assert(w.exists(_ != 0.0), "3 GD iterations must move the weights")
+    // apply the trained model to its own training labels: accuracy
+    // must beat always-guessing-the-majority-class
+    val labeled = docs
+      .select($"doc_id",
+        (size(tokens($"text")) >= 30 &&
+          size(array_intersect(array_distinct(tokens($"text")),
+            array(graft.functions.TextAnalysis.langMarkers
+              .flatMap(_._2).map(lit): _*))) >= 2).as("y"))
+    val scored = CorpusQuality.classifierScores(docs, w)
+      .join(labeled, "doc_id")
+      .select($"y", ($"p" >= 0.5).as("pred"))
+      .collect()
+    val acc = scored.count(r => r.getBoolean(0) == r.getBoolean(1)).toDouble / scored.length
+    val majority = {
+      val pos = scored.count(_.getBoolean(0)).toDouble / scored.length
+      math.max(pos, 1 - pos)
+    }
+    assert(acc > majority,
+      s"trained accuracy $acc does not beat majority baseline $majority")
   }
 
   test("split leakage: exact duplicates cannot straddle the split") {
