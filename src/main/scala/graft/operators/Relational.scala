@@ -1789,4 +1789,59 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Snapshot diff — the table-versioning primitive (what a lakehouse
+    * "describe changes between snapshots" computes): two versions of
+    * the per-order quantity rollup, as-of ship-date cutoffs `d1` and
+    * `d2`, compared key-by-key in ONE full-outer join and folded to a
+    * status census (`added` / `removed` / `changed` / `unchanged`)
+    * with the total quantity drift. The inverse of
+    * [[mergeUpsert]] — that APPLIES a change set, this RECOVERS one
+    * from two states.
+    *
+    * Scale: both versions aggregate the same scan on the same key, so
+    * the diff join is key-co-partitioned (AQE reuses the exchange);
+    * output is O(4), never row-proportional. Quantities compare in
+    * DECIMAL — a double drift comparison would misclassify
+    * `changed`/`unchanged` on representation noise.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String,
+                   d1: String = "1996-06-01",
+                   d2: String = "1997-06-01"): DataFrame = {
+    import spark.implicits._
+    def version(cut: String) = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" < cut)
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("qty"))
+    val a = version(d1).select($"l_orderkey", $"qty".as("qty_a"))
+    val b = version(d2).select($"l_orderkey", $"qty".as("qty_b"))
+    a.join(b, Seq("l_orderkey"), "full_outer")
+      .withColumn("status",
+        when($"qty_a".isNull, lit("added"))
+          .when($"qty_b".isNull, lit("removed"))
+          .when($"qty_a" === $"qty_b", lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce($"qty_b", lit(0).cast("decimal(18,2)"))
+          - coalesce($"qty_a", lit(0).cast("decimal(18,2)")))
+          .cast("double").as("qty_drift"))
+      .orderBy($"status")
+  }
+
+  def snapshotDiffSql(d1: String = "1996-06-01",
+                      d2: String = "1997-06-01"): String =
+    s"""WITH a AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_a
+       |           FROM lineitem WHERE l_shipdate < '$d1' GROUP BY l_orderkey),
+       |b AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_b
+       |      FROM lineitem WHERE l_shipdate < '$d2' GROUP BY l_orderkey),
+       |d AS (SELECT CASE WHEN qty_a IS NULL THEN 'added'
+       |                  WHEN qty_b IS NULL THEN 'removed'
+       |                  WHEN qty_a = qty_b THEN 'unchanged'
+       |                  ELSE 'changed' END AS status,
+       |             COALESCE(qty_b, 0) - COALESCE(qty_a, 0) AS drift
+       |      FROM a FULL OUTER JOIN b USING (l_orderkey))
+       |SELECT status, COUNT(*) AS n_orders,
+       |  CAST(SUM(drift) AS DOUBLE) AS qty_drift
+       |FROM d GROUP BY status ORDER BY status""".stripMargin
 }

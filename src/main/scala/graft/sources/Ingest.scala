@@ -414,6 +414,69 @@ object Ingest {
        |FROM orders
        |WHERE strftime(o_orderdate::TIMESTAMP, '%Y-%m') = '$month'""".stripMargin
 
+  /** Number of malformed lines [[csvQuarantine]] plants — referenced
+    * by both the operator and its oracle SQL. */
+  val QuarantineBadLines = 3
+
+  /** Malformed-row quarantine (ingest robustness): nation goes out as
+    * a schemaless CSV, [[QuarantineBadLines]] corrupt lines (text in
+    * the integer key column) are planted beside it, and the read-back
+    * uses an EXPLICIT schema in PERMISSIVE mode with
+    * `columnNameOfCorruptRecord` — type-mismatched rows come back
+    * with the raw line captured in the quarantine column instead of
+    * killing the job or silently vanishing. The report is the
+    * good/quarantined accounting plus a good-row checksum proving the
+    * corrupt rows contaminated nothing.
+    *
+    * At 100 TB this is THE ingest posture: schema-on-read with a
+    * quarantine column routes bad source lines to a dead-letter
+    * review instead of failing a 10-hour job at hour nine
+    * (FAILFAST) or dropping rows unaccounted (DROPMALFORMED).
+    */
+  def csvQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = roundTripDir(sfDir, "quarantine")
+    Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("overwrite").csv(tmp)
+    // plant the corrupt lines as one more part file — the fixture
+    // analogue of a producer shipping malformed records
+    val bad = (1 to QuarantineBadLines)
+      .map(i => s"not_an_int_$i,BADROW$i,xyz").mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "part-bad.csv"),
+      bad.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_regionkey",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_quarantined",
+        org.apache.spark.sql.types.StringType)))
+    val read = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantined")
+      .csv(tmp)
+      // Spark refuses to filter on ONLY the corrupt-record column of a
+      // lazy CSV scan (the row would need re-parsing); materialize the
+      // parsed frame first — at scale this is the pass that writes the
+      // clean snapshot anyway
+      .cache()
+    read.agg(
+      sum(when($"_quarantined".isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when($"_quarantined".isNotNull, 1L).otherwise(0L)).as("n_bad"),
+      sum(when($"_quarantined".isNull, $"n_nationkey".cast("long"))
+        .otherwise(0L)).as("good_key_sum"))
+  }
+
+  val csvQuarantineSql: String =
+    s"""SELECT (SELECT COUNT(*) FROM nation) AS n_good,
+       |  CAST($QuarantineBadLines AS BIGINT) AS n_bad,
+       |  (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation) AS good_key_sum""".stripMargin
+
   private def roundTripDir(sfDir: String, kind: String): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
     s"$tmp/graft_roundtrip_${RunToken.value}_${kind}_${sfDir.hashCode.toHexString}"

@@ -94,4 +94,15 @@ class CsvIngestSpec extends SparkSpec {
     assert(rt.count() == direct.count())
     assert(rt.except(direct).count() == 0 && direct.except(rt).count() == 0)
   }
+
+  test("quarantine captures exactly the planted corrupt lines, clean rows intact") {
+    val row = Ingest.csvQuarantine(spark, sf).collect().head
+    val nation = graft.sources.Tables.nation(spark, sf)
+    assert(row.getLong(0) == nation.count(), "every clean row survives")
+    assert(row.getLong(1) == Ingest.QuarantineBadLines.toLong,
+      "every planted corrupt line lands in quarantine, none dropped")
+    val keySum = nation.selectExpr("cast(sum(n_nationkey) as bigint)")
+      .collect().head.getLong(0)
+    assert(row.getLong(2) == keySum, "corrupt rows contaminate no aggregate")
+  }
 }

@@ -245,4 +245,23 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, String, Double, String)].collect().toSeq
     assert(real == replay && real.nonEmpty)
   }
+
+  test("snapshot diff: identical cutoffs diff to all-unchanged, zero drift") {
+    val same = Relational.snapshotDiff(spark, sf, "1997-01-01", "1997-01-01")
+      .collect()
+    assert(same.length == 1 && same.head.getString(0) == "unchanged")
+    assert(same.head.getDouble(2) == 0.0)
+    // and a real window produces a multi-status census whose drift is
+    // exactly the quantity shipped inside the window
+    val diff = Relational.snapshotDiff(spark, sf).collect()
+    assert(diff.map(_.getString(0)).toSet.subsetOf(
+      Set("added", "removed", "changed", "unchanged")))
+    val drift = diff.map(_.getDouble(2)).sum
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= "1996-06-01" && col("l_shipdate") < "1997-06-01")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(drift - direct) < 1e-6,
+      s"status drifts $drift must reconstruct the window's shipments $direct")
+  }
 }
