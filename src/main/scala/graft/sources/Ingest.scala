@@ -446,6 +446,10 @@ object Ingest {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tmp, "part-bad.csv"),
       bad.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the corrupt file lands BEHIND Spark's back (that's the point of
+    // the fixture) — drop the session's cached listing/data for the
+    // path or a rerun reads the pre-plant file set
+    spark.catalog.refreshByPath(tmp)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_nationkey",
         org.apache.spark.sql.types.IntegerType),
