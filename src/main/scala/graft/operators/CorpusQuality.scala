@@ -508,15 +508,42 @@ object CorpusQuality {
     * accumulate across iterations; the oracle replays the training
     * loop as chained CTEs.
     *
-    * Scale posture (100 TB): per iteration, one doc-keyed aggregate
-    * (the dot product), one dim-keyed aggregate (the gradient), and a
-    * 17-row collect — the driver holds ONLY the weight vector, the
-    * bounded-coordinator shape of [[Clustering]] k-means and the BPE
-    * trainer. The feature frame is built once and cached across
-    * iterations.
+    * Scale posture (100 TB): the sparse `(doc, dim, x)` features
+    * pivot ONCE into a wide per-document row (one doc-keyed
+    * aggregate, cached), so each GD iteration is a single
+    * partial+final 1-ROW aggregate over the cached frame — the dot
+    * product and the per-dim gradient sums are all per-row codegen'd
+    * arithmetic, no joins, no per-iteration doc shuffle. The driver
+    * holds ONLY the weight vector, the bounded-coordinator shape of
+    * [[Clustering]] k-means and the BPE trainer.
     */
   def qualityClassifierOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
+    val dims = ClfDims + 3
+    val wide = cached("clfWide", clfWideOf(documents))
+    val nDocs = wide.count().toDouble
+    var w = Array.fill(dims)(0.0)
+    for (_ <- 1 to ClfIters) {
+      val z = (0 until dims).map(d => col(s"x$d") * lit(w(d))).reduce(_ + _)
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - $"y"
+      val grads = wide.withColumn("err", err)
+        .agg(sum($"err" * col("x0")).as("g0"),
+          (1 until dims).map(d => sum($"err" * col(s"x$d")).as(s"g$d")): _*)
+        .head()
+      w = w.indices.map(d =>
+        BigDecimal(w(d) - ClfEta * grads.getDouble(d) / nDocs)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+    }
+    w.zipWithIndex.map { case (wt, d) => (d.toLong, wt) }
+      .toSeq.toDF("dim", "weight").orderBy($"dim")
+  }
+
+  /** Wide per-document training frame `(doc_id, y, x0..x18)`: the
+    * sparse hashed features pivoted to columns in ONE doc-keyed
+    * aggregate so the GD loop never shuffles on the doc key again. */
+  private def clfWideOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val dims = ClfDims + 3
     val base = documents
       .select($"doc_id", tokens($"text").as("ts"))
       .withColumn("n", size($"ts").cast("long"))
@@ -526,27 +553,12 @@ object CorpusQuality {
           array(allMarkers.map(lit): _*))).cast("long"))
     val labels = base.select($"doc_id",
       when($"n" >= 30L && $"sh" >= 2L, 1.0).otherwise(0.0).as("y"))
-    val feats = cached("clfFeats", clfFeaturesOf(base))
-    val nDocs = base.count().toDouble
-    var w = Array.fill(ClfDims + 3)(0.0)
-    for (_ <- 1 to ClfIters) {
-      val wArr = array(w.map(lit): _*)
-      val z = feats
-        .withColumn("c", $"x" * element_at(wArr, $"dim".cast("int") + 1))
-        .groupBy($"doc_id").agg(sum($"c").as("z"))
-      val err = z.join(labels, "doc_id")
-        .select($"doc_id",
-          (lit(1.0) / (lit(1.0) + exp(-$"z")) - $"y").as("err"))
-      val grad = feats.join(err, "doc_id")
-        .groupBy($"dim")
-        .agg((sum($"err" * $"x") / nDocs).as("g"))
-        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-      w = w.indices.map(d =>
-        BigDecimal(w(d) - ClfEta * grad.getOrElse(d, 0.0))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
-    }
-    w.zipWithIndex.map { case (wt, d) => (d.toLong, wt) }
-      .toSeq.toDF("dim", "weight").orderBy($"dim")
+    clfFeaturesOf(base)
+      .groupBy($"doc_id")
+      .agg(sum(when($"dim" === 0L, $"x").otherwise(0.0)).as("x0"),
+        (1 until dims).map(d =>
+          sum(when($"dim" === d.toLong, $"x").otherwise(0.0)).as(s"x$d")): _*)
+      .join(labels, "doc_id")
   }
 
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =

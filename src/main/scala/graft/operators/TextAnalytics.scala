@@ -2292,12 +2292,16 @@ object TextAnalytics {
     val byDoc = terms.join(broadcast(llr), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(sum($"llr"), 4).as("lw"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"lw".desc, $"doc_id")
-    docs(spark, sfDir).select($"doc_id", $"lang")
+    // distributed exact rank: a bare Window.orderBy would funnel the
+    // whole corpus through ONE task at any scale; the GlobalRank tier
+    // keeps the window below capacity and range-partitions past it
+    // (parquet metadata makes the bounding count cheap)
+    val scored = docs(spark, sfDir).select($"doc_id", $"lang")
       .join(byDoc, Seq("doc_id"), "left")
       .na.fill(Map("n_tokens" -> 0L, "lw" -> 0.0))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    graft.util.GlobalRank
+      .withRowNumber(scored, "rank", docs(spark, sfDir).count(),
+        $"lw".desc, $"doc_id")
       .withColumn("keep", $"rank" <= selectN)
       .select($"doc_id", $"lang", $"n_tokens", $"lw", $"rank", $"keep")
       .orderBy($"doc_id")

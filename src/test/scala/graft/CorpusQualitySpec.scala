@@ -166,6 +166,25 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
       "split pairs must come out canonicalized lo < hi"))
   }
 
+  test("global rank: range-partitioned route == window route, tier obeys conf") {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("k", (col("id") * 37 % 101).cast("long"))
+    val window = graft.util.GlobalRank
+      .withRowNumber(df, "r", rowBound = 5000, col("k").desc, col("id"))
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(2)))
+    // force the scale route
+    spark.conf.set(graft.util.GlobalRank.windowMaxRowsKey, "0")
+    try {
+      val ranged = graft.util.GlobalRank
+        .withRowNumber(df, "r", rowBound = 5000, col("k").desc, col("id"))
+        .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(window.toSeq === ranged.toSeq,
+        "both routes must produce identical global ranks")
+    } finally spark.conf.unset(graft.util.GlobalRank.windowMaxRowsKey)
+    assert(window.map(_._2).sorted.toSeq === (1L to 5000L),
+      "ranks are a permutation of 1..N")
+  }
+
   test("bloom join: might_contain probe reaches the plan, result is exact") {
     val df = Relational.bloomJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
