@@ -474,4 +474,77 @@ object TimeSeries {
        |  lead(ts) OVER w IS NULL AS is_current
        |FROM s WINDOW w AS (PARTITION BY key ORDER BY ts, seq)
        |ORDER BY key, version""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_ewma_daily — exponentially weighted smoothing
+  // ---------------------------------------------------------------
+
+  /** EWMA lag horizon / decay — one definition for the operator and
+    * its oracle. */
+  val EwmaLags = 14
+  val EwmaAlpha = 0.3
+
+  /** Truncated exponentially-weighted moving average of daily revenue
+    * per order priority: the adjust=True EWM (`Σ (1−α)^(t−j) x_j /
+    * Σ (1−α)^(t−j)`) cut at [[EwmaLags]] trailing days. Truncation is
+    * the SCALE choice, not a shortcut: the closed-form full-history
+    * rewrite (`(1−α)^t · Σ x_j (1−α)^{−j}`) overflows doubles after a
+    * few hundred days, and a per-row recursive state is not
+    * window-expressible — a bounded trailing frame gives bounded
+    * per-row work and state forever, and the dropped tail weight is
+    * `(1−α)^14 ≈ 0.7 %` of the mass. Weights are applied through an
+    * indexed higher-order fold over the frame's `collect_list`
+    * (ordered by the window's ORDER BY), and the result is rounded to
+    * 4 dp — `pow` is the one cross-engine float in play.
+    *
+    * Scale: the raw stream collapses to a (priority, day) aggregate
+    * first; the windows partition by priority — never global. */
+  def ewmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ewmaOf(Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority".as("priority"),
+        to_date($"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+        .as("revenue")))
+  }
+
+  /** Caller-frame form over any `(priority, day, revenue)` series. */
+  def ewmaOf(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val q = 1.0 - EwmaAlpha
+    val w = Window.partitionBy($"priority").orderBy($"day")
+      .rowsBetween(-(EwmaLags - 1), Window.currentRow)
+    daily
+      .withColumn("vals", collect_list($"revenue").over(w))
+      .withColumn("n", size($"vals"))
+      .withColumn("num",
+        aggregate(
+          zip_with($"vals", sequence(lit(1), $"n"),
+            (v, i) => v * pow(lit(q), ($"n" - i).cast("double"))),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("den",
+        (lit(1.0) - pow(lit(q), $"n".cast("double"))) / (1.0 - q))
+      .select($"priority", $"day", $"revenue",
+        round($"num" / $"den", 4).as("ewma"))
+      .orderBy($"priority", $"day")
+  }
+
+  val ewmaDailySql: String = {
+    val q = 1.0 - EwmaAlpha
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |  FROM orders GROUP BY 1, 2),
+       |framed AS (
+       |  SELECT priority, day, revenue,
+       |    list(revenue) OVER (PARTITION BY priority ORDER BY day
+       |      ROWS BETWEEN ${EwmaLags - 1} PRECEDING AND CURRENT ROW) AS vals
+       |  FROM daily)
+       |SELECT priority, day, revenue,
+       |  round(
+       |    list_sum([vals[i] * pow($q, len(vals) - i)
+       |              for i in range(1, len(vals) + 1)])
+       |    / ((1.0 - pow($q, len(vals))) / ${1.0 - q}), 4) AS ewma
+       |FROM framed ORDER BY priority, day""".stripMargin
+  }
 }

@@ -177,4 +177,30 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     // day 2 rows are the five -1 deltas at 00:30; peak = carry-in 5
     assert(got(java.sql.Date.valueOf("2024-01-02")) == 5L)
   }
+
+  test("ewma: constant series is a fixed point, first point is itself, bounded") {
+    import spark.implicits._
+    val flat = (1 to 30)
+      .map(i => ("P", java.sql.Date.valueOf(f"2024-01-$i%02d"), 100.0))
+      .toDF("priority", "day", "revenue")
+    TimeSeries.ewmaOf(flat).collect().foreach(r =>
+      assert(r.getDouble(3) == 100.0, "EWMA of a constant IS the constant"))
+    val ramp = Seq(("P", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("P", java.sql.Date.valueOf("2024-01-02"), 20.0))
+      .toDF("priority", "day", "revenue")
+    val got = TimeSeries.ewmaOf(ramp).collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    assert(got("2024-01-01") == 10.0, "n=1 frame: EWMA = the point")
+    // n=2, alpha=.3: (10*0.7 + 20*1) / (0.7 + 1) = 15.8824
+    assert(got("2024-01-02") == 15.8824)
+    // corpus sanity: smoothing stays inside each priority's range
+    val bounds = TimeSeries.ewmaDaily(spark, sf)
+      .groupBy($"priority")
+      .agg(min($"revenue").as("lo"), max($"revenue").as("hi"),
+        min($"ewma").as("elo"), max($"ewma").as("ehi"))
+      .collect()
+    bounds.foreach { r =>
+      assert(r.getDouble(3) >= r.getDouble(1) && r.getDouble(4) <= r.getDouble(2))
+    }
+  }
 }
