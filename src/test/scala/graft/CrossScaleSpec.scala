@@ -241,4 +241,35 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     val recall = sem.size.toDouble / exact.size
     assert(recall >= 0.25, s"semdedup recall $recall at sf0.1")
   }
+
+  test("split-leakage scale: pairs obey the df-cap's structural bound at 10x") {
+    import graft.functions.TextAnalysis._
+    import org.apache.spark.sql.functions._
+    // The leakage audit's quadratic risk is the posting-list
+    // self-join; the df cap's guarantee is STRUCTURAL — each surviving
+    // shingle contributes at most C(dfCap, 2) pairs, so total pairs ≤
+    // cappedGrams × 120, however the corpus grows. (A raw linearity
+    // curve is the wrong check on THIS corpus: its deliberately tiny
+    // vocabulary crosses the df≥2 saturation knee between sf0.01 and
+    // sf0.1, so capped-gram COUNT itself grows super-linearly while
+    // the per-gram bound — the thing the cap promises — still holds.)
+    val capPairs = 16 * 15 / 2 // C(dfCap=16, 2)
+    Seq("sf0.01", "sf0.1").foreach { s =>
+      val dir = s"/root/testdata/$s"
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val n = docs.count()
+      val cappedGrams = docs
+        .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 16).count()
+      val pairs = graft.operators.CorpusQuality.splitLeakage(spark, dir)
+        .agg(coalesce(sum(col("n_pairs")), lit(0L))).collect().head.getLong(0)
+      info(f"$s%-7s n=$n%6d cappedGrams=$cappedGrams%7d pairs=$pairs%7d " +
+        f"(bound ${cappedGrams * capPairs}%9d, all-pairs ${n * (n - 1) / 2}%10d)")
+      assert(pairs <= cappedGrams.toDouble * capPairs,
+        s"$s: $pairs pairs exceed the structural bound — the cap is not applied")
+      assert(pairs <= 0.01 * n * (n - 1) / 2.0,
+        s"$s: $pairs pairs is within 1% of all-pairs — effectively quadratic")
+    }
+  }
 }
