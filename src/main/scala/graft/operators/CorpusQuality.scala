@@ -475,6 +475,94 @@ object CorpusQuality {
       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_langid_chargram — char-trigram-profile language ID
+  // ---------------------------------------------------------------
+
+  /** Profile size per language — shared with the oracle. */
+  val LangIdProfile = 30
+
+  /** Character-trigram language identification (the textcat /
+    * Cavnar–Trenkle family, and what fastText's langid distills): a
+    * per-language profile of the [[LangIdProfile]] most frequent char
+    * trigrams is learned from the corpus itself, each document scores
+    * `hits(lang) / trigrams(doc)` against every profile, and argmax
+    * (ties to the alphabetically first language) predicts. Output is
+    * the (lang, predicted) confusion matrix — the independent cross-
+    * check of the stopword-marker [[TextAnalytics]] lang-ID: two
+    * methods with disjoint failure modes (markers need whole words;
+    * trigram profiles see morphology and script). NOTE on the
+    * harness corpus: its language labels share one vocabulary pool
+    * (the zh documents contain no CJK), so the corpus matrix
+    * measures profile overlap, not achievable accuracy — the spec
+    * pins a perfect diagonal on a distinct-script fixture instead.
+    *
+    * Scale: trigram stream → (lang, gram) aggregate → per-lang top-30
+    * rank (windows partition by LANGUAGE, 5-ary — never global) →
+    * broadcast-size profile join back → per-(doc, lang) counts →
+    * per-doc argmax window (doc-partitioned). Everything after the
+    * first aggregate is profile- or doc-bounded.
+    */
+  def langIdChargramOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val grams = cached("langIdGrams",
+      documents.select($"doc_id", $"lang",
+        explode(shingles(regexp_extract_all(lower($"text"), lit("."), lit(0)), 3))
+          .as("g")))
+    val prof = grams.groupBy($"lang".as("plang"), $"g")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"plang").orderBy($"cnt".desc, $"g")))
+      .filter($"rk" <= LangIdProfile)
+      .select($"plang", $"g")
+    val docTotals = grams.groupBy($"doc_id").agg(count(lit(1)).as("total"))
+    val hits = grams.join(broadcast(prof), "g")
+      .groupBy($"doc_id", $"lang", $"plang")
+      .agg(count(lit(1)).as("hits"))
+    val best = hits.join(docTotals, "doc_id")
+      .withColumn("score", $"hits".cast("double") / $"total")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"plang")))
+      .filter($"rk" === 1)
+    documents.select($"doc_id", $"lang")
+      .join(best.select($"doc_id", $"plang"), Seq("doc_id"), "left")
+      .na.fill(Map("plang" -> "unknown"))
+      .groupBy($"lang", $"plang".as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  def langIdChargram(spark: SparkSession, sfDir: String): DataFrame =
+    langIdChargramOf(docs(spark, sfDir))
+
+  def langIdChargramSql(p: Int = LangIdProfile): String = {
+    val chars = "regexp_extract_all(lower(text), '.')"
+    s"""WITH t AS (SELECT doc_id, lang, $chars AS cs FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, lang,
+       |       unnest(${shinglesNSql("cs", 3)}) AS g FROM t),
+       |pf AS (SELECT plang, g FROM (
+       |         SELECT lang AS plang, g,
+       |           row_number() OVER (PARTITION BY lang
+       |             ORDER BY COUNT(*) DESC, g) AS rk
+       |         FROM g GROUP BY lang, g)
+       |       WHERE rk <= $p),
+       |tot AS (SELECT doc_id, COUNT(*) AS total FROM g GROUP BY doc_id),
+       |hits AS (SELECT doc_id, lang, plang, COUNT(*) AS hits
+       |         FROM g JOIN pf USING (g) GROUP BY doc_id, lang, plang),
+       |best AS (SELECT doc_id, plang FROM (
+       |           SELECT h.doc_id, plang,
+       |             row_number() OVER (PARTITION BY h.doc_id
+       |               ORDER BY CAST(hits AS DOUBLE) / total DESC, plang) AS rk
+       |           FROM hits h JOIN tot ON h.doc_id = tot.doc_id)
+       |         WHERE rk = 1)
+       |SELECT d.lang, COALESCE(best.plang, 'unknown') AS predicted,
+       |  COUNT(*) AS n_docs
+       |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_quality_classifier — trained classifier-based filtering
   // ---------------------------------------------------------------
 

@@ -1829,6 +1829,47 @@ object Relational {
       .orderBy($"status")
   }
 
+  /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
+    * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
+    * they are supposed to flag, the median and the median absolute
+    * deviation don't. Flag = |x − median| > 3 · 1.4826 · MAD (the
+    * Gaussian-consistency constant). Exact percentiles over the
+    * ALREADY-AGGREGATED daily frame (≤ calendar days rows — the same
+    * bounded shape as the z-score op), two 1-row broadcast joins, and
+    * the robust z rounds to 4 dp before the cut.
+    */
+  def outlierMad(spark: SparkSession, sfDir: String,
+                 cut: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"))
+    val med = daily.agg(expr("percentile(revenue, 0.5)").as("med"))
+    val withMed = daily.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr("percentile(abs(revenue - med), 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("rz",
+        round(($"revenue" - $"med") / (lit(1.4826) * $"mad"), 4))
+      .filter(abs($"rz") > cut)
+      .select($"day", $"revenue", $"rz")
+      .orderBy($"day")
+  }
+
+  def outlierMadSql(cut: Double = 3.0): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT quantile_cont(revenue, 0.5) AS med FROM daily),
+       |d AS (SELECT day, revenue, med FROM daily CROSS JOIN m),
+       |s AS (SELECT quantile_cont(abs(revenue - med), 0.5) AS mad FROM d)
+       |SELECT day, revenue,
+       |  round((revenue - med) / (1.4826 * mad), 4) AS rz
+       |FROM d CROSS JOIN s
+       |WHERE abs(round((revenue - med) / (1.4826 * mad), 4)) > $cut
+       |ORDER BY day""".stripMargin
+
   def snapshotDiffSql(d1: String = "1996-06-01",
                       d2: String = "1997-06-01"): String =
     s"""WITH a AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_a

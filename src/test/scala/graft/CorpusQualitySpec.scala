@@ -121,6 +121,23 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === 1.0549)
   }
 
+  test("chargram langid: perfect diagonal on a distinct-script fixture") {
+    val docs = Seq(
+      (1L, "aa", "karhu metsä järvi talvi karhu metsä"),
+      (2L, "aa", "metsä järvi talvi karhu järvi metsä"),
+      (3L, "bb", "dragon montagne rivière chateau dragon"),
+      (4L, "bb", "montagne rivière chateau dragon rivière"),
+      (5L, "cc", "日本語の文章を書くのは楽しいです"),
+      (6L, "cc", "言語を学ぶことはとても楽しいです"))
+      .toDF("doc_id", "lang", "text")
+    val conf = CorpusQuality.langIdChargramOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    conf.foreach { case (lang, pred, _) =>
+      assert(lang === pred, s"misclassified: $lang predicted as $pred")
+    }
+    assert(conf.map(_._3).sum === 6L)
+  }
+
   test("quality classifier: deterministic weights that beat the majority class") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val w1 = CorpusQuality.qualityClassifierOf(docs).collect()

@@ -246,6 +246,30 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(real == replay && real.nonEmpty)
   }
 
+  test("mad outliers: driver-side replay agrees, flags beat the cut") {
+    val flagged = Relational.outlierMad(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    flagged.values.foreach(rz => assert(math.abs(rz) > 3.0))
+    // independent replay: exact median/MAD over the collected daily frame
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("revenue"))
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val m = med(daily.map(_._2).toSeq)
+    val mad = med(daily.map(d => math.abs(d._2 - m)).toSeq)
+    val expect = daily.filter { case (_, v) =>
+      math.abs(BigDecimal((v - m) / (1.4826 * mad))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) > 3.0
+    }.map(_._1).toSet
+    assert(flagged.keySet === expect)
+  }
+
   test("snapshot diff: identical cutoffs diff to all-unchanged, zero drift") {
     val same = Relational.snapshotDiff(spark, sf, "1997-01-01", "1997-01-01")
       .collect()
