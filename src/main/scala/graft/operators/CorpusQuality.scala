@@ -475,6 +475,86 @@ object CorpusQuality {
       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_dataset_card — one-query corpus datasheet
+  // ---------------------------------------------------------------
+
+  /** The dataset-card numbers ("Datasheets for Datasets" /
+    * HuggingFace dataset-card style) in one corpus pass: volume,
+    * token mass, language/source spread, length distribution, and
+    * the quality-gate pass rate — the summary a corpus release ships
+    * next to the data. One scan, one 1-row aggregate, exploded to
+    * (metric, value) rows; every value is a ratio of exact longs or
+    * an exact count, so the card is bit-stable across engines.
+    */
+  def datasetCardOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val ts = tokens($"text")
+    val f = documents.select($"lang", $"source",
+      size(ts).cast("long").as("n_tokens"),
+      $"n_chars".cast("long").as("n_chars"),
+      (size(ts) >= 30 &&
+        size(array_intersect(array_distinct(ts),
+          array(allMarkers.map(lit): _*))) >= 2).as("passes"))
+    val agg = f.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_tokens").as("n_tokens"),
+      sum($"n_chars").as("n_chars"),
+      countDistinct($"lang").as("n_langs"),
+      countDistinct($"source").as("n_sources"),
+      min($"n_tokens").as("min_tokens"),
+      max($"n_tokens").as("max_tokens"),
+      sum(when($"passes", 1L).otherwise(0L)).as("n_pass"))
+    agg.select(explode(array(
+      struct(lit("docs").as("metric"), $"n_docs".cast("double").as("value")),
+      struct(lit("langs").as("metric"), $"n_langs".cast("double").as("value")),
+      struct(lit("mean_tokens_per_doc").as("metric"),
+        ($"n_tokens".cast("double") / $"n_docs").as("value")),
+      struct(lit("quality_pass_rate").as("metric"),
+        ($"n_pass".cast("double") / $"n_docs").as("value")),
+      struct(lit("sources").as("metric"), $"n_sources".cast("double").as("value")),
+      struct(lit("tokens").as("metric"), $"n_tokens".cast("double").as("value")),
+      struct(lit("tokens_max").as("metric"), $"max_tokens".cast("double").as("value")),
+      struct(lit("tokens_min").as("metric"), $"min_tokens".cast("double").as("value")),
+      struct(lit("total_chars").as("metric"), $"n_chars".cast("double").as("value"))))
+      .as("m"))
+      .select($"m.metric".as("metric"), $"m.value".as("value"))
+      .orderBy($"metric")
+  }
+
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    datasetCardOf(docs(spark, sfDir))
+
+  val datasetCardSql: String = {
+    val markers = allMarkers.map(m => s"'$m'").mkString(", ")
+    s"""WITH f AS (SELECT lang, source, len($tokensSql) AS n_tokens,
+       |    n_chars,
+       |    (len($tokensSql) >= 30 AND
+       |     len(list_intersect(list_distinct($tokensSql), [$markers])) >= 2)
+       |      AS passes
+       |  FROM documents),
+       |g AS (SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+       |        SUM(n_chars) AS n_chars,
+       |        COUNT(DISTINCT lang) AS n_langs,
+       |        COUNT(DISTINCT source) AS n_sources,
+       |        MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+       |        SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS n_pass
+       |      FROM f)
+       |SELECT metric, value FROM (
+       |  SELECT 'docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+       |  UNION ALL SELECT 'langs', CAST(n_langs AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'mean_tokens_per_doc',
+       |    CAST(n_tokens AS DOUBLE) / n_docs FROM g
+       |  UNION ALL SELECT 'quality_pass_rate',
+       |    CAST(n_pass AS DOUBLE) / n_docs FROM g
+       |  UNION ALL SELECT 'sources', CAST(n_sources AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'tokens', CAST(n_tokens AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'tokens_max', CAST(max_tokens AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'tokens_min', CAST(min_tokens AS DOUBLE) FROM g
+       |  UNION ALL SELECT 'total_chars', CAST(n_chars AS DOUBLE) FROM g)
+       |ORDER BY metric""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_langid_chargram — char-trigram-profile language ID
   // ---------------------------------------------------------------
 

@@ -121,6 +121,23 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === 1.0549)
   }
 
+  test("dataset card: hand-computed values on a two-doc corpus") {
+    val docs = Seq(
+      (1L, "en", "s1", "the cat sat on the mat", 22L),
+      (2L, "fr", "s2", "le chat", 7L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+    val card = CorpusQuality.datasetCardOf(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("docs") === 2.0)
+    assert(card("langs") === 2.0)
+    assert(card("sources") === 2.0)
+    assert(card("tokens") === 8.0)
+    assert(card("mean_tokens_per_doc") === 4.0)
+    assert(card("tokens_min") === 2.0 && card("tokens_max") === 6.0)
+    assert(card("total_chars") === 29.0)
+    assert(card("quality_pass_rate") === 0.0) // both under 30 words
+  }
+
   test("chargram langid: perfect diagonal on a distinct-script fixture") {
     val docs = Seq(
       (1L, "aa", "karhu metsä järvi talvi karhu metsä"),
