@@ -407,20 +407,40 @@ object Multimodal {
       .union(twins)
   }
 
+  /** Banded Hamming self-join over `(asset_id, sig)` 64-bit
+    * signatures: 4 × 16-bit bands (pigeonhole-complete for Hamming
+    * ≤ 3), exact `bit_count(a ⊕ b)` verify — candidates come from a
+    * band equi-join, never an all-pairs signature comparison. Shared
+    * by the image and audio fingerprint detectors. */
+  private def bandedHammingPairs(sigs: DataFrame,
+                                 maxHamming: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole covers Hamming <= 3, got $maxHamming")
+    val banded = sigs.select($"asset_id", $"sig",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sig", 16 * b).bitwiseAND(lit(0xffffL)).as("bits"))): _*))
+        .as("bb"))
+      .select($"asset_id", $"sig", $"bb.band", $"bb.bits")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+      .distinct() // a close pair can collide in several bands
+      .filter($"hamming" <= maxHamming)
+      .withColumn("is_twin", $"id_b" - $"id_a" === PhashTwinOffset)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Perceptual-hash near-duplicate pairs over the image corpus (+
     * controlled twins): decode → 8×8 average-pool → 64-bit aHash
-    * (bit i = cell i above the grid mean) → SimHash-style banded
-    * candidate generation (4 × 16-bit bands; Hamming ≤ 3 ⇒ the
-    * pigeonhole guarantees one equal band) → exact `bit_count(a ⊕ b)`
-    * verify. Candidates come from a band equi-join — never an
-    * all-pairs signature comparison — which is the posture that
-    * survives an image corpus of billions.
+    * (bit i = cell i above the grid mean) → [[bandedHammingPairs]].
     */
   def imagePhashPairs(spark: SparkSession, sfDir: String,
                       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-band pigeonhole covers Hamming <= 3, got $maxHamming")
     val sigs = resizePooled(decodeAssets(imagesWithTwins(spark, sfDir)))
       .select($"asset_id", $"pixels")
       .as[(Long, Array[Float])]
@@ -438,21 +458,81 @@ object Multimodal {
         (id, sig)
       }
       .toDF("asset_id", "sig")
-    val banded = sigs.select($"asset_id", $"sig",
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright($"sig", 16 * b).bitwiseAND(lit(0xffffL)).as("bits"))): _*))
-        .as("bb"))
-      .select($"asset_id", $"sig", $"bb.band", $"bb.bits")
-    banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
-          $"a.asset_id" < $"b.asset_id")
-      .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
-        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
-      .distinct() // a close pair can collide in several bands
-      .filter($"hamming" <= maxHamming)
-      .withColumn("is_twin", $"id_b" - $"id_a" === PhashTwinOffset)
-      .orderBy($"id_a", $"id_b")
+    bandedHammingPairs(sigs, maxHamming)
+  }
+
+  /** Audio corpus + controlled twins: every audio payload is decoded,
+    * every PCM sample scaled to 90 % amplitude, and re-encoded
+    * through the SAME real WAV codec under `asset_id +
+    * PhashTwinOffset` — the volume-normalized re-master a content
+    * hash cannot match. */
+  private[graft] def audioWithTwins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val snd = assetsWithRealPayloads(spark, sfDir).filter($"kind" === "audio")
+    val twins = snd
+      .select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
+      .as[(Long, String, Array[Byte], Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes, w, h, f) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val data = ais.readAllBytes()
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort
+            val scaled = (s * 9 / 10).toShort
+            data(i) = (scaled & 0xff).toByte
+            data(i + 1) = ((scaled >> 8) & 0xff).toByte
+            i += 2
+          }
+          val out = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, data.length / 2L)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(out,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id + PhashTwinOffset, kind, bos.toByteArray, w, h, f)
+        }
+      }
+      .toDF("asset_id", "kind", "bytes", "width", "height", "n_frames")
+    snd.select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
+      .union(twins)
+  }
+
+  /** Audio-fingerprint near-duplicate pairs (the Shazam-family
+    * energy-delta signature, minimal form): decode to PCM, pool
+    * |sample| energy into 65 windows, bit i = window i+1 louder than
+    * window i — the DELTA-SIGN encoding is invariant to uniform
+    * amplitude scaling, so a re-mastered (volume-changed) copy hashes
+    * identically while a content hash sees different bytes. Same
+    * banded candidate posture as [[imagePhashPairs]].
+    */
+  def audioHashPairs(spark: SparkSession, sfDir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = decodeAssets(audioWithTwins(spark, sfDir))
+      .map(d => (d.asset_id, d.pixels))
+      .toDF("asset_id", "samples")
+      .as[(Long, Array[Float])]
+      .map { case (id, xs) =>
+        val windows = 65
+        val energy = new Array[Double](windows)
+        val cell = math.max(1, xs.length / windows)
+        var i = 0
+        while (i < xs.length && i / cell < windows) {
+          energy(i / cell) += math.abs(xs(i))
+          i += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b + 1) > energy(b)) sig |= (1L << b)
+          b += 1
+        }
+        (id, sig)
+      }
+      .toDF("asset_id", "sig")
+    bandedHammingPairs(sigs, maxHamming)
   }
 
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {

@@ -112,6 +112,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("audio fingerprint: volume-scaled re-masters hash to their originals") {
+    import spark.implicits._
+    val pairs = Multimodal.audioHashPairs(spark, sf)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"signature comparison regressed to all-pairs:\n$plan")
+    val rows = pairs.collect()
+    val nAudio = Multimodal.assetsWithRealPayloads(spark, sf)
+      .filter($"kind" === "audio").count()
+    val twins = rows.count(_.getBoolean(3))
+    // the delta-sign encoding is amplitude-invariant: a 90%-volume
+    // re-master must hash within the Hamming cap for (nearly) every clip
+    assert(twins >= (nAudio * 9) / 10,
+      s"recovered only $twins/$nAudio re-mastered twins")
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
   test("phash near-dup recovers re-encoded twins through a banded equi-join") {
     import spark.implicits._
     val pairs = Multimodal.imagePhashPairs(spark, sf)
