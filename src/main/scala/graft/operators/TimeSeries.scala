@@ -476,6 +476,40 @@ object TimeSeries {
        |ORDER BY key, version""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_scd2_asof — point-in-time (time-travel) dimension read
+  // ---------------------------------------------------------------
+
+  /** AS OF read over the [[scd2]] version history: the dimension
+    * exactly as it stood at `asOf` — the version whose validity
+    * interval contains the instant (open `valid_to` = still current).
+    * This is the lakehouse time-travel primitive expressed over the
+    * history table: the same filter a `VERSION AS OF` snapshot read
+    * resolves to, but computable on any engine that has the history.
+    * Exactly one row per key survives (versions partition time), so
+    * the read costs one predicate over the history scan — no window,
+    * no join.
+    */
+  def scd2AsOf(spark: SparkSession, sfDir: String,
+               asOf: String = "2024-01-15 00:00:00",
+               maxUser: Long = 30L): DataFrame = {
+    import spark.implicits._
+    scd2(spark, sfDir, maxUser)
+      .filter($"valid_from" <= asOf &&
+        ($"valid_to".isNull || $"valid_to" > asOf))
+      .select($"key", $"version", $"attr", $"valid_from", $"is_current")
+      .orderBy($"key")
+  }
+
+  def scd2AsOfSql(asOf: String = "2024-01-15 00:00:00",
+                  maxUser: Long = 30L): String =
+    s"""WITH hist AS (${scd2Sql(maxUser)})
+       |SELECT key, version, attr, valid_from, is_current
+       |FROM hist
+       |WHERE valid_from <= '$asOf'
+       |  AND (valid_to IS NULL OR valid_to > '$asOf')
+       |ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_ewma_daily — exponentially weighted smoothing
   // ---------------------------------------------------------------
 

@@ -178,6 +178,27 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(got(java.sql.Date.valueOf("2024-01-02")) == 5L)
   }
 
+  test("scd2 as-of: one row per key, consistent with the full history") {
+    import spark.implicits._
+    val asof = TimeSeries.scd2AsOf(spark, sf).collect()
+    assert(asof.map(_.getLong(0)).distinct.length === asof.length,
+      "AS OF must resolve to exactly one version per key")
+    // every as-of row must exist in the history with a containing interval
+    val hist = TimeSeries.scd2(spark, sf)
+      .select($"key", $"version", $"valid_from", $"valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), Option(r.getString(3)))).toMap
+    val t = "2024-01-15 00:00:00"
+    asof.foreach { r =>
+      val (from, to) = hist((r.getLong(0), r.getLong(1)))
+      assert(from <= t && to.forall(_ > t),
+        s"key ${r.getLong(0)} v${r.getLong(1)}: interval [$from,$to) misses $t")
+    }
+    // keys with history only AFTER the instant are correctly absent
+    assert(asof.forall(_.getString(3) <= t))
+  }
+
   test("ewma: constant series is a fixed point, first point is itself, bounded") {
     import spark.implicits._
     val flat = (1 to 30)
