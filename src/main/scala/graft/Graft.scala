@@ -162,7 +162,66 @@ object Graft {
   def weightedSample(docs: DataFrame, k: Int = 20): DataFrame =
     operators.TextAnalytics.weightedSampleOf(docs, k)
 
+  // -- corpus curation over (doc_id, text[, lang, source]) frames ---
+
+  /** Gopher rule suite: per-rule failure counts/rates + `any_rule`. */
+  def gopherRules(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.gopherRulesOf(docs)
+
+  /** SoftDeDup down-weighting: per-source effective docs/tokens from
+    * reciprocal n-gram-commonness weights. Needs a `source` column. */
+  def softDedupWeights(docs: DataFrame, n: Int = 3): DataFrame =
+    operators.CorpusQuality.softDedupWeightsOf(docs, n)
+
+  /** Curriculum staging by z-cut lexical difficulty. Needs `lang`. */
+  def curriculumStages(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.curriculumStagesOf(docs)
+
+  /** Per-source n-gram novelty (exclusive-vocabulary fraction).
+    * Needs a `source` column. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame =
+    operators.CorpusQuality.ngramNoveltyOf(docs, n)
+
+  /** Per-language tokenizer fertility (subwords/word, chars/subword).
+    * Needs `lang`. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.tokenizerFertilityOf(docs)
+
+  /** T5 span-corruption mask accounting (hash-keyed, reproducible). */
+  def spanCorruption(docs: DataFrame, rate: Int = 6): DataFrame =
+    operators.CorpusQuality.spanCorruptionOf(docs, rate)
+
+  /** Per-document character-entropy quality signal. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.charEntropyOf(docs)
+
+  /** Near-dup pairs straddling the content-hash train/val/test
+    * boundary — the eval-leakage audit. */
+  def splitLeakage(docs: DataFrame, n: Int = 3, dfCap: Int = 16,
+                   minShared: Long = 2L): DataFrame =
+    operators.CorpusQuality.splitLeakageOf(docs, n, dfCap, minShared)
+
+  /** Train the logistic-regression quality classifier; returns the
+    * `(dim, weight)` model rows. Needs `doc_id, text`. */
+  def trainQualityClassifier(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.qualityClassifierOf(docs)
+
+  /** Char-trigram (Cavnar–Trenkle) language-ID confusion matrix.
+    * Needs `lang` (profiles are learned from the labels). */
+  def langIdChargram(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.langIdChargramOf(docs)
+
+  /** One-query dataset card: (metric, value) datasheet rows. Needs
+    * `lang, source, n_chars`. */
+  def datasetCard(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.datasetCardOf(docs)
+
   // -- relational / time-series over caller frames ------------------
+
+  /** Truncated-EWMA smoothing of a `(priority, day, revenue)`
+    * series (adjust=True, 14 trailing days). */
+  def ewmaSmooth(daily: DataFrame): DataFrame =
+    operators.TimeSeries.ewmaOf(daily)
 
   /** CDC apply: merge a `U`/`D`/`I` change batch into `base` on
     * `key` with one full-outer join (the MERGE INTO shape). */

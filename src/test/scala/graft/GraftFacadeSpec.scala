@@ -264,4 +264,38 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     val catalog = graft.operators.Similarity.knnPq(spark, sf, numProbes = 20, k = 5)
     assert(got.collect().toSeq == catalog.collect().toSeq)
   }
+
+  test("corpus-curation facade entries run on caller frames") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the big cat sat on the warm mat and the dog ran", "en", "s1", 47L),
+      (2L, "the big cat sat on the warm mat and the dog ran", "en", "s1", 47L),
+      (3L, "le chat le chien le jardin et la maison", "fr", "s2", 39L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Graft.gopherRules(docs).count() === 6L)
+    val soft = Graft.softDedupWeights(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(soft("s1") === 1.0 && soft("s2") === 1.0) // dups halve, unique keeps
+    assert(Graft.curriculumStages(docs)
+      .agg(org.apache.spark.sql.functions.sum($"n_docs"))
+      .collect().head.getLong(0) === 3L)
+    assert(Graft.ngramNovelty(docs).count() === 2L)
+    assert(Graft.tokenizerFertility(docs).count() === 2L)
+    assert(Graft.spanCorruption(docs).count() === 3L)
+    assert(Graft.charEntropy(docs).count() === 3L)
+    assert(Graft.splitLeakage(docs).count() === 0L) // dups share a split
+    assert(Graft.trainQualityClassifier(docs).count() ===
+      graft.operators.CorpusQuality.ClfDims + 3L)
+    assert(Graft.langIdChargram(docs)
+      .agg(org.apache.spark.sql.functions.sum($"n_docs"))
+      .collect().head.getLong(0) === 3L)
+    val card = Graft.datasetCard(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("docs") === 3.0 && card("sources") === 2.0)
+    val ewma = Graft.ewmaSmooth(Seq(
+      ("P", java.sql.Date.valueOf("2024-01-01"), 50.0),
+      ("P", java.sql.Date.valueOf("2024-01-02"), 50.0))
+      .toDF("priority", "day", "revenue")).collect()
+    assert(ewma.forall(_.getDouble(3) === 50.0))
+  }
 }
