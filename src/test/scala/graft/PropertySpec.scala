@@ -203,4 +203,71 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val h13 = rows(graft.operators.TimeSeries.scd2Of(changes.repartition(13)))
     assert(h1 == h13 && h1.nonEmpty)
   }
+
+  private val wordPool =
+    Seq("the", "cat", "sat", "mat", "und", "der", "big", "42", "x1", "zz")
+
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(1, 10).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(wordPool)).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) })
+    }
+
+  test("gopher rules: integer thresholds == the float formulation they encode") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis._
+    import org.apache.spark.sql.functions._
+    samples(docsGen, 6, 77L).foreach { ds =>
+      val df = ds.toDF("doc_id", "text")
+      val got = graft.operators.CorpusQuality.gopherRulesOf(df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // independent float-ratio recomputation per doc
+      val feats = df.select(
+        size(tokens($"text")).cast("long").as("w"),
+        length(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}_]+", ""))
+          .cast("long").as("c"),
+        size(filter(tokens($"text"), t => t.rlike("\\p{L}"))).cast("long").as("a"),
+        size(filter(tokens($"text"), t => t.rlike("^\\p{N}+$"))).cast("long").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // driver-side recompute in exact rational arithmetic (cross-
+      // multiplied) — the float-ratio form would itself flip at
+      // representation boundaries like 0.8*5, which is exactly why
+      // the operator compares integers
+      def cnt(p: ((Long, Long, Long, Long)) => Boolean) = feats.count(p).toLong
+      assert(got("word_count") === cnt { case (w, _, _, _) => w < 50 || w > 100000 })
+      assert(got("mean_word_length") === cnt { case (w, c, _, _) =>
+        c < 3 * w || c > 10 * w
+      })
+      assert(got("alpha_ratio") === cnt { case (w, _, a, _) => a * 5 < w * 4 })
+      assert(got("digit_ratio") === cnt { case (w, _, _, d) => d * 10 > w * 3 })
+    }
+  }
+
+  test("soft dedup: k identical docs collapse to effective size 1") {
+    import spark.implicits._
+    Seq(2, 5, 9).foreach { k =>
+      val df = (1 to k).map(i =>
+        (i.toLong, "alpha beta gamma delta epsilon", "s")).toDF("doc_id", "text", "source")
+      val row = graft.operators.CorpusQuality.softDedupWeightsOf(df).collect().head
+      assert(row.getLong(1) === k.toLong)
+      assert(math.abs(row.getDouble(3) - 1.0) < 1e-9,
+        s"$k identical docs must down-weight to ~1 effective doc")
+      assert(row.getDouble(5) === k.toDouble) // avg dup factor = k
+    }
+  }
+
+  test("char entropy: 0 <= H <= ln(distinct chars) on random corpora") {
+    import spark.implicits._
+    samples(docsGen, 6, 99L).foreach { ds =>
+      val df = ds.filter(_._2.nonEmpty).toDF("doc_id", "text")
+      if (ds.exists(_._2.nonEmpty)) {
+        graft.operators.CorpusQuality.charEntropyOf(df).collect().foreach { r =>
+          val (uniq, h) = (r.getLong(2), r.getDouble(3))
+          assert(h >= 0.0 && h <= math.log(uniq.toDouble) + 1e-4,
+            s"entropy $h outside [0, ln($uniq)]")
+        }
+      }
+    }
+  }
 }
