@@ -186,4 +186,30 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](ReferenceQueries.titleLevelsOn(m, "  "))
     intercept[IllegalArgumentException](ReferenceQueries.actorCoactorsOn(m, ""))
   }
+
+  test("curation operators degrade to empty/neutral on empty inputs") {
+    import graft.operators.CorpusQuality
+    import spark.implicits._
+    val none = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // per-doc / per-key reports: empty in, empty out
+    assert(CorpusQuality.spanCorruptionOf(none).count() == 0)
+    assert(CorpusQuality.charEntropyOf(none).count() == 0)
+    assert(CorpusQuality.softDedupWeightsOf(none).count() == 0)
+    assert(CorpusQuality.ngramNoveltyOf(none).count() == 0)
+    assert(CorpusQuality.splitLeakageOf(none).count() == 0)
+    assert(CorpusQuality.tokenizerFertilityOf(none).count() == 0)
+    assert(CorpusQuality.langIdChargramOf(none).count() == 0)
+    assert(CorpusQuality.curriculumStagesOf(none).count() == 0)
+    // corpus-level cards keep their fixed row shape with null/zero
+    // values — a dashboards' empty state, not an error
+    assert(CorpusQuality.gopherRulesOf(none).count() == 6)
+    assert(CorpusQuality.datasetCardOf(none).count() == 9)
+    // one-token docs: no shingles anywhere, everything still total
+    val tiny = Seq((1L, "word", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(CorpusQuality.softDedupWeightsOf(tiny).collect().head.getDouble(3) == 1.0)
+    assert(CorpusQuality.splitLeakageOf(tiny).count() == 0)
+    assert(CorpusQuality.spanCorruptionOf(tiny).count() == 1)
+  }
 }
