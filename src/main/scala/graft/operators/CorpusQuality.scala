@@ -44,6 +44,14 @@ object CorpusQuality {
     * ANY supported language". */
   private val allMarkers: Seq[String] = langMarkers.flatMap(_._2)
 
+  // Gopher rule thresholds — ONE definition feeding the per-rule
+  // report, the curation pipeline's gate, and both oracles.
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMwl = 3   // mean word length bounds, compared as
+  val GopherMaxMwl = 10  // word_chars vs bounds*words (integer-exact)
+  val GopherMinStop = 2
+
   // ---------------------------------------------------------------
   // llm_gopher_rules — per-rule failure accounting (Rae et al. 2021)
   // ---------------------------------------------------------------
@@ -76,12 +84,13 @@ object CorpusQuality {
       size(filter(ts, t => t.rlike("^\\p{N}+$"))).cast("long").as("digit_words"),
       size(array_intersect(array_distinct(ts),
         array(allMarkers.map(lit): _*))).cast("long").as("stop_hits"))
-    val failWc    = !($"n_words" >= 50L && $"n_words" <= 100000L)
-    val failMwl   = !($"word_chars" >= $"n_words" * 3L &&
-      $"word_chars" <= $"n_words" * 10L)
+    val failWc    = !($"n_words" >= GopherMinWords.toLong &&
+      $"n_words" <= GopherMaxWords.toLong)
+    val failMwl   = !($"word_chars" >= $"n_words" * GopherMinMwl.toLong &&
+      $"word_chars" <= $"n_words" * GopherMaxMwl.toLong)
     val failAlpha = !($"alpha_words" * 5L >= $"n_words" * 4L)
     val failDigit = !($"digit_words" * 10L <= $"n_words" * 3L)
-    val failStop  = !($"stop_hits" >= 2L)
+    val failStop  = !($"stop_hits" >= GopherMinStop.toLong)
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
     val agg = f.agg(
@@ -116,16 +125,16 @@ object CorpusQuality {
        |  len(list_intersect(list_distinct(ts), [$markers])) AS stop_hits
        |  FROM t),
        |g AS (SELECT COUNT(*) AS total,
-       |  SUM(CASE WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 1 ELSE 0 END) AS f_wc,
-       |  SUM(CASE WHEN NOT (word_chars >= n_words * 3 AND word_chars <= n_words * 10) THEN 1 ELSE 0 END) AS f_mwl,
+       |  SUM(CASE WHEN NOT (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords) THEN 1 ELSE 0 END) AS f_wc,
+       |  SUM(CASE WHEN NOT (word_chars >= n_words * $GopherMinMwl AND word_chars <= n_words * $GopherMaxMwl) THEN 1 ELSE 0 END) AS f_mwl,
        |  SUM(CASE WHEN NOT (alpha_words * 5 >= n_words * 4) THEN 1 ELSE 0 END) AS f_alpha,
        |  SUM(CASE WHEN NOT (digit_words * 10 <= n_words * 3) THEN 1 ELSE 0 END) AS f_digit,
-       |  SUM(CASE WHEN NOT (stop_hits >= 2) THEN 1 ELSE 0 END) AS f_stop,
-       |  SUM(CASE WHEN NOT (n_words >= 50 AND n_words <= 100000)
-       |            OR NOT (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+       |  SUM(CASE WHEN NOT (stop_hits >= $GopherMinStop) THEN 1 ELSE 0 END) AS f_stop,
+       |  SUM(CASE WHEN NOT (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+       |            OR NOT (word_chars >= n_words * $GopherMinMwl AND word_chars <= n_words * $GopherMaxMwl)
        |            OR NOT (alpha_words * 5 >= n_words * 4)
        |            OR NOT (digit_words * 10 <= n_words * 3)
-       |            OR NOT (stop_hits >= 2) THEN 1 ELSE 0 END) AS f_any
+       |            OR NOT (stop_hits >= $GopherMinStop) THEN 1 ELSE 0 END) AS f_any
        |  FROM f)
        |SELECT rule, n_fail, CAST(n_fail AS DOUBLE) / total AS fail_rate
        |FROM (
@@ -659,6 +668,11 @@ object CorpusQuality {
   val ClfIters = 12
   val ClfEta = 4.0
   val ClfSalt = 7
+  /** Curation-pipeline decision margin: keep docs the model scores at
+    * z >= 0.85 (p >= 0.7) — the high-confidence cut real classifier
+    * filters apply, not the 0.5 argmax (which, trained on labels the
+    * Gopher gate subsumes, would pass every gate survivor). */
+  val ClfDecisionZ = 0.85
 
   /** Classifier-based quality filtering, the GPT-3/LLaMA recipe: a
     * logistic-regression model over hashed bag-of-words features
@@ -773,10 +787,99 @@ object CorpusQuality {
     clfFeaturesOf(base)
       .withColumn("c", $"x" * element_at(wArr, $"dim".cast("int") + 1))
       .groupBy($"doc_id").agg(sum($"c").as("z"))
-      .select($"doc_id", (lit(1.0) / (lit(1.0) + exp(-$"z"))).as("p"))
+      .select($"doc_id", $"z",
+        (lit(1.0) / (lit(1.0) + exp(-$"z"))).as("p"))
   }
 
-  def qualityClassifierSql: String = {
+  // ---------------------------------------------------------------
+  // llm_curation_pipeline — model-in-the-loop curation chain
+  // ---------------------------------------------------------------
+
+  /** Model-in-the-loop curation: raw corpus → Gopher rule gate →
+    * TRAINED-classifier filter (the [[qualityClassifierOf]] weights,
+    * decision `z ≥ 0`), reported as per-(stage, lang) survivorship —
+    * the audit shape of [[Pipeline.pipelineOf]] with a learned model
+    * as a stage. The classifier trains on the FULL corpus (the
+    * standard recipe: the model is fit once, then gates) and filters
+    * at the HIGH-CONFIDENCE margin `round(z, 6) ≥ [[ClfDecisionZ]]`
+    * (p ≥ 0.7) — rounding first so cross-engine sum-order noise in
+    * the dot product cannot flip a borderline doc.
+    *
+    * Scale: the gates are per-row predicates over one cached feature
+    * pass; training is the bounded-coordinator loop documented at
+    * [[qualityClassifierOf]]; stage accounting is a 3×langs
+    * aggregate.
+    */
+  def curationPipelineOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val ts = tokens($"text")
+    val base = documents.select($"doc_id", $"lang",
+      size(ts).cast("long").as("n_words"),
+      length(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}_]+", ""))
+        .cast("long").as("word_chars"),
+      size(filter(ts, t => t.rlike("\\p{L}"))).cast("long").as("alpha_words"),
+      size(filter(ts, t => t.rlike("^\\p{N}+$"))).cast("long").as("digit_words"),
+      size(array_intersect(array_distinct(ts),
+        array(allMarkers.map(lit): _*))).cast("long").as("stop_hits"))
+      .filter($"n_words" > 0)
+    val gopherPass =
+      $"n_words" >= GopherMinWords.toLong &&
+        $"n_words" <= GopherMaxWords.toLong &&
+        $"word_chars" >= $"n_words" * GopherMinMwl.toLong &&
+        $"word_chars" <= $"n_words" * GopherMaxMwl.toLong &&
+        $"alpha_words" * 5L >= $"n_words" * 4L &&
+        $"digit_words" * 10L <= $"n_words" * 3L &&
+        $"stop_hits" >= GopherMinStop.toLong
+    val weights = qualityClassifierOf(documents)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val scored = base
+      .withColumn("g_pass", gopherPass)
+      .join(classifierScores(documents, weights)
+        .select($"doc_id",
+          (round($"z", 6) >= ClfDecisionZ).as("m_pass")),
+        "doc_id")
+    def stage(name: String, keep: org.apache.spark.sql.Column) =
+      scored.filter(keep).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
+        .select(lit(name).as("stage"), $"lang", $"n_docs", $"n_tokens")
+    stage("s0_raw", lit(true))
+      .unionByName(stage("s1_gopher", $"g_pass"))
+      .unionByName(stage("s2_classifier", $"g_pass" && $"m_pass"))
+      .orderBy($"stage", $"lang")
+  }
+
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    curationPipelineOf(docs(spark, sfDir))
+
+  def curationPipelineSql: String =
+    s"""WITH $clfTrainCtes,
+       |zz AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+       |       FROM feats f JOIN w$ClfIters w ON f.dim = w.dim
+       |       GROUP BY f.doc_id),
+       |flags AS (SELECT b.doc_id, b.lang, b.n AS n_words,
+       |    (b.n >= $GopherMinWords AND b.n <= $GopherMaxWords AND
+       |     b.word_chars >= b.n * $GopherMinMwl AND
+       |     b.word_chars <= b.n * $GopherMaxMwl AND
+       |     b.alpha_words * 5 >= b.n * 4 AND
+       |     b.digit_words * 10 <= b.n * 3 AND
+       |     b.sh >= $GopherMinStop) AS g_pass,
+       |    (round(zz.z, 6) >= $ClfDecisionZ) AS m_pass
+       |  FROM b JOIN zz ON b.doc_id = zz.doc_id)
+       |SELECT stage, lang, COUNT(*) AS n_docs,
+       |  SUM(n_words) AS n_tokens
+       |FROM (
+       |  SELECT 's0_raw' AS stage, lang, n_words FROM flags
+       |  UNION ALL SELECT 's1_gopher', lang, n_words FROM flags WHERE g_pass
+       |  UNION ALL SELECT 's2_classifier', lang, n_words FROM flags
+       |    WHERE g_pass AND m_pass)
+       |GROUP BY stage, lang ORDER BY stage, lang""".stripMargin
+
+  /** The training CTE chain (tokenize → label → features → GD
+    * iterations, final weights in `w${ClfIters}`) — the WITH body
+    * shared by [[qualityClassifierSql]] and the curation pipeline's
+    * oracle. `b` also carries `lang` and the Gopher feature columns
+    * so downstream CTEs can gate on them. */
+  private def clfTrainCtes: String = {
     val markers = allMarkers.map(m => s"'$m'").mkString(", ")
     val d = ClfDims
     def iter(prev: String, cur: String): String =
@@ -791,9 +894,13 @@ object CorpusQuality {
          |$cur AS MATERIALIZED (
          |         SELECT w.dim, round(w.w - $ClfEta * COALESCE(g$cur.g, 0.0), 6) AS w
          |         FROM $prev w LEFT JOIN g$cur ON w.dim = g$cur.dim)""".stripMargin
-    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-       |b AS MATERIALIZED (SELECT doc_id, ts, len(ts) AS n,
-       |        len(list_intersect(list_distinct(ts), [$markers])) AS sh
+    s"""t AS (SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+       |b AS MATERIALIZED (SELECT doc_id, lang, ts, len(ts) AS n,
+       |        len(list_intersect(list_distinct(ts), [$markers])) AS sh,
+       |        length(regexp_replace(lower(array_to_string(ts, ' ')),
+       |                              '[^\\p{L}\\p{N}_]+', '', 'g')) AS word_chars,
+       |        len(list_filter(ts, x -> regexp_matches(x, '\\p{L}'))) AS alpha_words,
+       |        len(list_filter(ts, x -> regexp_matches(x, '^\\p{N}+$$'))) AS digit_words
        |      FROM t WHERE len(ts) > 0),
        |lab AS MATERIALIZED (SELECT doc_id,
        |  CASE WHEN n >= 30 AND sh >= 2 THEN 1.0 ELSE 0.0 END AS y FROM b),
@@ -809,9 +916,12 @@ object CorpusQuality {
        |          UNION ALL SELECT doc_id, ${d + 2} AS dim, 1.0 AS x FROM b),
        |nd AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS nd FROM b),
        |w0 AS (SELECT unnest(range(0, ${d + 3})) AS dim, 0.0 AS w),
-       |${(1 to ClfIters).map(i => iter(s"w${i - 1}", s"w$i")).mkString(",\n")}
-       |SELECT dim, w AS weight FROM w$ClfIters ORDER BY dim""".stripMargin
+       |${(1 to ClfIters).map(i => iter(s"w${i - 1}", s"w$i")).mkString(",\n")}""".stripMargin
   }
+
+  def qualityClassifierSql: String =
+    s"""WITH $clfTrainCtes
+       |SELECT dim, w AS weight FROM w$ClfIters ORDER BY dim""".stripMargin
 
   // ---------------------------------------------------------------
   // llm_split_leakage — near-dup contamination across splits

@@ -184,6 +184,29 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
       s"trained accuracy $acc does not beat majority baseline $majority")
   }
 
+  test("curation pipeline: stages shrink monotonically and s1 matches the rule report") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = CorpusQuality.curationPipeline(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val langs = rows.keys.filter(_._1 == "s0_raw").map(_._2)
+    langs.foreach { l =>
+      val s0 = rows(("s0_raw", l)); val s1 = rows(("s1_gopher", l))
+      val s2 = rows.getOrElse(("s2_classifier", l), (0L, 0L))
+      assert(s1._1 <= s0._1 && s2._1 <= s1._1, s"$l: stages must shrink")
+      assert(s1._2 <= s0._2 && s2._2 <= s1._2, s"$l: token mass must shrink")
+    }
+    // gate survivors == total - any_rule failures from the rule report
+    val anyFail = CorpusQuality.gopherRules(spark, dir).collect()
+      .find(_.getString(0) == "any_rule").get.getLong(1)
+    val total = rows.collect { case (("s0_raw", _), (n, _)) => n }.sum
+    val s1Total = rows.collect { case (("s1_gopher", _), (n, _)) => n }.sum
+    assert(s1Total === total - anyFail,
+      "the pipeline's gopher gate must agree with llm_gopher_rules")
+    // the high-confidence classifier cut must actually discriminate
+    val s2Total = rows.collect { case (("s2_classifier", _), (n, _)) => n }.sum
+    assert(s2Total < s1Total && s2Total > 0)
+  }
+
   test("split leakage: exact duplicates cannot straddle the split") {
     val dups = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "alpha beta gamma delta epsilon"))
