@@ -216,6 +216,12 @@ object Graft {
   def datasetCard(docs: DataFrame): DataFrame =
     operators.CorpusQuality.datasetCardOf(docs)
 
+  /** Model-in-the-loop curation chain: Gopher gate → trained
+    * classifier at the high-confidence margin, per-(stage, lang)
+    * survivorship rows. Needs `doc_id, text, lang`. */
+  def curationPipeline(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.curationPipelineOf(docs)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`
