@@ -1829,6 +1829,44 @@ object Relational {
       .orderBy($"status")
   }
 
+  /** k-anonymity audit over the event stream (the data-governance
+    * question a release answers before shipping telemetry): treating
+    * `(event_type, day, quarter-day)` as the quasi-identifier, the
+    * ACHIEVED k per event type is the smallest distinct-user count
+    * over its cells — any cell below a policy k re-identifies. The
+    * report carries the achieved k plus below-threshold cell counts
+    * at two reference policies; reporting achieved-k (not a fixed-k
+    * flag list) keeps the operator meaningful at every data density.
+    *
+    * Scale: one distinct-user aggregate on the cell key (partial+
+    * final), then a per-type rollup over ≤ types × days × 4 cells.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"),
+        (hour($"ts") / 6).cast("int").as("quarter"))
+      .agg(count_distinct($"user_id").as("cell_users"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        min($"cell_users").as("k_achieved"),
+        sum(when($"cell_users" < 10L, 1L).otherwise(0L)).as("cells_lt_10"),
+        sum(when($"cell_users" < 50L, 1L).otherwise(0L)).as("cells_lt_50"))
+      .orderBy($"event_type")
+  }
+
+  val kAnonymitySql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(date_part('hour', ts) // 6 AS INT) AS quarter,
+      |    COUNT(DISTINCT user_id) AS cell_users
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, COUNT(*) AS n_cells,
+      |  MIN(cell_users) AS k_achieved,
+      |  SUM(CASE WHEN cell_users < 10 THEN 1 ELSE 0 END) AS cells_lt_10,
+      |  SUM(CASE WHEN cell_users < 50 THEN 1 ELSE 0 END) AS cells_lt_50
+      |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
     * they are supposed to flag, the median and the median absolute

@@ -1204,5 +1204,52 @@ object Similarity {
        |  round(SUM(CASE WHEN lb = own THEN 1 ELSE 0 END)::DOUBLE / COUNT(*),
        |        6) AS accuracy
        |FROM pred WHERE r = 1 GROUP BY own ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_embed_qa — embedding-table hygiene report
+  // ---------------------------------------------------------------
+
+  /** Embedding hygiene per label — the QA card an embedding table is
+    * checked against before any ANN index is built over it: vector
+    * counts, dimension consistency (a ragged table silently breaks
+    * every dot product), zero-norm vectors (cosine-undefined — they
+    * poison normalization), and the L2-norm envelope. Per-row norms
+    * are bit-identical across engines (the codegen'd dot walks the
+    * array in order, as does `list_dot_product`); only the norm
+    * AVERAGE is order-sensitive and rounds to 4 dp.
+    *
+    * Scale: one scan, per-row codegen'd dot, one partial+final
+    * aggregate on the label key. */
+  def embedQaOf(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select($"label", size($"embedding").cast("long").as("dim"),
+        sqrt(dot(vd($"embedding"), vd($"embedding"))).as("nrm"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"dim").as("min_dim"), max($"dim").as("max_dim"),
+        sum(when($"nrm" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(avg($"nrm"), 4).as("avg_norm"),
+        round(min($"nrm"), 4).as("min_norm"),
+        round(max($"nrm"), 4).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  def embedQa(spark: SparkSession, sfDir: String): DataFrame =
+    embedQaOf(Tables.embeddings(spark, sfDir))
+
+  val embedQaSql: String =
+    """WITH n AS (SELECT label, len(embedding) AS dim,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(MIN(dim) AS BIGINT) AS min_dim,
+      |  CAST(MAX(dim) AS BIGINT) AS max_dim,
+      |  SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero,
+      |  round(AVG(nrm), 4) AS avg_norm,
+      |  round(MIN(nrm), 4) AS min_norm,
+      |  round(MAX(nrm), 4) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
 }
 

@@ -246,6 +246,22 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(real == replay && real.nonEmpty)
   }
 
+  test("k-anonymity: achieved k is the true minimum over cells") {
+    val rows = Relational.kAnonymity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    // independent recompute of one type's cell minimum
+    val (typ, (_, kAch, lt10, lt50)) = rows.head
+    val cells = Tables.events(spark, sf)
+      .filter(col("event_type") === typ)
+      .groupBy(to_date(col("ts")), (hour(col("ts")) / 6).cast("int"))
+      .agg(count_distinct(col("user_id")).as("u"))
+      .select("u").collect().map(_.getLong(0))
+    assert(kAch === cells.min)
+    assert(lt10 === cells.count(_ < 10).toLong)
+    assert(lt50 === cells.count(_ < 50).toLong)
+  }
+
   test("mad outliers: driver-side replay agrees, flags beat the cut") {
     val flagged = Relational.outlierMad(spark, sf).collect()
       .map(r => r.getDate(0).toString -> r.getDouble(2)).toMap

@@ -307,4 +307,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .listFiles().filter(_.getName.startsWith("cell="))
     assert(cells.nonEmpty, "cells layout is not partitioned by cell")
   }
+
+  test("embed QA: catches ragged dims and zero vectors on a crafted table") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(3.0f, 4.0f), 0),       // norm 5
+      (2L, Array(0.0f, 0.0f), 0),       // zero vector
+      (3L, Array(1.0f, 0.0f, 0.0f), 1)) // ragged dim
+      .toDF("vec_id", "embedding", "label")
+    val qa = Similarity.embedQaOf(e)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(qa(0) === ((2L, 2L, 2L, 1L, 0.0, 5.0))) // one zero vec, norms 0..5
+    assert(qa(1) === ((1L, 3L, 3L, 0L, 1.0, 1.0)))
+  }
 }
