@@ -136,7 +136,8 @@ object CorpusQuality {
        |            OR NOT (digit_words * 10 <= n_words * 3)
        |            OR NOT (stop_hits >= $GopherMinStop) THEN 1 ELSE 0 END) AS f_any
        |  FROM f)
-       |SELECT rule, n_fail, CAST(n_fail AS DOUBLE) / total AS fail_rate
+       |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+       |  CAST(n_fail AS DOUBLE) / total AS fail_rate
        |FROM (
        |  SELECT 'alpha_ratio' AS rule, f_alpha AS n_fail, total FROM g
        |  UNION ALL SELECT 'any_rule', f_any, total FROM g
@@ -207,7 +208,7 @@ object CorpusQuality {
        |             COALESCE(dup, 1.0) AS dup
        |      FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id)
        |SELECT source, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS raw_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
        |  SUM(1.0 / dup) AS eff_docs,
        |  SUM(n_tokens / dup) AS eff_tokens,
        |  AVG(dup) AS avg_dup
@@ -280,7 +281,7 @@ object CorpusQuality {
        |            ELSE 's4_hardest' END AS stage,
        |  COUNT(*) AS n_docs,
        |  COUNT(DISTINCT lang) AS n_langs,
-       |  SUM(n_tokens) AS total_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  AVG(score) AS avg_score
        |FROM z GROUP BY 1 ORDER BY stage""".stripMargin
 
@@ -324,7 +325,8 @@ object CorpusQuality {
        |sg AS (SELECT DISTINCT source, unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM t),
        |spread AS (SELECT g, COUNT(*) AS n_sources FROM sg GROUP BY g)
        |SELECT source, COUNT(*) AS n_grams,
-       |  SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS n_exclusive,
+       |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exclusive,
        |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
        |    / greatest(COUNT(*), 1) AS novelty
        |FROM sg JOIN spread USING (g)
@@ -356,8 +358,9 @@ object CorpusQuality {
       .agg(count(lit(1)).as("n_docs"),
         sum($"words").as("words"),
         sum($"subwords").as("subwords"),
-        (sum($"subwords").cast("double") / sum($"words")).as("fertility"),
-        (sum($"word_chars").cast("double") / sum($"subwords"))
+        (sum($"subwords").cast("double") / greatest(sum($"words"), lit(1L)))
+          .as("fertility"),
+        (sum($"word_chars").cast("double") / greatest(sum($"subwords"), lit(1L)))
           .as("chars_per_subword"))
       .orderBy($"lang")
   }
@@ -372,9 +375,11 @@ object CorpusQuality {
       |    length(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', '', 'g')) AS word_chars
       |  FROM documents)
       |SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(words) AS words, SUM(subwords) AS subwords,
-      |  CAST(SUM(subwords) AS DOUBLE) / SUM(words) AS fertility,
-      |  CAST(SUM(word_chars) AS DOUBLE) / SUM(subwords) AS chars_per_subword
+      |  CAST(SUM(words) AS BIGINT) AS words,
+      |  CAST(SUM(subwords) AS BIGINT) AS subwords,
+      |  CAST(SUM(subwords) AS DOUBLE) / greatest(SUM(words), 1) AS fertility,
+      |  CAST(SUM(word_chars) AS DOUBLE) / greatest(SUM(subwords), 1)
+      |    AS chars_per_subword
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
@@ -433,8 +438,8 @@ object CorpusQuality {
        |          AS span_start
        |      FROM m)
        |SELECT doc_id, COUNT(*) AS n_tokens,
-       |  SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
-       |  SUM(CASE WHEN span_start THEN 1 ELSE 0 END) AS n_spans,
+       |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  CAST(SUM(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
        |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
        |    / COUNT(*) AS corruption_rate
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -479,7 +484,7 @@ object CorpusQuality {
     """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
       |            FROM documents),
       |h AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
-      |SELECT doc_id, SUM(c) AS n_chars, COUNT(*) AS uniq_chars,
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars, COUNT(*) AS uniq_chars,
       |  round(ln(SUM(c)) - SUM(c::DOUBLE * ln(c)) / SUM(c), 4) AS entropy
       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -866,7 +871,7 @@ object CorpusQuality {
        |    (round(zz.z, 6) >= $ClfDecisionZ) AS m_pass
        |  FROM b JOIN zz ON b.doc_id = zz.doc_id)
        |SELECT stage, lang, COUNT(*) AS n_docs,
-       |  SUM(n_words) AS n_tokens
+       |  CAST(SUM(n_words) AS BIGINT) AS n_tokens
        |FROM (
        |  SELECT 's0_raw' AS stage, lang, n_words FROM flags
        |  UNION ALL SELECT 's1_gopher', lang, n_words FROM flags WHERE g_pass

@@ -1863,8 +1863,10 @@ object Relational {
       |  FROM events GROUP BY 1, 2, 3)
       |SELECT event_type, COUNT(*) AS n_cells,
       |  MIN(cell_users) AS k_achieved,
-      |  SUM(CASE WHEN cell_users < 10 THEN 1 ELSE 0 END) AS cells_lt_10,
-      |  SUM(CASE WHEN cell_users < 50 THEN 1 ELSE 0 END) AS cells_lt_50
+      |  CAST(SUM(CASE WHEN cell_users < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cells_lt_10,
+      |  CAST(SUM(CASE WHEN cell_users < 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cells_lt_50
       |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe

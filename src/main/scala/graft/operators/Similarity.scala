@@ -1246,7 +1246,7 @@ object Similarity {
       |SELECT label, COUNT(*) AS n_vecs,
       |  CAST(MIN(dim) AS BIGINT) AS min_dim,
       |  CAST(MAX(dim) AS BIGINT) AS max_dim,
-      |  SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero,
+      |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |  round(AVG(nrm), 4) AS avg_norm,
       |  round(MIN(nrm), 4) AS min_norm,
       |  round(MAX(nrm), 4) AS max_norm

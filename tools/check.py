@@ -51,6 +51,25 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # Type-parity guard (round-9 lesson): DuckDB SUM(int) returns
+        # HUGEINT (int128); python fetchall() hides that as a plain int,
+        # but the driver's comparator normalizes int128 differently than
+        # the Spark output's int64 — every round-8 hash-red query traced
+        # to exactly this. Flag any oracle output column whose DuckDB
+        # type has no Spark parquet counterpart so the mismatch is
+        # visible LOCALLY, not just in the driver artifact.
+        try:
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()
+            exotic = [(c[0], c[1]) for c in desc
+                      if c[1] in ("HUGEINT", "UHUGEINT")
+                      or c[1].startswith("DECIMAL")]
+            for col, typ in exotic:
+                print(f"TYPEWARN {name}: oracle col {col} is {typ} "
+                      f"(cast to BIGINT/DOUBLE in the SQL)")
+                n_fail += 1
+        except Exception:
+            pass
         sc, sr = canon(scols, s)
         oc, orr = canon(ocols, o)
         if sc != oc:
