@@ -706,23 +706,43 @@ object CorpusQuality {
     */
   def qualityClassifierOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
+    trainedWeights(documents).zipWithIndex
+      .map { case (wt, d) => (d.toLong, wt) }
+      .toSeq.toDF("dim", "weight").orderBy($"dim")
+  }
+
+  /** One GD training run per (session, corpus): the 12-iteration loop
+    * is 12 sequential driver jobs, so when both classifier-backed
+    * queries ([[qualityClassifierOf]] and [[curationPipelineOf]]) run
+    * in one session the second must reuse the first's weights, not
+    * pay the loop again. Keyed by the wide frame's semantic hash —
+    * the same key discipline as [[cached]]; the value is 19 doubles,
+    * so the memo is bounded-coordinator by construction. */
+  private val weightCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Double]]
+
+  private[graft] def trainedWeights(documents: DataFrame): Array[Double] = {
+    import documents.sparkSession.implicits._
     val dims = ClfDims + 3
     val wide = cached("clfWide", clfWideOf(documents))
-    val nDocs = wide.count().toDouble
-    var w = Array.fill(dims)(0.0)
-    for (_ <- 1 to ClfIters) {
-      val z = (0 until dims).map(d => col(s"x$d") * lit(w(d))).reduce(_ + _)
-      val err = lit(1.0) / (lit(1.0) + exp(-z)) - $"y"
-      val grads = wide.withColumn("err", err)
-        .agg(sum($"err" * col("x0")).as("g0"),
-          (1 until dims).map(d => sum($"err" * col(s"x$d")).as(s"g$d")): _*)
-        .head()
-      w = w.indices.map(d =>
-        BigDecimal(w(d) - ClfEta * grads.getDouble(d) / nDocs)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
-    }
-    w.zipWithIndex.map { case (wt, d) => (d.toLong, wt) }
-      .toSeq.toDF("dim", "weight").orderBy($"dim")
+    val key = (System.identityHashCode(documents.sparkSession),
+      wide.queryExecution.analyzed.semanticHash())
+    weightCache.getOrElseUpdate(key, {
+      val nDocs = wide.count().toDouble
+      var w = Array.fill(dims)(0.0)
+      for (_ <- 1 to ClfIters) {
+        val z = (0 until dims).map(d => col(s"x$d") * lit(w(d))).reduce(_ + _)
+        val err = lit(1.0) / (lit(1.0) + exp(-z)) - $"y"
+        val grads = wide.withColumn("err", err)
+          .agg(sum($"err" * col("x0")).as("g0"),
+            (1 until dims).map(d => sum($"err" * col(s"x$d")).as(s"g$d")): _*)
+          .head()
+        w = w.indices.map(d =>
+          BigDecimal(w(d) - ClfEta * grads.getDouble(d) / nDocs)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+      }
+      w
+    })
   }
 
   /** Wide per-document training frame `(doc_id, y, x0..x18)`: the
@@ -835,8 +855,7 @@ object CorpusQuality {
         $"alpha_words" * 5L >= $"n_words" * 4L &&
         $"digit_words" * 10L <= $"n_words" * 3L &&
         $"stop_hits" >= GopherMinStop.toLong
-    val weights = qualityClassifierOf(documents)
-      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val weights = trainedWeights(documents)
     val scored = base
       .withColumn("g_pass", gopherPass)
       .join(classifierScores(documents, weights)

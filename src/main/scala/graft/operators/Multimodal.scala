@@ -384,13 +384,23 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"asset $id: undecodable image payload")
+          // the twin writer emits alpha-less gray pixels; fail loudly
+          // if a color pipeline ever routes an alpha asset through
+          // here rather than silently zeroing its alpha channel
+          require(!img.getColorModel.hasAlpha,
+            s"asset $id: twin generator only supports alpha-less images")
           var y = 0
           while (y < img.getHeight) {
             var x = 0
             while (x < img.getWidth) {
               if ((x + y) % 23 == 0) {
-                val g0 = img.getRGB(x, y) & 0xff
-                val g = math.min(255, g0 + 1)
+                val p = img.getRGB(x, y)
+                // integer BT.601 luminance from all three channels —
+                // identical to the blue channel on the grayscale
+                // fixtures, correct if a color asset ever lands here
+                val lum = (((p >> 16) & 0xff) * 299 +
+                  ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+                val g = math.min(255, lum + 1)
                 img.setRGB(x, y, (g << 16) | (g << 8) | g)
               }
               x += 1

@@ -520,7 +520,12 @@ object TimeSeries {
 
   /** Truncated exponentially-weighted moving average of daily revenue
     * per order priority: the adjust=True EWM (`Σ (1−α)^(t−j) x_j /
-    * Σ (1−α)^(t−j)`) cut at [[EwmaLags]] trailing days. Truncation is
+    * Σ (1−α)^(t−j)`) cut at [[EwmaLags]] trailing OBSERVATIONS (a
+    * ROWS frame: for a series with calendar gaps the frame may span
+    * more than 14 calendar days — decay is per observed day, which is
+    * the intended semantics for a daily aggregate that only emits
+    * days with data; densify upstream with a [[gapFillDailyOf]]-style
+    * calendar spine if strict calendar decay is needed). Truncation is
     * the SCALE choice, not a shortcut: the closed-form full-history
     * rewrite (`(1−α)^t · Σ x_j (1−α)^{−j}`) overflows doubles after a
     * few hundred days, and a per-row recursive state is not

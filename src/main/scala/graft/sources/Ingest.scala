@@ -469,11 +469,17 @@ object Ingest {
       // parsed frame first — at scale this is the pass that writes the
       // clean snapshot anyway
       .cache()
-    read.agg(
+    // the aggregate is a 3-long scalar: run it eagerly so the cached
+    // PERMISSIVE scan can be unpersisted immediately instead of
+    // pinning the session's CacheManager for its lifetime
+    val row = read.agg(
       sum(when($"_quarantined".isNull, 1L).otherwise(0L)).as("n_good"),
       sum(when($"_quarantined".isNotNull, 1L).otherwise(0L)).as("n_bad"),
       sum(when($"_quarantined".isNull, $"n_nationkey".cast("long"))
-        .otherwise(0L)).as("good_key_sum"))
+        .otherwise(0L)).as("good_key_sum")).head()
+    read.unpersist()
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+      .toDF("n_good", "n_bad", "good_key_sum")
   }
 
   val csvQuarantineSql: String =
