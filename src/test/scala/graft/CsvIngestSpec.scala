@@ -95,6 +95,53 @@ class CsvIngestSpec extends SparkSpec {
     assert(rt.except(direct).count() == 0 && direct.except(rt).count() == 0)
   }
 
+  test("golden end-to-end: IMDb-shaped CSV through Ingest -> titleLevelsOn " +
+    "matches hand-computed levels (S1-vs-S2 resolution, SURVEY §3.3)") {
+    // Every parser hazard in one file: quoted title WITH a comma (the
+    // S1/S2 divergence — csv_to_ets.erl:47's quote-blind split would
+    // fragment it and the probe lookup would miss), a quoted actor
+    // with a comma, an RFC "" escape, variable arity with trailing
+    // empties, a blank-ish line (S4), and padded whitespace (F2).
+    val path = writeCsv(Seq(
+      "MovieID,Title,Actor1,Actor2,Actor3",
+      "1,\"Heat, The Remake\",\"De Niro, Robert\", Pacino ,Kilmer",
+      "2,Ronin,\"De Niro, Robert\",Reno,",
+      "3,Serpico,Pacino,,",
+      ",,",
+      "4,The Score,\"De Niro, Robert\",Norton,Brando",
+      "5,Insomnia,Pacino,Williams,Swank",
+      "6,\"The \"\"Irishman\"\"\",\"De Niro, Robert\",Pacino,Pesci"))
+    val movies = Ingest.readMoviesCsv(spark, path)
+    // S2 parsing holds the comma-title together, so the probe HITS —
+    // under the reference's S1 master parser this same query would
+    // return empty (title fragments to `"Heat`). We pin S2 (SURVEY
+    // §3.3: one parser, the correct one, for both paths).
+    val got = graft.operators.ReferenceQueries
+      .titleLevelsOn(movies, "Heat, The Remake")
+      .as[(String, Long, Long)].collect().toSeq
+    // Hand-computed: probe cast {De Niro Robert, Pacino, Kilmer};
+    // overlap 1 ⇒ level 1 for Ronin/Serpico/The Score/Insomnia,
+    // overlap 2 ⇒ level 2 for The "Irishman"; (level, name) order.
+    assert(got == Seq(
+      ("Insomnia", 1L, 1L),
+      ("Ronin", 1L, 1L),
+      ("Serpico", 1L, 1L),
+      ("The Score", 1L, 1L),
+      ("The \"Irishman\"", 2L, 2L)))
+    // the same file through the Actor query: co-stars of Pacino,
+    // trimmed ("` Pacino `" on row 1 must have been F2-trimmed to
+    // match) — counts are co-appearances, capped into levels
+    val co = graft.operators.ReferenceQueries
+      .actorCoactorsOn(movies, "Pacino")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(co == Seq(
+      ("Kilmer", 1L, 1L),
+      ("Pesci", 1L, 1L),
+      ("Swank", 1L, 1L),
+      ("Williams", 1L, 1L),
+      ("De Niro, Robert", 2L, 2L)))
+  }
+
   test("quarantine captures exactly the planted corrupt lines, clean rows intact") {
     val row = Ingest.csvQuarantine(spark, sf).collect().head
     val nation = graft.sources.Tables.nation(spark, sf)
