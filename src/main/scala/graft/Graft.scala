@@ -222,10 +222,22 @@ object Graft {
   def curationPipeline(docs: DataFrame): DataFrame =
     operators.CorpusQuality.curationPipelineOf(docs)
 
+  /** Gate-sensitivity sweep: survivorship at each candidate
+    * classifier decision threshold (trains once per session via the
+    * weight memo). Needs `doc_id, text, lang`. */
+  def thresholdSweep(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.thresholdSweepOf(docs)
+
+  /** Data-constrained epoch allocation: per-source epochs and
+    * decayed effective-token value under a fixed training budget.
+    * Needs `source, text`. */
+  def epochAllocation(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.epochAllocationOf(docs)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`
-    * series (adjust=True, 14 trailing days). */
+    * series (adjust=True, 14 trailing observations). */
   def ewmaSmooth(daily: DataFrame): DataFrame =
     operators.TimeSeries.ewmaOf(daily)
 

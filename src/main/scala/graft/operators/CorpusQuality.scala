@@ -898,6 +898,135 @@ object CorpusQuality {
        |    WHERE g_pass AND m_pass)
        |GROUP BY stage, lang ORDER BY stage, lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // llm_threshold_sweep — classifier gate sensitivity report
+  // ---------------------------------------------------------------
+
+  /** The decision-margin grid the sweep evaluates, in z (log-odds)
+    * space; includes the production gate [[ClfDecisionZ]]. */
+  val SweepThresholds: Seq[Double] = Seq(-1.0, -0.5, 0.0, 0.5, 0.85, 1.5)
+
+  /** Gate-sensitivity sweep for the trained quality classifier: the
+    * corpus survivorship at each candidate decision threshold — the
+    * one-query answer to "how much data does each gate setting cost",
+    * which a curation team reads BEFORE picking [[ClfDecisionZ]]
+    * (FineWeb-Edu-style threshold ablation, applied to retention).
+    *
+    * One scored pass (weights come from the per-session
+    * [[trainedWeights]] memo — the sweep trains nothing), one
+    * explode(grid) × conditional-count aggregate; thresholds compare
+    * on `round(z, 6)` so engine float noise cannot flip a boundary
+    * doc. Scale: grid×corpus rows, a constant 6× the scored frame,
+    * partial+final aggregated — nothing driver-side but the grid.
+    */
+  def thresholdSweepOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    classifierScores(documents, trainedWeights(documents))
+      .select(round($"z", 6).as("rz"),
+        explode(array(SweepThresholds.map(lit): _*)).as("thr"))
+      .groupBy($"thr")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rz" >= $"thr", 1L).otherwise(0L)).as("n_pass"))
+      .select($"thr".as("z_threshold"), $"n_pass",
+        ($"n_pass".cast("double") / $"n_docs").as("pass_rate"))
+      .orderBy($"z_threshold")
+  }
+
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame =
+    thresholdSweepOf(docs(spark, sfDir))
+
+  def thresholdSweepSql: String = {
+    val grid = SweepThresholds.mkString(", ")
+    s"""WITH $clfTrainCtes,
+       |zz AS (SELECT f.doc_id, SUM(f.x * w.w) AS z
+       |       FROM feats f JOIN w$ClfIters w ON f.dim = w.dim
+       |       GROUP BY f.doc_id),
+       |rz AS (SELECT round(z, 6) AS rz FROM zz),
+       |grid AS (SELECT CAST(unnest([$grid]) AS DOUBLE) AS thr)
+       |SELECT thr AS z_threshold,
+       |  CAST(SUM(CASE WHEN rz >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(SUM(CASE WHEN rz >= thr THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS pass_rate
+       |FROM rz CROSS JOIN grid
+       |GROUP BY thr ORDER BY z_threshold""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_epoch_allocation — data-constrained epoch/budget allocator
+  // ---------------------------------------------------------------
+
+  /** Training-token budget as a multiple of the corpus, the per-source
+    * epoch cap, and the epoch-decay scale (value of the e-th epoch
+    * decays like exp(−(e−1)/R) — the data-constrained-scaling shape
+    * of Muennighoff et al. 2023, arXiv 2305.16264). */
+  val EpochBudgetX = 3
+  val EpochCap = 16.0
+  val EpochDecayR = 15.0
+
+  /** Epoch allocation under a fixed training-token budget: the budget
+    * ([[EpochBudgetX]] × total corpus tokens) is split EQUALLY across
+    * sources (the uniform-mixing baseline), so small sources get
+    * repeated for many epochs and large ones train partially — the
+    * report gives each source's allocation, implied epochs (capped at
+    * [[EpochCap]]), and the effective unique-token value
+    * `U·R·(1−exp(−E/R))` after repeated-epoch decay, the number that
+    * says when repeating stops buying anything.
+    *
+    * Determinism: token counts are exact longs; the budget split is
+    * integer division; epochs and effective tokens are single double
+    * expressions over those exact inputs, rounded at emission.
+    * Scale: one token-count aggregate by source (partial+final) and
+    * a 1-row total broadcast-joined back — no global window, no
+    * driver loop.
+    */
+  def epochAllocationOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val perSource = documents
+      .select($"source", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("unique_tokens"))
+    val totals = perSource.agg(
+      sum($"unique_tokens").as("total"),
+      count(lit(1)).as("n_sources"))
+    perSource
+      .join(broadcast(totals))
+      .withColumn("alloc_tokens",
+        expr(s"CAST(($EpochBudgetX * total) DIV n_sources AS BIGINT)"))
+      .withColumn("epochs_raw",
+        $"alloc_tokens".cast("double") / $"unique_tokens")
+      .withColumn("epochs", least($"epochs_raw", lit(EpochCap)))
+      .select($"source", $"unique_tokens", $"alloc_tokens",
+        round($"epochs", 4).as("epochs"),
+        round($"unique_tokens" * lit(EpochDecayR) *
+          (lit(1.0) - exp(-$"epochs" / lit(EpochDecayR))), 2)
+          .as("eff_tokens"))
+      .orderBy($"source")
+  }
+
+  def epochAllocation(spark: SparkSession, sfDir: String): DataFrame =
+    epochAllocationOf(docs(spark, sfDir))
+
+  def epochAllocationSql: String =
+    s"""WITH ps AS (
+       |  SELECT source, CAST(SUM(len($tokensSql)) AS BIGINT) AS unique_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS total,
+       |               COUNT(*) AS n_sources FROM ps),
+       |a AS (
+       |  SELECT source, unique_tokens,
+       |    ($EpochBudgetX * total) // n_sources AS alloc_tokens
+       |  FROM ps CROSS JOIN tot),
+       |e AS (
+       |  SELECT source, unique_tokens, alloc_tokens,
+       |    least(CAST(alloc_tokens AS DOUBLE) / unique_tokens, $EpochCap)
+       |      AS epochs
+       |  FROM a)
+       |SELECT source, unique_tokens, CAST(alloc_tokens AS BIGINT)
+       |    AS alloc_tokens,
+       |  round(epochs, 4) AS epochs,
+       |  round(unique_tokens * $EpochDecayR *
+       |        (1.0 - exp(-epochs / $EpochDecayR)), 2) AS eff_tokens
+       |FROM e ORDER BY source""".stripMargin
+
   /** The training CTE chain (tokenize → label → features → GD
     * iterations, final weights in `w${ClfIters}`) — the WITH body
     * shared by [[qualityClassifierSql]] and the curation pipeline's

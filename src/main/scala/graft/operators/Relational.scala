@@ -83,6 +83,82 @@ object Relational {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_market_share — TPC-H Q8-shaped galaxy join
+  // ---------------------------------------------------------------
+
+  /** Yearly market share of one region's suppliers in one part-type
+    * market (the TPC-H Q8 "national market share" shape over this
+    * schema): lineitem ⋈ part ⋈ orders ⋈ supplier ⋈ nation ⋈ region,
+    * revenue split into the target-region slice vs the market total
+    * per order year. The star points (part filter, supplier→nation→
+    * region snowflake) are explicit `broadcast`s — the fact table
+    * streams once through four broadcast-hash joins and one shuffle
+    * join with orders (orderkey, AQE-planned), then one year-keyed
+    * aggregate: at 100 TB the only wide exchange is the orders join,
+    * and bucketing both facts on orderkey removes even that.
+    *
+    * Determinism: revenue terms are rounded into DECIMAL(18,2) at the
+    * row level and summed exactly (the [[pricingSummary]] idiom); the
+    * share is one double division of two exact decimal casts.
+    */
+  def marketShare(spark: SparkSession, sfDir: String,
+                  partType: String = "PROMO",
+                  regionName: String = "EUROPE"): DataFrame = {
+    import spark.implicits._
+    val supRegion = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"r_name")
+    val rev = dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter($"p_type" === lit(partType)).select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supRegion), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("bigint").as("o_year"))
+      .agg(
+        sum(when($"r_name" === lit(regionName), rev)
+          .otherwise(dec(lit(0.0)) * dec(lit(0.0)))).as("rr"),
+        sum(rev).as("tr"))
+      .select($"o_year",
+        $"rr".cast("double").as("region_revenue"),
+        $"tr".cast("double").as("total_revenue"),
+        round($"rr".cast("double") / $"tr".cast("double"), 6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  def marketShareSql(partType: String = "PROMO",
+                     regionName: String = "EUROPE"): String =
+    s"""WITH sup AS (
+       |  SELECT s_suppkey, r_name
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey),
+       |f AS (
+       |  SELECT date_part('year', o_orderdate) AS o_year,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      CAST(1.0 - l_discount AS DECIMAL(18,2)) AS rev,
+       |    sup.r_name
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey AND p_type = '$partType'
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN sup ON l_suppkey = sup.s_suppkey),
+       |y AS (
+       |  SELECT o_year,
+       |    SUM(CASE WHEN r_name = '$regionName' THEN rev
+       |        ELSE CAST(0 AS DECIMAL(36,4)) END) AS rr,
+       |    SUM(rev) AS tr
+       |  FROM f GROUP BY o_year)
+       |SELECT CAST(o_year AS BIGINT) AS o_year,
+       |  CAST(rr AS DOUBLE) AS region_revenue,
+       |  CAST(tr AS DOUBLE) AS total_revenue,
+       |  round(CAST(rr AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS mkt_share
+       |FROM y ORDER BY o_year""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_bucketed_join — co-bucketed big⋈big join, shuffle-free
   // ---------------------------------------------------------------
 
@@ -1868,6 +1944,46 @@ object Relational {
       |  CAST(SUM(CASE WHEN cell_users < 50 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS cells_lt_50
       |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** l-diversity audit, the companion governance check to
+    * [[kAnonymity]]: k-anonymity bounds RE-identification, but a cell
+    * whose members all share one sensitive value still leaks it
+    * (homogeneity attack — Machanavajjhala et al. 2007). Here the
+    * quasi-identifier is the `(day, quarter-day)` time cell and the
+    * sensitive attribute is `event_type`: per quarter-of-day the
+    * report gives the achieved l (the smallest distinct-sensitive
+    * count over its day cells) and how many cells fall below the
+    * l=3 / l=5 reference policies.
+    *
+    * Scale: one distinct aggregate on the (day, quarter) cell key,
+    * then a ≤4-row rollup — the [[kAnonymity]] shape. */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"),
+        (hour($"ts") / 6).cast("int").as("quarter"))
+      .agg(count_distinct($"event_type").as("cell_l"))
+      .groupBy($"quarter")
+      .agg(count(lit(1)).as("n_cells"),
+        min($"cell_l").as("l_achieved"),
+        sum(when($"cell_l" < 3L, 1L).otherwise(0L)).as("cells_lt_3"),
+        sum(when($"cell_l" < 5L, 1L).otherwise(0L)).as("cells_lt_5"))
+      .orderBy($"quarter")
+  }
+
+  val lDiversitySql: String =
+    """WITH cells AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(date_part('hour', ts) // 6 AS INT) AS quarter,
+      |    COUNT(DISTINCT event_type) AS cell_l
+      |  FROM events GROUP BY 1, 2)
+      |SELECT quarter, COUNT(*) AS n_cells,
+      |  MIN(cell_l) AS l_achieved,
+      |  CAST(SUM(CASE WHEN cell_l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cells_lt_3,
+      |  CAST(SUM(CASE WHEN cell_l < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cells_lt_5
+      |FROM cells GROUP BY quarter ORDER BY quarter""".stripMargin
 
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers

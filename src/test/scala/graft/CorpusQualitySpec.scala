@@ -256,4 +256,49 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(df.agg(org.apache.spark.sql.functions.sum($"n_items"))
       .collect().head.getLong(0) === plain)
   }
+
+  test("threshold sweep: monotone survivorship, anchored at the production gate") {
+    val rows = CorpusQuality.thresholdSweep(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == CorpusQuality.SweepThresholds)
+    val passes = rows.map(_.getLong(1)).toSeq
+    assert(passes.zip(passes.tail).forall { case (a, b) => a >= b },
+      s"survivorship must fall as the gate tightens: $passes")
+    // the 0.85 grid point IS the production gate: its count must equal
+    // an independent score-and-threshold pass
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val direct = CorpusQuality
+      .classifierScores(docs, CorpusQuality.trainedWeights(docs))
+      .filter(round(col("z"), 6) >= CorpusQuality.ClfDecisionZ).count()
+    val atGate = rows.find(_.getDouble(0) == CorpusQuality.ClfDecisionZ).get
+    assert(atGate.getLong(1) == direct)
+    // rates are exact count ratios
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("epoch allocation: equal budget split, cap respected, decay bounded") {
+    val rows = CorpusQuality.epochAllocation(spark, sf).collect()
+    val n = rows.length
+    assert(n > 1)
+    val total = rows.map(_.getLong(1)).sum
+    val expectedAlloc = CorpusQuality.EpochBudgetX * total / n
+    rows.foreach { r =>
+      val (u, alloc, epochs, eff) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(alloc == expectedAlloc, "uniform split: every source gets B/n")
+      val expEpochs = BigDecimal(
+        math.min(CorpusQuality.EpochCap, alloc.toDouble / u))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(epochs == expEpochs)
+      // decay value is positive, bounded by the U*R asymptote, and
+      // never exceeds the naively repeated token count
+      assert(eff > 0.0 && eff <= u * CorpusQuality.EpochDecayR + 1e-6)
+      assert(eff <= u * epochs + 0.01,
+        "effective tokens cannot beat undecayed repetition")
+    }
+    // small sources run more epochs than big ones under a uniform split
+    val byU = rows.sortBy(_.getLong(1))
+    assert(byU.head.getDouble(3) >= byU.last.getDouble(3))
+  }
 }

@@ -304,4 +304,49 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(drift - direct) < 1e-6,
       s"status drifts $drift must reconstruct the window's shipments $direct")
   }
+
+  test("market share: Q8 shape — shares well-formed, market total reconstructs") {
+    import spark.implicits._
+    val rows = Relational.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rr, tr, sh) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(rr >= 0.0 && rr <= tr + 1e-9, s"region slice $rr exceeds market $tr")
+      assert(math.abs(sh - BigDecimal(rr / tr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // independent reconstruction: the per-year market totals must sum
+    // to the PROMO revenue computed by a plain two-table path
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter($"p_type" === "PROMO"),
+        $"l_partkey" === $"p_partkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1.0) - $"l_discount").cast("decimal(18,2)")))
+        .cast("double")).collect().head.getDouble(0)
+    val totals = rows.map(_.getDouble(2)).sum
+    assert(math.abs(totals - direct) < 1e-6,
+      s"yearly totals $totals must reconstruct the direct PROMO revenue $direct")
+  }
+
+  test("l-diversity: achieved l and policy counts reconstruct from raw cells") {
+    import spark.implicits._
+    val rows = Relational.lDiversity(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    // driver-side replay over the raw cells (sf0.001 is small)
+    val cells = Tables.events(spark, sf)
+      .select(to_date($"ts").as("day"), (hour($"ts") / 6).cast("int").as("q"),
+        $"event_type")
+      .collect().map(r => ((r.getDate(0).toString, r.getInt(1)), r.getString(2)))
+      .groupBy(_._1).toSeq
+      .map { case ((_, q), vs) => q -> vs.map(_._2).distinct.size }
+    val expect = cells.groupBy(_._1).map { case (q, ls) =>
+      val l = ls.map(_._2.toLong)
+      q -> (l.size.toLong, l.min, l.count(_ < 3).toLong, l.count(_ < 5).toLong)
+    }
+    assert(rows === expect)
+    rows.values.foreach { case (n, lMin, lt3, lt5) =>
+      assert(lMin >= 1L && lt3 <= lt5 && lt5 <= n)
+    }
+  }
 }
