@@ -401,6 +401,60 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
 
+  // -- at-least-once → exactly-once delivery repair -----------------
+
+  /** Deterministic re-delivery injector: every event whose salted md5
+    * lands in the low decile arrives TWICE — the duplicate an
+    * at-least-once broker retry produces. One rule shared by the
+    * catalog query, its oracle, and the streaming spec, so the
+    * duplicate population is identical everywhere. */
+  def withRedelivery(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.unionAll(events.filter(
+      graft.functions.Hashing.md5i32($"event_id".cast("string"), 29) % 10 === 0))
+  }
+
+  /** Exactly-once repair, batch form: keep one copy per event key. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Exactly-once repair, streaming form: the caller watermarks `ts`,
+    * and `dropDuplicatesWithinWatermark` keeps dedup state only for
+    * the watermark lifetime — the 100-TB posture (plain streaming
+    * `dropDuplicates` accumulates every key ever seen and ooms a
+    * long-running ingest; within-watermark state is bounded by the
+    * delay window, which is the correct contract for broker retries
+    * that arrive near their original). Stream == batch pinned by
+    * spec for in-window duplicates. */
+  def dedupEventsStream(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark("event_id")
+
+  /** Delivery-repair accounting per event type over the re-delivered
+    * stream: rows delivered, unique events, duplicates dropped. */
+  def eventsDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withRedelivery(Tables.events(spark, sfDir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_delivered"),
+        count_distinct($"event_id").as("n_unique"))
+      .select($"event_type", $"n_delivered", $"n_unique",
+        ($"n_delivered" - $"n_unique").as("n_dupes"))
+      .orderBy($"event_type")
+  }
+
+  val eventsDedupSql: String = {
+    val h = graft.functions.Hashing.md5i32Sql("CAST(event_id AS VARCHAR)", 29)
+    s"""WITH d AS (
+       |  SELECT event_type, event_id FROM events
+       |  UNION ALL
+       |  SELECT event_type, event_id FROM events WHERE $h % 10 = 0)
+       |SELECT event_type, COUNT(*) AS n_delivered,
+       |  COUNT(DISTINCT event_id) AS n_unique,
+       |  COUNT(*) - COUNT(DISTINCT event_id) AS n_dupes
+       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)

@@ -758,4 +758,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("exactly-once dedup: dropDuplicatesWithinWatermark == batch dropDuplicates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // at-least-once delivery: every 10th event arrives twice, the
+    // duplicate ADJACENT to its original (broker retries land near
+    // their first attempt — the case within-watermark state covers)
+    val rows = eventRows(400)
+    val delivered = rows.zipWithIndex.flatMap { case (r, i) =>
+      if (i % 10 == 0) Seq(r, r) else Seq(r)
+    }
+    val batch = EventStreams.dedupEvents(delivered.toDF())
+    val mem = MemoryStream[Ev]
+    val (first, second) = delivered.splitAt(delivered.size / 2)
+    val q = EventStreams.dedupEventsStream(
+        mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("s_dedup")
+    assert(canon(stream) == canon(batch),
+      "streamed exactly-once repair must converge to the batch dedup")
+    assert(batch.count() == rows.size.toLong,
+      "dedup must restore the original event population")
+    assert(delivered.size > rows.size, "the injector actually duplicated")
+  }
 }
