@@ -1985,6 +1985,88 @@ object Relational {
       |    AS cells_lt_5
       |FROM cells GROUP BY quarter ORDER BY quarter""".stripMargin
 
+  /** t-closeness audit, the third rung of the governance ladder
+    * (k-anonymity bounds re-identification, l-diversity bounds
+    * homogeneity, t-closeness bounds ATTRIBUTE DISCLOSURE — a cell
+    * whose sensitive-value distribution deviates far from the
+    * global one still leaks "people active here skew to type X").
+    * Distance is total variation `TVD = ½ Σ |p_cell − p_global|`
+    * over the categorical `event_type`, computed EXACTLY: the
+    * scaled deviation `D = Σ_obs |c·G − g·C| + C·(G − Σ_obs g)`
+    * (the second term is the mass of types absent from the cell) is
+    * pure integer arithmetic, `TVD = D / (2·C·G)`, and the policy
+    * counts compare cross-multiplied integers (`5·D > 2·C·G` ⟺
+    * TVD > 0.2) so no float ever sits on a decision boundary.
+    *
+    * Scale: two keyed aggregates (cell-type, cell totals) plus a
+    * ≤|types|-row broadcast of the global distribution; the integer
+    * products stay in BIGINT while `C·G` < 2⁶³ — per-cell counts ×
+    * corpus size, fine until ~10⁶ × 10¹², and the cell key can be
+    * coarsened long before that. */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"),
+        (hour($"ts") / 6).cast("int").as("quarter"), $"event_type")
+    val global = ev.groupBy($"event_type").agg(count(lit(1)).as("g"))
+    val tot = global.agg(sum($"g").as("big_g"))
+    val cellType = ev.groupBy($"day", $"quarter", $"event_type")
+      .agg(count(lit(1)).as("c"))
+    val cellTot = cellType.groupBy($"day", $"quarter")
+      .agg(sum($"c").as("ctot"))
+    val cells = cellType
+      .join(broadcast(global), "event_type")
+      .join(cellTot, Seq("day", "quarter"))
+      .join(broadcast(tot))
+      .groupBy($"day", $"quarter")
+      .agg(
+        sum(abs($"c" * $"big_g" - $"g" * $"ctot")).as("obs_dev"),
+        sum($"g").as("g_obs"),
+        first($"ctot").as("ctot"), first($"big_g").as("big_g"))
+      .select($"quarter",
+        ($"obs_dev" + $"ctot" * ($"big_g" - $"g_obs")).as("d"),
+        $"ctot", $"big_g")
+    cells
+      .groupBy($"quarter")
+      .agg(count(lit(1)).as("n_cells"),
+        max(round($"d".cast("double") /
+          (lit(2.0) * $"ctot" * $"big_g"), 4)).as("t_achieved"),
+        sum(when($"d" * 5L > $"ctot" * $"big_g" * 2L, 1L).otherwise(0L))
+          .as("cells_gt_02"),
+        sum(when($"d" * 5L > $"ctot" * $"big_g", 1L).otherwise(0L))
+          .as("cells_gt_01"))
+      .orderBy($"quarter")
+  }
+
+  val tClosenessSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(date_part('hour', ts) // 6 AS INT) AS quarter, event_type
+      |  FROM events),
+      |global AS (SELECT event_type, COUNT(*) AS g FROM ev GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS big_g FROM global),
+      |ct AS (SELECT day, quarter, event_type, COUNT(*) AS c
+      |       FROM ev GROUP BY 1, 2, 3),
+      |ctot AS (SELECT day, quarter, CAST(SUM(c) AS BIGINT) AS ctot
+      |         FROM ct GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT ct.day, ct.quarter,
+      |    CAST(SUM(abs(ct.c * big_g - g.g * ctot.ctot)) AS BIGINT)
+      |      + ctot.ctot * (ANY_VALUE(big_g) - CAST(SUM(g.g) AS BIGINT)) AS d,
+      |    ctot.ctot AS ctot, ANY_VALUE(big_g) AS big_g
+      |  FROM ct JOIN global g USING (event_type)
+      |  JOIN ctot ON ct.day = ctot.day AND ct.quarter = ctot.quarter
+      |  CROSS JOIN tot
+      |  GROUP BY ct.day, ct.quarter, ctot.ctot)
+      |SELECT quarter, COUNT(*) AS n_cells,
+      |  MAX(round(CAST(d AS DOUBLE) / (2.0 * ctot * big_g), 4))
+      |    AS t_achieved,
+      |  CAST(SUM(CASE WHEN d * 5 > ctot * big_g * 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS cells_gt_02,
+      |  CAST(SUM(CASE WHEN d * 5 > ctot * big_g THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS cells_gt_01
+      |FROM cells GROUP BY quarter ORDER BY quarter""".stripMargin
+
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
     * they are supposed to flag, the median and the median absolute

@@ -349,4 +349,40 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       assert(lMin >= 1L && lt3 <= lt5 && lt5 <= n)
     }
   }
+
+  test("t-closeness: exact TVD replay matches, policy counts integer-exact") {
+    import spark.implicits._
+    val rows = Relational.tCloseness(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    // driver-side exact replay over the raw events
+    val raw = Tables.events(spark, sf)
+      .select(to_date($"ts").as("day"), (hour($"ts") / 6).cast("int").as("q"),
+        $"event_type")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getString(2)))
+    val g = raw.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val bigG = raw.size.toLong
+    val cells = raw.groupBy(t => (t._1, t._2)).toSeq.map { case ((_, q), es) =>
+      val c = es.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val ctot = es.size.toLong
+      val d = g.map { case (tpe, gi) =>
+        math.abs(c.getOrElse(tpe, 0L) * bigG - gi * ctot)
+      }.sum
+      (q, d, ctot)
+    }
+    val expect = cells.groupBy(_._1).map { case (q, cs) =>
+      q -> (cs.size.toLong,
+        cs.map { case (_, d, ctot) =>
+          BigDecimal(d.toDouble / (2.0 * ctot * bigG))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.max,
+        cs.count { case (_, d, ctot) => d * 5 > ctot * bigG * 2 }.toLong,
+        cs.count { case (_, d, ctot) => d * 5 > ctot * bigG }.toLong)
+    }
+    assert(rows === expect)
+    rows.values.foreach { case (n, t, gt02, gt01) =>
+      assert(t >= 0.0 && t <= 1.0 && gt02 <= gt01 && gt01 <= n)
+    }
+  }
 }
