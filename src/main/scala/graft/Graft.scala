@@ -234,6 +234,21 @@ object Graft {
   def epochAllocation(docs: DataFrame): DataFrame =
     operators.CorpusQuality.epochAllocationOf(docs)
 
+  /** Context-window budget card: fit/truncation accounting per
+    * candidate window. Needs `text`. */
+  def contextLenFit(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.contextLenFitOf(docs)
+
+  /** Content-defined chunking report: per-source chunk counts and
+    * duplicated-chunk fraction. Needs `doc_id, text, source`. */
+  def rollingHashChunks(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.rollingHashChunksOf(docs)
+
+  /** Cross-source near-dup matrix over the MinHash pair stream.
+    * Needs `doc_id, text, source`. */
+  def crossSourceDupes(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    operators.Dedup.crossSourceDupesOf(docs, threshold)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`

@@ -1027,6 +1027,133 @@ object CorpusQuality {
        |        (1.0 - exp(-epochs / $EpochDecayR)), 2) AS eff_tokens
        |FROM e ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // llm_context_len_fit — context-window budget card
+  // ---------------------------------------------------------------
+
+  /** The candidate context windows (tokens) the fit card evaluates. */
+  val CtxWindows: Seq[Int] = Seq(64, 256, 1024)
+
+  /** Context-window budget card: for each candidate window, how many
+    * documents fit whole, what fraction of the corpus token mass
+    * survives truncate-to-fit, and how many tokens truncation burns —
+    * the numbers that decide between "train at 1k ctx and truncate"
+    * and "chunk first" ([[Graft.docChunk]]'s sibling decision). All
+    * integer arithmetic (min/max against the window) except the final
+    * kept-fraction ratio.
+    *
+    * Scale: one token-count scan, a 3× explode, one partial+final
+    * aggregate — the [[thresholdSweepOf]] shape. */
+  def contextLenFitOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
+      .select(size(tokens($"text")).cast("long").as("n"))
+      .select($"n", explode(array(CtxWindows.map(lit): _*)).as("ctx"))
+      .groupBy($"ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n" <= $"ctx", 1L).otherwise(0L)).as("n_fit"),
+        sum($"n").as("total_tokens"),
+        sum(least($"n", $"ctx".cast("long"))).as("kept_tokens"))
+      .select($"ctx".cast("bigint").as("ctx"), $"n_fit",
+        ($"total_tokens" - $"kept_tokens").as("trunc_tokens"),
+        ($"kept_tokens".cast("double") / $"total_tokens").as("kept_frac"))
+      .orderBy($"ctx")
+  }
+
+  def contextLenFit(spark: SparkSession, sfDir: String): DataFrame =
+    contextLenFitOf(docs(spark, sfDir))
+
+  def contextLenFitSql: String = {
+    val grid = CtxWindows.mkString(", ")
+    s"""WITH d AS (SELECT len($tokensSql) AS n FROM documents),
+       |g AS (SELECT n, unnest([$grid]) AS ctx FROM d)
+       |SELECT CAST(ctx AS BIGINT) AS ctx,
+       |  CAST(SUM(CASE WHEN n <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+       |  CAST(SUM(n) - SUM(least(n, ctx)) AS BIGINT) AS trunc_tokens,
+       |  CAST(SUM(least(n, ctx)) AS DOUBLE) / SUM(n) AS kept_frac
+       |FROM g GROUP BY ctx ORDER BY ctx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_rolling_hash_chunks — content-defined chunking + chunk dedup
+  // ---------------------------------------------------------------
+
+  /** Content-defined chunk boundary rate: a boundary falls AFTER any
+    * token whose salted hash is ≡ 0 (mod [[CdcBoundaryMod]]), giving
+    * ~[[CdcBoundaryMod]]-token expected chunks. */
+  val CdcBoundaryMod = 32
+  val CdcSalt = 41
+
+  /** Content-defined chunking (the rsync/LBFS rolling-boundary idea
+    * applied to token streams): chunk boundaries are decided by token
+    * CONTENT (`md5(token) % m == 0`), not position, so a one-token
+    * insertion shifts every byte offset but leaves all other chunk
+    * identities intact — which makes CHUNK-level dedup robust to the
+    * small edits that defeat whole-document hashing. The report is
+    * per-source chunk accounting: chunks produced, distinct chunk
+    * fingerprints, and the duplicated-chunk fraction — sub-document
+    * redundancy that pair-level near-dup never itemizes.
+    *
+    * Scale: posexplode → per-token boundary bit → per-doc running
+    * boundary count (window partitioned by doc, never global) →
+    * chunk-keyed aggregate. Every step is keyed on doc or chunk;
+    * state per row is one bit and one counter. */
+  def rollingHashChunksOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val toks = documents
+      .select($"doc_id", $"source", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("boundary",
+        when(graft.functions.Hashing.md5i32($"tok", CdcSalt)
+          % CdcBoundaryMod === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum($"boundary").over(w), lit(0L)))
+      .groupBy($"doc_id", $"source", $"chunk_id")
+      // collect_list order is NOT the window order under shuffle —
+      // sort the (pos, tok) structs before joining the chunk text
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x("tok"))).as("chunk_text"))
+    chunks
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(md5($"chunk_text")).as("distinct_chunks"))
+      .select($"source", $"n_chunks", $"distinct_chunks",
+        (($"n_chunks" - $"distinct_chunks").cast("double") / $"n_chunks")
+          .as("dup_chunk_frac"))
+      .orderBy($"source")
+  }
+
+  def rollingHashChunks(spark: SparkSession, sfDir: String): DataFrame =
+    rollingHashChunksOf(docs(spark, sfDir))
+
+  def rollingHashChunksSql: String = {
+    val h = md5i32Sql("tok", CdcSalt)
+    s"""WITH t AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+       |p AS (SELECT doc_id, source,
+       |        generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
+       |      FROM t),
+       |b AS (SELECT doc_id, source, pos, tok,
+       |        CASE WHEN $h % $CdcBoundaryMod = 0 THEN 1 ELSE 0 END
+       |          AS boundary
+       |      FROM p),
+       |c AS (SELECT doc_id, source, tok,
+       |        COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS chunk_id, pos
+       |      FROM b),
+       |ch AS (SELECT doc_id, source, chunk_id,
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+       |       FROM c GROUP BY doc_id, source, chunk_id)
+       |SELECT source, COUNT(*) AS n_chunks,
+       |  COUNT(DISTINCT fp) AS distinct_chunks,
+       |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
+       |    AS dup_chunk_frac
+       |FROM ch GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** The training CTE chain (tokenize → label → features → GD
     * iterations, final weights in `w${ClfIters}`) — the WITH body
     * shared by [[qualityClassifierSql]] and the curation pipeline's

@@ -243,6 +243,50 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // llm_cross_source_dupes — provenance overlap matrix
+  // ---------------------------------------------------------------
+
+  /** Cross-source duplication matrix: the [[minHashNearDupsOf]] pair
+    * stream rolled up by unordered source pair — the provenance map
+    * that says WHICH feeds re-publish each other's content (the
+    * question behind "dedup before or after mixing": a heavy
+    * off-diagonal cell means two feeds must be deduped jointly, a
+    * heavy diagonal means a feed re-posts itself and can be deduped
+    * alone). Within-source pairs land on the diagonal.
+    *
+    * Scale: the pair stream is already bucket-bounded; the rollup
+    * adds two keyed joins against the ≤corpus-sized (doc_id, source)
+    * projection and a ≤|sources|² aggregate. */
+  def crossSourceDupesOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val src = docs.select($"doc_id", $"source")
+    minHashNearDupsOf(docs, threshold)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_lo"),
+        greatest($"sa", $"sb").as("source_hi"))
+      .groupBy($"source_lo", $"source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_lo", $"source_hi")
+  }
+
+  def crossSourceDupes(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.8): DataFrame =
+    crossSourceDupesOf(Tables.documents(spark, sfDir), threshold)
+
+  def crossSourceDupesSql(threshold: Double = 0.8): String =
+    s"""WITH ${minHashPairsCtes()},
+       |pr AS (SELECT a, b FROM verified WHERE jaccard >= $threshold),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_lo,
+       |  greatest(sa.source, sb.source) AS source_hi,
+       |  COUNT(*) AS n_pairs
+       |FROM pr JOIN src sa ON pr.a = sa.doc_id
+       |JOIN src sb ON pr.b = sb.doc_id
+       |GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_minhash_est_error — sketch-fidelity certification
   // ---------------------------------------------------------------
 

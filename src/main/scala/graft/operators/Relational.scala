@@ -2067,6 +2067,70 @@ object Relational {
       |    AS BIGINT) AS cells_gt_01
       |FROM cells GROUP BY quarter ORDER BY quarter""".stripMargin
 
+  /** Pre-flight join-key skew report: for each prospective join key,
+    * the key-frequency shape that decides the physical strategy —
+    * `skew_factor` (max key frequency over the uniform expectation
+    * rows/keys) says whether a plain shuffle join will straggle, and
+    * `top8_share` says whether salting the few hot keys
+    * ([[saltedJoin]]) or AQE skew splitting ([[skewJoinAqe]]) is the
+    * right repair. The check every 100-TB join plans with BEFORE the
+    * first straggler, not after.
+    *
+    * Scale: one keyed count per audited key (partial+final), two
+    * 1-row aggregates, one 8-row top-k — nothing proportional to the
+    * key cardinality leaves the executors. Tie-break on the key
+    * string keeps the top-8 SET deterministic cross-engine. */
+  def dataSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def branch(df: DataFrame, table: String, key: String): DataFrame = {
+      val freq = df.groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val stats = freq.agg(sum($"c").as("n_rows"),
+        count(lit(1)).as("n_keys"), max($"c").as("max_freq"))
+      val top8 = freq.orderBy($"c".desc, $"k").limit(8)
+        .agg(sum($"c").as("t8"))
+      // shares as scaled integer floor-division, THEN one exact
+      // double op: round(x, 4) is engine-divergent when the exact
+      // rational lands on a .00005 boundary (Spark rounds the
+      // shortest decimal, DuckDB the binary value — seen live on
+      // 5175/60000); (n*10⁴ DIV d)/10⁴ is bit-identical everywhere
+      stats.join(top8)
+        .select(lit(table).as("tbl"), lit(key).as("key"),
+          $"n_rows".cast("long").as("n_rows"), $"n_keys", $"max_freq",
+          (expr("CAST((max_freq * n_keys * 10000) DIV n_rows AS BIGINT)")
+            .cast("double") / 10000.0).as("skew_factor"),
+          (expr("CAST((t8 * 10000) DIV n_rows AS BIGINT)")
+            .cast("double") / 10000.0).as("top8_share"))
+    }
+    branch(Tables.lineitem(spark, sfDir), "lineitem", "l_partkey")
+      .unionByName(branch(Tables.lineitem(spark, sfDir), "lineitem", "l_suppkey"))
+      .unionByName(branch(Tables.events(spark, sfDir), "events", "user_id"))
+      .orderBy($"tbl", $"key")
+  }
+
+  val dataSkewReportSql: String = {
+    def branch(table: String, key: String): String =
+      s"""SELECT '$table' AS tbl, '$key' AS key, nr AS n_rows, nk AS n_keys,
+         |  mx AS max_freq,
+         |  CAST((mx * nk * 10000) // nr AS DOUBLE) / 10000.0 AS skew_factor,
+         |  CAST((t8 * 10000) // nr AS DOUBLE) / 10000.0 AS top8_share
+         |FROM (SELECT COUNT(*) AS nk, CAST(SUM(c) AS BIGINT) AS nr,
+         |        MAX(c) AS mx
+         |      FROM (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+         |            FROM $table GROUP BY 1))
+         |CROSS JOIN (SELECT CAST(SUM(c) AS BIGINT) AS t8 FROM (
+         |  SELECT c FROM (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+         |                 FROM $table GROUP BY 1)
+         |  ORDER BY c DESC, k LIMIT 8))""".stripMargin
+    s"""SELECT * FROM (
+       |${branch("lineitem", "l_partkey")}
+       |UNION ALL
+       |${branch("lineitem", "l_suppkey")}
+       |UNION ALL
+       |${branch("events", "user_id")})
+       |ORDER BY tbl, key""".stripMargin
+  }
+
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
     * they are supposed to flag, the median and the median absolute

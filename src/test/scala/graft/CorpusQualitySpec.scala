@@ -301,4 +301,56 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     val byU = rows.sortBy(_.getLong(1))
     assert(byU.head.getDouble(3) >= byU.last.getDouble(3))
   }
+
+  test("context fit: monotone in the window, replayed from raw token counts") {
+    val rows = CorpusQuality.contextLenFit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == CorpusQuality.CtxWindows.map(_.toLong))
+    // monotone: a bigger window fits more docs and burns fewer tokens
+    rows.sliding(2).foreach { case Array((_, f1, t1, k1), (_, f2, t2, k2)) =>
+      assert(f2 >= f1 && t2 <= t1 && k2 >= k1)
+    }
+    // exact replay from the per-doc token counts
+    val ns = graft.sources.Tables.documents(spark, sf)
+      .select(size(tokens(col("text"))).cast("long")).collect().map(_.getLong(0))
+    rows.foreach { case (ctx, nFit, trunc, kept) =>
+      assert(nFit == ns.count(_ <= ctx).toLong)
+      assert(trunc == ns.map(n => math.max(0L, n - ctx)).sum)
+      val keptT = ns.map(n => math.min(n, ctx)).sum
+      assert(kept == keptT.toDouble / ns.sum)
+    }
+  }
+
+  test("rolling-hash chunks: content-defined boundaries make shared tails dedup") {
+    import spark.implicits._
+    // two docs sharing a long tail behind different heads: position-
+    // based chunking would misalign every shared chunk; content-
+    // defined boundaries re-synchronize after the first boundary, so
+    // the tail chunks fingerprint identically across the two docs
+    val tail = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $tail", "s1"),
+      (2L, s"gamma $tail", "s1"),
+      (3L, "totally different content here", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusQuality.rollingHashChunksOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val (n1, d1, frac1) = got("s1")
+    assert(n1 > d1, "shared tail chunks must collapse to one fingerprint")
+    assert(frac1 > 0.3, s"most of s1's chunks are shared: $frac1")
+    val (n3, d3, _) = got("s2")
+    assert(n3 == d3, "no duplication within the distinct doc")
+    // replay the boundary rule: chunk count = boundaries-before-last+1
+    def chunksOf(toks: Seq[String]): Long = {
+      val bits = toks.map(t => graft.functions.Md5Int32.hash(
+        s"${CorpusQuality.CdcSalt}:", 0,
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        % CorpusQuality.CdcBoundaryMod == 0)
+      1L + bits.dropRight(1).count(identity)
+    }
+    val expected = Seq(s"alpha beta $tail", s"gamma $tail")
+      .map(t => chunksOf(t.split(" ").toSeq)).sum
+    assert(n1 == expected, s"chunk count $n1 vs replay $expected")
+  }
 }

@@ -151,4 +151,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val meanErr = est.map(_._6).sum / est.size
     assert(meanErr <= 3.0 / 16.0, s"mean abs err $meanErr")
   }
+
+  test("cross-source dupes: matrix mass equals the pair stream, sources verified") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val matrix = Dedup.crossSourceDupesOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pairs = Dedup.minHashNearDupsOf(docs)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(matrix.values.sum == pairs.length.toLong,
+      "every near-dup pair lands in exactly one matrix cell")
+    // replay the cell assignment driver-side
+    val src = docs.select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(matrix === expect)
+    matrix.keys.foreach { case (lo, hi) => assert(lo <= hi) }
+  }
 }

@@ -385,4 +385,26 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       assert(t >= 0.0 && t <= 1.0 && gt02 <= gt01 && gt01 <= n)
     }
   }
+
+  test("data skew report: stats replay from an independent key-frequency pass") {
+    import spark.implicits._
+    val rows = Relational.dataSkewReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(rows.keySet == Set(("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"), ("events", "user_id")))
+    // replay one branch driver-side
+    val freq = Tables.lineitem(spark, sf)
+      .groupBy($"l_suppkey").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+    val (nr, nk, mx) = (freq.map(_._2).sum, freq.length.toLong, freq.map(_._2).max)
+    val t8 = freq.sortBy { case (k, c) => (-c, k) }.take(8).map(_._2).sum
+    val got = rows(("lineitem", "l_suppkey"))
+    assert(got._1 == nr && got._2 == nk && got._3 == mx)
+    assert(got._4 == (mx * nk * 10000L / nr).toDouble / 10000.0)
+    assert(got._5 == (t8 * 10000L / nr).toDouble / 10000.0)
+    // the deliberately skewed events.user_id reads as skewed
+    assert(rows(("events", "user_id"))._4 >= 1.0)
+  }
 }
