@@ -249,6 +249,16 @@ object Graft {
   def crossSourceDupes(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     operators.Dedup.crossSourceDupesOf(docs, threshold)
 
+  /** Temperature-scaled source mixture weights (w ∝ p^τ).
+    * Needs `source, text`. */
+  def mixtureTemperature(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.mixtureTemperatureOf(docs)
+
+  /** Top principal component of an embedding cloud by distributed
+    * power iteration. Needs `embedding: array<float|double>`. */
+  def embedPca(embeddings: DataFrame): DataFrame =
+    operators.Similarity.embedPcaOf(embeddings)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`

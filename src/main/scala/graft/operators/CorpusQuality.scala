@@ -1075,6 +1075,58 @@ object CorpusQuality {
   }
 
   // ---------------------------------------------------------------
+  // llm_mixture_temperature — temperature-scaled source sampling
+  // ---------------------------------------------------------------
+
+  /** The sampling temperatures the mixing card evaluates: τ=1 is
+    * proportional sampling, τ→0 approaches uniform — the XLM-R /
+    * mT5 knob for keeping low-resource sources visible. */
+  val MixTaus: Seq[Double] = Seq(0.3, 0.7, 1.0)
+
+  /** Temperature-scaled mixture weights per source: `w_s ∝ p_s^τ`
+    * over the token-mass shares, reported for each τ in [[MixTaus]].
+    * This is the sampling-weight table a multilingual/multi-source
+    * training loader consumes (Conneau et al. 2020 §3.1) — read next
+    * to [[epochAllocationOf]]: temperature picks the MIX, epochs say
+    * what the mix COSTS in repetition.
+    *
+    * Scale: one token-mass aggregate by source, a 1-row total, a
+    * |sources|×|τ| frame — the per-τ normalization is a window over
+    * a bounded-cardinality frame, never the corpus. */
+  def mixtureTemperatureOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val ps = documents
+      .select($"source", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("n_tokens"))
+    val tot = ps.agg(sum($"n_tokens").cast("double").as("t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"tau")
+    ps.join(broadcast(tot))
+      .select($"source", $"n_tokens", $"t",
+        explode(array(MixTaus.map(lit): _*)).as("tau"))
+      .withColumn("wr", pow($"n_tokens" / $"t", $"tau"))
+      .select($"tau", $"source", $"n_tokens",
+        round($"wr" / sum($"wr").over(w), 6).as("weight"))
+      .orderBy($"tau", $"source")
+  }
+
+  def mixtureTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    mixtureTemperatureOf(docs(spark, sfDir))
+
+  def mixtureTemperatureSql: String = {
+    val grid = MixTaus.mkString(", ")
+    s"""WITH ps AS (
+       |  SELECT source, CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM ps),
+       |g AS (SELECT CAST(unnest([$grid]) AS DOUBLE) AS tau),
+       |r AS (SELECT tau, source, n_tokens, pow(n_tokens / t, tau) AS wr
+       |      FROM ps CROSS JOIN tot CROSS JOIN g)
+       |SELECT tau, source, n_tokens,
+       |  round(wr / SUM(wr) OVER (PARTITION BY tau), 6) AS weight
+       |FROM r ORDER BY tau, source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_rolling_hash_chunks — content-defined chunking + chunk dedup
   // ---------------------------------------------------------------
 

@@ -1251,5 +1251,109 @@ object Similarity {
       |  round(MIN(nrm), 4) AS min_norm,
       |  round(MAX(nrm), 4) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_embed_pca — top principal component by power iteration
+  // ---------------------------------------------------------------
+
+  /** Power-iteration count — enough for clear spectral gaps; each
+    * iteration re-rounds the direction to 6 dp (the GD/PageRank
+    * discipline) so cross-engine sum-order noise cannot compound. */
+  val PcaIters = 8
+
+  /** Top principal component of the embedding cloud by distributed
+    * power iteration — the anisotropy probe run before whitening or
+    * dimensionality reduction (a dominant direction with a high
+    * explained fraction usually means an uncentered or degenerate
+    * embedding model; see Mu & Viswanath 2018 on all-but-the-top).
+    *
+    * The matrix `XᵀX` is NEVER materialized: each iteration computes
+    * `w = Σᵢ (xᵢ·v)·xᵢ` as one map-side pass — a per-row in-order dot
+    * against the broadcast direction literal plus a d-wide
+    * partial+final aggregate — so the driver holds exactly d doubles
+    * and the executors stream the corpus once per iteration. That is
+    * the 100-TB shape: d² work per ROW, never d² state, never a
+    * shuffle wider than one d-column row.
+    *
+    * Output: the unit loading vector, the covariance eigenvalue
+    * `‖w‖/n`, and the explained-variance fraction `‖w‖/trace`. */
+  def embedPcaOf(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val x0 = embeddings.select(vd($"embedding").as("x"))
+    val d = x0.select(size($"x")).head().getInt(0)
+    val xs = frameCache.getOrElseUpdate(spark,
+      s"pca-x:${x0.queryExecution.analyzed.semanticHash()}")(x0.cache())
+    val mu = xs.select((1 to d).map(k =>
+      round(avg(element_at($"x", k)), 6).as(s"m$k")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val muArr = array(mu.map(lit): _*)
+    val centered = frameCache.getOrElseUpdate(spark,
+      s"pca-c:${x0.queryExecution.analyzed.semanticHash()}")(
+      xs.select(zip_with($"x", muArr, (a, b) => a - b).as("cx")).cache())
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to PcaIters) {
+      val s = dot($"cx", array(v.map(lit): _*))
+      val row = centered.withColumn("s", s)
+        .agg(sum($"s" * element_at($"cx", 1)).as("w1"),
+          (2 to d).map(k => sum($"s" * element_at($"cx", k)).as(s"w$k")): _*)
+        .head()
+      val w = (0 until d).map(row.getDouble).toArray
+      lambda = math.sqrt(w.map(a => a * a).sum)
+      v = w.map(a => BigDecimal(a / lambda)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val nv = centered.agg(count(lit(1)).cast("double").as("n"),
+      sum(dot($"cx", $"cx")).as("tv")).head()
+    val (n, totVar) = (nv.getDouble(0), nv.getDouble(1))
+    val eig = BigDecimal(lambda / n)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expl = BigDecimal(lambda / totVar)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    v.zipWithIndex
+      .map { case (l, i) => (i + 1L, l, eig, expl) }.toSeq
+      .toDF("dim", "loading", "eigenvalue", "explained_frac")
+      .orderBy($"dim")
+  }
+
+  def embedPca(spark: SparkSession, sfDir: String): DataFrame =
+    embedPcaOf(Tables.embeddings(spark, sfDir))
+
+  /** Oracle replay of the identical iteration chain; `d` is the
+    * catalog table's embedding width. */
+  def embedPcaSql(d: Int = 64): String = {
+    def iter(i: Int): String = {
+      val (pv, w, vn) = (s"v${i - 1}", s"w$i", s"v$i")
+      s"""s$i AS (SELECT cx, list_dot_product(cx, (SELECT v FROM $pv)) AS s
+         |        FROM c),
+         |u$i AS (SELECT generate_subscripts(cx, 1) AS pos, unnest(cx) AS val,
+         |          s FROM s$i),
+         |$w AS MATERIALIZED (SELECT list(w ORDER BY pos) AS w FROM (
+         |  SELECT pos, SUM(val * s) AS w FROM u$i GROUP BY pos)),
+         |$vn AS MATERIALIZED (
+         |  SELECT list_transform(w,
+         |    x -> round(x / sqrt(list_dot_product(w, w)), 6)) AS v
+         |  FROM $w)""".stripMargin
+    }
+    s"""WITH xx AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+       |mu AS MATERIALIZED (SELECT list(m ORDER BY pos) AS mu FROM (
+       |  SELECT pos, round(AVG(val), 6) AS m FROM (
+       |    SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS val
+       |    FROM xx) GROUP BY pos)),
+       |c AS MATERIALIZED (
+       |  SELECT [x[i] - mu[i] for i in range(1, len(x) + 1)] AS cx
+       |  FROM xx CROSS JOIN mu),
+       |v0 AS (SELECT [1.0 / sqrt($d.0) for i in range(1, ${d + 1})] AS v),
+       |${(1 to PcaIters).map(iter).mkString(",\n")},
+       |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |         SUM(list_dot_product(cx, cx)) AS tv FROM c),
+       |lam AS (SELECT sqrt(list_dot_product(w, w)) AS l FROM w$PcaIters)
+       |SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+       |  unnest(v) AS loading,
+       |  round(l / n, 4) AS eigenvalue,
+       |  round(l / tv, 4) AS explained_frac
+       |FROM v$PcaIters CROSS JOIN nv CROSS JOIN lam ORDER BY dim""".stripMargin
+  }
 }
 

@@ -353,4 +353,25 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
       .map(t => chunksOf(t.split(" ").toSeq)).sum
     assert(n1 == expected, s"chunk count $n1 vs replay $expected")
   }
+
+  test("mixture temperature: weights normalize, tau=1 is proportional, low tau flattens") {
+    val rows = CorpusQuality.mixtureTemperature(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byTau = rows.groupBy(_._1)
+    assert(byTau.keySet == CorpusQuality.MixTaus.toSet)
+    byTau.values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4, "weights sum to 1")
+    }
+    // tau = 1 reproduces the raw token-mass shares
+    val total = byTau(1.0).map(_._3).sum.toDouble
+    byTau(1.0).foreach { case (_, _, n, w) =>
+      assert(math.abs(w - n / total) < 1e-5)
+    }
+    // temperature < 1 compresses the spread toward uniform
+    def spread(tau: Double) = {
+      val ws = byTau(tau).map(_._4); ws.max - ws.min
+    }
+    assert(spread(0.3) < spread(0.7) && spread(0.7) < spread(1.0),
+      "lower temperature must flatten the mix")
+  }
 }

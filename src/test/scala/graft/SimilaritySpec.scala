@@ -322,4 +322,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(qa(0) === ((2L, 2L, 2L, 1L, 0.0, 5.0))) // one zero vec, norms 0..5
     assert(qa(1) === ((1L, 3L, 3L, 0L, 1.0, 1.0)))
   }
+
+  test("embed PCA: unit loading, eigenvalue equals the projected variance") {
+    import spark.implicits._
+    val rows = Similarity.embedPca(spark, sf).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val v = rows.map(_._1)
+    val (eig, expl) = (rows.head._2, rows.head._3)
+    assert(math.abs(math.sqrt(v.map(a => a * a).sum) - 1.0) < 1e-4,
+      "loadings form a unit vector")
+    assert(eig > 0.0 && expl > 0.0 && expl <= 1.0)
+    // independent check: eigenvalue == variance of the data projected
+    // on v (power iteration's fixed point), computed driver-side
+    val xs = graft.sources.Tables.embeddings(spark, sf)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = xs.head.length
+    val mu = (0 until d).map(k => xs.map(_(k)).sum / xs.length).toArray
+    val proj = xs.map(x => (0 until d).map(k => (x(k) - mu(k)) * v(k)).sum)
+    val projVar = proj.map(p => p * p).sum / xs.length
+    assert(math.abs(eig - projVar) < 0.01 * math.max(projVar, 1e-9),
+      s"operator eigenvalue $eig vs driver-side projected variance $projVar")
+    // and the top direction beats any coordinate axis
+    val axisVar = (0 until d).map(k =>
+      xs.map(x => math.pow(x(k) - mu(k), 2)).sum / xs.length).max
+    assert(eig >= axisVar * 0.99,
+      s"top component variance $eig below best axis variance $axisVar")
+  }
 }
