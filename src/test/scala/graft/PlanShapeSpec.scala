@@ -113,4 +113,67 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
       s"box filters not pushed: $pushed")
   }
+
+  test("market share: star dims broadcast, part-type filter pushed to the scan") {
+    val qe = Relational.marketShare(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the Q8 galaxy is broadcast-hash joins around the streamed fact —
+    // at least the part / supplier / nation / region points
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"galaxy points not broadcast:\n$plan")
+    // p_type = PROMO reaches the part scan as a pushed filter; the
+    // unexecuted AdaptiveSparkPlanExec is childless to collect (the
+    // bm25 test's documented gotcha), so re-plan with AQE off
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Relational.marketShare(spark, sf)
+        .queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("EqualTo(p_type,PROMO)"))),
+        "part-type filter not pushed to the parquet scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("rolling chunks: window partitioned by doc, never a global sort") {
+    val plan = graft.operators.CorpusQuality.rollingHashChunks(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the running boundary count partitions by doc_id — a global
+    // (empty-partition) window would serialize the corpus on one task
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition()"),
+      s"global window in the chunker:\n$plan")
+    assert(plan.contains("doc_id"), s"doc-keyed window missing:\n$plan")
+  }
+
+  test("skew report: top-8 is a bounded TakeOrdered, never a global sort") {
+    val plan = Relational.dataSkewReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-8 key share is not a bounded top-k:\n$plan")
+  }
+
+  test("PCA iteration: one aggregate pass, no shuffle wider than the d-row") {
+    // one power-iteration step over the centered frame must plan as a
+    // partial+final aggregate (one exchange of a single d-wide row),
+    // with no join and no corpus-keyed repartition
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(transform($"embedding", _.cast("double")).as("cx"))
+    val d = 64
+    val v = Array.fill(d)(0.125)
+    val s = graft.functions.VectorExpressions
+      .dot_product($"cx", array(v.map(lit): _*))
+    val step = e.withColumn("s", s)
+      .agg(sum($"s" * element_at($"cx", 1)).as("w1"),
+        (2 to d).map(k => sum($"s" * element_at($"cx", k)).as(s"w$k")): _*)
+    val plan = step.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"PCA step must not join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"PCA step is not a partial+final aggregate:\n$plan")
+  }
 }
