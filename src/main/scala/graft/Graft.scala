@@ -259,6 +259,11 @@ object Graft {
   def embedPca(embeddings: DataFrame): DataFrame =
     operators.Similarity.embedPcaOf(embeddings)
 
+  /** Top-2 covariance spectrum (deflated power iteration) with the
+    * λ₂/λ₁ isotropy ratio. Needs `embedding`. */
+  def embedSpectrum(embeddings: DataFrame): DataFrame =
+    operators.Similarity.embedSpectrumOf(embeddings)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`

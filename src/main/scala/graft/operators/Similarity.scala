@@ -1320,6 +1320,134 @@ object Similarity {
   def embedPca(spark: SparkSession, sfDir: String): DataFrame =
     embedPcaOf(Tables.embeddings(spark, sfDir))
 
+  /** One distributed power-iteration solve over a centered frame:
+    * returns the rounded unit direction and the raw ‖w‖ of the last
+    * step (≈ the XᵀX eigenvalue). Shared by [[embedPcaOf]]'s shape
+    * and the deflated second solve in [[embedSpectrumOf]]. */
+  private def powerIterate(centered: DataFrame, d: Int): (Array[Double], Double) = {
+    val spark = centered.sparkSession
+    import spark.implicits._
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to PcaIters) {
+      val s = dot(col("cx"), array(v.map(lit): _*))
+      val row = centered.withColumn("s", s)
+        .agg(sum($"s" * element_at($"cx", 1)).as("w1"),
+          (2 to d).map(k => sum($"s" * element_at($"cx", k)).as(s"w$k")): _*)
+        .head()
+      val w = (0 until d).map(row.getDouble).toArray
+      lambda = math.sqrt(w.map(a => a * a).sum)
+      v = w.map(a => BigDecimal(a / lambda)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    (v, lambda)
+  }
+
+  // ---------------------------------------------------------------
+  // llm_embed_spectrum — top-2 spectrum by deflated power iteration
+  // ---------------------------------------------------------------
+
+  /** Top-2 covariance spectrum via power iteration + deflation: solve
+    * for the dominant direction, project it out of every row
+    * (`cx₂ = cx − (cx·v₁)v₁`, the Hotelling deflation), solve again.
+    * The λ₂/λ₁ ratio is the isotropy read: ≈1 means no dominant
+    * anisotropy axis, ≪1 means the cloud is rod-shaped and wants
+    * the all-but-the-top correction before cosine retrieval.
+    *
+    * Convergence caveat, by design: [[PcaIters]] fixed iterations
+    * resolve the components only as fast as the spectral gap — on a
+    * near-degenerate (isotropic) spectrum the two reported values
+    * approach each other and their ORDER is not meaningful (the
+    * ratio may round past 1). That is the correct reading, not an
+    * error: ratio ≈ 1 IS the "no dominant axis" answer, and the
+    * per-component split only carries information when the ratio is
+    * well below 1 (spec-pinned on a crafted anisotropic cloud).
+    *
+    * Scale: exactly two [[embedPcaOf]]-shaped iteration loops plus
+    * ONE extra per-row projection pass — the deflated frame is a
+    * map-side transform of the cached centered frame, never a second
+    * corpus copy on the wire. */
+  def embedSpectrumOf(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val x0 = embeddings.select(vd($"embedding").as("x"))
+    val d = x0.select(size($"x")).head().getInt(0)
+    val xs = frameCache.getOrElseUpdate(spark,
+      s"pca-x:${x0.queryExecution.analyzed.semanticHash()}")(x0.cache())
+    val mu = xs.select((1 to d).map(k =>
+      round(avg(element_at($"x", k)), 6).as(s"m$k")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val centered = frameCache.getOrElseUpdate(spark,
+      s"pca-c:${x0.queryExecution.analyzed.semanticHash()}")(
+      xs.select(zip_with($"x", array(mu.map(lit): _*), (a, b) => a - b)
+        .as("cx")).cache())
+    val (v1, l1) = powerIterate(centered, d)
+    val v1Arr = array(v1.map(lit): _*)
+    val deflated = centered
+      .withColumn("pj", dot($"cx", v1Arr))
+      .select(zip_with($"cx", v1Arr, (a, b) => a - $"pj" * b).as("cx"))
+    val (_, l2) = powerIterate(deflated, d)
+    val n = centered.count().toDouble
+    val tv = centered.agg(sum(dot($"cx", $"cx"))).head().getDouble(0)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(
+      (1L, r4(l1 / n), r4(l1 / tv), r4(l2 / l1)),
+      (2L, r4(l2 / n), r4(l2 / tv), r4(l2 / l1)))
+      .toDF("component", "eigenvalue", "explained_frac", "isotropy_ratio")
+      .orderBy($"component")
+  }
+
+  def embedSpectrum(spark: SparkSession, sfDir: String): DataFrame =
+    embedSpectrumOf(Tables.embeddings(spark, sfDir))
+
+  /** Oracle: the [[embedPcaSql]] chain run twice — once on the
+    * centered frame, once on the v₁-deflated frame. */
+  def embedSpectrumSql(d: Int = 64): String = {
+    def iter(src: String, p: String, i: Int): String = {
+      val (pv, w, vn) = (s"${p}v${i - 1}", s"${p}w$i", s"${p}v$i")
+      s"""${p}s$i AS (SELECT cx, list_dot_product(cx, (SELECT v FROM $pv)) AS s
+         |        FROM $src),
+         |${p}u$i AS (SELECT generate_subscripts(cx, 1) AS pos, unnest(cx) AS val,
+         |          s FROM ${p}s$i),
+         |$w AS MATERIALIZED (SELECT list(w ORDER BY pos) AS w FROM (
+         |  SELECT pos, SUM(val * s) AS w FROM ${p}u$i GROUP BY pos)),
+         |$vn AS MATERIALIZED (
+         |  SELECT list_transform(w,
+         |    x -> round(x / sqrt(list_dot_product(w, w)), 6)) AS v
+         |  FROM $w)""".stripMargin
+    }
+    val init = s"SELECT [1.0 / sqrt($d.0) for i in range(1, ${d + 1})] AS v"
+    s"""WITH xx AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+       |mu AS MATERIALIZED (SELECT list(m ORDER BY pos) AS mu FROM (
+       |  SELECT pos, round(AVG(val), 6) AS m FROM (
+       |    SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS val
+       |    FROM xx) GROUP BY pos)),
+       |c AS MATERIALIZED (
+       |  SELECT [x[i] - mu[i] for i in range(1, len(x) + 1)] AS cx
+       |  FROM xx CROSS JOIN mu),
+       |av0 AS ($init),
+       |${(1 to PcaIters).map(iter("c", "a", _)).mkString(",\n")},
+       |c2 AS MATERIALIZED (
+       |  SELECT [cx[i] - list_dot_product(cx, v) * v[i]
+       |          for i in range(1, len(cx) + 1)] AS cx
+       |  FROM c CROSS JOIN av$PcaIters),
+       |bv0 AS ($init),
+       |${(1 to PcaIters).map(iter("c2", "b", _)).mkString(",\n")},
+       |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |         SUM(list_dot_product(cx, cx)) AS tv FROM c),
+       |l1 AS (SELECT sqrt(list_dot_product(w, w)) AS l FROM aw$PcaIters),
+       |l2 AS (SELECT sqrt(list_dot_product(w, w)) AS l FROM bw$PcaIters)
+       |SELECT component,
+       |  round(lam / n, 4) AS eigenvalue,
+       |  round(lam / tv, 4) AS explained_frac,
+       |  round(l2.l / l1.l, 4) AS isotropy_ratio
+       |FROM (SELECT CAST(1 AS BIGINT) AS component, (SELECT l FROM l1) AS lam
+       |      UNION ALL SELECT CAST(2 AS BIGINT), (SELECT l FROM l2))
+       |CROSS JOIN nv CROSS JOIN l1 CROSS JOIN l2
+       |ORDER BY component""".stripMargin
+  }
+
   /** Oracle replay of the identical iteration chain; `d` is the
     * catalog table's embedding width. */
   def embedPcaSql(d: Int = 64): String = {

@@ -350,4 +350,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(eig >= axisVar * 0.99,
       s"top component variance $eig below best axis variance $axisVar")
   }
+
+  test("embed spectrum: isotropy read on flat cloud, ordering on a real gap") {
+    import spark.implicits._
+    val rows = Similarity.embedSpectrum(spark, sf).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val ((l1, e1, iso1), (l2, e2, iso2)) = (rows(0), rows(1))
+    assert(l1 > 0.0 && l2 > 0.0 && iso1 == iso2)
+    assert(e1 + e2 <= 1.0 + 1e-9,
+      "two components cannot explain more than all variance")
+    // the synthetic cloud is near-isotropic: the ratio must read ~1
+    // (order between near-degenerate eigenvalues is not meaningful)
+    assert(iso1 > 0.8 && iso1 < 1.25, s"flat spectrum misread: $iso1")
+    // λ1 agrees with the standalone PCA solve (same fixed point)
+    val pcaEig = Similarity.embedPca(spark, sf).collect().head.getDouble(2)
+    assert(l1 == pcaEig, s"spectrum λ1 $l1 != PCA eigenvalue $pcaEig")
+    // a genuinely anisotropic cloud: stretch one axis 5x — now the
+    // split must order cleanly and the ratio must read far below 1
+    val stretched = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding",
+        (x, i) => when(i === 0, x * 5.0f).otherwise(x)).as("embedding"))
+    val st = Similarity.embedSpectrumOf(stretched).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(3)))
+    assert(st(0)._1 > 3.0 * st(1)._1,
+      s"5x-stretched axis must dominate: ${st.toSeq}")
+    assert(st(0)._2 < 0.4, s"anisotropy not detected: ${st(0)._2}")
+  }
 }
