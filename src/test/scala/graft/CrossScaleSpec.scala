@@ -303,4 +303,33 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
         s"$s: $pairs pairs is within 1% of all-pairs — effectively quadratic")
     }
   }
+
+  test("round-9 suite scale curve: galaxy join, chunker, PCA near-linear") {
+    // wall-time curves for the round-9 heavyweights across the 10×
+    // corpus step, same 6×-linear guard + retry discipline as the
+    // other curves (suite concurrency spikes fail one pass, O(n²)
+    // fails every pass)
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(dir: String): (Double, Double, Double) = (
+      secs(graft.operators.Relational.marketShare(spark, dir).count()),
+      secs(graft.operators.CorpusQuality.rollingHashChunks(spark, dir).count()),
+      secs(graft.operators.Similarity.embedPca(spark, dir).count()))
+    val lo = run("/root/testdata/sf0.01")
+    val hi = run("/root/testdata/sf0.1")
+    info(f"sf0.01 q8=${lo._1}%.2fs chunks=${lo._2}%.2fs pca=${lo._3}%.2fs; " +
+      f"sf0.1 q8=${hi._1}%.2fs chunks=${hi._2}%.2fs pca=${hi._3}%.2fs")
+    def ok(l: (Double, Double, Double), h: (Double, Double, Double)) =
+      h._1 <= 6.0 * 10 * math.max(l._1, 0.5) &&
+        h._2 <= 6.0 * 10 * math.max(l._2, 0.5) &&
+        h._3 <= 6.0 * 10 * math.max(l._3, 0.5)
+    val passed = ok(lo, hi) || {
+      val (lo2, hi2) = (run("/root/testdata/sf0.01"), run("/root/testdata/sf0.1"))
+      info(f"retry sf0.01=${lo2}%s sf0.1=${hi2}%s")
+      ok((math.min(lo._1, lo2._1), math.min(lo._2, lo2._2), math.min(lo._3, lo2._3)),
+        (math.min(hi._1, hi2._1), math.min(hi._2, hi2._2), math.min(hi._3, hi2._3)))
+    }
+    assert(passed, s"round-9 op grew super-linearly: lo=$lo hi=$hi")
+  }
 }
