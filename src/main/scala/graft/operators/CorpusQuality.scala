@@ -729,6 +729,10 @@ object CorpusQuality {
       wide.queryExecution.analyzed.semanticHash())
     weightCache.getOrElseUpdate(key, {
       val nDocs = wide.count().toDouble
+      // an upstream filter can leave nothing trainable (every doc
+      // empty-text): the zero model is the defined answer, and the
+      // gradient aggregate below would otherwise return nulls
+      if (nDocs == 0.0) return Array.fill(dims)(0.0)
       var w = Array.fill(dims)(0.0)
       for (_ <- 1 to ClfIters) {
         val z = (0 until dims).map(d => col(s"x$d") * lit(w(d))).reduce(_ + _)

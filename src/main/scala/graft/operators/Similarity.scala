@@ -1277,11 +1277,19 @@ object Similarity {
     *
     * Output: the unit loading vector, the covariance eigenvalue
     * `‖w‖/n`, and the explained-variance fraction `‖w‖/trace`. */
+  private val pcaSchema =
+    "dim BIGINT, loading DOUBLE, eigenvalue DOUBLE, explained_frac DOUBLE"
+
   def embedPcaOf(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val x0 = embeddings.select(vd($"embedding").as("x"))
-    val d = x0.select(size($"x")).head().getInt(0)
+    val firstRow = x0.select(size($"x")).limit(1).collect()
+    if (firstRow.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(pcaSchema))
+    val d = firstRow.head.getInt(0)
     val xs = frameCache.getOrElseUpdate(spark,
       s"pca-x:${x0.queryExecution.analyzed.semanticHash()}")(x0.cache())
     val mu = xs.select((1 to d).map(k =>
@@ -1291,26 +1299,14 @@ object Similarity {
     val centered = frameCache.getOrElseUpdate(spark,
       s"pca-c:${x0.queryExecution.analyzed.semanticHash()}")(
       xs.select(zip_with($"x", muArr, (a, b) => a - b).as("cx")).cache())
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var lambda = 0.0
-    for (_ <- 1 to PcaIters) {
-      val s = dot($"cx", array(v.map(lit): _*))
-      val row = centered.withColumn("s", s)
-        .agg(sum($"s" * element_at($"cx", 1)).as("w1"),
-          (2 to d).map(k => sum($"s" * element_at($"cx", k)).as(s"w$k")): _*)
-        .head()
-      val w = (0 until d).map(row.getDouble).toArray
-      lambda = math.sqrt(w.map(a => a * a).sum)
-      v = w.map(a => BigDecimal(a / lambda)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }
+    val (v, lambda) = powerIterate(centered, d)
     val nv = centered.agg(count(lit(1)).cast("double").as("n"),
       sum(dot($"cx", $"cx")).as("tv")).head()
     val (n, totVar) = (nv.getDouble(0), nv.getDouble(1))
-    val eig = BigDecimal(lambda / n)
+    def r4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val expl = BigDecimal(lambda / totVar)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val eig = r4(lambda / n)
+    val expl = if (totVar == 0.0) 0.0 else r4(lambda / totVar)
     v.zipWithIndex
       .map { case (l, i) => (i + 1L, l, eig, expl) }.toSeq
       .toDF("dim", "loading", "eigenvalue", "explained_frac")
@@ -1337,6 +1333,10 @@ object Similarity {
         .head()
       val w = (0 until d).map(row.getDouble).toArray
       lambda = math.sqrt(w.map(a => a * a).sum)
+      // all-identical vectors center to zero: ‖w‖ = 0 and the update
+      // is undefined — the direction is arbitrary, keep the previous
+      // one and report the (correct) zero eigenvalue
+      if (lambda == 0.0) return (v, 0.0)
       v = w.map(a => BigDecimal(a / lambda)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
@@ -1371,7 +1371,14 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val x0 = embeddings.select(vd($"embedding").as("x"))
-    val d = x0.select(size($"x")).head().getInt(0)
+    val firstRow = x0.select(size($"x")).limit(1).collect()
+    if (firstRow.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "component BIGINT, eigenvalue DOUBLE, " +
+            "explained_frac DOUBLE, isotropy_ratio DOUBLE"))
+    val d = firstRow.head.getInt(0)
     val xs = frameCache.getOrElseUpdate(spark,
       s"pca-x:${x0.queryExecution.analyzed.semanticHash()}")(x0.cache())
     val mu = xs.select((1 to d).map(k =>
@@ -1391,9 +1398,10 @@ object Similarity {
     val tv = centered.agg(sum(dot($"cx", $"cx"))).head().getDouble(0)
     def r4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def frac(a: Double, b: Double) = if (b == 0.0) 0.0 else r4(a / b)
     Seq(
-      (1L, r4(l1 / n), r4(l1 / tv), r4(l2 / l1)),
-      (2L, r4(l2 / n), r4(l2 / tv), r4(l2 / l1)))
+      (1L, r4(l1 / n), frac(l1, tv), frac(l2, l1)),
+      (2L, r4(l2 / n), frac(l2, tv), frac(l2, l1)))
       .toDF("component", "eigenvalue", "explained_frac", "isotropy_ratio")
       .orderBy($"component")
   }

@@ -212,4 +212,39 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(CorpusQuality.splitLeakageOf(tiny).count() == 0)
     assert(CorpusQuality.spanCorruptionOf(tiny).count() == 1)
   }
+
+  test("round-9 operators degrade gracefully on empty / constant inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    // mixing / budget / fit / chunking cards: empty in, empty out
+    assert(graft.operators.CorpusQuality.mixtureTemperatureOf(noDocs).count() == 0)
+    assert(graft.operators.CorpusQuality.epochAllocationOf(noDocs).count() == 0)
+    assert(graft.operators.CorpusQuality.contextLenFitOf(noDocs).count() == 0)
+    assert(graft.operators.CorpusQuality.rollingHashChunksOf(noDocs).count() == 0)
+    assert(graft.operators.Dedup.crossSourceDupesOf(
+      noDocs.select($"doc_id", $"text", $"source")).count() == 0)
+    // an untrainable corpus (all empty text) yields the zero model,
+    // and the sweep then reports full survivorship at z <= 0 of the
+    // zero scores — not a crash
+    val blank = Seq((1L, "", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val w = graft.operators.CorpusQuality.trainedWeights(blank)
+    assert(w.forall(_ == 0.0))
+    assert(graft.operators.CorpusQuality.thresholdSweepOf(blank).count() ==
+      graft.operators.CorpusQuality.SweepThresholds.size ||
+      graft.operators.CorpusQuality.thresholdSweepOf(blank).count() == 0)
+    // PCA family: empty cloud -> empty report; constant cloud -> zero
+    // eigenvalue, zero explained fraction, no NaN anywhere
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.embedPcaOf(noVecs).count() == 0)
+    assert(graft.operators.Similarity.embedSpectrumOf(noVecs).count() == 0)
+    val const = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val pca = graft.operators.Similarity.embedPcaOf(const).collect()
+    assert(pca.length == 3)
+    pca.foreach { r =>
+      assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+      assert(!r.getDouble(1).isNaN)
+    }
+  }
 }
