@@ -2008,10 +2008,14 @@ object Relational {
     val ev = Tables.events(spark, sfDir)
       .select(to_date($"ts").as("day"),
         (hour($"ts") / 6).cast("int").as("quarter"), $"event_type")
-    val global = ev.groupBy($"event_type").agg(count(lit(1)).as("g"))
-    val tot = global.agg(sum($"g").as("big_g"))
+    // ONE corpus-wide aggregate; the global distribution, grand total
+    // and cell totals all derive from the (small) cell-type frame, so
+    // the identical aggregate subtree is shuffled once and reused
+    // (ReuseExchange) instead of re-scanning events per branch
     val cellType = ev.groupBy($"day", $"quarter", $"event_type")
       .agg(count(lit(1)).as("c"))
+    val global = cellType.groupBy($"event_type").agg(sum($"c").as("g"))
+    val tot = global.agg(sum($"g").as("big_g"))
     val cellTot = cellType.groupBy($"day", $"quarter")
       .agg(sum($"c").as("ctot"))
     val cells = cellType
