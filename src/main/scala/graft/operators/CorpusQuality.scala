@@ -1060,7 +1060,8 @@ object CorpusQuality {
         sum(least($"n", $"ctx".cast("long"))).as("kept_tokens"))
       .select($"ctx".cast("bigint").as("ctx"), $"n_fit",
         ($"total_tokens" - $"kept_tokens").as("trunc_tokens"),
-        ($"kept_tokens".cast("double") / $"total_tokens").as("kept_frac"))
+        ($"kept_tokens".cast("double") / greatest($"total_tokens", lit(1L)))
+          .as("kept_frac"))
       .orderBy($"ctx")
   }
 
@@ -1074,7 +1075,7 @@ object CorpusQuality {
        |SELECT CAST(ctx AS BIGINT) AS ctx,
        |  CAST(SUM(CASE WHEN n <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
        |  CAST(SUM(n) - SUM(least(n, ctx)) AS BIGINT) AS trunc_tokens,
-       |  CAST(SUM(least(n, ctx)) AS DOUBLE) / SUM(n) AS kept_frac
+       |  CAST(SUM(least(n, ctx)) AS DOUBLE) / greatest(SUM(n), 1) AS kept_frac
        |FROM g GROUP BY ctx ORDER BY ctx""".stripMargin
   }
 

@@ -270,4 +270,70 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  private val fullDocsGen: Gen[List[(Long, String, String, String)]] =
+    Gen.chooseNum(1, 10).flatMap { n =>
+      Gen.listOfN(n, for {
+        words <- Gen.chooseNum(0, 30)
+        src <- Gen.oneOf("s1", "s2", "s3")
+        toks <- Gen.listOfN(words, Gen.oneOf("the", "cat", "sat", "x9", "on"))
+      } yield (src, toks.mkString(" ")))
+        .map(_.zipWithIndex.map { case ((s, t), i) =>
+          ((i + 1).toLong, t, "en", s)
+        })
+    }
+
+  test("context fit conservation: kept + truncated == total, any corpus") {
+    import spark.implicits._
+    samples(fullDocsGen, 6, 97L).foreach { ds =>
+      val df = ds.toDF("doc_id", "text", "lang", "source")
+      val total = ds.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+      graft.operators.CorpusQuality.contextLenFitOf(df).collect().foreach { r =>
+        val (ctx, nFit, trunc, kept) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+        assert(nFit >= 0 && nFit <= ds.size)
+        assert(trunc >= 0 && trunc <= total)
+        // kept_frac * total + trunc == total (conservation)
+        if (total > 0)
+          assert(math.abs(kept * total + trunc - total) < 1e-6 * total + 1e-6,
+            s"ctx=$ctx kept=$kept trunc=$trunc total=$total")
+      }
+    }
+  }
+
+  test("mixture temperature: weights a probability simplex at every tau, any corpus") {
+    import spark.implicits._
+    samples(fullDocsGen, 6, 131L).foreach { ds =>
+      val nonEmpty = ds.exists(_._2.trim.nonEmpty)
+      val df = ds.toDF("doc_id", "text", "lang", "source")
+      val rows = graft.operators.CorpusQuality.mixtureTemperatureOf(df).collect()
+        .map(r => (r.getDouble(0), r.getDouble(3)))
+      if (nonEmpty) {
+        rows.groupBy(_._1).values.foreach { g =>
+          val s = g.map(_._2).sum
+          assert(math.abs(s - 1.0) < 1e-4, s"weights sum $s")
+          g.foreach { case (_, w) => assert(w >= 0.0 && w <= 1.0 + 1e-9) }
+        }
+      }
+    }
+  }
+
+  test("rolling chunks: chunk mass conserves tokens, any corpus") {
+    import spark.implicits._
+    samples(fullDocsGen, 6, 167L).foreach { ds =>
+      val df = ds.toDF("doc_id", "text", "lang", "source")
+      val rows = graft.operators.CorpusQuality.rollingHashChunksOf(df).collect()
+      val nDocsWithTokens = ds.count(_._2.split("\\s+").exists(_.nonEmpty))
+      val totChunks = rows.map(_.getLong(1)).sum
+      // every tokenizable doc produces >= 1 chunk; chunk count never
+      // exceeds token count
+      assert(totChunks >= nDocsWithTokens)
+      val totToks = ds.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+      assert(totChunks <= math.max(totToks, 0L) + 0L || totToks == 0)
+      rows.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1), "distinct <= total chunks")
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0 + 1e-9)
+      }
+    }
+  }
 }
