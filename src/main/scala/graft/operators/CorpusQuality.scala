@@ -991,15 +991,19 @@ object CorpusQuality {
     val totals = perSource.agg(
       sum($"unique_tokens").as("total"),
       count(lit(1)).as("n_sources"))
+    // epochs = alloc/unique is an exact integer rational — scale-floor
+    // it in integer space (the skew-report lesson: round(x, 4) on
+    // exact rationals is engine-divergent at half-grid points); the
+    // floored value feeds BOTH the report and the decay formula
+    val capScaled = (EpochCap * 10000).toLong
     perSource
       .join(broadcast(totals))
       .withColumn("alloc_tokens",
         expr(s"CAST(($EpochBudgetX * total) DIV n_sources AS BIGINT)"))
-      .withColumn("epochs_raw",
-        $"alloc_tokens".cast("double") / $"unique_tokens")
-      .withColumn("epochs", least($"epochs_raw", lit(EpochCap)))
-      .select($"source", $"unique_tokens", $"alloc_tokens",
-        round($"epochs", 4).as("epochs"),
+      .withColumn("epochs",
+        least(expr("(alloc_tokens * 10000) DIV greatest(unique_tokens, 1)"),
+          lit(capScaled)).cast("double") / 10000.0)
+      .select($"source", $"unique_tokens", $"alloc_tokens", $"epochs",
         round($"unique_tokens" * lit(EpochDecayR) *
           (lit(1.0) - exp(-$"epochs" / lit(EpochDecayR))), 2)
           .as("eff_tokens"))
@@ -1021,12 +1025,13 @@ object CorpusQuality {
        |  FROM ps CROSS JOIN tot),
        |e AS (
        |  SELECT source, unique_tokens, alloc_tokens,
-       |    least(CAST(alloc_tokens AS DOUBLE) / unique_tokens, $EpochCap)
+       |    CAST(least((alloc_tokens * 10000) // greatest(unique_tokens, 1),
+       |               ${(EpochCap * 10000).toLong}) AS DOUBLE) / 10000.0
        |      AS epochs
        |  FROM a)
        |SELECT source, unique_tokens, CAST(alloc_tokens AS BIGINT)
        |    AS alloc_tokens,
-       |  round(epochs, 4) AS epochs,
+       |  epochs,
        |  round(unique_tokens * $EpochDecayR *
        |        (1.0 - exp(-epochs / $EpochDecayR)), 2) AS eff_tokens
        |FROM e ORDER BY source""".stripMargin

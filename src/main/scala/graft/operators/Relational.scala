@@ -2032,9 +2032,12 @@ object Relational {
         $"ctot", $"big_g")
     cells
       .groupBy($"quarter")
+      // TVD = d/(2·C·G) is an exact integer rational: round(x, 4) on
+      // those is engine-divergent at half-grid points (the skew-report
+      // lesson), so scale-floor in integer space instead
       .agg(count(lit(1)).as("n_cells"),
-        max(round($"d".cast("double") /
-          (lit(2.0) * $"ctot" * $"big_g"), 4)).as("t_achieved"),
+        (max(expr("CAST((d * 5000) DIV (ctot * big_g) AS BIGINT)"))
+          .cast("double") / 10000.0).as("t_achieved"),
         sum(when($"d" * 5L > $"ctot" * $"big_g" * 2L, 1L).otherwise(0L))
           .as("cells_gt_02"),
         sum(when($"d" * 5L > $"ctot" * $"big_g", 1L).otherwise(0L))
@@ -2063,7 +2066,7 @@ object Relational {
       |  CROSS JOIN tot
       |  GROUP BY ct.day, ct.quarter, ctot.ctot)
       |SELECT quarter, COUNT(*) AS n_cells,
-      |  MAX(round(CAST(d AS DOUBLE) / (2.0 * ctot * big_g), 4))
+      |  CAST(MAX((d * 5000) // (ctot * big_g)) AS DOUBLE) / 10000.0
       |    AS t_achieved,
       |  CAST(SUM(CASE WHEN d * 5 > ctot * big_g * 2 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS cells_gt_02,

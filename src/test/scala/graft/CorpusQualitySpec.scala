@@ -287,9 +287,8 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
       val (u, alloc, epochs, eff) =
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
       assert(alloc == expectedAlloc, "uniform split: every source gets B/n")
-      val expEpochs = BigDecimal(
-        math.min(CorpusQuality.EpochCap, alloc.toDouble / u))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expEpochs = math.min((CorpusQuality.EpochCap * 10000).toLong,
+        alloc * 10000L / math.max(u, 1L)).toDouble / 10000.0
       assert(epochs == expEpochs)
       // decay value is positive, bounded by the U*R asymptote, and
       // never exceeds the naively repeated token count

@@ -374,8 +374,7 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val expect = cells.groupBy(_._1).map { case (q, cs) =>
       q -> (cs.size.toLong,
         cs.map { case (_, d, ctot) =>
-          BigDecimal(d.toDouble / (2.0 * ctot * bigG))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (d * 5000L / (ctot * bigG)).toDouble / 10000.0
         }.max,
         cs.count { case (_, d, ctot) => d * 5 > ctot * bigG * 2 }.toLong,
         cs.count { case (_, d, ctot) => d * 5 > ctot * bigG }.toLong)
