@@ -264,6 +264,16 @@ object Graft {
   def embedSpectrum(embeddings: DataFrame): DataFrame =
     operators.Similarity.embedSpectrumOf(embeddings)
 
+  /** Per-document sentence-structure stats (count / mean / max words
+    * per sentence). Needs `doc_id, text`. */
+  def sentenceStats(docs: DataFrame): DataFrame =
+    operators.TextAnalytics.sentenceStatsOf(docs)
+
+  /** Code-vs-prose census per source (structural-punctuation gate).
+    * Needs `text, source`. */
+  def codeDetect(docs: DataFrame): DataFrame =
+    operators.TextAnalytics.codeDetectOf(docs)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`

@@ -2138,6 +2138,57 @@ object Relational {
        |ORDER BY tbl, key""".stripMargin
   }
 
+  /** Market-basket association mining over order line items (the
+    * support/confidence/lift triple of classic frequent-pair
+    * analysis): for the top co-purchased part pairs, how often the
+    * pair ships together (`pair_cnt`), each part's own order count,
+    * and the lift `P(a,b)/(P(a)·P(b))` that says whether the
+    * co-occurrence beats independence. Ranked by pair count with
+    * integer tie-breaks so the top-k set is deterministic.
+    *
+    * Scale: the pair generator self-joins the per-order DISTINCT part
+    * list on the order key — pairs per order are C(parts/order, 2),
+    * a SMALL constant (TPC-H ships ~4–7 lines/order), so the blowup
+    * is bounded per key and the join is a co-partitioned equi-join,
+    * never a cross product; the top-k is a bounded TakeOrdered. Lift
+    * ratios are raw divisions of exact longs (bit-identical across
+    * engines, no rounding involved). */
+  def marketBasket(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val op = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("part")).distinct()
+    val nOrders = op.select($"okey").distinct().count()
+    val partCnt = op.groupBy($"part").agg(count(lit(1)).as("cnt"))
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.okey") === col("y.okey") && col("x.part") < col("y.part"))
+      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    pairs
+      .join(partCnt.select($"part".as("part_a"), $"cnt".as("cnt_a")), "part_a")
+      .join(partCnt.select($"part".as("part_b"), $"cnt".as("cnt_b")), "part_b")
+      .select($"part_a", $"part_b", $"pair_cnt", $"cnt_a", $"cnt_b",
+        ($"pair_cnt".cast("double") * nOrders /
+          ($"cnt_a" * $"cnt_b")).as("lift"))
+      .orderBy($"pair_cnt".desc, $"part_a", $"part_b")
+      .limit(k)
+  }
+
+  def marketBasketSql(k: Int = 20): String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+       |            FROM lineitem),
+       |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM op),
+       |pc AS (SELECT part, COUNT(*) AS cnt FROM op GROUP BY part),
+       |pr AS (SELECT x.part AS part_a, y.part AS part_b, COUNT(*) AS pair_cnt
+       |       FROM op x JOIN op y ON x.okey = y.okey AND x.part < y.part
+       |       GROUP BY 1, 2)
+       |SELECT part_a, part_b, pair_cnt, a.cnt AS cnt_a, b.cnt AS cnt_b,
+       |  CAST(pair_cnt AS DOUBLE) * n_orders / (a.cnt * b.cnt) AS lift
+       |FROM pr
+       |JOIN pc a ON pr.part_a = a.part
+       |JOIN pc b ON pr.part_b = b.part
+       |CROSS JOIN n
+       |ORDER BY pair_cnt DESC, part_a, part_b LIMIT $k""".stripMargin
+
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
     * they are supposed to flag, the median and the median absolute

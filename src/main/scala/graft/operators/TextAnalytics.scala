@@ -2377,4 +2377,109 @@ object TextAnalytics {
        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, lw, rank,
        |  rank <= $selectN AS keep
        |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_sentence_stats — sentence segmentation signals
+  // ---------------------------------------------------------------
+
+  /** Per-document sentence statistics (count, mean and max words per
+    * sentence) — the line/sentence-structure signals the Gopher rule
+    * family reads beyond bag-of-words. Segmentation is the simple
+    * terminal-punctuation split (`[.!?]+`) both engines agree on;
+    * everything stays inside higher-order array functions — no
+    * explode, so the corpus never fans out sentence-wise on the wire,
+    * and the per-row state is one small array.
+    *
+    * The mean is a raw division of exact longs (deterministic, no
+    * rounding); sentence-less docs report zeros. */
+  def sentenceStatsOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val segs = split($"text", "[.!?]+")
+    val wordsPer = transform(segs,
+      s => size(regexp_extract_all(lower(s), lit("[\\p{L}\\p{N}_]+"), lit(0)))
+        .cast("long"))
+    documents
+      .select($"doc_id", filter(wordsPer, w => w > 0L).as("ws"))
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_sentences"),
+        coalesce(aggregate($"ws", lit(0L), (a, x) => a + x), lit(0L))
+          .as("n_words"),
+        coalesce(array_max($"ws"), lit(0L)).as("max_sent_words"))
+      .select($"doc_id", $"n_sentences",
+        ($"n_words".cast("double") / greatest($"n_sentences", lit(1L)))
+          .as("avg_sent_words"),
+        $"max_sent_words")
+      .orderBy($"doc_id")
+  }
+
+  def sentenceStats(spark: SparkSession, sfDir: String): DataFrame =
+    sentenceStatsOf(docs(spark, sfDir))
+
+  val sentenceStatsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    [len(regexp_extract_all(lower(seg), '[\p{L}\p{N}_]+'))
+      |     for seg in string_split_regex(text, '[.!?]+')] AS wall
+      |  FROM documents),
+      |f AS (SELECT doc_id, list_filter(wall, w -> w > 0) AS ws FROM s)
+      |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_sentences,
+      |  CAST(COALESCE(list_sum(ws), 0) AS DOUBLE)
+      |    / greatest(len(ws), 1) AS avg_sent_words,
+      |  CAST(COALESCE(list_max(ws), 0) AS BIGINT) AS max_sent_words
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_code_detect — code-vs-prose heuristic gate
+  // ---------------------------------------------------------------
+
+  /** Code-vs-prose detection by punctuation-structure counting (the
+    * cheap gate a curation pipeline runs before language ID — code
+    * misclassifies as low-quality prose otherwise): braces,
+    * semicolons, and indented lines score each document, and the
+    * verdict compares cross-multiplied integers against the document
+    * length so no float sits on the decision boundary. Report is the
+    * per-source census a mixing policy consumes.
+    *
+    * Scale: per-row counting via length-difference and one line
+    * split, one source-keyed aggregate — a single scan. */
+  val CodeScoreNum = 50
+
+  def codeDetectOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    def occur(ch: String) =
+      (length($"text") - length(regexp_replace($"text", java.util.regex.Pattern.quote(ch), "")))
+        .cast("long")
+    val indented = size(filter(split($"text", "\\n"),
+      l => l.startsWith("  ") || l.startsWith("\t"))).cast("long")
+    val scored = documents.select($"source",
+      (occur("{") + occur("}") + occur(";") * 2L + indented * 3L).as("score"),
+      greatest(length($"text").cast("long"), lit(1L)).as("n_chars"))
+      .withColumn("is_code", $"score" * lit(CodeScoreNum.toLong) >= $"n_chars")
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_code", 1L).otherwise(0L)).as("n_code"))
+      .select($"source", $"n_docs", $"n_code",
+        ($"n_code".cast("double") / $"n_docs").as("code_frac"))
+      .orderBy($"source")
+  }
+
+  def codeDetect(spark: SparkSession, sfDir: String): DataFrame =
+    codeDetectOf(docs(spark, sfDir))
+
+  val codeDetectSql: String =
+    s"""WITH f AS (
+       |  SELECT source,
+       |    (length(text) - length(replace(text, '{', '')))
+       |      + (length(text) - length(replace(text, '}', '')))
+       |      + (length(text) - length(replace(text, ';', ''))) * 2
+       |      + len(list_filter(string_split(text, chr(10)),
+       |            l -> l LIKE '  %' OR l LIKE chr(9) || '%')) * 3 AS score,
+       |    greatest(length(text), 1) AS n_chars
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN score * $CodeScoreNum >= n_chars
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+       |  CAST(SUM(CASE WHEN score * $CodeScoreNum >= n_chars
+       |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS code_frac
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
 }

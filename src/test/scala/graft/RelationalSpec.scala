@@ -406,4 +406,31 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     // the deliberately skewed events.user_id reads as skewed
     assert(rows(("events", "user_id"))._4 >= 1.0)
   }
+
+  test("market basket: counts bound pairs, lift replays, top-1 verified") {
+    import spark.implicits._
+    val rows = Relational.marketBasket(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val op = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val byPart = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (a, b, pc, ca, cb, lift) =>
+      assert(a < b)
+      assert(ca == byPart(a) && cb == byPart(b))
+      assert(pc <= math.min(ca, cb), "a pair cannot outship its parts")
+      assert(lift == pc.toDouble * nOrders / (ca * cb))
+    }
+    // the ranking is by pair count: replay the max co-occurrence
+    val pairCnt = op.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows.head._3 == pairCnt.values.max.toLong,
+      "top row must carry the maximum pair count")
+  }
 }

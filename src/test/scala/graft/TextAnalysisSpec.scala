@@ -804,4 +804,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val shard0Docs = byShard(0L).sortBy(_._2).map(_._3)
     assert(shard0Docs != shard0Docs.sorted)
   }
+
+  test("sentence stats: crafted segmentation matches hand counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "One two. Three four five! Six?"),
+      (2L, "no terminal punctuation here"),
+      (3L, "!!!...")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.sentenceStatsOf(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((3L, 2.0, 3L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, 4.0, 4L)), "punctuation-less text is one sentence")
+    assert(got(3L) == ((0L, 0.0, 0L)), "pure punctuation has no sentences")
+  }
+
+  test("code detect: structural punctuation flags code, spares prose") {
+    import spark.implicits._
+    val code = (1 to 8).map(i =>
+      s"def f$i(x) {\n  return x + $i;\n}").mkString("\n")
+    val prose = "This is a long plain paragraph of ordinary text " * 8
+    val df = Seq(
+      (1L, code, "repo"), (2L, prose, "web"), (3L, prose, "web")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalytics.codeDetectOf(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("repo") == ((1L, 1L)), s"code not flagged: ${got("repo")}")
+    assert(got("web") == ((2L, 0L)), s"prose misflagged: ${got("web")}")
+  }
 }
