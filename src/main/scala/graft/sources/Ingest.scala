@@ -491,4 +491,44 @@ object Ingest {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
     s"$tmp/graft_roundtrip_${RunToken.value}_${kind}_${sfDir.hashCode.toHexString}"
   }
+
+  /** Generated calendar dimension over the orders date range — the
+    * date spine every warehouse keys time rollups and gap-fills
+    * against, produced by `sequence()` (a generator, zero input
+    * scan). Day-of-week is emitted in ISO numbering (1=Monday)
+    * computed EXPLICITLY from Spark's Sunday-first `dayofweek` so the
+    * cross-engine day-numbering trap (Spark 1=Sun, DuckDB isodow
+    * 1=Mon) is resolved in one audited place rather than at every
+    * call site. `sfDir` is unused — the dimension is synthesized. */
+  def dateDim(spark: SparkSession, sfDir: String,
+              start: String = "1995-01-01",
+              end: String = "2001-12-31"): DataFrame = {
+    import spark.implicits._
+    spark.range(1)
+      .select(explode(sequence(
+        to_date(lit(start)), to_date(lit(end)),
+        expr("interval 1 day"))).as("day"))
+      .select($"day",
+        year($"day").cast("bigint").as("y"),
+        month($"day").cast("bigint").as("m"),
+        dayofmonth($"day").cast("bigint").as("d"),
+        quarter($"day").cast("bigint").as("q"),
+        dayofyear($"day").cast("bigint").as("doy"),
+        (((dayofweek($"day") + 5) % 7) + 1).cast("bigint").as("iso_dow"))
+      .withColumn("is_weekend", $"iso_dow" >= 6L)
+      .orderBy($"day")
+  }
+
+  def dateDimSql(start: String = "1995-01-01",
+                 end: String = "2001-12-31"): String =
+    s"""SELECT day, CAST(date_part('year', day) AS BIGINT) AS y,
+       |  CAST(date_part('month', day) AS BIGINT) AS m,
+       |  CAST(date_part('day', day) AS BIGINT) AS d,
+       |  CAST(date_part('quarter', day) AS BIGINT) AS q,
+       |  CAST(date_part('doy', day) AS BIGINT) AS doy,
+       |  CAST(isodow(day) AS BIGINT) AS iso_dow,
+       |  isodow(day) >= 6 AS is_weekend
+       |FROM (SELECT CAST(unnest(generate_series(DATE '$start',
+       |        DATE '$end', INTERVAL 1 DAY)) AS DATE) AS day)
+       |ORDER BY day""".stripMargin
 }

@@ -152,4 +152,19 @@ class CsvIngestSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(row.getLong(2) == keySum, "corrupt rows contaminate no aggregate")
   }
+
+  test("date dim: known anchors, leap year, ISO day numbering") {
+    import java.sql.Date
+    val dim = Ingest.dateDim(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+    assert(dim.size == 2557, "1995-01-01..2001-12-31 inclusive")
+    // 2000-01-01 was a Saturday (ISO dow 6, weekend), Q1, doy 1
+    assert(dim("2000-01-01") == ((2000L, 1L, 1L, 1L, 1L, 6L, true)))
+    // leap year: 2000-12-31 is day-of-year 366, a Sunday
+    assert(dim("2000-12-31") == ((2000L, 12L, 31L, 4L, 366L, 7L, true)))
+    // 2001-12-31 was a Monday (ISO dow 1, weekday)
+    assert(dim("2001-12-31")._6 == 1L && !dim("2001-12-31")._7)
+  }
 }
