@@ -274,6 +274,11 @@ object Graft {
   def codeDetect(docs: DataFrame): DataFrame =
     operators.TextAnalytics.codeDetectOf(docs)
 
+  /** MinHash dedup threshold-sensitivity sweep over the verified
+    * pair stream. Needs `doc_id, text`. */
+  def dedupSweep(docs: DataFrame): DataFrame =
+    operators.Dedup.dedupSweepOf(docs)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`

@@ -243,6 +243,63 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // llm_dedup_sweep — near-dup threshold sensitivity
+  // ---------------------------------------------------------------
+
+  /** The Jaccard thresholds the dedup sweep evaluates — around the
+    * production 0.8 gate. */
+  val DedupSweepThresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)
+
+  /** Threshold-sensitivity sweep for the MinHash near-dedup: how many
+    * verified pairs survive each candidate Jaccard cut — the
+    * [[graft.operators.CorpusQuality.thresholdSweepOf]] discipline
+    * applied to dedup aggressiveness (how much MORE a 0.7 cut drops
+    * than 0.9 is the first question a dedup rollout answers). The
+    * expensive part — bucketing and exact per-pair verification —
+    * runs ONCE; the sweep is a 3× explode over the verified pair
+    * stream. Jaccard-vs-threshold comparisons are exact-rational
+    * against decimal literals, identical in both engines. */
+  def dedupSweepOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = cached("shingle-sets", shingleSetsOf(docs))
+    val buckets = bandedBuckets(cached("minhash-sig", minHashSignatures(sets)))
+    val cand = buckets.as("ba")
+      .join(buckets.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bsig") === col("bb.bsig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sets.select($"doc_id".as("a"), $"shs".as("sa")), "a")
+      .join(sets.select($"doc_id".as("b"), $"shs".as("sb")), "b")
+      .select(jaccard($"sa", $"sb").as("jaccard"),
+        explode(array(DedupSweepThresholds.map(lit): _*)).as("thr"))
+      .groupBy($"thr")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"jaccard" >= $"thr", 1L).otherwise(0L)).as("n_pairs"))
+      .select($"thr", $"n_pairs",
+        ($"n_pairs".cast("double") / $"n_candidates").as("pair_frac"))
+      .orderBy($"thr")
+  }
+
+  def dedupSweep(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSweepOf(Tables.documents(spark, sfDir))
+
+  def dedupSweepSql(): String = {
+    val grid = DedupSweepThresholds.mkString(", ")
+    s"""WITH ${minHashPairsCtes()},
+       |grid AS (SELECT CAST(unnest([$grid]) AS DOUBLE) AS thr)
+       |SELECT thr,
+       |  CAST(SUM(CASE WHEN jaccard >= thr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pairs,
+       |  CAST(SUM(CASE WHEN jaccard >= thr THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS pair_frac
+       |FROM verified CROSS JOIN grid
+       |GROUP BY thr ORDER BY thr""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_cross_source_dupes — provenance overlap matrix
   // ---------------------------------------------------------------
 

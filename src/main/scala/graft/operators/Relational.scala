@@ -2189,6 +2189,66 @@ object Relational {
        |CROSS JOIN n
        |ORDER BY pair_cnt DESC, part_a, part_b LIMIT $k""".stripMargin
 
+  /** RFM customer segmentation (recency / frequency / monetary
+    * quartiles — the classic CRM cut): each customer's last order
+    * day, order count, and exact-decimal spend are quartile-bucketed
+    * (bucket 1 = best) and the report is the 4×4×4 segment census
+    * with its revenue mass. Quartiles come from a global row number
+    * plus the EXPLICIT integer formula `((rn−1)·4) DIV n + 1` —
+    * deliberately not native NTILE, for two reasons: the formula is
+    * bit-identical across engines (NTILE's uneven-bucket fill is
+    * convention-dependent), and the row number routes through
+    * [[graft.util.GlobalRank]], whose range-partitioned path keeps a
+    * global ordering scalable past the single-task window cap.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(dec($"o_totalprice")).cast("double").as("monetary"))
+    val n = cust.count()
+    def bucket(rnCol: String) =
+      expr(s"CAST((($rnCol - 1) * 4) DIV $n + 1 AS BIGINT)")
+    val ranked = Seq(
+      ("rn_r", Seq($"last_day".desc, $"o_custkey".asc)),
+      ("rn_f", Seq($"freq".desc, $"o_custkey".asc)),
+      ("rn_m", Seq($"monetary".desc, $"o_custkey".asc)))
+      .foldLeft(cust) { case (df, (c, ord)) =>
+        graft.util.GlobalRank.withRowNumber(df, c, n, ord: _*)
+      }
+    ranked
+      .select(bucket("rn_r").as("r_q"), bucket("rn_f").as("f_q"),
+        bucket("rn_m").as("m_q"), $"monetary")
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec($"monetary")).cast("double").as("segment_revenue"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT monetary,
+      |    row_number() OVER (ORDER BY last_day DESC, o_custkey) AS rn_r,
+      |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS rn_f,
+      |    row_number() OVER (ORDER BY monetary DESC, o_custkey) AS rn_m,
+      |    COUNT(*) OVER () AS n
+      |  FROM cust)
+      |SELECT CAST(((rn_r - 1) * 4) // n + 1 AS BIGINT) AS r_q,
+      |  CAST(((rn_f - 1) * 4) // n + 1 AS BIGINT) AS f_q,
+      |  CAST(((rn_m - 1) * 4) // n + 1 AS BIGINT) AS m_q,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS segment_revenue
+      |FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
     * they are supposed to flag, the median and the median absolute

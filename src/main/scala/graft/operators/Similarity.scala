@@ -514,6 +514,13 @@ object Similarity {
   /** Search-stage SQL shared by both IVF oracles; expects CTEs `e`
     * (vec_id, v) and `centroids` (cell, cv) to be in scope. */
   private def ivfSearchSql(numProbes: Int, k: Int, nprobe: Int): String =
+    s"""${ivfSearchCtes(numProbes, nprobe)}
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  /** The IVF chain through `ranked` only — reused by [[knnRecallSql]]
+    * which joins it against the exact ranking instead of emitting it. */
+  private def ivfSearchCtes(numProbes: Int, nprobe: Int): String =
     s"""assign AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT e.vec_id, e.v, c.cell,
@@ -535,9 +542,68 @@ object Similarity {
        |           ORDER BY round(list_dot_product(a.v, p.pv), 6) DESC, a.vec_id) AS rank
        |  FROM probe_cells p JOIN assign a ON a.cell = p.cell
        |  WHERE a.vec_id <> p.probe_id
-       |)
-       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cosine
-       |FROM ranked WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_knn_recall_at_k — IVF recall eval against the exact ranking
+  // ---------------------------------------------------------------
+
+  /** Recall@k of the IVF index against the brute-force exact ranking,
+    * per probe — the acceptance number an ANN rollout is judged by
+    * (the eval card next to [[knnLabelEval]]'s label consistency).
+    * Both rankings use identical probe sets, tie-breaks, and rounded
+    * cosines, so the intersection is well defined; recall is an exact
+    * hits/k rational.
+    *
+    * Scale: the exact side is probes×corpus — affordable for an EVAL
+    * over a probe SAMPLE (that is what recall measurement costs,
+    * ground truth included); the IVF side is the production path. */
+  def knnRecallAtK(spark: SparkSession, sfDir: String,
+                   numProbes: Int = 20, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val exact = knnExact(spark, sfDir, numProbes, k)
+      .select($"probe_id", $"neighbor_id")
+    val ivf = knnIvf(spark, sfDir, numProbes, k)
+      .select($"probe_id".as("p2"), $"neighbor_id".as("n2"))
+    val hits = exact
+      .join(ivf, $"probe_id" === $"p2" && $"neighbor_id" === $"n2")
+      .groupBy($"probe_id").agg(count(lit(1)).as("h"))
+    exact.select($"probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select($"probe_id",
+        coalesce($"h", lit(0L)).as("n_hits"),
+        (coalesce($"h", lit(0L)).cast("double") / k).as("recall"))
+      .orderBy($"probe_id")
+  }
+
+  def knnRecallSql(numProbes: Int = 20, k: Int = 5,
+                   cells: Int = IvfCells, nprobe: Int = IvfNProbe): String =
+    s"""WITH e AS ($embNormedSql),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+       |           WHERE vec_id < $numProbes),
+       |exsc AS (SELECT probe_id, vec_id,
+       |           round(list_dot_product(v, pv), 6) AS cosine
+       |         FROM e, probes WHERE vec_id <> probe_id),
+       |exk AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, vec_id) AS rnk FROM exsc)
+       |  WHERE rnk <= $k),
+       |centroids AS (
+       |  SELECT vec_id AS cell, v AS cv FROM e
+       |  ORDER BY ${graft.functions.Hashing.md5i32Sql("vec_id::VARCHAR", 11)}, vec_id
+       |  LIMIT $cells
+       |), ${ivfSearchCtes(numProbes, nprobe)},
+       |ivfk AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= $k),
+       |hits AS (SELECT exk.probe_id, COUNT(*) AS h
+       |         FROM exk JOIN ivfk ON exk.probe_id = ivfk.probe_id
+       |           AND exk.vec_id = ivfk.vec_id
+       |         GROUP BY exk.probe_id)
+       |SELECT p.probe_id,
+       |  CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h, 0) AS DOUBLE) / $k AS recall
+       |FROM (SELECT DISTINCT probe_id FROM exk) p
+       |LEFT JOIN hits ON p.probe_id = hits.probe_id
+       |ORDER BY p.probe_id""".stripMargin
 
   // ---------------------------------------------------------------
   // llm_knn_sq — int8 scalar-quantized scan + exact re-rank

@@ -172,4 +172,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(matrix === expect)
     matrix.keys.foreach { case (lo, hi) => assert(lo <= hi) }
   }
+
+  test("dedup sweep: monotone in the cut, anchored at the production threshold") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = Dedup.dedupSweepOf(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Dedup.DedupSweepThresholds)
+    val pairs = rows.map(_._2)
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      s"tighter cut cannot keep more pairs: $pairs")
+    // the 0.8 grid point equals the production near-dup query
+    val prod = Dedup.minHashNearDupsOf(docs).count()
+    assert(rows.find(_._1 == 0.8).get._2 == prod)
+    rows.foreach { case (_, _, f) => assert(f >= 0.0 && f <= 1.0) }
+  }
 }

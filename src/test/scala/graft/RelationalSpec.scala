@@ -433,4 +433,34 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head._3 == pairCnt.values.max.toLong,
       "top row must carry the maximum pair count")
   }
+
+  test("rfm segments: partition of customers, quartile fill exact, revenue conserved") {
+    import spark.implicits._
+    val rows = Relational.rfmSegments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val cust = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+        .as("m"))
+      .as[(Long, Double)].collect()
+    val n = cust.length.toLong
+    assert(rows.map(_._4).sum == n, "every customer lands in one segment")
+    rows.foreach { case (r, f, m, _, _) =>
+      assert(Seq(r, f, m).forall(q => q >= 1 && q <= 4))
+    }
+    // the explicit bucket formula fills quartiles deterministically:
+    // per dimension, bucket b holds |{rn : ((rn-1)*4) div n + 1 == b}|
+    val expectPerBucket = (1L to n)
+      .groupBy(rn => (rn - 1) * 4 / n + 1).view.mapValues(_.size.toLong).toMap
+    Seq(rows.groupBy(_._1), rows.groupBy(_._2), rows.groupBy(_._3))
+      .foreach { dim =>
+        dim.foreach { case (b, rs) =>
+          assert(rs.map(_._4).sum == expectPerBucket(b),
+            s"bucket $b fill ${rs.map(_._4).sum} vs ${expectPerBucket(b)}")
+        }
+      }
+    val totalRev = cust.map(_._2).sum
+    assert(math.abs(rows.map(_._5).sum - totalRev) < 1e-6,
+      "segment revenue must reconstruct the customer total")
+  }
 }

@@ -377,4 +377,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"5x-stretched axis must dominate: ${st.toSeq}")
     assert(st(0)._2 < 0.4, s"anisotropy not detected: ${st(0)._2}")
   }
+
+  test("knn recall: hits replay from the two rankings, recall well-formed") {
+    import spark.implicits._
+    val rows = Similarity.knnRecallAtK(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.size == 20)
+    val exact = Similarity.knnExact(spark, sf, numProbes = 20, k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.knnIvf(spark, sf, numProbes = 20, k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (p, (h, rec)) =>
+      val want = exact(p).intersect(ivf.getOrElse(p, Set.empty)).size.toLong
+      assert(h == want, s"probe $p: hits $h vs replay $want")
+      assert(rec == h.toDouble / 5 && rec >= 0.0 && rec <= 1.0)
+    }
+    // the nprobe=4-of-8-cells index must beat random on average
+    val mean = rows.values.map(_._2).sum / rows.size
+    assert(mean > 0.2, s"IVF mean recall $mean implausibly low")
+  }
 }
