@@ -181,4 +181,44 @@ object ReferenceQueries {
        |SELECT level, COUNT(*) AS n,
        |       string_agg(name, ',' ORDER BY name) AS members
        |FROM base GROUP BY level ORDER BY level""".stripMargin
+
+  /** Degree distribution of the co-actor graph — the structural card
+    * for the graph BOTH reference queries walk (an actor's degree is
+    * its distinct co-star count; the Actor query's result size IS its
+    * probe's degree). Buckets are power-of-two (bucket b covers
+    * degrees [2^(b−1), 2^b)), computed as the BIT LENGTH of the
+    * degree — pure integer arithmetic, no float log2 near a
+    * power-of-two boundary.
+    *
+    * Scale: per-movie cast self-join (bounded by cast size per
+    * movie, the [[Relational.marketBasket]] argument), one distinct,
+    * one degree aggregate, one ≤64-row histogram. */
+  def actorDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.movies(spark, sfDir)
+      .select($"id", explode($"actors").as("a"))
+    val deg = m.as("x").join(m.as("y"), Seq("id"))
+      .filter(col("x.a") =!= col("y.a"))
+      .select(col("x.a").as("actor"), col("y.a").as("co"))
+      .distinct()
+      .groupBy($"actor").agg(count(lit(1)).as("deg"))
+    deg
+      .select(length(expr("bin(deg)")).cast("bigint").as("bucket"), $"deg")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_actors"), max($"deg").as("max_deg"))
+      .orderBy($"bucket")
+  }
+
+  val actorDegreesSql: String =
+    s"""WITH movies AS (${Tables.moviesSql}),
+       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+       |deg AS (
+       |  SELECT actor, COUNT(*) AS deg FROM (
+       |    SELECT DISTINCT x.a AS actor, y.a AS co
+       |    FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a)
+       |  GROUP BY actor)
+       |SELECT CAST(length(bin(deg)) - position('1' IN bin(deg)) + 1
+       |         AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_actors, MAX(deg) AS max_deg
+       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 }

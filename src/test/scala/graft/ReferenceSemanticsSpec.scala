@@ -72,4 +72,31 @@ class ReferenceSemanticsSpec extends SparkSpec {
     val levels = hist.select("level").as[Long].collect()
     assert(levels.sameElements(levels.sorted))
   }
+
+  test("actor degrees: bucket census replays from a driver-side degree pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.ReferenceQueries.actorDegrees(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    val co = graft.sources.Tables.movies(spark, sf)
+      .select($"id", explode($"actors").as("a"))
+      .as[(String, String)].collect()
+      .toSeq.groupBy(_._1).values.flatMap { cast =>
+        val as: Seq[String] = cast.map(_._2).distinct
+        for (x <- as; y <- as if x != y) yield (x, y)
+      }.toSeq.distinct
+    val deg = co.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def bucket(d: Long) = 64L - java.lang.Long.numberOfLeadingZeros(d)
+    val expect = deg.values.groupBy(bucket).map { case (b, ds) =>
+      b -> (ds.size.toLong, ds.max)
+    }
+    assert(rows === expect)
+    // an actor's degree IS its Actor-query result size: spot-check one
+    val someActor = deg.keys.head
+    val coCount = graft.operators.ReferenceQueries
+      .actorCoactors(spark, sf, someActor).count()
+    assert(coCount == deg(someActor),
+      s"degree of $someActor must equal its co-actor query size")
+  }
 }
