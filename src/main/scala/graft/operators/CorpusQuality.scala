@@ -731,21 +731,26 @@ object CorpusQuality {
       val nDocs = wide.count().toDouble
       // an upstream filter can leave nothing trainable (every doc
       // empty-text): the zero model is the defined answer, and the
-      // gradient aggregate below would otherwise return nulls
-      if (nDocs == 0.0) return Array.fill(dims)(0.0)
-      var w = Array.fill(dims)(0.0)
-      for (_ <- 1 to ClfIters) {
-        val z = (0 until dims).map(d => col(s"x$d") * lit(w(d))).reduce(_ + _)
-        val err = lit(1.0) / (lit(1.0) + exp(-z)) - $"y"
-        val grads = wide.withColumn("err", err)
-          .agg(sum($"err" * col("x0")).as("g0"),
-            (1 until dims).map(d => sum($"err" * col(s"x$d")).as(s"g$d")): _*)
-          .head()
-        w = w.indices.map(d =>
-          BigDecimal(w(d) - ClfEta * grads.getDouble(d) / nDocs)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+      // gradient aggregate below would otherwise return nulls. The
+      // branch is the thunk's VALUE (no non-local return — that would
+      // escape getOrElseUpdate via NonLocalReturnControl and silently
+      // skip memoizing the zero model).
+      if (nDocs == 0.0) Array.fill(dims)(0.0)
+      else {
+        var w = Array.fill(dims)(0.0)
+        for (_ <- 1 to ClfIters) {
+          val z = (0 until dims).map(d => col(s"x$d") * lit(w(d))).reduce(_ + _)
+          val err = lit(1.0) / (lit(1.0) + exp(-z)) - $"y"
+          val grads = wide.withColumn("err", err)
+            .agg(sum($"err" * col("x0")).as("g0"),
+              (1 until dims).map(d => sum($"err" * col(s"x$d")).as(s"g$d")): _*)
+            .head()
+          w = w.indices.map(d =>
+            BigDecimal(w(d) - ClfEta * grads.getDouble(d) / nDocs)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+        }
+        w
       }
-      w
     })
   }
 

@@ -2028,7 +2028,17 @@ object Relational {
         sum($"g").as("g_obs"),
         first($"ctot").as("ctot"), first($"big_g").as("big_g"))
       .select($"quarter",
-        ($"obs_dev" + $"ctot" * ($"big_g" - $"g_obs")).as("d"),
+        // overflow guard (advisor r9): every downstream product is
+        // bounded by ~2·ctot·G·5000, so BIGINT is safe exactly while
+        // ctot ≤ MaxLong/10000/G. Past that the Spark side would
+        // silently wrap (ANSI off) while DuckDB errors — so FAIL LOUD
+        // here instead, symmetric with the oracle's overflow error,
+        // and tell the caller the documented mitigation.
+        when($"ctot" > lit(Long.MaxValue / 10000L) / $"big_g",
+          raise_error(lit("tCloseness: max cell count * corpus size " +
+            "exceeds the BIGINT-safe bound (~1e6 cells over ~1e12 rows); " +
+            "coarsen the cell key")))
+          .otherwise($"obs_dev" + $"ctot" * ($"big_g" - $"g_obs")).as("d"),
         $"ctot", $"big_g")
     cells
       .groupBy($"quarter")

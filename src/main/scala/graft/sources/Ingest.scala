@@ -478,7 +478,11 @@ object Ingest {
       sum(when($"_quarantined".isNull, $"n_nationkey".cast("long"))
         .otherwise(0L)).as("good_key_sum")).head()
     read.unpersist()
-    Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+    // an empty quarantine read (fixture write failed / path cleaned)
+    // makes every SUM null — surface that as zeros, not an NPE from
+    // getLong on a null cell (advisor r9)
+    def longAt(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    Seq((longAt(0), longAt(1), longAt(2)))
       .toDF("n_good", "n_bad", "good_key_sum")
   }
 

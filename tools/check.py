@@ -35,7 +35,7 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_typewarn = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -67,7 +67,13 @@ def main(sf_dir, out_dir):
             for col, typ in exotic:
                 print(f"TYPEWARN {name}: oracle col {col} is {typ} "
                       f"(cast to BIGINT/DOUBLE in the SQL)")
-                n_fail += 1
+            # counted per QUERY (not per column) and separately from
+            # n_fail, so n_fail stays "number of value-failing queries"
+            # and a typed-but-value-equal query is reported as what it
+            # is; the exit code still trips because the DRIVER comparator
+            # diverges on int128/decimal even when local values match
+            if exotic:
+                n_typewarn += 1
         except Exception:
             pass
         sc, sr = canon(scols, s)
@@ -82,8 +88,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    return 1 if n_fail else 0
+    print(f"== {n_pass} pass, {n_fail} fail, {n_typewarn} typewarn ==")
+    return 1 if n_fail or n_typewarn else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
