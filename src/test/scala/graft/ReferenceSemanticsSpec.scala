@@ -99,4 +99,63 @@ class ReferenceSemanticsSpec extends SparkSpec {
     assert(coCount == deg(someActor),
       s"degree of $someActor must equal its co-actor query size")
   }
+
+  // --- batched multi-probe forms (round-10, SURVEY §2.3 J3 at-scale shape) ---
+
+  test("title batch ≡ N single-probe runs (incl. a missing title and a dup)") {
+    import spark.implicits._
+    val dup = tiny.union(Seq(("9", "M1", Seq("Z", "Q"))).toDF)
+    val probes = Seq("M1", "M4", "M6", "NoSuchMovie")
+    val batch = ReferenceQueries.titleLevelsBatchOn(dup, probes)
+      .select("probe", "name", "cnt", "level")
+      .as[(String, String, Long, Long)].collect().toSet
+    val singles = probes.flatMap { t =>
+      ReferenceQueries.titleLevelsOn(dup, t)
+        .select("name", "cnt", "level").as[(String, Long, Long)]
+        .collect().map { case (n, c, l) => (t, n, c, l) }
+    }.toSet
+    assert(batch == singles,
+      "batch must equal the union of single-probe results, probe-tagged")
+    assert(!batch.exists(_._1 == "NoSuchMovie"),
+      "missing title contributes no rows inside a batch (master.erl:148-154)")
+  }
+
+  test("actor batch ≡ N single-probe runs; shared movies count per probe") {
+    import spark.implicits._
+    val probes = Seq("A", "W", "Nobody")
+    val batch = ReferenceQueries.actorCoactorsBatchOn(tiny, probes)
+      .select("probe", "name", "cnt", "level")
+      .as[(String, String, Long, Long)].collect().toSet
+    val singles = probes.flatMap { a =>
+      ReferenceQueries.actorCoactorsOn(tiny, a)
+        .select("name", "cnt", "level").as[(String, Long, Long)]
+        .collect().map { case (n, c, l) => (a, n, c, l) }
+    }.toSet
+    assert(batch == singles)
+    // M6 contains W; M5/M6 both contain S,T,U,V: S counts once for A
+    // (via M5) and once for W (via M6) — independent per-probe counts
+    assert(batch(("A", "S", 1L, 1L)) && batch(("W", "S", 1L, 1L)))
+  }
+
+  test("batch plans are equi-joins: no nested-loop / cartesian, on both tiers") {
+    for (cap <- Seq(None, Some("0"))) {
+      cap match {
+        case Some(v) => spark.conf.set(graft.util.Broadcasting.maxRowsKey, v)
+        case None    => spark.conf.unset(graft.util.Broadcasting.maxRowsKey)
+      }
+      try {
+        val t = ReferenceQueries.titleLevelsBatch(spark, sf,
+          ReferenceQueries.DefaultBatchTitles)
+        val a = ReferenceQueries.actorCoactorsBatch(spark, sf,
+          ReferenceQueries.DefaultBatchActors)
+        for (df <- Seq(t, a)) {
+          assert(df.count() > 0)
+          val plan = df.queryExecution.executedPlan.toString
+          assert(!plan.contains("BroadcastNestedLoopJoin") &&
+            !plan.contains("CartesianProduct"),
+            s"batch probe must stay an equi-join (cap=$cap):\n$plan")
+        }
+      } finally spark.conf.unset(graft.util.Broadcasting.maxRowsKey)
+    }
+  }
 }
