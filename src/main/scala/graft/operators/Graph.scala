@@ -32,22 +32,55 @@ object Graph {
       s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
 
   /** Distinct directed co-actor edges (a→b and b→a both present) and
-    * the all-nodes frame. BOTH are cached here, keyed on the movies
-    * source plan: the explode → self-join → distinct derivation is a
-    * corpus-sized shuffle, and all three graph queries (pagerank /
-    * triangles / k-hop) start from it — sharing the cache means one
-    * session pays that derivation once, not once per query. */
+    * the all-nodes frame. The edges come from the MATERIALIZED
+    * bucketed table ([[Tables.coActorEdgesBucketed]], round-10): the
+    * explode → self-join → distinct derivation is a corpus shuffle
+    * paid once at build time, after which every graph query — in this
+    * session or any later one — reads a src-bucketed parquet layout
+    * (no exchange on the edge side for src-keyed work). The scan is
+    * additionally session-cached here so the five PageRank iterations
+    * don't re-read parquet. Nodes still derive from the movies view
+    * (isolated actors have no edges but keep their teleport mass). */
   private[graft] def coActorEdges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val sel = Tables.movies(spark, sfDir)
-      .select($"id", explode($"actors").as("a"))
-    val edges = cached("coactor-edges", sel.as("x").join(sel.as("y"), Seq("id"))
-      .filter($"x.a" =!= $"y.a")
-      .select($"x.a".as("src"), $"y.a".as("dst"))
-      .distinct())
-    val nodes = cached("coactor-nodes", sel.select($"a").distinct())
+    val edges = cached("coactor-edges", Tables.coActorEdgesBucketed(spark, sfDir))
+    val nodes = cached("coactor-nodes", Tables.movies(spark, sfDir)
+      .select(explode($"actors").as("a")).distinct())
     (edges, nodes)
   }
+
+  /** Layout/content card of the materialized co-actor edge table —
+    * the `src_coactor_edges` catalog entry. One row: edge count,
+    * distinct sources, max out-degree, and the count of asymmetric
+    * edges (an arc whose reverse is missing — MUST be 0, the
+    * undirected-graph integrity invariant the build contract
+    * promises). All four are integer aggregates; the degree
+    * aggregate runs bucket-local on the src-bucketed layout. */
+  def coActorEdgeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.coActorEdgesBucketed(spark, sfDir)
+    val base = e.agg(count(lit(1)).as("n_edges"),
+      countDistinct($"src").as("n_src"))
+    val mx = e.groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(max($"d").as("max_out_deg"))
+    val asym = e.as("f").join(e.as("r"),
+        $"f.src" === $"r.dst" && $"f.dst" === $"r.src", "left_anti")
+      .agg(count(lit(1)).as("asym_edges"))
+    base.crossJoin(mx).crossJoin(asym) // three 1-row aggregates
+  }
+
+  val coActorEdgeSummarySql: String =
+    s"""WITH movies AS (${Tables.moviesSql}),
+       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+       |e AS (SELECT DISTINCT x.a AS src, y.a AS dst
+       |      FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a)
+       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       |  (SELECT COUNT(DISTINCT src) FROM e) AS n_src,
+       |  (SELECT CAST(MAX(d) AS BIGINT) FROM
+       |     (SELECT COUNT(*) AS d FROM e GROUP BY src)) AS max_out_deg,
+       |  (SELECT COUNT(*) FROM e f WHERE NOT EXISTS
+       |     (SELECT 1 FROM e r WHERE r.src = f.dst AND r.dst = f.src))
+       |    AS asym_edges""".stripMargin
 
   /** PageRank over the co-actor graph: `iters` synchronous updates of
     * r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/deg(u) + m/N) where m is the

@@ -320,18 +320,17 @@ object ReferenceQueries {
     * degree — pure integer arithmetic, no float log2 near a
     * power-of-two boundary.
     *
-    * Scale: per-movie cast self-join (bounded by cast size per
-    * movie, the [[Relational.marketBasket]] argument), one distinct,
-    * one degree aggregate, one ≤64-row histogram. */
+    * Scale: reads the build-once materialized co-actor edge table
+    * ([[Tables.coActorEdgesBucketed]], round-10 — previously this
+    * query re-derived the edge list with its own per-movie cast
+    * self-join every session); an actor's degree is its out-degree
+    * there, and the degree aggregate groups on the bucketing key so
+    * it runs bucket-local with no exchange on the edge side. Then
+    * one ≤64-row histogram. */
   def actorDegrees(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val m = Tables.movies(spark, sfDir)
-      .select($"id", explode($"actors").as("a"))
-    val deg = m.as("x").join(m.as("y"), Seq("id"))
-      .filter(col("x.a") =!= col("y.a"))
-      .select(col("x.a").as("actor"), col("y.a").as("co"))
-      .distinct()
-      .groupBy($"actor").agg(count(lit(1)).as("deg"))
+    val deg = Tables.coActorEdgesBucketed(spark, sfDir)
+      .groupBy($"src".as("actor")).agg(count(lit(1)).as("deg"))
     deg
       .select(length(expr("bin(deg)")).cast("bigint").as("bucket"), $"deg")
       .groupBy($"bucket")

@@ -30,6 +30,36 @@ class BucketedViewSpec extends AnyFunSuite with SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("materialized co-actor edges: src-keyed aggregate has no exchange, content matches derivation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val e = Tables.coActorEdgesBucketed(spark, sf)
+      // the degree aggregate groups on the bucketing key: partial and
+      // final aggregate collapse onto the bucket-local scan, zero
+      // exchanges on the edge side
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
+      val plan = deg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"src-keyed aggregate over the bucketed edge table must not shuffle:\n$plan")
+      // content ≡ the inline explode→self-join→distinct derivation
+      val sel = Tables.movies(spark, sf).select($"id", explode($"actors").as("a"))
+      val inline = sel.as("x").join(sel.as("y"), Seq("id"))
+        .filter($"x.a" =!= $"y.a")
+        .select($"x.a".as("src"), $"y.a".as("dst")).distinct()
+      assert(e.count() == inline.count() &&
+        e.except(inline).count() == 0 && inline.except(e).count() == 0,
+        "materialized edge table must hold exactly the derived edge set")
+      // integrity card: every arc has its reverse (asym_edges == 0)
+      val card = graft.operators.Graph.coActorEdgeSummary(spark, sf).head()
+      assert(card.getLong(card.fieldIndex("asym_edges")) == 0L)
+      assert(card.getLong(card.fieldIndex("n_edges")) > 0L)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("co-bucketed orders-lineitem join carries no exchange and matches plain route") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
