@@ -1413,9 +1413,20 @@ object Similarity {
   // llm_embed_spectrum — top-2 spectrum by deflated power iteration
   // ---------------------------------------------------------------
 
-  /** Top-2 covariance spectrum via power iteration + deflation: solve
-    * for the dominant direction, project it out of every row
-    * (`cx₂ = cx − (cx·v₁)v₁`, the Hotelling deflation), solve again.
+  /** Top-2 covariance spectrum via BLOCK (subspace) power iteration
+    * (round-10, replacing the deflated two-loop route): both
+    * directions advance in the SAME corpus pass — one aggregate per
+    * iteration computes `w₁ = Σ(cx·v₁)cx` and `w₂ = Σ(cx·v₂)cx` as a
+    * single 2d-column partial+final sum, then the driver
+    * orthonormalizes the 2-column block by Gram–Schmidt (q₁ = w₁/‖w₁‖,
+    * q₂ = (w₂−(q₁·w₂)q₁)/‖·‖ — the QR of a d×2 matrix, 2d doubles of
+    * driver state). Iteration count is unchanged but the corpus passes
+    * HALVE: [[PcaIters]] aggregates total instead of 2×[[PcaIters]]
+    * plus a projection pass — at 100 TB spectrum cost is pass count ×
+    * scan cost, so this is a 2× on the dominant term. The deflated
+    * route survives as [[embedSpectrumDeflatedOf]] and the
+    * equivalence spec pins block ≈ deflated on the catalog cloud.
+    *
     * The λ₂/λ₁ ratio is the isotropy read: ≈1 means no dominant
     * anisotropy axis, ≪1 means the cloud is rod-shaped and wants
     * the all-but-the-top correction before cosine retrieval.
@@ -1425,15 +1436,37 @@ object Similarity {
     * near-degenerate (isotropic) spectrum the two reported values
     * approach each other and their ORDER is not meaningful (the
     * ratio may round past 1). That is the correct reading, not an
-    * error: ratio ≈ 1 IS the "no dominant axis" answer, and the
-    * per-component split only carries information when the ratio is
-    * well below 1 (spec-pinned on a crafted anisotropic cloud).
+    * error: ratio ≈ 1 IS the "no dominant axis" answer.
     *
-    * Scale: exactly two [[embedPcaOf]]-shaped iteration loops plus
-    * ONE extra per-row projection pass — the deflated frame is a
-    * map-side transform of the cached centered frame, never a second
-    * corpus copy on the wire. */
-  def embedSpectrumOf(embeddings: DataFrame): DataFrame = {
+    * Determinism (the GD/PageRank discipline): each direction
+    * re-rounds to 6 dp per iteration, final values report at 4 dp —
+    * both engines' sum-order noise (~1e-15 relative) dies at the
+    * grain, and [[embedSpectrumSql]] replays the identical block
+    * chain. Degenerate input (‖w‖ = 0) keeps the previous direction
+    * with a zero eigenvalue on BOTH sides (the SQL mirrors carry
+    * explicit CASE guards — advisor r9). */
+  def embedSpectrumOf(embeddings: DataFrame): DataFrame =
+    spectrumFrom(embeddings) { (centered, d) => blockIterate(centered, d) }
+
+  /** Pre-round-10 deflated route (power-iterate, Hotelling-deflate,
+    * power-iterate again — 2×[[PcaIters]]+1 corpus passes), kept as
+    * the independent second opinion the block/deflated equivalence
+    * spec compares against. */
+  private[graft] def embedSpectrumDeflatedOf(embeddings: DataFrame): DataFrame =
+    spectrumFrom(embeddings) { (centered, d) =>
+      val (v1, l1) = powerIterate(centered, d)
+      val v1Arr = array(v1.map(lit): _*)
+      val deflated = centered
+        .withColumn("pj", dot(col("cx"), v1Arr))
+        .select(zip_with(col("cx"), v1Arr, (a, b) => a - col("pj") * b).as("cx"))
+      val (_, l2) = powerIterate(deflated, d)
+      (l1, l2)
+    }
+
+  /** Shared spectrum scaffold: cache + center the cloud, run `solve`
+    * for (λ₁, λ₂), emit the 2-row spectrum card. */
+  private def spectrumFrom(embeddings: DataFrame)(
+      solve: (DataFrame, Int) => (Double, Double)): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val x0 = embeddings.select(vd($"embedding").as("x"))
@@ -1454,12 +1487,7 @@ object Similarity {
       s"pca-c:${x0.queryExecution.analyzed.semanticHash()}")(
       xs.select(zip_with($"x", array(mu.map(lit): _*), (a, b) => a - b)
         .as("cx")).cache())
-    val (v1, l1) = powerIterate(centered, d)
-    val v1Arr = array(v1.map(lit): _*)
-    val deflated = centered
-      .withColumn("pj", dot($"cx", v1Arr))
-      .select(zip_with($"cx", v1Arr, (a, b) => a - $"pj" * b).as("cx"))
-    val (_, l2) = powerIterate(deflated, d)
+    val (l1, l2) = solve(centered, d)
     val n = centered.count().toDouble
     val tv = centered.agg(sum(dot($"cx", $"cx"))).head().getDouble(0)
     def r4(x: Double) = BigDecimal(x)
@@ -1472,26 +1500,90 @@ object Similarity {
       .orderBy($"component")
   }
 
+  /** Alternating-sign second init direction — deterministic, unit
+    * norm, guaranteed not collinear with the uniform first init. */
+  private def altInit(d: Int): Array[Double] =
+    Array.tabulate(d)(i => (if (i % 2 == 0) 1.0 else -1.0) / math.sqrt(d.toDouble))
+
+  /** One block subspace iteration loop: [[PcaIters]] corpus passes,
+    * each ONE 2d-column aggregate; driver-side Gram–Schmidt per pass
+    * with per-iteration 6-dp rounding. Returns (λ₁, λ₂) = the LAST
+    * pass's pre-normalization norms (‖w₁‖, ‖w₂−(q₁·w₂)q₁‖), the
+    * XᵀX eigenvalue estimates at convergence. */
+  private[graft] def blockIterate(centered: DataFrame, d: Int): (Double, Double) = {
+    import centered.sparkSession.implicits._
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v1 = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var v2 = altInit(d)
+    var l1 = 0.0
+    var l2 = 0.0
+    for (_ <- 1 to PcaIters) {
+      val s1 = dot(col("cx"), array(v1.map(lit): _*))
+      val s2 = dot(col("cx"), array(v2.map(lit): _*))
+      val row = centered.withColumn("s1", s1).withColumn("s2", s2)
+        .agg(sum($"s1" * element_at($"cx", 1)).as("a1"),
+          ((2 to d).map(k => sum($"s1" * element_at($"cx", k)).as(s"a$k")) ++
+            (1 to d).map(k => sum($"s2" * element_at($"cx", k)).as(s"b$k"))): _*)
+        .head()
+      val w1 = Array.tabulate(d)(row.getDouble)
+      val w2 = Array.tabulate(d)(k => row.getDouble(d + k))
+      l1 = math.sqrt(w1.map(a => a * a).sum)
+      // ‖w‖ = 0 (all-identical cloud, or a direction the cloud is
+      // exactly orthogonal to): keep the previous direction, report
+      // the (correct) zero eigenvalue — mirrored by the SQL CASE
+      val q1 = if (l1 == 0.0) v1 else w1.map(a => round6(a / l1))
+      val proj = {
+        var s = 0.0; var k = 0
+        while (k < d) { s += q1(k) * w2(k); k += 1 } // in-order, = list_dot_product
+        s
+      }
+      val w2o = Array.tabulate(d)(k => w2(k) - proj * q1(k))
+      l2 = math.sqrt(w2o.map(a => a * a).sum)
+      val q2 = if (l2 == 0.0) v2 else w2o.map(a => round6(a / l2))
+      v1 = q1
+      v2 = q2
+    }
+    (l1, l2)
+  }
+
   def embedSpectrum(spark: SparkSession, sfDir: String): DataFrame =
     embedSpectrumOf(Tables.embeddings(spark, sfDir))
 
-  /** Oracle: the [[embedPcaSql]] chain run twice — once on the
-    * centered frame, once on the v₁-deflated frame. */
+  /** Oracle: exact replay of the BLOCK chain [[blockIterate]] runs —
+    * per iteration one 2-score pass over the centered frame, the two
+    * pos-summed w vectors, then the Gram–Schmidt normalize with the
+    * same 6-dp rounding. Divisors are CASE-guarded: a degenerate
+    * (constant) cloud keeps the previous direction with zero
+    * eigenvalue instead of dividing by zero (advisor r9). */
   def embedSpectrumSql(d: Int = 64): String = {
-    def iter(src: String, p: String, i: Int): String = {
-      val (pv, w, vn) = (s"${p}v${i - 1}", s"${p}w$i", s"${p}v$i")
-      s"""${p}s$i AS (SELECT cx, list_dot_product(cx, (SELECT v FROM $pv)) AS s
-         |        FROM $src),
-         |${p}u$i AS (SELECT generate_subscripts(cx, 1) AS pos, unnest(cx) AS val,
-         |          s FROM ${p}s$i),
-         |$w AS MATERIALIZED (SELECT list(w ORDER BY pos) AS w FROM (
-         |  SELECT pos, SUM(val * s) AS w FROM ${p}u$i GROUP BY pos)),
-         |$vn AS MATERIALIZED (
-         |  SELECT list_transform(w,
-         |    x -> round(x / sqrt(list_dot_product(w, w)), 6)) AS v
-         |  FROM $w)""".stripMargin
-    }
-    val init = s"SELECT [1.0 / sqrt($d.0) for i in range(1, ${d + 1})] AS v"
+    def iter(i: Int): String =
+      s"""s$i AS (SELECT cx,
+         |    list_dot_product(cx, (SELECT v FROM av${i - 1})) AS s1,
+         |    list_dot_product(cx, (SELECT v FROM bv${i - 1})) AS s2
+         |  FROM c),
+         |u$i AS (SELECT generate_subscripts(cx, 1) AS pos, unnest(cx) AS val,
+         |          s1, s2 FROM s$i),
+         |w1_$i AS MATERIALIZED (SELECT list(w ORDER BY pos) AS w FROM (
+         |  SELECT pos, SUM(val * s1) AS w FROM u$i GROUP BY pos)),
+         |w2_$i AS MATERIALIZED (SELECT list(w ORDER BY pos) AS w FROM (
+         |  SELECT pos, SUM(val * s2) AS w FROM u$i GROUP BY pos)),
+         |av$i AS MATERIALIZED (
+         |  SELECT CASE WHEN list_dot_product(w, w) = 0
+         |         THEN (SELECT v FROM av${i - 1})
+         |         ELSE list_transform(w,
+         |           x -> round(x / sqrt(list_dot_product(w, w)), 6)) END AS v
+         |  FROM w1_$i),
+         |w2o_$i AS MATERIALIZED (
+         |  SELECT [w2.w[k] - list_dot_product(q.v, w2.w) * q.v[k]
+         |          for k in range(1, len(w2.w) + 1)] AS w
+         |  FROM w2_$i w2 CROSS JOIN av$i q),
+         |bv$i AS MATERIALIZED (
+         |  SELECT CASE WHEN list_dot_product(w, w) = 0
+         |         THEN (SELECT v FROM bv${i - 1})
+         |         ELSE list_transform(w,
+         |           x -> round(x / sqrt(list_dot_product(w, w)), 6)) END AS v
+         |  FROM w2o_$i)""".stripMargin
     s"""WITH xx AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
        |mu AS MATERIALIZED (SELECT list(m ORDER BY pos) AS mu FROM (
        |  SELECT pos, round(AVG(val), 6) AS m FROM (
@@ -1500,22 +1592,18 @@ object Similarity {
        |c AS MATERIALIZED (
        |  SELECT [x[i] - mu[i] for i in range(1, len(x) + 1)] AS cx
        |  FROM xx CROSS JOIN mu),
-       |av0 AS ($init),
-       |${(1 to PcaIters).map(iter("c", "a", _)).mkString(",\n")},
-       |c2 AS MATERIALIZED (
-       |  SELECT [cx[i] - list_dot_product(cx, v) * v[i]
-       |          for i in range(1, len(cx) + 1)] AS cx
-       |  FROM c CROSS JOIN av$PcaIters),
-       |bv0 AS ($init),
-       |${(1 to PcaIters).map(iter("c2", "b", _)).mkString(",\n")},
+       |av0 AS (SELECT [1.0 / sqrt($d.0) for i in range(1, ${d + 1})] AS v),
+       |bv0 AS (SELECT [(CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END)
+       |                / sqrt($d.0) for i in range(1, ${d + 1})] AS v),
+       |${(1 to PcaIters).map(iter).mkString(",\n")},
        |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |         SUM(list_dot_product(cx, cx)) AS tv FROM c),
-       |l1 AS (SELECT sqrt(list_dot_product(w, w)) AS l FROM aw$PcaIters),
-       |l2 AS (SELECT sqrt(list_dot_product(w, w)) AS l FROM bw$PcaIters)
+       |l1 AS (SELECT sqrt(list_dot_product(w, w)) AS l FROM w1_$PcaIters),
+       |l2 AS (SELECT sqrt(list_dot_product(w, w)) AS l FROM w2o_$PcaIters)
        |SELECT component,
        |  round(lam / n, 4) AS eigenvalue,
-       |  round(lam / tv, 4) AS explained_frac,
-       |  round(l2.l / l1.l, 4) AS isotropy_ratio
+       |  CASE WHEN tv = 0 THEN 0.0 ELSE round(lam / tv, 4) END AS explained_frac,
+       |  CASE WHEN l1.l = 0 THEN 0.0 ELSE round(l2.l / l1.l, 4) END AS isotropy_ratio
        |FROM (SELECT CAST(1 AS BIGINT) AS component, (SELECT l FROM l1) AS lam
        |      UNION ALL SELECT CAST(2 AS BIGINT), (SELECT l FROM l2))
        |CROSS JOIN nv CROSS JOIN l1 CROSS JOIN l2
@@ -1523,7 +1611,9 @@ object Similarity {
   }
 
   /** Oracle replay of the identical iteration chain; `d` is the
-    * catalog table's embedding width. */
+    * catalog table's embedding width. Divisors CASE-guarded like
+    * [[embedSpectrumSql]] (degenerate cloud ⇒ keep previous
+    * direction, zero eigenvalue — the Scala powerIterate contract). */
   def embedPcaSql(d: Int = 64): String = {
     def iter(i: Int): String = {
       val (pv, w, vn) = (s"v${i - 1}", s"w$i", s"v$i")
@@ -1534,8 +1624,10 @@ object Similarity {
          |$w AS MATERIALIZED (SELECT list(w ORDER BY pos) AS w FROM (
          |  SELECT pos, SUM(val * s) AS w FROM u$i GROUP BY pos)),
          |$vn AS MATERIALIZED (
-         |  SELECT list_transform(w,
-         |    x -> round(x / sqrt(list_dot_product(w, w)), 6)) AS v
+         |  SELECT CASE WHEN list_dot_product(w, w) = 0
+         |         THEN (SELECT v FROM $pv)
+         |         ELSE list_transform(w,
+         |           x -> round(x / sqrt(list_dot_product(w, w)), 6)) END AS v
          |  FROM $w)""".stripMargin
     }
     s"""WITH xx AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
@@ -1554,7 +1646,7 @@ object Similarity {
        |SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
        |  unnest(v) AS loading,
        |  round(l / n, 4) AS eigenvalue,
-       |  round(l / tv, 4) AS explained_frac
+       |  CASE WHEN tv = 0 THEN 0.0 ELSE round(l / tv, 4) END AS explained_frac
        |FROM v$PcaIters CROSS JOIN nv CROSS JOIN lam ORDER BY dim""".stripMargin
   }
 }

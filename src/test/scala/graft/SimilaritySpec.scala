@@ -378,6 +378,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(st(0)._2 < 0.4, s"anisotropy not detected: ${st(0)._2}")
   }
 
+  test("block spectrum ≈ deflated spectrum (independent route agreement)") {
+    import spark.implicits._
+    def card(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+    // catalog cloud: λ1 must agree EXACTLY (the block's first column
+    // replays the power-iterate chain bit-for-bit); λ2 estimates come
+    // from different iterates, so near-degenerate directions agree
+    // only to iteration tolerance
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val b = card(Similarity.embedSpectrumOf(emb))
+    val f = card(Similarity.embedSpectrumDeflatedOf(emb))
+    assert(b(0)._1 == f(0)._1, s"λ1 block ${b(0)._1} != deflated ${f(0)._1}")
+    assert(math.abs(b(1)._1 - f(1)._1) <= 0.15 * math.max(f(1)._1, 1e-9),
+      s"λ2 block ${b(1)._1} vs deflated ${f(1)._1}")
+    // clean-gap cloud (5x stretch): both routes converge — tight
+    // agreement on both eigenvalues
+    val stretched = emb.select($"vec_id", transform($"embedding",
+      (x, i) => when(i === 0, x * 5.0f).otherwise(x)).as("embedding"))
+    val bs = card(Similarity.embedSpectrumOf(stretched))
+    val fs = card(Similarity.embedSpectrumDeflatedOf(stretched))
+    assert(bs(0)._1 == fs(0)._1)
+    assert(math.abs(bs(1)._1 - fs(1)._1) <= 0.02 * math.max(fs(1)._1, 1e-9),
+      s"clean-gap λ2 block ${bs(1)._1} vs deflated ${fs(1)._1}")
+  }
+
   test("knn recall: hits replay from the two rankings, recall well-formed") {
     import spark.implicits._
     val rows = Similarity.knnRecallAtK(spark, sf).collect()
