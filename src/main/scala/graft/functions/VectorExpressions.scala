@@ -74,9 +74,131 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Weighted vector-sum aggregate — the block power iteration's
+  * workhorse: for a dense `array<double>` column x and J scalar
+  * weight expressions w₁..w_J, accumulates the J stacked vectors
+  * `Σ_rows wⱼ(row)·x(row)` into ONE aggregate column returning a flat
+  * `array<double>` of length J·d (slice j·d..(j+1)·d is direction j).
+  *
+  * Why an aggregate expression and not J·d `sum(...)` columns: at
+  * d = 64, J = 2 that is 128 aggregate expressions — past codegen's
+  * field budget, so the whole aggregate drops to the interpreted
+  * path AND every one of the 128 columns re-evaluates its
+  * `element_at` chain. Here the per-row update is one tight primitive
+  * loop over the ArrayData (read each element once, J fused
+  * multiply-adds), the buffer is J·d doubles, and partial/final
+  * merge is element-wise add — the same left-to-right accumulation
+  * order per partition as the column-wise form, so the established
+  * round-then-compare determinism discipline is unchanged.
+  *
+  * Null handling: a null vector or null weight skips the row (dense
+  * embedding pipelines never produce them; skipping matches what the
+  * column-wise `sum` would do). Ragged vector widths fail loudly.
+  */
+case class VectorAxpyAgg(vec: Expression, weights: Seq[Expression],
+                         override val mutableAggBufferOffset: Int = 0,
+                         override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Double]] {
+
+  require(weights.nonEmpty, "vec_axpy needs at least one weight")
+
+  override def children: Seq[Expression] = vec +: weights
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorAxpyAgg =
+    copy(vec = newChildren.head, weights = newChildren.tail.toSeq)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (vecOk && weights.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_axpy expects (array<double>, double...)")
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Double] = null
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = vec.eval(input)
+    if (v == null) return buffer
+    val ws = new Array[Double](weights.length)
+    var j = 0
+    while (j < ws.length) {
+      val w = weights(j).eval(input)
+      if (w == null) return buffer
+      ws(j) = w.asInstanceOf[Double]
+      j += 1
+    }
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf =
+      if (buffer == null) new Array[Double](n * ws.length)
+      else {
+        require(buffer.length == n * ws.length,
+          s"vec_axpy: ragged vector width $n vs ${buffer.length / ws.length}")
+        buffer
+      }
+    var k = 0
+    while (k < n) {
+      val x = arr.getDouble(k)
+      j = 0
+      while (j < ws.length) { buf(j * n + k) += ws(j) * x; j += 1 }
+      k += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a == null) b
+    else if (b == null) a
+    else {
+      require(a.length == b.length, "vec_axpy: ragged partial buffers")
+      var k = 0
+      while (k < a.length) { a(k) += b(k); k += 1 }
+      a
+    }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray
+    else {
+      val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+      bb.asDoubleBuffer().put(buffer)
+      bb.array()
+    }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] =
+    if (bytes.isEmpty) null
+    else {
+      val out = new Array[Double](bytes.length / 8)
+      java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+      out
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorAxpyAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorAxpyAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object VectorExpressions {
   /** Column-level entry point for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(DotProduct(
       GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+
+  /** Column-level entry point for [[VectorAxpyAgg]]: one aggregate
+    * column holding `[Σw₁·x ; Σw₂·x ; …]` flattened. */
+  def vec_axpy(vec: Column, weights: Column*): Column =
+    GraftSqlBridge.toColumn(VectorAxpyAgg(
+      GraftSqlBridge.toExpression(vec),
+      weights.map(GraftSqlBridge.toExpression)).toAggregateExpression())
 }

@@ -1392,12 +1392,12 @@ object Similarity {
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     for (_ <- 1 to PcaIters) {
+      // one codegen'd dot score per row + ONE vec_axpy aggregate
+      // column (not d sum() columns — [[graft.functions.VectorAxpyAgg]])
       val s = dot(col("cx"), array(v.map(lit): _*))
-      val row = centered.withColumn("s", s)
-        .agg(sum($"s" * element_at($"cx", 1)).as("w1"),
-          (2 to d).map(k => sum($"s" * element_at($"cx", k)).as(s"w$k")): _*)
-        .head()
-      val w = (0 until d).map(row.getDouble).toArray
+      val w = centered.select(col("cx"), s.as("s"))
+        .agg(graft.functions.VectorExpressions.vec_axpy($"cx", $"s").as("w"))
+        .head().getSeq[Double](0).toArray
       lambda = math.sqrt(w.map(a => a * a).sum)
       // all-identical vectors center to zero: ‖w‖ = 0 and the update
       // is undefined — the direction is arbitrary, keep the previous
@@ -1519,15 +1519,19 @@ object Similarity {
     var l1 = 0.0
     var l2 = 0.0
     for (_ <- 1 to PcaIters) {
+      // per pass: two codegen'd dot scores per row, ONE vec_axpy
+      // aggregate column carrying both stacked w vectors (2d-column
+      // sum() would blow the codegen field budget — see
+      // [[graft.functions.VectorAxpyAgg]])
       val s1 = dot(col("cx"), array(v1.map(lit): _*))
       val s2 = dot(col("cx"), array(v2.map(lit): _*))
-      val row = centered.withColumn("s1", s1).withColumn("s2", s2)
-        .agg(sum($"s1" * element_at($"cx", 1)).as("a1"),
-          ((2 to d).map(k => sum($"s1" * element_at($"cx", k)).as(s"a$k")) ++
-            (1 to d).map(k => sum($"s2" * element_at($"cx", k)).as(s"b$k"))): _*)
-        .head()
-      val w1 = Array.tabulate(d)(row.getDouble)
-      val w2 = Array.tabulate(d)(k => row.getDouble(d + k))
+      val stacked = centered
+        .select(col("cx"), s1.as("s1"), s2.as("s2"))
+        .agg(graft.functions.VectorExpressions
+          .vec_axpy($"cx", $"s1", $"s2").as("w"))
+        .head().getSeq[Double](0)
+      val w1 = stacked.slice(0, d).toArray
+      val w2 = stacked.slice(d, 2 * d).toArray
       l1 = math.sqrt(w1.map(a => a * a).sum)
       // ‖w‖ = 0 (all-identical cloud, or a direction the cloud is
       // exactly orthogonal to): keep the previous direction, report

@@ -378,6 +378,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(st(0)._2 < 0.4, s"anisotropy not detected: ${st(0)._2}")
   }
 
+  test("vec_axpy aggregate ≡ column-wise weighted sums; null rows skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{element_at, sum => ssum}
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), 2.0, -1.0),
+      (Seq(0.5, -1.0, 4.0), 0.0, 3.0),
+      (Seq(2.0, 2.0, 2.0), 1.5, 0.5)
+    ).toDF("x", "s1", "s2").repartition(3) // exercise partial+final merge
+    val got = df.agg(graft.functions.VectorExpressions
+      .vec_axpy($"x", $"s1", $"s2")).head().getSeq[Double](0)
+    val aggCols = (1 to 3).map(k => ssum($"s1" * element_at($"x", k))) ++
+      (1 to 3).map(k => ssum($"s2" * element_at($"x", k)))
+    val cols = df.agg(aggCols.head, aggCols.tail: _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    assert(got.size == 6)
+    got.zip(cols).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"vec_axpy $got vs columnar $cols")
+    }
+    // a null vector row contributes nothing (and doesn't crash)
+    val withNull = df.union(Seq((null.asInstanceOf[Seq[Double]], 9.0, 9.0))
+      .toDF("x", "s1", "s2"))
+    val got2 = withNull.agg(graft.functions.VectorExpressions
+      .vec_axpy($"x", $"s1", $"s2")).head().getSeq[Double](0)
+    got.zip(got2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // all-null input yields a null aggregate, not a zero vector
+    val allNull = Seq((null.asInstanceOf[Seq[Double]], 1.0, 1.0))
+      .toDF("x", "s1", "s2")
+    assert(allNull.agg(graft.functions.VectorExpressions
+      .vec_axpy($"x", $"s1", $"s2")).head().isNullAt(0))
+  }
+
   test("block spectrum ≈ deflated spectrum (independent route agreement)") {
     import spark.implicits._
     def card(df: org.apache.spark.sql.DataFrame) = df.collect()
