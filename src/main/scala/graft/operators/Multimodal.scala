@@ -358,9 +358,74 @@ object Multimodal {
 
   // ---------------------------------------------------------------
   // llm_multimodal_phash — perceptual-hash image near-dup
-  // (rows-only check: the PNG decode step is not SQL-expressible;
-  // the spec pins twin recovery and the banded-join plan instead)
+  // (oracle-checked end-to-end since round 10: the fixture payloads
+  // are a deterministic function of (doc_id, n_chars), so the oracle
+  // REGENERATES the decoded raster from the pattern formula in SQL
+  // and replays pooling → aHash → banding → Hamming join with
+  // integer-exact arithmetic. The Spark side still runs the REAL
+  // PNG/WAV codec round-trip — a codec bug now surfaces as an oracle
+  // mismatch, which is strictly stronger than the old rows-only
+  // check. Only `llm_multimodal_decode`'s float pooling stats remain
+  // spec-only.)
   // ---------------------------------------------------------------
+
+  /** Integer-exact 64-bit aHash of a decoded normalized raster:
+    * rescale each sample to its integer code (`round(px·scale)` —
+    * exact recovery, the decode divided by the same constant), pool
+    * 64 equal cells of `n/64` samples (trailing remainder dropped),
+    * bit i = cell i's sum strictly above the cell-sum mean, compared
+    * as `64·Sᵢ > ΣS` — pure integer arithmetic, so the SQL oracle
+    * replays it bit-for-bit (float pooling means flip on exact-tie
+    * grains across engines; integers cannot). */
+  private[graft] def intAHash64(px: Array[Float], scale: Float): Long = {
+    val n = px.length
+    val cell = math.max(1, n / 64)
+    val s = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      // general-input clamps; on catalog geometry (n ≥ 256) every
+      // cell is exactly [i·cell, (i+1)·cell) — the regime the SQL
+      // oracle mirrors
+      val from = math.min(i * cell, n - 1)
+      val until = math.min(from + cell, n)
+      var acc = 0L
+      var j = from
+      while (j < until) { acc += math.round(px(j) * scale).toLong; j += 1 }
+      s(i) = acc
+      i += 1
+    }
+    var t = 0L
+    i = 0
+    while (i < 64) { t += s(i); i += 1 }
+    var sig = 0L
+    i = 0
+    while (i < 64) { if (64L * s(i) > t) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Integer-exact energy-delta audio signature (the Shazam-family
+    * minimal form): recover the 16-bit PCM codes, sum |code| into 65
+    * equal windows, bit b = window b+1 strictly louder than window b.
+    * Amplitude-invariant under uniform scaling by construction;
+    * integer sums make it engine-exact like [[intAHash64]]. */
+  private[graft] def energyDeltaSig(px: Array[Float]): Long = {
+    val windows = 65
+    val n = px.length
+    val cell = math.max(1, n / windows)
+    val e = new Array[Long](windows)
+    var i = 0
+    while (i < n && i / cell < windows) {
+      e(i / cell) += math.abs(math.round(px(i) * 32768f).toLong)
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (e(b + 1) > e(b)) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 
   /** Id offset marking the perturbed re-encode twins — far above any
     * real asset id, so provenance survives the union. */
@@ -437,7 +502,7 @@ object Multimodal {
         $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
           $"a.asset_id" < $"b.asset_id")
       .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
-        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("bigint").as("hamming"))
       .distinct() // a close pair can collide in several bands
       .filter($"hamming" <= maxHamming)
       .withColumn("is_twin", $"id_b" - $"id_a" === PhashTwinOffset)
@@ -445,28 +510,18 @@ object Multimodal {
   }
 
   /** Perceptual-hash near-duplicate pairs over the image corpus (+
-    * controlled twins): decode → 8×8 average-pool → 64-bit aHash
-    * (bit i = cell i above the grid mean) → [[bandedHammingPairs]].
+    * controlled twins): decode → 64-cell integer average-pool →
+    * 64-bit aHash ([[intAHash64]]: bit i = cell i above the cell
+    * mean) → [[bandedHammingPairs]]. Oracle-checked end-to-end
+    * ([[imagePhashPairsSql]] regenerates the raster from the pattern
+    * formula — the real codec round-trip on the Spark side must land
+    * on exactly the formula's pixels).
     */
   def imagePhashPairs(spark: SparkSession, sfDir: String,
                       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val sigs = resizePooled(decodeAssets(imagesWithTwins(spark, sfDir)))
-      .select($"asset_id", $"pixels")
-      .as[(Long, Array[Float])]
-      .map { case (id, px) =>
-        var s = 0.0
-        var i = 0
-        while (i < px.length) { s += px(i); i += 1 }
-        val mean = s / px.length
-        var sig = 0L
-        i = 0
-        while (i < px.length && i < 64) {
-          if (px(i) > mean) sig |= (1L << i)
-          i += 1
-        }
-        (id, sig)
-      }
+    val sigs = decodeAssets(imagesWithTwins(spark, sfDir))
+      .map(d => (d.asset_id, intAHash64(d.pixels, 255f)))
       .toDF("asset_id", "sig")
     bandedHammingPairs(sigs, maxHamming)
   }
@@ -521,29 +576,109 @@ object Multimodal {
                      maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
     val sigs = decodeAssets(audioWithTwins(spark, sfDir))
-      .map(d => (d.asset_id, d.pixels))
-      .toDF("asset_id", "samples")
-      .as[(Long, Array[Float])]
-      .map { case (id, xs) =>
-        val windows = 65
-        val energy = new Array[Double](windows)
-        val cell = math.max(1, xs.length / windows)
-        var i = 0
-        while (i < xs.length && i / cell < windows) {
-          energy(i / cell) += math.abs(xs(i))
-          i += 1
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) {
-          if (energy(b + 1) > energy(b)) sig |= (1L << b)
-          b += 1
-        }
-        (id, sig)
-      }
+      .map(d => (d.asset_id, energyDeltaSig(d.pixels)))
       .toDF("asset_id", "sig")
     bandedHammingPairs(sigs, maxHamming)
   }
+
+  /** [[PhashTwinOffset]] as a SQL literal (2⁴⁰). */
+  private val TwinOffsetSql: String = PhashTwinOffset.toString
+
+  /** Shared banding/candidate/verify tail of the two fingerprint
+    * oracles, consuming a `bits(asset_id, cell, b)` CTE (cell 0..63,
+    * b ∈ {0,1}): 16-bit band integers → band equi-join candidates →
+    * full-signature Hamming as the sum of per-band XOR popcounts —
+    * the exact relational shape of [[bandedHammingPairs]]. The 64-bit
+    * signature is carried as a 4-list of unsigned 16-bit band values
+    * because DuckDB's BIGINT `<<` raises on bit 63; per-band
+    * popcounts sum to the identical Hamming distance. */
+  private val fingerprintTailSql: String =
+    s"""bands AS (
+       |  SELECT asset_id, cell // 16 AS band,
+       |    CAST(SUM(b * (1::BIGINT << CAST(cell % 16 AS INT))) AS BIGINT) AS bits
+       |  FROM bits GROUP BY asset_id, cell // 16),
+       |sigs AS (SELECT asset_id, list(bits ORDER BY band) AS bl
+       |         FROM bands GROUP BY asset_id),
+       |cand AS (
+       |  SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bits = y.bits AND x.asset_id < y.asset_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(list_sum([bit_count(xor(sa.bl[k], sb.bl[k]))
+       |                   for k in range(1, 5)]) AS BIGINT) AS hamming
+       |  FROM cand c JOIN sigs sa ON sa.asset_id = c.id_a
+       |              JOIN sigs sb ON sb.asset_id = c.id_b)
+       |SELECT id_a, id_b, hamming,
+       |  id_b - id_a = $TwinOffsetSql AS is_twin
+       |FROM pairs WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** End-to-end oracle of [[imagePhashPairs]]: regenerates every
+    * decoded pixel from the deterministic pattern formula
+    * ([[patternValue]]) and the twin perturbation rule, then replays
+    * pooling → aHash → banding → Hamming join in integer-exact SQL.
+    * The Spark side decodes REAL PNG bytes — agreement proves the
+    * whole codec round-trip, not just the relational tail. */
+  val imagePhashPairsSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, 16 + n_chars % 64 AS w,
+       |         16 + n_chars % 48 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |g AS (SELECT asset_id, w, LEAST(w * h, 4096) AS n FROM a),
+       |idx AS (SELECT asset_id, w, n, unnest(range(0, n)) AS i FROM g),
+       |base AS (SELECT asset_id, n, i,
+       |    ((i % w) * 7 + (i // w) * 13 + asset_id) % 256 AS p,
+       |    (i % w) + (i // w) AS xy
+       |  FROM idx),
+       |pix AS (
+       |  SELECT asset_id, n, i, p FROM base
+       |  UNION ALL
+       |  SELECT asset_id + $TwinOffsetSql, n, i,
+       |         CASE WHEN xy % 23 = 0 THEN LEAST(255, p + 1) ELSE p END
+       |  FROM base),
+       |cells AS (
+       |  SELECT asset_id, i // (n // 64) AS cell, CAST(SUM(p) AS BIGINT) AS s
+       |  FROM pix WHERE i < (n // 64) * 64
+       |  GROUP BY asset_id, i // (n // 64)),
+       |tot AS (SELECT asset_id, CAST(SUM(s) AS BIGINT) AS t
+       |        FROM cells GROUP BY asset_id),
+       |bits AS (
+       |  SELECT c.asset_id, c.cell,
+       |    CASE WHEN 64 * c.s > t.t THEN 1 ELSE 0 END AS b
+       |  FROM cells c JOIN tot t USING (asset_id)),
+       |$fingerprintTailSql""".stripMargin
+
+  /** End-to-end oracle of [[audioHashPairs]]: regenerates the PCM
+    * codes from [[sampleValue]]'s formula and the 90 %-volume twin
+    * rule (`(s*9)//10`, truncation toward zero on both engines),
+    * then replays windowing → delta-sign → banding → Hamming join. */
+  val audioHashPairsSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id,
+       |    (16 + n_chars % 64) * (16 + n_chars % 48) AS raw_n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |g AS (SELECT asset_id, LEAST(raw_n, 4096) AS n FROM a),
+       |idx AS (SELECT asset_id, n, unnest(range(0, n)) AS i FROM g),
+       |base AS (SELECT asset_id, n, i,
+       |    ((i * 131 + asset_id * 7919) % 65536) - 32768 AS s
+       |  FROM idx),
+       |pcm AS (
+       |  SELECT asset_id, n, i, s FROM base
+       |  UNION ALL
+       |  SELECT asset_id + $TwinOffsetSql, n, i, (s * 9) // 10 FROM base),
+       |wins AS (
+       |  SELECT asset_id, i // (n // 65) AS win,
+       |         CAST(SUM(abs(s)) AS BIGINT) AS e
+       |  FROM pcm WHERE i // (n // 65) < 65
+       |  GROUP BY asset_id, i // (n // 65)),
+       |bits AS (
+       |  SELECT w1.asset_id, w1.win AS cell,
+       |    CASE WHEN w2.e > w1.e THEN 1 ELSE 0 END AS b
+       |  FROM wins w1 JOIN wins w2
+       |    ON w1.asset_id = w2.asset_id AND w2.win = w1.win + 1
+       |  WHERE w1.win < 64),
+       |$fingerprintTailSql""".stripMargin
 
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

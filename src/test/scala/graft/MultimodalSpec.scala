@@ -147,7 +147,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       s"recovered only $twins/$nImages perturbed twins")
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "pairs must be canonical a < b")
-      assert(r.getInt(2) <= 3, "verify stage must enforce the Hamming cap")
+      assert(r.getLong(2) <= 3, "verify stage must enforce the Hamming cap")
     }
   }
 }
