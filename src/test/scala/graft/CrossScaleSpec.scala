@@ -332,4 +332,58 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     }
     assert(passed, s"round-9 op grew super-linearly: lo=$lo hi=$hi")
   }
+
+  test("round-10 scale curve: basket pairs and chunk counts linear, spectrum and batch probes near-linear") {
+    import org.apache.spark.sql.functions._
+    // STRUCTURAL counts first (load-insensitive): the market-basket
+    // pair generator is bounded by Σ C(parts-per-order, 2) — per-order
+    // bounded, so corpus-linear — and the content-defined chunker
+    // emits chunks in proportion to corpus bytes. 3×-linear guard,
+    // the candidate-count discipline of the dedup curve.
+    def structCounts(dir: String): (Long, Long, Long) = {
+      import spark.implicits._
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey").count()
+      // TOTAL emitted chunks (the per-source report is bounded rows;
+      // its n_chunks column carries the real volume)
+      val chunks = graft.operators.CorpusQuality.rollingHashChunks(spark, dir)
+        .agg(sum($"n_chunks")).head().getLong(0)
+      val rows = li.count()
+      (rows, pairs, chunks)
+    }
+    val (nLo, pairsLo, chunksLo) = structCounts("/root/testdata/sf0.01")
+    val (nHi, pairsHi, chunksHi) = structCounts("/root/testdata/sf0.1")
+    val step = nHi.toDouble / nLo
+    info(f"basket pairs $pairsLo -> $pairsHi, chunks $chunksLo -> $chunksHi over a $step%.1f× step")
+    assert(pairsHi <= 3.0 * step * math.max(pairsLo, 1),
+      s"basket pair generator grew super-linearly: $pairsLo -> $pairsHi")
+    assert(chunksHi <= 3.0 * step * math.max(chunksLo, 1),
+      s"chunk count grew super-linearly: $chunksLo -> $chunksHi")
+    // wall-time curves for the round-10 heavyweights: block-iteration
+    // spectrum and the batched multi-probe title query; same 6×-linear
+    // guard + retry discipline as the other curves
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(dir: String): (Double, Double) = (
+      secs(graft.operators.Similarity.embedSpectrum(spark, dir).count()),
+      secs(graft.operators.ReferenceQueries.titleLevelsBatch(spark, dir,
+        graft.operators.ReferenceQueries.DefaultBatchTitles).count()))
+    val lo = run("/root/testdata/sf0.01")
+    val hi = run("/root/testdata/sf0.1")
+    info(f"sf0.01 spectrum=${lo._1}%.2fs batch=${lo._2}%.2fs; " +
+      f"sf0.1 spectrum=${hi._1}%.2fs batch=${hi._2}%.2fs")
+    def ok(l: (Double, Double), h: (Double, Double)) =
+      h._1 <= 6.0 * 10 * math.max(l._1, 0.5) &&
+        h._2 <= 6.0 * 10 * math.max(l._2, 0.5)
+    val passed = ok(lo, hi) || {
+      val (lo2, hi2) = (run("/root/testdata/sf0.01"), run("/root/testdata/sf0.1"))
+      info(f"retry sf0.01=${lo2}%s sf0.1=${hi2}%s")
+      ok((math.min(lo._1, lo2._1), math.min(lo._2, lo2._2)),
+        (math.min(hi._1, hi2._1), math.min(hi._2, hi2._2)))
+    }
+    assert(passed, s"round-10 op grew super-linearly: lo=$lo hi=$hi")
+  }
 }
