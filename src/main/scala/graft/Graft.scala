@@ -40,6 +40,16 @@ object Graft {
   def actorCoactors(movies: DataFrame, actor: String): DataFrame =
     operators.ReferenceQueries.actorCoactorsOn(movies, actor)
 
+  /** N title probes in ONE corpus scan (`(probe, name, cnt, level)`):
+    * the explode+equi-join serve shape — probe casts tier-gated
+    * broadcast, overlap as a per-(probe, movie) count. */
+  def titleLevelsBatch(movies: DataFrame, titles: Seq[String]): DataFrame =
+    operators.ReferenceQueries.titleLevelsBatchOn(movies, titles)
+
+  /** N actor probes in ONE corpus scan (`(probe, name, cnt, level)`). */
+  def actorCoactorsBatch(movies: DataFrame, actors: Seq[String]): DataFrame =
+    operators.ReferenceQueries.actorCoactorsBatchOn(movies, actors)
+
   /** Reference-shaped DOT digraph text for a leveled result. */
   def dotGraph(levels: DataFrame, rootLabel: String): String =
     sinks.DotGraph.fromLevels(levels, rootLabel)

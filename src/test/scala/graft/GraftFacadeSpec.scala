@@ -18,6 +18,11 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     val dot = Graft.dotGraph(levels, "alpha")
     assert(dot.startsWith("digraph MovieGraph {"))
     assert(Graft.actorCoactors(movies, "x").count() == 2) // y, z
+    // batched forms: one scan, per-probe rows tagged by `probe`
+    val tb = Graft.titleLevelsBatch(movies, Seq("alpha", "beta"))
+      .select("probe", "name").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(tb.count(_._1 == "alpha") == 2 && tb.count(_._1 == "beta") == 2)
+    assert(Graft.actorCoactorsBatch(movies, Seq("x", "z")).count() == 4) // x→{y,z}, z→{x,y}
   }
 
   test("near-dedup pipeline runs on a caller-provided docs frame") {
