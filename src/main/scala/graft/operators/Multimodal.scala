@@ -335,6 +335,36 @@ object Multimodal {
     }.toDF("asset_id", "kind", "pixels")
   }
 
+  /** Integer-exact sibling of [[resizePooled]]: the same 64-cell
+    * pooling windows, but each cell carries the exact BIGINT sum of
+    * the integer sample codes (`round(px·scale)` recovers the code
+    * the decode divided by — 255 for 8-bit luma, 32768 for 16-bit
+    * PCM) instead of a float mean. Float cell means are
+    * order-sensitive and engine-divergent; integer cell sums replay
+    * bit-for-bit in the SQL oracle, which is what lets
+    * [[decodeStats]] graduate from a rows-only check to a full hash
+    * compare. Same trailing-remainder-dropped window geometry as
+    * [[intAHash64]] (catalog assets have ≥ 256 samples, so every
+    * window is exactly `[i·cell, (i+1)·cell)`). */
+  def resizePooledCodes(decoded: Dataset[DecodedAsset], outW: Int = 8, outH: Int = 8): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val scale = if (d.kind == "audio") 32768f else 255f
+      val n = d.pixels.length
+      val cell = math.max(1, n / (outW * outH))
+      val sums = Array.tabulate(outW * outH) { i =>
+        val from = math.min(i * cell, n - 1)
+        val until = math.min(from + cell, n)
+        var s = 0L
+        var j = from
+        while (j < until) { s += math.round(d.pixels(j) * scale).toLong; j += 1 }
+        s
+      }
+      (d.asset_id, d.kind, n, sums)
+    }.toDF("asset_id", "kind", "n_px", "cell_sums")
+  }
+
   /** Frame sampling for video assets: treat the payload as n_frames
     * equal slices, keep every `stride`-th frame. */
   def frameSample(decoded: Dataset[DecodedAsset], stride: Int = 4): DataFrame = {
@@ -680,15 +710,85 @@ object Multimodal {
        |  WHERE w1.win < 64),
        |$fingerprintTailSql""".stripMargin
 
+  /** Per-kind decode + pooled-resize census over the REAL codec
+    * round-trip: asset count, decoded sample count, pooled sample
+    * count (64 windows × window size; trailing remainder dropped),
+    * exact pooled code sum, the hottest pooled window, and the mean
+    * normalized intensity. Oracle-checked end-to-end since round 10:
+    * every aggregate is integer-exact ([[resizePooledCodes]]) except
+    * `avg_code`, which is ONE IEEE-754 division of two exact
+    * integers — identical bits on both engines, no rounding step.
+    * The SQL oracle regenerates every decoded sample of all three
+    * modalities from the fixture formulas ([[patternValue]],
+    * [[sampleValue]], the frame walk) and replays the pooling, so an
+    * encode- or decode-side codec bug surfaces as a hash mismatch. */
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pooled = resizePooled(decodeAssets(assetsWithRealPayloads(spark, sfDir)))
+    val pooled = resizePooledCodes(decodeAssets(assetsWithRealPayloads(spark, sfDir)))
     pooled
-      .select($"asset_id", $"kind", aggregate($"pixels", lit(0.0d),
-        (acc, x) => acc + x).as("pix_sum"), size($"pixels").as("n_px"))
+      .select($"kind", $"n_px",
+        ($"n_px" - $"n_px" % 64).cast("long").as("pooled_px"),
+        aggregate($"cell_sums", lit(0L), (acc, x) => acc + x).as("pooled_sum"),
+        array_max($"cell_sums").as("cell_max"))
       .groupBy($"kind")
-      .agg(count(lit(1)).as("n_assets"),
-        round(avg($"pix_sum" / $"n_px"), 4).as("avg_intensity"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"n_px").cast("long").as("n_px"),
+        sum($"pooled_px").cast("long").as("pooled_px"),
+        sum($"pooled_sum").cast("long").as("pooled_sum"),
+        max($"cell_max").cast("long").as("max_cell"))
+      .select($"kind", $"n_assets", $"n_px", $"pooled_px", $"pooled_sum", $"max_cell",
+        ($"pooled_sum".cast("double") /
+          ($"pooled_px" * when($"kind" === "audio", 32768L).otherwise(255L))
+            .cast("double")).as("avg_code"))
       .orderBy($"kind")
   }
+
+  /** End-to-end oracle of [[decodeStats]]: regenerates the decoded
+    * integer codes of all three modalities — image raster
+    * ([[patternValue]]), PCM waveform ([[sampleValue]]), and the
+    * video frame walk with its mid-frame decode cap — then replays
+    * the 64-window pooling and the per-kind census in integer-exact
+    * SQL. */
+  val decodeStatsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    16 + n_chars % 64 AS w, 16 + n_chars % 48 AS h,
+      |    1 + n_chars % 24 AS nf
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, kind, w, h,
+      |    CASE kind WHEN 'video' THEN LEAST(w * h * nf, 4096)
+      |              ELSE LEAST(w * h, 4096) END AS n
+      |  FROM d),
+      |idx AS (SELECT doc_id, kind, w, h, n, unnest(range(0, n)) AS i FROM g),
+      |codes AS (
+      |  SELECT doc_id, kind, n, i,
+      |    CASE kind
+      |      WHEN 'image' THEN ((i % w) * 7 + (i // w) * 13 + doc_id) % 256
+      |      WHEN 'audio' THEN ((i * 131 + doc_id * 7919) % 65536) - 32768
+      |      ELSE (((i % (w * h)) % w) * 7 + ((i % (w * h)) // w) * 13
+      |            + doc_id * 131 + (i // (w * h))) % 256
+      |    END AS p
+      |  FROM idx),
+      |cells AS (
+      |  SELECT doc_id, kind, n, i // (n // 64) AS cell,
+      |         CAST(SUM(p) AS BIGINT) AS s
+      |  FROM codes WHERE i < (n // 64) * 64
+      |  GROUP BY doc_id, kind, n, i // (n // 64)),
+      |per_asset AS (
+      |  SELECT doc_id, kind, MAX(n) AS n, SUM(s) AS ps, MAX(s) AS cmax
+      |  FROM cells GROUP BY doc_id, kind)
+      |SELECT kind,
+      |  COUNT(*) AS n_assets,
+      |  CAST(SUM(n) AS BIGINT) AS n_px,
+      |  CAST(SUM(n - n % 64) AS BIGINT) AS pooled_px,
+      |  CAST(SUM(ps) AS BIGINT) AS pooled_sum,
+      |  CAST(MAX(cmax) AS BIGINT) AS max_cell,
+      |  CAST(SUM(ps) AS DOUBLE) /
+      |    CAST(CAST(SUM(n - n % 64) AS BIGINT)
+      |         * CASE kind WHEN 'audio' THEN 32768 ELSE 255 END AS DOUBLE)
+      |    AS avg_code
+      |FROM per_asset GROUP BY kind ORDER BY kind""".stripMargin
 }

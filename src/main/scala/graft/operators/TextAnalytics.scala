@@ -33,6 +33,7 @@ object TextAnalytics {
   val DecontamNgram = 5
   val DecontamSalt = 31
   val MixAlphaDefault = 0.3
+  val KmvKDefault = 256
   val PackCtxDefault = 512
   val PackShardsDefault = 4
 
@@ -321,6 +322,49 @@ object TextAnalytics {
       .agg(count_distinct($"sh").as("exact_shingles"))
       .orderBy($"lang")
   }
+
+  /** KMV distinct-shingle sketch per language — the differentially
+    * checkable sibling of [[approxDistinct]]. Same scale contract as
+    * HLL (fixed ≤ k-long state per group, associative merge, one
+    * pass, the raw shingle stream never shuffles whole), but the
+    * sketch rides the engine-neutral [[Hashing.md5i32]] hash, so the
+    * oracle reproduces the EXACT retained minima and estimate with
+    * `row_number() ≤ k` over distinct hashes — the sketch contents
+    * are hash-checked, not tolerance-banded. `kth_min` is the k-th
+    * smallest retained hash (the estimator's denominator, NULL below
+    * capacity); `est_distinct` = (k−1)·2³² div kth_min, integer-exact
+    * on both engines. */
+  def approxDistinctKmv(spark: SparkSession, sfDir: String,
+                        k: Int = KmvKDefault): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KMinValues._
+    docs(spark, sfDir)
+      .select($"lang", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .select($"lang", md5i32($"sh", 0).as("h"))
+      .groupBy($"lang")
+      .agg(k_min_values($"h", k).as("kmv"))
+      .select($"lang",
+        size($"kmv").cast("long").as("n_kept"),
+        when(size($"kmv") === k, element_at($"kmv", k)).as("kth_min"),
+        kmvEstimate($"kmv", k).as("est_distinct"))
+      .orderBy($"lang")
+  }
+
+  def approxDistinctKmvSql(k: Int = KmvKDefault): String =
+    s"""WITH t AS (SELECT lang, $tokensSql AS ts FROM documents),
+       |sh AS (SELECT lang, unnest(${shingles3Sql("ts")}) AS sh FROM t),
+       |h AS (SELECT DISTINCT lang, ${md5i32Sql("sh", 0)} AS h FROM sh),
+       |r AS (SELECT lang, h,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
+       |        COUNT(*) OVER (PARTITION BY lang) AS nd
+       |      FROM h)
+       |SELECT lang,
+       |  CAST(LEAST(nd, $k) AS BIGINT) AS n_kept,
+       |  MAX(CASE WHEN rk = $k THEN h END) AS kth_min,
+       |  CASE WHEN nd < $k THEN CAST(nd AS BIGINT)
+       |       ELSE ${(k - 1).toLong * graft.functions.KMinValues.HashDomain}
+       |            // MAX(CASE WHEN rk = $k THEN h END) END AS est_distinct
+       |FROM r GROUP BY lang, nd ORDER BY lang""".stripMargin
 
   /** TF-IDF: top-3 characteristic terms per document. Term
     * frequencies and document frequencies are two hash aggregates

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.KMinValues._
+import graft.operators.TextAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the KMV distinct-count sketch (round 10): sketch contents
+  * are a pure function of the input VALUE SET (partitioning- and
+  * order-invariant), the estimator is exact below capacity and
+  * ~1/√k accurate above it, and the catalog query's estimate agrees
+  * with the exact distinct within the published band. */
+class KmvSketchSpec extends AnyFunSuite with SparkSpec {
+
+  test("sketch equals the k smallest distinct values, any partitioning") {
+    import spark.implicits._
+    // 0..999 shuffled, each value twice — distinct minima are 0..31
+    val vals = scala.util.Random.shuffle((0 until 1000) ++ (0 until 1000))
+      .map(_.toLong)
+    val expected = (0L until 32L).toSeq
+    for (parts <- Seq(1, 3, 8)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(k_min_values($"h", 32).as("kmv"))
+        .select($"kmv").as[Seq[Long]].head()
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("below capacity the sketch IS the distinct set and the estimate is exact") {
+    import spark.implicits._
+    val df = Seq(5L, 7L, 5L, 9L, 7L).toDF("h")
+      .agg(k_min_values($"h", 32).as("kmv"))
+      .select($"kmv", kmvEstimate($"kmv", 32).as("est"))
+    val (kmv, est) = df.as[(Seq[Long], Long)].head()
+    assert(kmv == Seq(5L, 7L, 9L))
+    assert(est == 3L)
+  }
+
+  test("null hashes are skipped; empty input gives an empty sketch") {
+    import spark.implicits._
+    val got = Seq(Some(3L), None, Some(8L)).toDF("h")
+      .agg(k_min_values($"h", 16).as("kmv"))
+      .select($"kmv").as[Seq[Long]].head()
+    assert(got == Seq(3L, 8L))
+    val empty = Seq.empty[Long].toDF("h")
+      .agg(k_min_values($"h", 16).as("kmv"))
+      .select($"kmv", kmvEstimate($"kmv", 16).as("est"))
+      .as[(Seq[Long], Long)].head()
+    assert(empty._1.isEmpty && empty._2 == 0L)
+  }
+
+  test("estimator lands within ~3/sqrt(k) of the exact distinct on uniform hashes") {
+    import spark.implicits._
+    val k = 256
+    // md5-family hashes over 20k distinct strings: uniform on [0, 2^32)
+    val est = spark.range(20000)
+      .select(graft.functions.Hashing.md5i32($"id".cast("string"), 0).as("h"))
+      .agg(k_min_values($"h", k).as("kmv"))
+      .select(kmvEstimate($"kmv", k).as("est")).as[Long].head()
+    val err = math.abs(est - 20000L) / 20000.0
+    assert(err <= 3.0 / math.sqrt(k),
+      s"KMV estimate $est vs 20000 exact: err $err")
+  }
+
+  test("catalog query: n_kept matches exact distinct-hash counts, estimate in band") {
+    import spark.implicits._
+    val got = TextAnalytics.approxDistinctKmv(spark, sf)
+      .as[(String, Long, Option[Long], Long)].collect()
+    assert(got.nonEmpty)
+    val exact = graft.sources.Tables.documents(spark, sf)
+      .select($"lang", explode(graft.functions.TextAnalysis.shingles(
+        graft.functions.TextAnalysis.tokens($"text"), 3)).as("sh"))
+      .select($"lang", graft.functions.Hashing.md5i32($"sh", 0).as("h"))
+      .groupBy($"lang").agg(count_distinct($"h").as("nd"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (lang, nKept, kthMin, est) =>
+      val nd = exact(lang)
+      assert(nKept == math.min(nd, 256L), s"$lang n_kept")
+      if (nd < 256) {
+        assert(kthMin.isEmpty && est == nd, s"$lang exact regime")
+      } else {
+        assert(kthMin.nonEmpty, s"$lang kth_min missing at capacity")
+        val err = math.abs(est - nd) / nd.toDouble
+        assert(err <= 3.0 / math.sqrt(256.0), s"$lang: est $est vs $nd (err $err)")
+      }
+    }
+  }
+}

@@ -97,6 +97,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.toSeq == Seq(64)) // 8x8 for every asset
   }
 
+  test("pooled integer code sums replay the decoded samples exactly (r10)") {
+    import spark.implicits._
+    val assets = Multimodal.assetsWithRealPayloads(spark, sf).limit(30)
+    val pooled = Multimodal.resizePooledCodes(Multimodal.decodeAssets(assets))
+      .as[(Long, String, Int, Seq[Long])].collect()
+    assert(pooled.nonEmpty && pooled.exists(_._2 == "audio")
+      && pooled.exists(_._2 != "audio"))
+    val raw = Multimodal.decodeAssets(assets).collect()
+      .map(d => d.asset_id -> d).toMap
+    pooled.foreach { case (id, kind, nPx, sums) =>
+      val d = raw(id)
+      assert(nPx == d.pixels.length)
+      assert(sums.length == 64)
+      val scale = if (kind == "audio") 32768f else 255f
+      val cell = math.max(1, nPx / 64)
+      for (i <- 0 until 64) {
+        val from = math.min(i * cell, nPx - 1)
+        val until = math.min(from + cell, nPx)
+        val want = (from until until)
+          .map(j => math.round(d.pixels(j) * scale).toLong).sum
+        assert(sums(i) == want, s"asset $id kind $kind cell $i")
+      }
+    }
+  }
+
+  test("decodeStats census: integer-exact per-kind aggregates (r10)") {
+    import spark.implicits._
+    val rows = Multimodal.decodeStats(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    rows.foreach { r =>
+      val (kind, nAssets, nPx, pooledPx, pooledSum, avg) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(6))
+      assert(nAssets > 0 && nPx >= pooledPx && pooledPx > 0)
+      // avg_code must be the exact IEEE division of the two integers
+      val scale = if (kind == "audio") 32768L else 255L
+      assert(avg == pooledSum.toDouble / (pooledPx * scale).toDouble)
+      if (kind != "audio") assert(avg > 0.0 && avg < 1.0)
+      else assert(math.abs(avg) < 1.0)
+    }
+  }
+
   test("frame sampling keeps every 4th frame of video assets only") {
     import spark.implicits._
     val assets = Multimodal.assetsWithRealPayloads(spark, sf)
