@@ -1297,17 +1297,26 @@ object CorpusQuality {
       when(h < trainPct, "train")
         .when(h < trainPct + valPct, "val")
         .otherwise("test"))
+    // postings keyed on the gram's (md5-A, md5-B) LONG pair, not the
+    // gram string — the df-cap aggregate and the pair self-join then
+    // shuffle 16 fixed bytes per posting instead of a variable
+    // ~25-byte string (the [[Dedup]] compact-key rule). The oracle
+    // replays the identical hash family, so a 128-bit collision
+    // (~n²/2¹²⁸) is engine-identical and the check is unaffected.
     val g = cached("leakageGrams",
       d.select($"doc_id", $"split",
-        explode(array_distinct(shingles(tokens($"text"), n))).as("g")))
-    val capped = g.groupBy($"g")
+          explode(array_distinct(shingles(tokens($"text"), n))).as("sh"))
+        .withColumn("p", graft.functions.Hashing.md5Pair($"sh"))
+        .select($"doc_id", $"split",
+          $"p.a".as("ha"), $"p.b".bitwiseOR(lit(1L)).as("hb")))
+    val capped = g.groupBy($"ha", $"hb")
       .agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= dfCap)
-      .select($"g")
-    val posts = g.join(capped, "g")
+      .select($"ha", $"hb")
+    val posts = g.join(capped, Seq("ha", "hb"))
     val pairs = posts.as("a").join(posts.as("b"),
-        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.split" =!= $"b.split")
+        $"a.ha" === $"b.ha" && $"a.hb" === $"b.hb" &&
+          $"a.doc_id" < $"b.doc_id" && $"a.split" =!= $"b.split")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         least($"a.split", $"b.split").as("split_lo"),
         greatest($"a.split", $"b.split").as("split_hi"))
@@ -1330,17 +1339,23 @@ object CorpusQuality {
        |         ELSE 'test' END AS split
        |  FROM documents),
        |g AS (SELECT doc_id, split,
-       |        unnest(list_distinct(${shinglesNSql("ts", n)})) AS g FROM d),
-       |capped AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+       |        ${graft.functions.Hashing.md5PairASql} AS ha,
+       |        ${graft.functions.Hashing.md5PairBSql} AS hb
+       |      FROM (SELECT doc_id, split,
+       |              unnest(list_distinct(${shinglesNSql("ts", n)})) AS sh
+       |            FROM d)),
+       |capped AS (SELECT ha, hb
+       |           FROM (SELECT ha, hb, COUNT(*) AS df FROM g GROUP BY ha, hb)
        |           WHERE df >= 2 AND df <= $dfCap),
-       |posts AS (SELECT doc_id, split, g FROM g JOIN capped USING (g)),
+       |posts AS (SELECT doc_id, split, ha, hb FROM g JOIN capped USING (ha, hb)),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         least(a.split, b.split) AS split_lo,
        |         greatest(a.split, b.split) AS split_hi,
        |         COUNT(*) AS shared
        |  FROM posts a JOIN posts b
-       |    ON a.g = b.g AND a.doc_id < b.doc_id AND a.split <> b.split
+       |    ON a.ha = b.ha AND a.hb = b.hb
+       |   AND a.doc_id < b.doc_id AND a.split <> b.split
        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= $minShared)
        |SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
        |  MAX(shared) AS max_shared

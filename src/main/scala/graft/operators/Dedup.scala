@@ -543,11 +543,17 @@ object Dedup {
     val sizes = cached(s"ngram-sizes-$dfCap",
       capped.groupBy($"doc_id").agg(count(lit(1)).as("sz")))
     val nSized = sizes.count()
-    val inter = capped.select($"doc_id".as("a"), $"ha", $"hb")
-      .join(capped.select($"doc_id".as("b"), $"ha", $"hb"), Seq("ha", "hb"))
-      .filter($"a" < $"b")
-      .groupBy($"a", $"b")
-      .agg(count(lit(1)).as("inter"))
+    // the pair self-join + count is the expensive stage and is
+    // IDENTICAL between the Jaccard and containment ops (they differ
+    // only in the final score) — cache it so running both costs one
+    // index probe, the same build-once/query-many posture as the
+    // shared capped postings above
+    val inter = cached(s"ngram-inter-$dfCap",
+      capped.select($"doc_id".as("a"), $"ha", $"hb")
+        .join(capped.select($"doc_id".as("b"), $"ha", $"hb"), Seq("ha", "hb"))
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b")
+        .agg(count(lit(1)).as("inter")))
     // per-doc sizes are |docs| rows (one long each) — broadcast both
     // lookups so the pair frame never shuffles for them. Capacity
     // tier: |docs| rows is corpus-proportional, so past ~1M docs the
@@ -601,11 +607,13 @@ object Dedup {
     val sizes = cached(s"ngram-sizes-$dfCap",
       capped.groupBy($"doc_id").agg(count(lit(1)).as("sz")))
     val nSized = sizes.count()
-    val inter = capped.select($"doc_id".as("a"), $"ha", $"hb")
-      .join(capped.select($"doc_id".as("b"), $"ha", $"hb"), Seq("ha", "hb"))
-      .filter($"a" < $"b")
-      .groupBy($"a", $"b")
-      .agg(count(lit(1)).as("inter"))
+    // shared with [[ngramJaccardPairsOf]] — same cache key, same plan
+    val inter = cached(s"ngram-inter-$dfCap",
+      capped.select($"doc_id".as("a"), $"ha", $"hb")
+        .join(capped.select($"doc_id".as("b"), $"ha", $"hb"), Seq("ha", "hb"))
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b")
+        .agg(count(lit(1)).as("inter")))
     import graft.util.Broadcasting.maybeBroadcast
     inter
       .join(maybeBroadcast(

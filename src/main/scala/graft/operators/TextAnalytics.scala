@@ -366,6 +366,55 @@ object TextAnalytics {
        |            // MAX(CASE WHEN rk = $k THEN h END) END AS est_distinct
        |FROM r GROUP BY lang, nd ORDER BY lang""".stripMargin
 
+  /** Corpus-level distinct estimate by MERGING the per-language KMV
+    * sketches — the sketch-algebra path a 1000-executor rollup takes:
+    * partial sketches combine by array-union + re-truncate-to-k, so
+    * the corpus estimate costs one pass over ≤ k·|groups| retained
+    * longs, NEVER a rescan of the raw shingle stream. The merged
+    * sketch is EXACTLY the sketch a direct global pass would build
+    * (any global top-k minimum is within its own group's top-k, so
+    * the union of per-group minima contains every global minimum —
+    * spec-pinned), and the oracle replays the merge literally:
+    * per-lang `row_number() ≤ k`, union-distinct, re-rank. */
+  def approxDistinctKmvMerged(spark: SparkSession, sfDir: String,
+                              k: Int = KmvKDefault): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KMinValues._
+    val perGroup = docs(spark, sfDir)
+      .select($"lang", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .select($"lang", md5i32($"sh", 0).as("h"))
+      .groupBy($"lang")
+      .agg(k_min_values($"h", k).as("kmv"))
+    perGroup
+      .select($"lang", explode($"kmv").as("h"))
+      .agg(countDistinct($"lang").cast("long").as("n_groups"),
+        k_min_values($"h", k).as("kmv"))
+      .select($"n_groups",
+        size($"kmv").cast("long").as("n_kept"),
+        when(size($"kmv") === k, element_at($"kmv", k)).as("kth_min"),
+        kmvEstimate($"kmv", k).as("est_distinct"))
+  }
+
+  def approxDistinctKmvMergedSql(k: Int = KmvKDefault): String =
+    s"""WITH t AS (SELECT lang, $tokensSql AS ts FROM documents),
+       |sh AS (SELECT lang, unnest(${shingles3Sql("ts")}) AS sh FROM t),
+       |hl AS (SELECT DISTINCT lang, ${md5i32Sql("sh", 0)} AS h FROM sh),
+       |r AS (SELECT lang, h,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+       |      FROM hl),
+       |m AS (SELECT DISTINCT h FROM r WHERE rk <= $k),
+       |g AS (SELECT h, row_number() OVER (ORDER BY h) AS rk,
+       |        COUNT(*) OVER () AS nd
+       |      FROM m)
+       |SELECT (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM hl)
+       |         AS n_groups,
+       |  CAST(LEAST(nd, $k) AS BIGINT) AS n_kept,
+       |  MAX(CASE WHEN rk = $k THEN h END) AS kth_min,
+       |  CASE WHEN nd < $k THEN CAST(nd AS BIGINT)
+       |       ELSE ${(k - 1).toLong * graft.functions.KMinValues.HashDomain}
+       |            // MAX(CASE WHEN rk = $k THEN h END) END AS est_distinct
+       |FROM g GROUP BY nd""".stripMargin
+
   /** TF-IDF: top-3 characteristic terms per document. Term
     * frequencies and document frequencies are two hash aggregates
     * (term-per-doc, then term); idf joins back by term — at corpus

@@ -62,6 +62,41 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
       s"KMV estimate $est vs 20000 exact: err $err")
   }
 
+  test("merging per-group sketches equals the direct global sketch") {
+    import spark.implicits._
+    val k = 64
+    // 8 groups × overlapping value ranges — plenty of cross-group dups
+    val df = spark.range(5000)
+      .select(($"id" % 8).as("g"),
+        graft.functions.Hashing.md5i32(($"id" % 1200).cast("string"), 0).as("h"))
+    val merged = df.groupBy($"g").agg(k_min_values($"h", k).as("kmv"))
+      .select(explode($"kmv").as("h"))
+      .agg(k_min_values($"h", k).as("kmv")).as[Seq[Long]].head()
+    val direct = df.agg(k_min_values($"h", k).as("kmv")).as[Seq[Long]].head()
+    assert(merged == direct)
+    assert(merged.length == k)
+  }
+
+  test("catalog query: merged corpus estimate is in band, n_groups matches") {
+    import spark.implicits._
+    val Seq((nGroups, nKept, kthMin, est)) =
+      TextAnalytics.approxDistinctKmvMerged(spark, sf)
+        .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    val (nLangs, exact) = graft.sources.Tables.documents(spark, sf)
+      .select($"lang", explode(graft.functions.TextAnalysis.shingles(
+        graft.functions.TextAnalysis.tokens($"text"), 3)).as("sh"))
+      .select($"lang", graft.functions.Hashing.md5i32($"sh", 0).as("h"))
+      .agg(count_distinct($"lang"), count_distinct($"h"))
+      .as[(Long, Long)].head()
+    assert(nGroups == nLangs)
+    if (exact < 256) { assert(kthMin.isEmpty && est == exact && nKept == exact) }
+    else {
+      assert(nKept == 256L && kthMin.nonEmpty)
+      val err = math.abs(est - exact) / exact.toDouble
+      assert(err <= 3.0 / math.sqrt(256.0), s"merged est $est vs $exact exact")
+    }
+  }
+
   test("catalog query: n_kept matches exact distinct-hash counts, estimate in band") {
     import spark.implicits._
     val got = TextAnalytics.approxDistinctKmv(spark, sf)
