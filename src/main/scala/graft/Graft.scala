@@ -443,6 +443,12 @@ object Graft {
   def sessionCounts(events: DataFrame): DataFrame =
     streaming.EventStreams.sessionCounts(events)
 
+  /** Daily distinct-user KMV sketch — bounded ≤ k-long state per
+    * window on batch OR watermarked stream; sketch contents are
+    * engine-neutral (md5 hash space), so results replay in plain SQL. */
+  def dailyUsersKmv(events: DataFrame, k: Int = 64): DataFrame =
+    streaming.EventStreams.dailyUsersKmv(events, k)
+
   /** Stream-stream (or batch) click→purchase attribution pairs. */
   def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
     streaming.EventStreams.attributionPairs(clicks, purchases)

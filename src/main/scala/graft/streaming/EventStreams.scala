@@ -164,6 +164,36 @@ object EventStreams {
         $"event_type", $"n", $"sum_value")
   }
 
+  /** Tumbling daily distinct-user KMV sketch: per day, the event
+    * count plus the k-minimum-values sketch of the hashed user-id
+    * space ([[graft.functions.KMinValuesAgg]]). The streaming
+    * counterpart of the batch KMV queries: per-window state is a
+    * FIXED ≤ k-long buffer regardless of traffic (a streaming
+    * `count_distinct` would hold every user id per open window —
+    * unbounded on a 100-TB ingest), the buffer merges associatively
+    * across micro-batches, and because the sketch rides the
+    * engine-neutral md5 hash the batch twin's oracle replays the
+    * retained minima and the integer estimate bit-for-bit. Works
+    * identically on a batch frame (the spec's stream==batch
+    * witness). */
+  def dailyUsersKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.KMinValues._
+    events
+      .groupBy(window($"ts", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        k_min_values(
+          graft.functions.Hashing.md5i32($"user_id".cast("string"), 0), k)
+          .as("kmv"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"n_events",
+        size($"kmv").cast("long").as("n_kept"),
+        when(size($"kmv") === k, element_at($"kmv", k)).as("kth_min"),
+        kmvEstimate($"kmv", k).as("est_users"))
+  }
+
   /** 30-minute-gap session windows per user (a new session starts
     * when the gap since the previous event is >= 30 min —
     * `session_window`'s contract). ONE stateful aggregation, so it is
@@ -383,6 +413,37 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events, range(4) t(k)
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Batch twin of [[dailyUsersKmv]] over the events table. */
+  def eventsUsersKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    dailyUsersKmv(Tables.events(spark, sfDir)).orderBy($"day")
+  }
+
+  /** Oracle of [[eventsUsersKmv]]: replays the per-day sketch with
+    * `row_number() ≤ k` over distinct user hashes and the integer
+    * estimator — sketch contents hash-compared, not banded. */
+  def eventsUsersKmvSql(k: Int = 64): String = {
+    val h = graft.functions.Hashing.md5i32Sql("CAST(user_id AS VARCHAR)", 0)
+    s"""WITH e AS (
+       |  SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+       |                  '%Y-%m-%d') AS day, user_id
+       |  FROM events),
+       |n AS (SELECT day, COUNT(*) AS n_events FROM e GROUP BY day),
+       |h AS (SELECT DISTINCT day, $h AS h FROM e),
+       |r AS (SELECT day, h,
+       |        row_number() OVER (PARTITION BY day ORDER BY h) AS rk,
+       |        COUNT(*) OVER (PARTITION BY day) AS nd
+       |      FROM h)
+       |SELECT day, n.n_events,
+       |  CAST(LEAST(nd, $k) AS BIGINT) AS n_kept,
+       |  MAX(CASE WHEN rk = $k THEN h END) AS kth_min,
+       |  CASE WHEN nd < $k THEN CAST(nd AS BIGINT)
+       |       ELSE ${(k - 1).toLong * graft.functions.KMinValues.HashDomain}
+       |            // MAX(CASE WHEN rk = $k THEN h END) END AS est_users
+       |FROM r JOIN n USING (day)
+       |GROUP BY day, nd, n.n_events ORDER BY day""".stripMargin
+  }
 
   /** Batch twin of [[enrichedTumbling]] with a dimension derived
     * deterministically from the user-id space (5 segments). */

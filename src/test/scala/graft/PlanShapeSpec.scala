@@ -11,6 +11,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * the bench. */
 class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
+  test("KMV sketch aggregates map-side partial: raw hashes never cross the wire (r10)") {
+    val plan = graft.operators.TextAnalytics.approxDistinctKmv(spark, sf)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial stage BELOW the exchange — each task truncates to k
+    // minima before shuffling, so only ≤ k longs per (task, group)
+    // travel; without the partial the whole hash stream shuffles
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_kminvaluesagg"), plan.take(800))
+  }
+
   test("range join plans a hash/merge equi-join, never a nested loop") {
     val plan = TimeSeries.rangeJoinWeekly(spark, sf)
       .queryExecution.executedPlan.toString

@@ -56,6 +56,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("daily distinct-user KMV sketch: stream == batch (r10)") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    // k=8 < distinct users/day in the fixture, so the streaming path
+    // exercises the at-capacity displace AND the cross-batch merge
+    val batch = EventStreams.dailyUsersKmv(rows.toDF(), k = 8)
+    val stream = runStream(rows, "s_kmv_users")(EventStreams.dailyUsersKmv(_, k = 8))
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+    val caps = batch.select(max($"n_kept")).as[Long].head()
+    assert(caps == 8L, s"expected at-capacity sketches, max n_kept=$caps")
+  }
+
   test("stream-static enrichment join: stream == batch") {
     val rows = eventRows(800)
     import spark.implicits._
