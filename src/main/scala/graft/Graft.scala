@@ -205,6 +205,12 @@ object Graft {
   def charEntropy(docs: DataFrame): DataFrame =
     operators.CorpusQuality.charEntropyOf(docs)
 
+  /** All-pairs source-overlap estimates from per-source KMV sketches
+    * — a |sources|-row sketch join, never a corpus pair join. Needs
+    * `source, text`. */
+  def kmvSourceOverlap(docs: DataFrame, k: Int = 256): DataFrame =
+    operators.TextAnalytics.kmvSourceOverlapOf(docs, k)
+
   /** Near-dup pairs straddling the content-hash train/val/test
     * boundary — the eval-leakage audit. */
   def splitLeakage(docs: DataFrame, n: Int = 3, dfCap: Int = 16,

@@ -415,6 +415,91 @@ object TextAnalytics {
        |            // MAX(CASE WHEN rk = $k THEN h END) END AS est_distinct
        |FROM g GROUP BY nd""".stripMargin
 
+  /** Pairwise source-overlap estimates from KMV sketches ALONE — the
+    * set-algebra payoff of the sketch family: once per-source
+    * sketches exist (one corpus pass, ≤ k longs each), every pairwise
+    * union estimate is an array merge and every intersection follows
+    * by inclusion–exclusion (|A∩B| ≈ Â + B̂ − Û), so auditing all
+    * |sources|² overlaps costs a |sources|-row self-join of sketch
+    * rows — NEVER a corpus-scale pair join (contrast
+    * `llm_cross_source_dupes`, which finds the individual duplicate
+    * PAIRS and pays the banded join for them). Output is integer end
+    * to end (`overlap_permille` = 1000·Î div Û), so the oracle
+    * replays every pair bit-for-bit. The pair join is group-quadratic
+    * (≤ |sources|² sketch rows), not corpus-quadratic — the sketch
+    * side broadcasts at any corpus size. */
+  def kmvSourceOverlap(spark: SparkSession, sfDir: String,
+                       k: Int = KmvKDefault): DataFrame =
+    kmvSourceOverlapOf(docs(spark, sfDir), k)
+
+  /** [[kmvSourceOverlap]] over any `(source, text)` frame. */
+  def kmvSourceOverlapOf(documents: DataFrame, k: Int = KmvKDefault): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import graft.functions.KMinValues._
+    val sk = documents
+      .select($"source", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .select($"source", md5i32($"sh", 0).as("h"))
+      .groupBy($"source")
+      .agg(k_min_values($"h", k).as("kmv"))
+    val pairs = sk.select($"source".as("src_a"), $"kmv".as("ka"))
+      .join(broadcast(sk.select($"source".as("src_b"), $"kmv".as("kb"))),
+        $"src_a" < $"src_b")
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat($"ka", $"kb"))), 1, k))
+    val estInter =
+      greatest(kmvEstimate($"ka", k) + kmvEstimate($"kb", k)
+        - kmvEstimate($"u", k), lit(0L))
+    pairs
+      .select($"src_a", $"src_b",
+        kmvEstimate($"ka", k).as("est_a"),
+        kmvEstimate($"kb", k).as("est_b"),
+        kmvEstimate($"u", k).as("est_union"),
+        estInter.as("est_inter"))
+      .withColumn("overlap_permille",
+        when($"est_union" === 0L, lit(0L))
+          .otherwise(expr("est_inter * 1000 DIV est_union")))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  def kmvSourceOverlapSql(k: Int = KmvKDefault): String = {
+    val c = (k - 1).toLong * graft.functions.KMinValues.HashDomain
+    s"""WITH t AS (SELECT source, $tokensSql AS ts FROM documents),
+       |sh AS (SELECT source, unnest(${shingles3Sql("ts")}) AS sh FROM t),
+       |hs AS (SELECT DISTINCT source, ${md5i32Sql("sh", 0)} AS h FROM sh),
+       |r AS (SELECT source, h,
+       |        row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
+       |        COUNT(*) OVER (PARTITION BY source) AS nd
+       |      FROM hs),
+       |est AS (SELECT source,
+       |    CASE WHEN MAX(nd) < $k THEN CAST(MAX(nd) AS BIGINT)
+       |         ELSE $c // MAX(CASE WHEN rk = $k THEN h END) END AS est
+       |  FROM r GROUP BY source),
+       |m AS (SELECT source, h FROM r WHERE rk <= $k),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b
+       |      FROM est a JOIN est b ON a.source < b.source),
+       |uh AS (SELECT DISTINCT p.src_a, p.src_b, m.h
+       |       FROM p JOIN m ON m.source = p.src_a OR m.source = p.src_b),
+       |ur AS (SELECT src_a, src_b, h,
+       |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk,
+       |         COUNT(*) OVER (PARTITION BY src_a, src_b) AS nd
+       |       FROM uh),
+       |uest AS (SELECT src_a, src_b,
+       |    CASE WHEN MAX(nd) < $k THEN CAST(MAX(nd) AS BIGINT)
+       |         ELSE $c // MAX(CASE WHEN rk = $k THEN h END) END AS est_union
+       |  FROM ur GROUP BY src_a, src_b)
+       |SELECT u.src_a, u.src_b, ea.est AS est_a, eb.est AS est_b,
+       |  u.est_union,
+       |  GREATEST(ea.est + eb.est - u.est_union, 0) AS est_inter,
+       |  CASE WHEN u.est_union = 0 THEN 0
+       |       ELSE GREATEST(ea.est + eb.est - u.est_union, 0) * 1000
+       |            // u.est_union END AS overlap_permille
+       |FROM uest u
+       |JOIN est ea ON ea.source = u.src_a
+       |JOIN est eb ON eb.source = u.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** TF-IDF: top-3 characteristic terms per document. Term
     * frequencies and document frequencies are two hash aggregates
     * (term-per-doc, then term); idf joins back by term — at corpus

@@ -386,4 +386,34 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     }
     assert(passed, s"round-10 op grew super-linearly: lo=$lo hi=$hi")
   }
+
+  test("KMV sketch scale invariants: fixed state and error band hold at 10x-100x") {
+    import org.apache.spark.sql.functions._
+    // the sketch's 100-TB contract is that GROWTH ONLY SHARPENS it:
+    // state stays ≤ k longs per group however the corpus grows, and
+    // the estimator error stays inside the ~3/√k band once sketches
+    // are at capacity. Checked at 10× and 100× the unit-spec fixture.
+    Seq("sf0.01", "sf0.1").foreach { dir0 =>
+      val dir = s"/root/testdata/$dir0"
+      import spark.implicits._
+      val rows = graft.operators.TextAnalytics.approxDistinctKmv(spark, dir)
+        .as[(String, Long, Option[Long], Long)].collect()
+      assert(rows.nonEmpty && rows.forall(_._2 <= 256L),
+        s"$dir0: sketch state exceeded k")
+      val exact = graft.sources.Tables.documents(spark, dir)
+        .select($"lang", explode(graft.functions.TextAnalysis.shingles(
+          graft.functions.TextAnalysis.tokens($"text"), 3)).as("sh"))
+        .select($"lang", graft.functions.Hashing.md5i32($"sh", 0).as("h"))
+        .groupBy($"lang").agg(count_distinct($"h").as("nd"))
+        .as[(String, Long)].collect().toMap
+      rows.foreach { case (lang, nKept, _, est) =>
+        val nd = exact(lang)
+        if (nKept == 256L) {
+          val err = math.abs(est - nd) / nd.toDouble
+          info(f"$dir0 $lang%-4s est=$est%8d exact=$nd%8d err=$err%.4f")
+          assert(err <= 3.0 / math.sqrt(256.0), s"$dir0 $lang: err $err out of band")
+        } else assert(est == nd, s"$dir0 $lang: below-capacity estimate not exact")
+      }
+    }
+  }
 }

@@ -97,6 +97,27 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("source overlap algebra: a verbatim copy estimates full overlap, disjoint near zero") {
+    import spark.implicits._
+    val base = graft.sources.Tables.documents(spark, sf)
+      .filter($"source" === "src0").select($"source", $"text")
+    // copyX = src0 verbatim under a new label → union sketch == src0's
+    // sketch, inclusion-exclusion gives inter == est, permille == 1000
+    val docs = base
+      .union(base.select(lit("copyX").as("source"), $"text"))
+      .union(graft.sources.Tables.documents(spark, sf)
+        .filter($"source" === "src1").select($"source", $"text"))
+    val rows = graft.operators.TextAnalytics.kmvSourceOverlapOf(docs)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val (_, _, ea, eb, eu, ei, pm) = rows(("copyX", "src0"))
+    assert(ea == eb && eu == ea && ei == ea && pm == 1000L,
+      s"verbatim copy: $ea $eb $eu $ei $pm")
+    // src0 vs src1 are different synthetic sources — far from identical
+    val (_, _, _, _, _, _, pm01) = rows(("src0", "src1"))
+    assert(pm01 < 900L, s"distinct sources overlap_permille=$pm01")
+  }
+
   test("catalog query: n_kept matches exact distinct-hash counts, estimate in band") {
     import spark.implicits._
     val got = TextAnalytics.approxDistinctKmv(spark, sf)
