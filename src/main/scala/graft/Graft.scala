@@ -172,6 +172,12 @@ object Graft {
   def weightedSample(docs: DataFrame, k: Int = 20): DataFrame =
     operators.TextAnalytics.weightedSampleOf(docs, k)
 
+  /** Weighted reservoir PER stratum: `k` Efraimidis–Spirakis winners
+    * per language via the native bounded-heap top-k operator (one
+    * shuffle on `lang`, no per-partition sort, ≤ k·strata rows out). */
+  def reservoirPerKey(docs: DataFrame, k: Int = 10): DataFrame =
+    operators.TextAnalytics.reservoirPerKeyOf(docs, k)
+
   // -- corpus curation over (doc_id, text[, lang, source]) frames ---
 
   /** Gopher rule suite: per-rule failure counts/rates + `any_rule`. */

@@ -2414,6 +2414,69 @@ object TextAnalytics {
        |ORDER BY nl / n_tokens, doc_id LIMIT $k""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_reservoir_per_key — weighted reservoir per stratum
+  // ---------------------------------------------------------------
+
+  /** Per-stratum weighted reservoir: the [[weightedSampleOf]]
+    * Efraimidis–Spirakis keys, but `k` winners PER LANGUAGE instead
+    * of `k` global — the builder for a mix that is balanced across
+    * strata AND weight-proportional within each (the global top-k
+    * would let one token-heavy language crowd out the rest).
+    *
+    * Scale posture: this is "reservoir sampling" as a distributed
+    * dataflow — the classic streaming reservoir keeps per-key state
+    * on one machine; here each executor keeps a bounded k-heap per
+    * key via the native [[graft.plans.TopKPerKey]] operator (one
+    * shuffle on `lang`, partial heaps merged map-side, NO
+    * per-partition full sort), so per-key state is O(k·strata) and
+    * the output ≤ k·strata rows regardless of corpus size. The tiny
+    * rank window afterwards sorts only the ≤ k survivors per key.
+    * Reproducible across runs, engines, and partition layouts — the
+    * "randomness" is the content-hash uniform draw. */
+  def reservoirPerKey(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    reservoirPerKeyOf(docs(spark, sfDir), k)
+
+  /** [[reservoirPerKey]] over any `(doc_id, lang, text)` frame. */
+  def reservoirPerKeyOf(documents: DataFrame, k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = (md5i32($"text", 11).cast("double") + 1.0) / 4294967296.0
+    val keyed = documents
+      .select($"doc_id", $"lang",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        (-log(u)).as("nl"))
+      .filter($"n_tokens" > 0)
+      .withColumn("skey", $"nl" / $"n_tokens")
+    // one sort spec drives both the heap retention and the rank
+    // window (the topKPerKeyNative rule — two copies would mis-rank)
+    val sortSpec = Seq(keyed("skey").asc, keyed("doc_id").asc)
+    val top = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
+      keyed, Seq(keyed("lang")), sortSpec, k)
+    top
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"skey".asc, $"doc_id".asc)).cast("long"))
+      .select($"lang", $"rk", $"doc_id",
+        $"n_tokens", round($"skey", 6).as("sample_key"))
+      .orderBy($"lang", $"rk")
+  }
+
+  def reservoirPerKeySql(k: Int = 10): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len($tokensSql) AS n_tokens,
+       |    -ln((${md5i32Sql("text", 11)} + 1.0) / 4294967296.0) AS nl
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, n_tokens, nl / n_tokens AS skey,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY nl / n_tokens, doc_id) AS rk
+       |  FROM d WHERE n_tokens > 0)
+       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, round(skey, 6) AS sample_key
+       |FROM r WHERE rk <= $k ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_dsir_select — importance-resampling data selection (DSIR)
   // ---------------------------------------------------------------
 

@@ -115,4 +115,53 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("weighted reservoir per key == window formulation; heaps, not sorts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 5
+    val rows = graft.operators.TextAnalytics.reservoirPerKey(spark, sf, k)
+      .collect()
+    // every stratum is capped at k with contiguous 1..n ranks
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      val rks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq && rks.length <= k,
+        s"$lang ranks: $rks")
+    }
+    // pure-window reference over the identically keyed frame
+    val d = graft.sources.Tables.documents(spark, sf)
+    val u = (graft.functions.Hashing.md5i32($"text", 11).cast("double") + 1.0) /
+      4294967296.0
+    val keyed = d.select($"doc_id", $"lang",
+        size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+          .as("n_tokens"),
+        (-log(u)).as("nl"))
+      .filter($"n_tokens" > 0)
+      .withColumn("skey", $"nl" / $"n_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"skey".asc, $"doc_id".asc)
+    val want = keyed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk", $"doc_id", $"n_tokens",
+        round($"skey", 6).as("sample_key"))
+      .orderBy($"lang", $"rk")
+    assert(rows.map(_.toSeq).toSeq == want.collect().map(_.toSeq).toSeq)
+    // physical plan: the native operator carries the sample, and no
+    // SortExec lives beneath it (the rank window above sorts ≤ k·strata)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val probe = graft.operators.TextAnalytics.reservoirPerKey(spark, sf, k)
+      val exec = probe.queryExecution.executedPlan
+        .collectFirst { case t: graft.plans.TopKPerKeyExec => t }
+      assert(exec.nonEmpty, "TopKPerKeyExec missing from physical plan")
+      val sortsBelow = exec.get.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sortsBelow.isEmpty, s"sort below the reservoir: $sortsBelow")
+    } finally spark.conf.set(aqeKey, prev)
+  }
 }
