@@ -178,6 +178,12 @@ object Graft {
   def reservoirPerKey(docs: DataFrame, k: Int = 10): DataFrame =
     operators.TextAnalytics.reservoirPerKeyOf(docs, k)
 
+  /** Per-language `n_chars` quantile estimates (p25/50/75/90) from a
+    * bounded bottom-`s`-by-hash sample — mergeable like KMV, exact
+    * oracle replay unlike `approx_percentile`; O(s·strata) state. */
+  def quantileSketch(docs: DataFrame, s: Int = 256): DataFrame =
+    operators.TextAnalytics.quantileSketchOf(docs, s)
+
   // -- corpus curation over (doc_id, text[, lang, source]) frames ---
 
   /** Gopher rule suite: per-rule failure counts/rates + `any_rule`. */

@@ -500,6 +500,80 @@ object TextAnalytics {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // llm_quantile_sketch — bounded-sample quantiles, oracle-exact
+  // ---------------------------------------------------------------
+
+  val QsketchSDefault = 256
+
+  /** Per-language document-length quantiles (p25/p50/p75/p90 of
+    * `n_chars`) estimated from a BOUNDED hash-sample — the quantile
+    * member of the sketch family, shadowing Spark's engine-internal
+    * `approx_percentile` (rows-only checkable, like HLL) the way the
+    * KMV sketch shadows HLL: the sample is the `s` rows with the
+    * smallest engine-neutral md5 hash of `doc_id` per group, so the
+    * oracle replays the EXACT retained rows and rank-arithmetic
+    * estimates — integer end to end, hash-compared, never
+    * tolerance-banded.
+    *
+    * Scale contract: bottom-s-by-hash is associative exactly like
+    * KMV's bottom-k minima (any global minimum is inside its own
+    * partition's bottom-s, so partial samples union + re-truncate),
+    * and the retention runs through the native bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — one shuffle on `lang`,
+    * O(s·groups) state, no per-partition sort, the corpus never
+    * sorts globally (the scale-killer exact per-group quantiles pay
+    * in `rel_quantiles`). The estimate at p is the sample value at
+    * rank ⌈m·p/100⌉ (m = retained rows): empirical-CDF inversion,
+    * whose error concentrates as √(p(1−p)/s) — spec-checked against
+    * the exact quantiles at a deliberately truncating s. */
+  def quantileSketch(spark: SparkSession, sfDir: String,
+                     s: Int = QsketchSDefault): DataFrame =
+    quantileSketchOf(docs(spark, sfDir), s)
+
+  /** [[quantileSketch]] over any `(doc_id, lang, n_chars)` frame. */
+  def quantileSketchOf(documents: DataFrame, s: Int = QsketchSDefault): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(s >= 1, s"sample size must be >= 1, got $s")
+    val keyed = documents.select($"lang", $"doc_id", $"n_chars",
+      md5i32($"doc_id".cast("string"), 23).as("h"))
+    val samp = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
+      keyed, Seq(keyed("lang")), Seq(keyed("h").asc, keyed("doc_id").asc), s)
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars".asc, $"doc_id".asc)
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val ps = Seq(25, 50, 75, 90).toDF("p")
+    samp
+      .withColumn("vr", row_number().over(byVal).cast("long"))
+      .withColumn("m", count(lit(1)).over(byLang))
+      .crossJoin(broadcast(ps))
+      // ⌈m·p/100⌉ in pure integer arithmetic — `div`, not `/` (which
+      // widens to double on Spark and would diverge from DuckDB's //)
+      .filter($"vr" === expr("(m * p + 99) div 100"))
+      .select($"lang", $"p".cast("long").as("p"), $"m".as("n_sampled"),
+        $"n_chars".as("est_n_chars"))
+      .orderBy($"lang", $"p")
+  }
+
+  def quantileSketchSql(s: Int = QsketchSDefault): String =
+    s"""WITH d AS (SELECT lang, doc_id, n_chars,
+       |    ${md5i32Sql("CAST(doc_id AS VARCHAR)", 23)} AS h
+       |  FROM documents),
+       |r AS (SELECT lang, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |      FROM d),
+       |v AS (SELECT lang, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY n_chars, doc_id) AS vr,
+       |        COUNT(*) OVER (PARTITION BY lang) AS m
+       |      FROM r WHERE rk <= $s)
+       |SELECT lang, CAST(p AS BIGINT) AS p, CAST(m AS BIGINT) AS n_sampled,
+       |  n_chars AS est_n_chars
+       |FROM v, (VALUES (25), (50), (75), (90)) q(p)
+       |WHERE vr = (m * p + 99) // 100
+       |ORDER BY lang, p""".stripMargin
+
   /** TF-IDF: top-3 characteristic terms per document. Term
     * frequencies and document frequencies are two hash aggregates
     * (term-per-doc, then term); idf joins back by term — at corpus

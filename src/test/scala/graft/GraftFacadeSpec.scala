@@ -251,6 +251,25 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSeq
     assert(ws.length == 1 && Set(1L, 2L).contains(ws.head._1))
     assert(ws.head._4 > 0)
+    // per-stratum reservoir on the same frame: k=1 keeps exactly the
+    // smallest-keyed doc per language
+    val rs = Graft.reservoirPerKey(docs, k = 1)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rs.length == 1 && rs.head._1 == "en" && rs.head._2 == 1L)
+    assert(rs.head._3 == ws.head._1) // same A-ES keys → same winner
+  }
+
+  test("quantile sketch runs on a caller frame; exact below capacity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 40L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val qs = Graft.quantileSketch(docs, s = 16)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // m=4 < s: the sample is the whole group, so ranks ⌈4p/100⌉ pick
+    // 10 (p25), 20 (p50), 30 (p75), 40 (p90) exactly
+    assert(qs == Seq(("en", 25L, 4L, 10L), ("en", 50L, 4L, 20L),
+      ("en", 75L, 4L, 30L), ("en", 90L, 4L, 40L)))
   }
 
   test("PQ train + compressed search run on a caller embeddings frame") {

@@ -141,4 +141,32 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("quantile sketch: truncating sample tracks exact quantiles; layout-invariant") {
+    import spark.implicits._
+    val s = 32 // < every per-lang group size, so the sampling path is real
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val est = graft.operators.TextAnalytics.quantileSketchOf(docs, s)
+      .as[(String, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    assert(est.forall(_._3 == s),
+      s"expected every stratum at capacity: ${est.filter(_._3 != s).toSeq}")
+    // each estimate's exact empirical CDF must sit near its target p:
+    // 3σ of the sample quantile (σ = √(p(1−p)/m)) + 1/m discretization
+    val all = docs.select($"lang", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    est.foreach { case (lang, p, m, v) =>
+      val xs = all(lang)
+      val cdf = xs.count(_ <= v).toDouble / xs.length
+      val pf = p / 100.0
+      val tol = 3 * math.sqrt(pf * (1 - pf) / m) + 1.0 / m
+      assert(math.abs(cdf - pf) <= tol, s"$lang p$p: est=$v cdf=$cdf tol=$tol")
+    }
+    // bottom-s-by-hash is associative: partition layout cannot change
+    // the retained sample, hence not the estimates either
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalytics.quantileSketchOf(d, s)
+        .collect().map(_.toSeq).toSeq
+    assert(run(docs.repartition(1)) == run(docs.repartition(13)))
+  }
 }
