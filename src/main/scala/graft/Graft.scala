@@ -467,6 +467,12 @@ object Graft {
   def dailyUsersKmv(events: DataFrame, k: Int = 64): DataFrame =
     streaming.EventStreams.dailyUsersKmv(events, k)
 
+  /** Tumbling daily p25/50/75/90 of event `value` from a bounded
+    * (hash, value)-pair sample — ≤ s pairs of state per open window
+    * on batch OR watermarked stream, replayable in plain SQL. */
+  def dailyValueQuantiles(events: DataFrame, s: Int = 64): DataFrame =
+    streaming.EventStreams.dailyValueQuantiles(events, s)
+
   /** Stream-stream (or batch) click→purchase attribution pairs. */
   def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
     streaming.EventStreams.attributionPairs(clicks, purchases)

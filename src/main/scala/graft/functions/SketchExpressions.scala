@@ -115,6 +115,108 @@ case class KMinValuesAgg(child: Expression, k: Int,
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** Value-carrying sibling of [[KMinValuesAgg]]: keeps the `k`
+  * lexicographically-smallest DISTINCT `(hash, value)` pairs per
+  * group — i.e. a bounded uniform sample of rows (smallest hashes)
+  * with a payload value riding along. Same scale contract (≤ k pairs
+  * of state, associative merge, one pass) and the same oracle story:
+  * over the engine-neutral md5 hash the retained pairs replay as
+  * `row_number() ≤ k` over `ORDER BY h, v`, so a quantile estimated
+  * from the sample is differentially checkable bit-for-bit —
+  * the sketch route to windowed quantiles where Spark's own
+  * `approx_percentile` (also bounded-state) is engine-internal and
+  * rows-only checkable. Determinism: dedup-before-truncate on the
+  * PAIR ordering, so row order, partitioning, and merge order cannot
+  * change the retained set. */
+case class KMinByHashAgg(hash: Expression, value: Expression, k: Int,
+                         override val mutableAggBufferOffset: Int = 0,
+                         override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[(Long, Double)]] {
+
+  require(k >= 2, s"k_min_by_hash needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(hash, value)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KMinByHashAgg =
+    copy(hash = newChildren(0), value = newChildren(1))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hash.dataType == LongType &&
+        value.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"k_min_by_hash expects (bigint hash, double value), got " +
+        s"(${hash.dataType.simpleString}, ${value.dataType.simpleString})")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
+    new java.util.TreeSet[(Long, Double)](
+      implicitly[Ordering[(Long, Double)]])
+
+  private def add(buf: java.util.TreeSet[(Long, Double)],
+                  p: (Long, Double)): Unit = {
+    if (buf.size < k) { buf.add(p); () }
+    else if (implicitly[Ordering[(Long, Double)]].lt(p, buf.last)) {
+      if (buf.add(p)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[(Long, Double)],
+                      input: InternalRow): java.util.TreeSet[(Long, Double)] = {
+    val h = hash.eval(input)
+    val v = value.eval(input)
+    if (h != null && v != null)
+      add(buf, (h.asInstanceOf[Long], v.asInstanceOf[Double]))
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[(Long, Double)],
+                     b: java.util.TreeSet[(Long, Double)]): java.util.TreeSet[(Long, Double)] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Double)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      out(i) = InternalRow(h, v)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Double)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (h, v) = it.next(); bb.putLong(h); bb.putDouble(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Double)] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) buf.add((bb.getLong, bb.getDouble))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinByHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinByHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object KMinValues {
   /** Hash domain of [[Hashing.md5i32]]: unsigned 32-bit. */
   val HashDomain: Long = 1L << 32
@@ -124,6 +226,14 @@ object KMinValues {
   def k_min_values(hash: Column, k: Int): Column =
     GraftSqlBridge.toColumn(KMinValuesAgg(
       GraftSqlBridge.toExpression(hash), k).toAggregateExpression())
+
+  /** Column-level entry point for [[KMinByHashAgg]]: the k
+    * lexicographically-smallest distinct `(hash, value)` pairs, as
+    * a sorted `array<struct<h:bigint,v:double>>`. */
+  def k_min_by_hash(hash: Column, value: Column, k: Int): Column =
+    GraftSqlBridge.toColumn(KMinByHashAgg(
+      GraftSqlBridge.toExpression(hash),
+      GraftSqlBridge.toExpression(value), k).toAggregateExpression())
 
   /** Distinct-count estimate from a KMV array over the md5i32 domain:
     * exact size when the sketch is below capacity, else

@@ -194,6 +194,40 @@ object EventStreams {
         kmvEstimate($"kmv", k).as("est_users"))
   }
 
+  /** Tumbling daily value-quantile sketch: per day, p25/50/75/90 of
+    * the event `value` estimated from a bounded uniform sample — the
+    * `s` events with the smallest engine-neutral md5(event_id), kept
+    * with their values by [[graft.functions.KMinByHashAgg]]. The
+    * windowed-quantile problem is where streaming percentiles blow
+    * up (exact per-window quantiles hold every value; Spark's own
+    * `approx_percentile` is bounded but engine-internal, so only
+    * rows-only checkable): this sketch's per-window state is ≤ s
+    * (hash, value) pairs that merge associatively across
+    * micro-batches, and the batch twin's oracle replays the retained
+    * sample and every rank-arithmetic estimate bit-for-bit. Values
+    * pass through arithmetic-free, so doubles compare exactly. Same
+    * transform body batch or stream (the spec's witness). */
+  def dailyValueQuantiles(events: DataFrame, s: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.KMinValues._
+    def q(p: Int): Column =
+      element_at($"vs",
+        expr(s"cast((n_sampled * $p + 99) div 100 as int)")).as(s"p$p")
+    events
+      .groupBy(window($"ts", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        k_min_by_hash(
+          graft.functions.Hashing.md5i32($"event_id".cast("string"), 29),
+          $"value", s).as("samp"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"n_events",
+        size($"samp").cast("long").as("n_sampled"),
+        sort_array(transform($"samp", x => x.getField("v"))).as("vs"))
+      .select($"day", $"n_events", $"n_sampled", q(25), q(50), q(75), q(90))
+  }
+
   /** 30-minute-gap session windows per user (a new session starts
     * when the gap since the previous event is >= 30 min —
     * `session_window`'s contract). ONE stateful aggregation, so it is
@@ -415,6 +449,39 @@ object EventStreams {
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   /** Batch twin of [[dailyUsersKmv]] over the events table. */
+  /** Batch twin of [[dailyValueQuantiles]] over the events table. */
+  def eventsValueQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    dailyValueQuantiles(Tables.events(spark, sfDir)).orderBy($"day")
+  }
+
+  /** Oracle of [[eventsValueQuantiles]]: replays the bounded sample
+    * (`row_number() ≤ s` over `ORDER BY h, v` per day) and the
+    * rank-arithmetic quantile inversion — doubles untouched by
+    * arithmetic, compared exactly. */
+  def eventsValueQuantilesSql(s: Int = 64): String = {
+    val h = graft.functions.Hashing.md5i32Sql("CAST(event_id AS VARCHAR)", 29)
+    def q(p: Int): String =
+      s"MAX(CASE WHEN vr = (m * $p + 99) // 100 THEN v END) AS p$p"
+    s"""WITH e AS (
+       |  SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+       |                  '%Y-%m-%d') AS day, $h AS h, value AS v
+       |  FROM events),
+       |n AS (SELECT day, COUNT(*) AS n_events FROM e GROUP BY day),
+       |p AS (SELECT DISTINCT day, h, v FROM e),
+       |r AS (SELECT day, h, v,
+       |        row_number() OVER (PARTITION BY day ORDER BY h, v) AS rk
+       |      FROM p),
+       |vv AS (SELECT day, v,
+       |         row_number() OVER (PARTITION BY day ORDER BY v) AS vr,
+       |         COUNT(*) OVER (PARTITION BY day) AS m
+       |       FROM r WHERE rk <= $s)
+       |SELECT day, n.n_events, CAST(m AS BIGINT) AS n_sampled,
+       |  ${q(25)}, ${q(50)}, ${q(75)}, ${q(90)}
+       |FROM vv JOIN n USING (day)
+       |GROUP BY day, m, n.n_events ORDER BY day""".stripMargin
+  }
+
   def eventsUsersKmv(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     dailyUsersKmv(Tables.events(spark, sfDir)).orderBy($"day")

@@ -22,6 +22,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_kminvaluesagg"), plan.take(800))
   }
 
+  test("value-quantile sketch aggregates map-side partial too (r10)") {
+    val plan = graft.streaming.EventStreams.eventsValueQuantiles(spark, sf)
+      .queryExecution.executedPlan.toString
+    // same contract as the KMV pin: each task truncates to s
+    // (hash, value) pairs before the shuffle, so per (task, window)
+    // only ≤ s pairs travel — never the raw value stream
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_kminbyhashagg"), plan.take(800))
+  }
+
   test("range join plans a hash/merge equi-join, never a nested loop") {
     val plan = TimeSeries.rangeJoinWeekly(spark, sf)
       .queryExecution.executedPlan.toString

@@ -69,6 +69,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(caps == 8L, s"expected at-capacity sketches, max n_kept=$caps")
   }
 
+  test("daily value-quantile sketch: stream == batch (r10)") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    // s=8 < events/day in the fixture: the at-capacity displace and
+    // the cross-micro-batch pair merge are both on the path
+    val batch = EventStreams.dailyValueQuantiles(rows.toDF(), s = 8)
+    val stream = runStream(rows, "s_val_quant")(
+      EventStreams.dailyValueQuantiles(_, s = 8))
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+    val caps = batch.select(max($"n_sampled")).as[Long].head()
+    assert(caps == 8L, s"expected at-capacity samples, max n_sampled=$caps")
+    // quantiles come from real values and are monotone across p
+    batch.select($"p25", $"p50", $"p75", $"p90")
+      .as[(Double, Double, Double, Double)].collect().foreach {
+        case (a, b, c, d) =>
+          assert(a <= b && b <= c && c <= d, s"non-monotone: $a $b $c $d")
+      }
+  }
+
   test("stream-static enrichment join: stream == batch") {
     val rows = eventRows(800)
     import spark.implicits._
