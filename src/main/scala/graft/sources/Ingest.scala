@@ -535,4 +535,74 @@ object Ingest {
        |FROM (SELECT CAST(unnest(generate_series(DATE '$start',
        |        DATE '$end', INTERVAL 1 DAY)) AS DATE) AS day)
        |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // src_range_layout — sketch-driven balanced range partitioning
+  // ---------------------------------------------------------------
+
+  /** Range-layout planner: pick range-partition split points on
+    * `n_chars` from a BOUNDED global sample and audit the balance of
+    * the resulting 4 buckets (row count + min/max per bucket). This
+    * is how a distributed writer lays out a range-partitioned 100-TB
+    * table without the global sort Spark's own `repartitionByRange`
+    * hides (its internal RangePartitioner does exactly this — a
+    * reservoir sample then split points — but engine-internally):
+    * one bounded-sample pass picks the p25/50/75 boundaries, one
+    * scan assigns buckets. The sample is the quantile-sketch sample
+    * (bottom-`s` by engine-neutral md5(doc_id), retained map-side by
+    * the partial [[graft.plans.TopKPerKey]] heaps — ≤ s rows per
+    * task cross the wire even with ONE global group), so every split
+    * point and bucket count replays integer-exact in the oracle.
+    * The split frame is a 1-row broadcast; nothing corpus-sized
+    * reaches the driver. */
+  def rangeLayout(spark: SparkSession, sfDir: String, s: Int = 256): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val keyed = d.select($"doc_id", $"n_chars",
+      graft.functions.Hashing.md5i32($"doc_id".cast("string"), 23).as("h"),
+      lit(1).as("g"))
+    val samp = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
+      keyed, Seq(keyed("g")), Seq(keyed("h").asc, keyed("doc_id").asc), s)
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"n_chars".asc, $"doc_id".asc)
+    def splitAt(p: Int) =
+      max(when($"vr" === expr(s"(m * $p + 99) div 100"), $"n_chars"))
+        .as(s"v$p")
+    val splits = samp
+      .withColumn("vr", row_number().over(byVal).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+      .agg(splitAt(25), splitAt(50), splitAt(75))
+    d.crossJoin(broadcast(splits))
+      .withColumn("bucket",
+        when($"n_chars" <= $"v25", 0L).when($"n_chars" <= $"v50", 1L)
+          .when($"n_chars" <= $"v75", 2L).otherwise(3L))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"bucket")
+  }
+
+  def rangeLayoutSql(s: Int = 256): String = {
+    val h = graft.functions.Hashing.md5i32Sql("CAST(doc_id AS VARCHAR)", 23)
+    def splitAt(p: Int) =
+      s"MAX(CASE WHEN vr = (m * $p + 99) // 100 THEN n_chars END) AS v$p"
+    s"""WITH d AS (SELECT doc_id, n_chars, $h AS hh FROM documents),
+       |r AS (SELECT doc_id, n_chars,
+       |        row_number() OVER (ORDER BY hh, doc_id) AS rk
+       |      FROM d),
+       |v AS (SELECT n_chars,
+       |        row_number() OVER (ORDER BY n_chars, doc_id) AS vr,
+       |        COUNT(*) OVER () AS m
+       |      FROM r WHERE rk <= $s),
+       |sp AS (SELECT ${splitAt(25)}, ${splitAt(50)}, ${splitAt(75)} FROM v),
+       |b AS (SELECT CASE WHEN n_chars <= v25 THEN 0
+       |                  WHEN n_chars <= v50 THEN 1
+       |                  WHEN n_chars <= v75 THEN 2 ELSE 3 END AS bucket,
+       |             n_chars
+       |      FROM documents, sp)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 }

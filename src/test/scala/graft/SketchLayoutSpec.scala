@@ -74,4 +74,26 @@ class SketchLayoutSpec extends AnyFunSuite with SparkSpec {
     assert(avgArea <= globalArea / 4.0,
       f"avg file box $avgArea%.0f vs plane $globalArea%.0f — no 2-D locality")
   }
+
+  test("range layout: sketch splits partition the corpus into balanced, ordered buckets") {
+    import spark.implicits._
+    val got = Ingest.rangeLayout(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    // the buckets PARTITION the corpus: all four present, counts sum to N
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).sum == n)
+    // ranges are disjoint and ordered — the property a range-
+    // partitioned write needs for per-file min/max pruning
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 < b._3,
+        s"bucket ${a._1} max ${a._4} overlaps bucket ${b._1} min ${b._3}")
+    }
+    // balance: each bucket within 25% ± 10% of N (the s=256 sample's
+    // 3σ ≈ 8% quantile-rank error, plus tie discretization)
+    got.foreach { case (b, c, _, _) =>
+      val frac = c.toDouble / n
+      assert(frac >= 0.15 && frac <= 0.35, s"bucket $b holds $frac of rows")
+    }
+  }
 }
