@@ -416,4 +416,48 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("quantile-sketch family scale invariants: bounded state, in-band estimates at 10x-100x") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq("sf0.01", "sf0.1").foreach { dir0 =>
+      val dir = s"/root/testdata/$dir0"
+      // per-stratum quantile sketch: sample never exceeds s, and each
+      // estimate's exact CDF rank stays inside 3σ + 1/m of its target
+      val s = 256
+      val est = graft.operators.TextAnalytics.quantileSketch(spark, dir, s)
+        .as[(String, Long, Long, Long)].collect()
+      assert(est.nonEmpty && est.forall(_._3 <= s), s"$dir0: sample exceeded s")
+      val all = graft.sources.Tables.documents(spark, dir)
+        .select($"lang", $"n_chars").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      est.foreach { case (lang, p, m, v) =>
+        val xs = all(lang)
+        val cdf = xs.count(_ <= v).toDouble / xs.length
+        val pf = p / 100.0
+        val tol = 3 * math.sqrt(pf * (1 - pf) / m) + 1.0 / m
+        assert(math.abs(cdf - pf) <= tol,
+          s"$dir0 $lang p$p: cdf=$cdf tol=$tol")
+      }
+      // range layout: buckets partition the corpus and stay balanced
+      // as the corpus grows — the property a 100-TB range write needs
+      val buckets = graft.sources.Ingest.rangeLayout(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val n = all.values.map(_.length.toLong).sum
+      assert(buckets.map(_._2).sum == n, s"$dir0: buckets lost rows")
+      buckets.foreach { case (b, c, _, _) =>
+        val frac = c.toDouble / n
+        info(f"$dir0 bucket $b: ${100 * frac}%.1f%% of $n rows")
+        assert(frac >= 0.15 && frac <= 0.35, s"$dir0 bucket $b at $frac")
+      }
+      // windowed value-quantile sketch: per-window state bounded and
+      // quantiles monotone at every scale
+      val wq = graft.streaming.EventStreams.eventsValueQuantiles(spark, dir)
+        .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+      assert(wq.nonEmpty && wq.forall(_._3 <= 64L), s"$dir0: window state exceeded s")
+      wq.foreach { case (day, _, _, a, b, c, d) =>
+        assert(a <= b && b <= c && c <= d, s"$dir0 $day: non-monotone quantiles")
+      }
+    }
+  }
 }
