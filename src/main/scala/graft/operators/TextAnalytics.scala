@@ -556,6 +556,59 @@ object TextAnalytics {
       .orderBy($"lang", $"p")
   }
 
+  /** Corpus-level quantiles by MERGING the per-language bottom-s
+    * samples — the rollup path a 1000-executor fleet takes: partial
+    * samples union and re-truncate to the global bottom-s (any
+    * global minimum-hash row is inside its own group's bottom-s, the
+    * KMV-merge argument verbatim), so the corpus estimate costs one
+    * pass over ≤ s·|groups| retained rows, never a rescan of the
+    * corpus. Merged ≡ the direct global sample — spec-pinned — and
+    * the oracle replays the merge literally. */
+  def quantileSketchMerged(spark: SparkSession, sfDir: String,
+                           s: Int = QsketchSDefault): DataFrame = {
+    import spark.implicits._
+    val keyed = docs(spark, sfDir).select($"lang", $"doc_id", $"n_chars",
+      md5i32($"doc_id".cast("string"), 23).as("h"))
+    val perGroup = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
+      keyed, Seq(keyed("lang")), Seq(keyed("h").asc, keyed("doc_id").asc), s)
+    val g = perGroup.withColumn("g", lit(1))
+    val merged = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
+      g, Seq(g("g")), Seq(g("h").asc, g("doc_id").asc), s)
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"n_chars".asc, $"doc_id".asc)
+    val ps = Seq(25, 50, 75, 90).toDF("p")
+    merged
+      .withColumn("vr", row_number().over(byVal).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+      .crossJoin(broadcast(ps))
+      .filter($"vr" === expr("(m * p + 99) div 100"))
+      .select($"p".cast("long").as("p"), $"m".as("n_sampled"),
+        $"n_chars".as("est_n_chars"))
+      .orderBy($"p")
+  }
+
+  def quantileSketchMergedSql(s: Int = QsketchSDefault): String =
+    s"""WITH d AS (SELECT lang, doc_id, n_chars,
+       |    ${md5i32Sql("CAST(doc_id AS VARCHAR)", 23)} AS h
+       |  FROM documents),
+       |r AS (SELECT lang, doc_id, n_chars, h,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |      FROM d),
+       |m0 AS (SELECT doc_id, n_chars, h FROM r WHERE rk <= $s),
+       |g AS (SELECT doc_id, n_chars,
+       |        row_number() OVER (ORDER BY h, doc_id) AS rk
+       |      FROM m0),
+       |v AS (SELECT n_chars, doc_id,
+       |        row_number() OVER (ORDER BY n_chars, doc_id) AS vr,
+       |        COUNT(*) OVER () AS m
+       |      FROM g WHERE rk <= $s)
+       |SELECT CAST(p AS BIGINT) AS p, CAST(m AS BIGINT) AS n_sampled,
+       |  n_chars AS est_n_chars
+       |FROM v, (VALUES (25), (50), (75), (90)) q(p)
+       |WHERE vr = (m * p + 99) // 100
+       |ORDER BY p""".stripMargin
+
   def quantileSketchSql(s: Int = QsketchSDefault): String =
     s"""WITH d AS (SELECT lang, doc_id, n_chars,
        |    ${md5i32Sql("CAST(doc_id AS VARCHAR)", 23)} AS h

@@ -169,4 +169,36 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.toSeq).toSeq
     assert(run(docs.repartition(1)) == run(docs.repartition(13)))
   }
+
+  test("merged per-group quantile samples equal the direct global sample") {
+    import spark.implicits._
+    // direct global bottom-s sample of the same (hash, doc) keys the
+    // merge query unions — any global minimum is inside its own
+    // group's bottom-s, so the two routes must retain identical rows
+    // and hence identical quantile estimates
+    val s = 64
+    val merged = graft.operators.TextAnalytics
+      .quantileSketchMerged(spark, sf, s)
+      .as[(Long, Long, Long)].collect().toSeq
+    val d = graft.sources.Tables.documents(spark, sf)
+    val keyed = d.select($"doc_id", $"n_chars",
+      graft.functions.Hashing.md5i32($"doc_id".cast("string"), 23).as("h"))
+    val direct = keyed
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy($"h".asc, $"doc_id".asc)).cast("long"))
+      .filter($"rk" <= s)
+      .withColumn("vr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy($"n_chars".asc, $"doc_id".asc)).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .crossJoin(Seq(25, 50, 75, 90).toDF("p"))
+      .filter($"vr" === expr("(m * p + 99) div 100"))
+      .select($"p".cast("long"), $"m", $"n_chars")
+      .orderBy($"p")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(merged == direct, s"merged $merged vs direct $direct")
+    assert(merged.length == 4 && merged.forall(_._2 == s))
+  }
 }
