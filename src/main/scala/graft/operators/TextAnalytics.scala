@@ -2850,4 +2850,173 @@ object TextAnalytics {
        |  CAST(SUM(CASE WHEN score * $CodeScoreNum >= n_chars
        |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS code_frac
        |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_countmin_replay — engine-neutral Count-Min sketch, cell
+  // contents differentially checked
+  // ---------------------------------------------------------------
+
+  /** Count-Min sketch parameters shared by the Scala operator and its
+    * oracle SQL. depth×width = 2048 counters — the whole frequency
+    * structure is ~16 KB regardless of corpus size. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+  val CmsTopK = 15
+
+  /** Count-Min sketch over the term stream with every counter exactly
+    * replayed by the oracle — the [[graft.functions.KMinValuesAgg]]
+    * story (KMV vs HLL) applied to the second classic sketch:
+    * [[heavyHittersBound]] certifies Spark's engine-internal
+    * `count_min_sketch` only up to its ε·N band, because its cell
+    * layout (random Murmur rows) cannot be reproduced outside the
+    * JVM. This sketch hashes with the engine-neutral
+    * [[graft.functions.Hashing.md5i32]] family (salt = row index), so
+    * the DuckDB oracle rebuilds the SAME depth×width counter table
+    * and the SAME min-over-rows estimates bit-for-bit — the sketch
+    * CONTENTS are the check, not a tolerance band.
+    *
+    * Build is a plain aggregate (no custom state needed): explode
+    * each term into `depth` (salt, cell) assignments, partial+final
+    * count per cell. Map-side combine collapses every task's slice to
+    * ≤ depth·width rows before the shuffle, so the exchange carries
+    * ≤ 2048 rows per task no matter how many terms — the property
+    * that makes CMS the frequency structure that merges at 100 TB
+    * (per-executor sketches sum cell-wise; a per-term exact count
+    * would shuffle every distinct term). Estimates for the top-`k`
+    * exact terms ride a broadcast of the ≤ 2048-row sketch; CMS
+    * guarantees est ≥ exact per probe (`overcount` ≥ 0, and = 0 when
+    * no heavier term collides on all `depth` rows).
+    *
+    * Diagnostic twin discipline (as [[heavyHittersBound]]): the exact
+    * top-`k` is the certificate; production ships only the cells. */
+  def countMinReplayOf(documents: DataFrame, depth: Int = CmsDepth,
+                       width: Int = CmsWidth, k: Int = CmsTopK): DataFrame = {
+    import documents.sparkSession.implicits._
+    val terms = cached("cms-terms",
+      documents.select(explode(tokens($"text")).as("term")))
+    def saltCells = array((0 until depth).map(s =>
+      struct(lit(s).as("salt"),
+        pmod(graft.functions.Hashing.md5i32($"term", s), lit(width.toLong))
+          .as("cell"))): _*)
+    val cells = terms
+      .select(explode(saltCells).as("sc"))
+      .select($"sc.salt".as("salt"), $"sc.cell".as("cell"))
+      .groupBy($"salt", $"cell")
+      .agg(count(lit(1)).as("c"))
+    val top = terms.groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term").limit(k)
+    val probe = top
+      .select($"term", $"n", explode(saltCells).as("sc"))
+      .select($"term", $"n", $"sc.salt".as("salt"), $"sc.cell".as("cell"))
+    // the sketch is statically ≤ depth·width rows — broadcast is safe
+    // by construction, no tier gate needed
+    probe.join(broadcast(cells), Seq("salt", "cell"))
+      .groupBy($"term", $"n")
+      .agg(min($"c").as("est"))
+      .select($"term", $"n", $"est", ($"est" - $"n").as("overcount"))
+      .orderBy($"n".desc, $"term")
+  }
+
+  def countMinReplay(spark: SparkSession, sfDir: String): DataFrame =
+    countMinReplayOf(docs(spark, sfDir))
+
+  def countMinReplaySql(depth: Int = CmsDepth, width: Int = CmsWidth,
+                        k: Int = CmsTopK): String = {
+    val h = graft.functions.Hashing.md5i32Sql("term", "CAST(salt AS VARCHAR)")
+    s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
+       |salts AS (SELECT unnest(range($depth)) AS salt),
+       |cells AS (
+       |  SELECT salt, $h % $width AS cell, COUNT(*) AS c
+       |  FROM terms CROSS JOIN salts GROUP BY 1, 2),
+       |top AS (SELECT term, COUNT(*) AS n FROM terms
+       |        GROUP BY term ORDER BY n DESC, term LIMIT $k),
+       |probe AS (SELECT t.term, t.n, s.salt, $h % $width AS cell
+       |          FROM top t CROSS JOIN salts s)
+       |SELECT p.term, p.n, MIN(c.c) AS est, MIN(c.c) - p.n AS overcount
+       |FROM probe p JOIN cells c ON p.salt = c.salt AND p.cell = c.cell
+       |GROUP BY p.term, p.n
+       |ORDER BY n DESC, term""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // llm_inverted_index — df-capped posting-list build
+  // ---------------------------------------------------------------
+
+  /** Posting-list tuning shared with the oracle: terms with df
+    * outside [2, IndexDfCap] are dropped (df=1 terms retrieve
+    * nothing; df > cap terms are stopword-class, the same df
+    * discipline as the dedup shingle index), and each surviving term
+    * keeps its `IndexPostings` best postings. */
+  val IndexDfCap = 400
+  val IndexPostings = 8
+  val IndexTopTerms = 20
+
+  /** Inverted-index build — the retrieval-side build-once artifact
+    * (the text analogue of the persisted IVF index): term → df,
+    * total tf, and a bounded posting list of the `p` highest-tf
+    * documents (ties doc_id asc), rendered `doc:tf` space-joined so
+    * the whole artifact row is hash-comparable.
+    *
+    * Scale shape: tf is one partial+final aggregate on (term,
+    * doc_id); df/ttf reuses that output co-partitioned on term; the
+    * per-term posting cap runs through the native bounded-heap
+    * top-k operator ([[graft.plans.TopKPerKey]]) — ≤ p rows per term
+    * per task cross the wire, no per-term sort of the full posting
+    * set anywhere. The df cap bounds the worst-case posting list
+    * BEFORE the heap even sees it, so no stopword's million-document
+    * posting set is ever materialized. Output here is the catalog
+    * sample (top terms by df); the production sink writes the full
+    * banded index partitioned by term bucket. */
+  def invertedIndexOf(documents: DataFrame, dfCap: Int = IndexDfCap,
+                      p: Int = IndexPostings,
+                      topTerms: Int = IndexTopTerms): DataFrame = {
+    import documents.sparkSession.implicits._
+    val tf = documents
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("ttf"))
+      .filter($"df".between(2, dfCap))
+    val kept = tf.join(stats, "term")
+    val best = org.apache.spark.sql.GraftSqlBridge.topKPerKey(
+      kept, Seq(kept("term")), Seq(kept("tf").desc, kept("doc_id").asc), p)
+    best
+      .groupBy($"term", $"df", $"ttf")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct((-$"tf").as("negtf"), $"doc_id"))),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"),
+            (-x.getField("negtf")).cast("string"))),
+        " ").as("postings"))
+      .orderBy($"df".desc, $"ttf".desc, $"term")
+      .limit(topTerms)
+      .select($"term", $"df", $"ttf", $"postings")
+  }
+
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    invertedIndexOf(docs(spark, sfDir))
+
+  def invertedIndexSql(dfCap: Int = IndexDfCap, p: Int = IndexPostings,
+                       topTerms: Int = IndexTopTerms): String =
+    s"""WITH tf AS (
+       |  SELECT term, doc_id, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+       |  GROUP BY term, doc_id),
+       |st AS (
+       |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS ttf
+       |  FROM tf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND $dfCap),
+       |pk AS (
+       |  SELECT t.term, t.doc_id, t.tf,
+       |    row_number() OVER (PARTITION BY t.term
+       |                       ORDER BY t.tf DESC, t.doc_id) AS rk
+       |  FROM tf t JOIN st USING (term)),
+       |po AS (
+       |  SELECT term,
+       |    string_agg(doc_id || ':' || tf, ' ' ORDER BY tf DESC, doc_id)
+       |      AS postings
+       |  FROM pk WHERE rk <= $p GROUP BY term)
+       |SELECT s.term, s.df, s.ttf, po.postings
+       |FROM st s JOIN po USING (term)
+       |ORDER BY df DESC, ttf DESC, term LIMIT $topTerms""".stripMargin
 }

@@ -228,6 +228,51 @@ object EventStreams {
       .select($"day", $"n_events", $"n_sampled", q(25), q(50), q(75), q(90))
   }
 
+  /** Windowed Count-Min sketch parameters, shared with the oracle.
+    * depth×width = 1024 counters ≈ 8 KB of state per open window —
+    * the bound that makes per-window frequency queries affordable on
+    * an unbounded stream. Probes are catalog constants so the batch
+    * twin and its oracle can never drift. */
+  val EventCmsDepth = 4
+  val EventCmsWidth = 256
+  val EventCmsProbes: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
+
+  /** (salt, cell) assignments of one key under the engine-neutral
+    * md5 family — the Count-Min row functions. */
+  private def cmsCellsOf(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(s =>
+      struct(lit(s).as("salt"),
+        pmod(graft.functions.Hashing.md5i32(key.cast("string"), s),
+          lit(width.toLong)).as("cell"))): _*)
+
+  /** Tumbling daily Count-Min sketch of the user-id stream: per day,
+    * the depth×width cell counts — the third windowed sketch next to
+    * [[dailyUsersKmv]] (distinct count) and [[dailyValueQuantiles]]
+    * (quantiles), covering per-key FREQUENCY: "how often did user X
+    * appear in window W" for any X, answered later from ≤ 1024
+    * bounded counters instead of a per-user count whose state grows
+    * with distinct users per window. The sketch is a plain windowed
+    * aggregate (explode each event into its `depth` cell assignments,
+    * partial+final count), so it streams under a watermark with NO
+    * custom state — per (task, window) at most depth·width rows cross
+    * the wire, and cells sum cell-wise across micro-batches by
+    * construction. Engine-neutral md5 rows make every counter exactly
+    * replayable by the batch twin's oracle ([[eventsCmsWindowSql]]).
+    * Works identically on a batch frame (the spec's stream==batch
+    * witness). */
+  def dailyUserCmsCells(events: DataFrame, depth: Int = EventCmsDepth,
+                        width: Int = EventCmsWidth): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select($"ts", explode(cmsCellsOf($"user_id", depth, width)).as("sc"))
+      .select($"ts", $"sc.salt".as("salt"), $"sc.cell".as("cell"))
+      .groupBy(window($"ts", "1 day"), $"salt", $"cell")
+      .agg(count(lit(1)).as("c"))
+      .select(date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"salt", $"cell", $"c")
+  }
+
   /** 30-minute-gap session windows per user (a new session starts
     * when the gap since the previous event is >= 30 min —
     * `session_window`'s contract). ONE stateful aggregation, so it is
@@ -510,6 +555,78 @@ object EventStreams {
        |            // MAX(CASE WHEN rk = $k THEN h END) END AS est_users
        |FROM r JOIN n USING (day)
        |GROUP BY day, nd, n.n_events ORDER BY day""".stripMargin
+  }
+
+  /** Batch twin of [[dailyUserCmsCells]]: builds the per-day sketch,
+    * then answers the fixed probe set from it — per (day, probe) the
+    * min over the `depth` counters, joined with the exact per-day
+    * count so the oracle certifies the CMS contract (`est ≥ exact`,
+    * `overcount ≥ 0`) on every row. A probe absent from a day still
+    * answers (its estimate is that day's collision mass, exact 0) —
+    * CMS answers any key, which is the point of a sketch; the
+    * left-join + coalesce pins that semantics. The probe lookup is a
+    * cross of (days × probes × salts) — all catalog-bounded — against
+    * the ≤ depth·width-per-day cell frame; the event table is scanned
+    * twice (sketch + exact certificate), and production ships only
+    * the first scan. */
+  def eventsCmsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val cells = dailyUserCmsCells(ev)
+    val days = cells.select($"day").distinct()
+    val probeFrame = EventCmsProbes.toDF("user_id")
+      .select($"user_id",
+        explode(cmsCellsOf($"user_id", EventCmsDepth, EventCmsWidth)).as("sc"))
+      .select($"user_id", $"sc.salt".as("salt"), $"sc.cell".as("cell"))
+    val est = days.crossJoin(broadcast(probeFrame))
+      .join(cells, Seq("day", "salt", "cell"), "left")
+      .groupBy($"day", $"user_id")
+      .agg(min(coalesce($"c", lit(0L))).as("est"))
+    val exact = ev.filter($"user_id".isin(EventCmsProbes: _*))
+      .groupBy(window($"ts", "1 day"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"user_id", $"n")
+    est.join(exact, Seq("day", "user_id"), "left")
+      .select($"day", $"user_id", coalesce($"n", lit(0L)).as("n"), $"est",
+        ($"est" - coalesce($"n", lit(0L))).as("overcount"))
+      .orderBy($"day", $"user_id")
+  }
+
+  /** Oracle of [[eventsCmsWindow]]: rebuilds the identical per-day
+    * cell table from the md5 rows and replays min-over-rows — sketch
+    * counters hash-compared, not banded. */
+  def eventsCmsWindowSql(depth: Int = EventCmsDepth,
+                         width: Int = EventCmsWidth): String = {
+    val h = graft.functions.Hashing
+      .md5i32Sql("CAST(user_id AS VARCHAR)", "CAST(salt AS VARCHAR)")
+    val probeList = EventCmsProbes.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+       |                  '%Y-%m-%d') AS day, user_id
+       |  FROM events),
+       |salts AS (SELECT unnest(range($depth)) AS salt),
+       |cells AS (
+       |  SELECT day, salt, $h % $width AS cell, COUNT(*) AS c
+       |  FROM e CROSS JOIN salts GROUP BY 1, 2, 3),
+       |probes AS (
+       |  SELECT CAST(unnest([$probeList]) AS BIGINT) AS user_id),
+       |pc AS (SELECT p.user_id, s.salt, $h % $width AS cell
+       |       FROM probes p CROSS JOIN salts s),
+       |days AS (SELECT DISTINCT day FROM e),
+       |est AS (
+       |  SELECT d.day, pc.user_id, MIN(COALESCE(c.c, 0)) AS est
+       |  FROM days d CROSS JOIN pc
+       |  LEFT JOIN cells c
+       |    ON c.day = d.day AND c.salt = pc.salt AND c.cell = pc.cell
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT day, user_id, COUNT(*) AS n FROM e
+       |       WHERE user_id IN ($probeList) GROUP BY 1, 2)
+       |SELECT est.day, est.user_id, COALESCE(ex.n, 0) AS n, est.est,
+       |       est.est - COALESCE(ex.n, 0) AS overcount
+       |FROM est LEFT JOIN ex
+       |  ON ex.day = est.day AND ex.user_id = est.user_id
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** Batch twin of [[enrichedTumbling]] with a dimension derived

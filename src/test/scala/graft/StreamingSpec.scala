@@ -89,6 +89,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("daily user Count-Min cells: stream == batch, state bounded at depth*width") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    val batch = EventStreams.dailyUserCmsCells(rows.toDF(), depth = 4, width = 16)
+    val stream = runStream(rows, "s_cms_cells")(
+      EventStreams.dailyUserCmsCells(_, depth = 4, width = 16))
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+    // per-window state bound: <= depth*width cells per day
+    val perDay = batch.groupBy($"day").count().select(max($"count")).as[Long].head()
+    assert(perDay <= 4L * 16L, s"cells per day $perDay exceed depth*width")
+    // cell-wise sums account for every (event, salt) assignment
+    val total = batch.agg(sum($"c")).as[Long].head()
+    assert(total == rows.size.toLong * 4L, s"mass $total != ${rows.size * 4}")
+    // the CMS contract on the batch twin path: est >= exact everywhere
+    val twin = EventStreams.eventsCmsWindow(spark, sf)
+    val bad = twin.filter($"overcount" < 0L || $"est" < $"n").count()
+    assert(bad == 0, "CMS bound violated on twin")
+  }
+
   test("stream-static enrichment join: stream == batch") {
     val rows = eventRows(800)
     import spark.implicits._

@@ -833,4 +833,71 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got("repo") == ((1L, 1L)), s"code not flagged: ${got("repo")}")
     assert(got("web") == ((2L, 0L)), s"prose misflagged: ${got("web")}")
   }
+
+  test("count-min replay: CMS bound holds, estimates exact at fixture density, partition-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha alpha alpha beta gamma"),
+      (2L, "alpha beta beta delta epsilon zeta"),
+      (3L, "alpha gamma gamma gamma eta theta"),
+      (4L, "beta beta iota kappa alpha")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalytics.countMinReplayOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= TextAnalytics.CmsTopK)
+    // the CMS contract: est >= exact for EVERY probe
+    assert(rows.forall { case (_, n, est, over) => est >= n && over == est - n },
+      s"CMS bound violated: ${rows.mkString(", ")}")
+    // 10 distinct terms in 512 cells: no term collides on all 4 rows,
+    // so every estimate is exact (deterministic given md5)
+    assert(rows.forall(_._4 == 0L), s"unexpected collision: ${rows.mkString(", ")}")
+    assert(rows.take(2).map(t => (t._1, t._2)).toSeq ==
+      Seq(("alpha", 6L), ("beta", 5L)))
+    // cell counts are a plain sum per cell — merge order can't matter
+    val re = TextAnalytics.countMinReplayOf(df.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == rows.toSeq, "sketch not partition-invariant")
+  }
+
+  test("inverted index: df band honored, postings bounded + ordered, native top-k == window route") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cat cat cat dog bird"),
+      (2L, "cat dog dog fish"),
+      (3L, "cat dog bird bird lion"),
+      (4L, "cat wolf fish unique"),
+      (5L, "cat bear")
+    ).toDF("doc_id", "text")
+    // dfCap=4 drops 'cat' (df=5, stopword-class); p=2 bounds postings
+    val got = TextAnalytics.invertedIndexOf(df, dfCap = 4, p = 2, topTerms = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byTerm = got.map(t => t._1 -> t).toMap
+    assert(!byTerm.contains("cat"), "df cap must drop stopword-class terms")
+    assert(!byTerm.contains("unique") && !byTerm.contains("wolf"),
+      "df=1 terms retrieve nothing and must be dropped")
+    // dog: tf 1@d1, 2@d2, 1@d3 -> top-2 postings (tf desc, doc asc) = 2:2, 1:1
+    assert(byTerm("dog") == (("dog", 3L, 4L, "2:2 1:1")), s"${byTerm.get("dog")}")
+    // bird: 1@d1, 2@d3 -> 3:2, 1:1
+    assert(byTerm("bird") == (("bird", 2L, 3L, "3:2 1:1")))
+    assert(got.forall(_._4.split(" ").length <= 2), "postings over cap")
+    // the native bounded-heap route must match the window formulation
+    val tf = df.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("ttf"))
+      .filter($"df".between(2, 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"term").orderBy($"tf".desc, $"doc_id".asc)
+    val windowRoute = tf.join(stats, "term")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      .groupBy($"term", $"df", $"ttf")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct((-$"tf").as("negtf"), $"doc_id"))),
+        x => concat(x.getField("doc_id").cast("string"), lit(":"),
+          (-x.getField("negtf")).cast("string"))), " ").as("postings"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got.toSet == windowRoute, "native top-k diverges from window route")
+  }
 }
