@@ -259,21 +259,114 @@ object TextAnalytics {
       .orderBy($"doc_id")
   }
 
-  /** HyperLogLog++ approximate distinct-shingle counts per language.
-    * The sketch is engine-specific, so this query has NO SQL oracle
-    * (driver rows-only check); the ≤5% error bound vs exact
-    * `count_distinct` is pinned by `TextAnalyticsSpec` at test scale
-    * instead. The production query ships the sketch ONLY: it is
-    * fixed-size per group and merges associatively across partitions,
-    * where an exact distinct must shuffle every distinct shingle —
-    * unaffordable at 100 TB. */
-  def approxDistinct(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame = {
-    import spark.implicits._
-    docs(spark, sfDir)
+  /** HyperLogLog register geometry, shared with the oracle SQL.
+    * p=10 → m=1024 registers (~1 KB per group); rho is computed from
+    * the low HllW bits of the 32-bit md5 hash, so the max register
+    * value is HllR = HllW+1. */
+  val HllP = 10
+  val HllM: Int = 1 << HllP
+  val HllW: Int = 32 - HllP
+  val HllR: Int = HllW + 1
+  /** Standard HLL bias constant α_m for m ≥ 128, materialized as a
+    * Scala double and re-serialized at full precision into the oracle
+    * SQL, so both engines start the estimate from the bit-identical
+    * constant. */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+  /** α's companion: m²·2^HllR, exact in double (a power of two). */
+  val HllM2R: Double = HllM.toDouble * HllM.toDouble * (1L << HllR).toDouble
+
+  /** HyperLogLog approximate distinct-shingle counts per language,
+    * with the ENTIRE register state differentially checked: the
+    * registers ride the engine-neutral [[Hashing.md5i32]] (register
+    * index = high HllP hash bits, rho = leading-zero rank of the low
+    * HllW bits), so the DuckDB oracle rebuilds the same m=1024
+    * register values and the same estimate — unlike Spark's built-in
+    * `approx_count_distinct`, whose xxhash64 layout can't leave the
+    * JVM (that engine-internal sketch is still certified by the
+    * tolerance-band twin [[approxDistinctBound]]).
+    *
+    * Output: `n_zero` (empty registers) and `s_scaled` =
+    * Σ_j 2^(HllR − M_j) — the harmonic denominator scaled by 2^HllR
+    * so it is an integer, exact and summation-order-invariant in
+    * BIGINT (the float harmonic sum would round differently across
+    * merge orders). `est_distinct` applies the standard estimator:
+    * linear counting when raw ≤ 2.5m with zero registers present,
+    * else α·m²·2^HllR / s_scaled; every arithmetic step after the
+    * integer state is written identically in both engines (IEEE ops
+    * on identical inputs), so the estimate hash-matches too. The
+    * 2³²-range correction is omitted: at n ≥ 2³²/30 distinct
+    * shingles per group, move to p=14+ registers, not a correction.
+    *
+    * Scale contract: groupBy(lang, idx) carries ≤ m rows per group
+    * per task after map-side combine — fixed-size sketch state, one
+    * pass, no shuffle of the raw shingle stream; registers merge by
+    * MAX, so partial sketches from 1000 executors combine exactly. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    approxDistinctOf(docs(spark, sfDir))
+
+  def approxDistinctOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val mask = (1L << HllW) - 1
+    val regs = documents
       .select($"lang", explode(shingles(tokens($"text"), 3)).as("sh"))
+      .select($"lang", md5i32($"sh", 0).as("h"))
+      .select($"lang", shiftright($"h", HllW).as("idx"),
+        $"h".bitwiseAND(lit(mask)).as("w"))
+      .select($"lang", $"idx",
+        when($"w" === 0L, lit(HllR.toLong))
+          .otherwise(lit((HllW + 1).toLong) - length(expr("bin(w)")).cast("long"))
+          .as("rho"))
+      .groupBy($"lang", $"idx")
+      .agg(max($"rho").as("mj"))
+    regs
       .groupBy($"lang")
-      .agg(approx_count_distinct($"sh", rsd).as("approx_shingles"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllR - mj)")).as("s_used"))
+      .select($"lang",
+        (lit(HllM.toLong) - $"n_used").as("n_zero"),
+        ($"s_used" + (lit(HllM.toLong) - $"n_used") * lit(1L << HllR))
+          .as("s_scaled"))
+      .withColumn("raw_est", lit(HllAlpha) * lit(HllM2R) / $"s_scaled".cast("double"))
+      .select($"lang", $"n_zero", $"s_scaled",
+        when($"raw_est" <= lit(2.5 * HllM) && $"n_zero" > 0L,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"n_zero".cast("double")))
+          .otherwise($"raw_est").as("est_distinct"))
       .orderBy($"lang")
+  }
+
+  /** Oracle of [[approxDistinct]]: replays register build, scaled
+    * harmonic sum, and estimator branch from the same md5 bits. */
+  def approxDistinctSql(): String = {
+    val alpha = java.lang.Double.toString(HllAlpha)
+    val m2r = java.lang.Double.toString(HllM2R)
+    s"""WITH t AS (SELECT lang, $tokensSql AS ts FROM documents),
+       |sh AS (SELECT lang, unnest(${shingles3Sql("ts")}) AS sh FROM t),
+       |bits AS (SELECT lang, h >> $HllW AS idx, h & ${(1L << HllW) - 1} AS w
+       |         FROM (SELECT lang, ${md5i32Sql("sh", 0)} AS h FROM sh)),
+       |regs AS (
+       |  SELECT lang, idx,
+       |    MAX(CASE WHEN w = 0 THEN $HllR
+       |        ELSE ${HllW + 1} - (length(bin(w)) - position('1' IN bin(w)) + 1)
+       |        END) AS mj
+       |  FROM bits GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT lang, COUNT(*) AS n_used,
+       |    SUM(1::BIGINT << ($HllR - mj)) AS s_used
+       |  FROM regs GROUP BY lang),
+       |fin AS (
+       |  SELECT lang, $HllM - n_used AS n_zero,
+       |    s_used + ($HllM - n_used) * ${1L << HllR} AS s_scaled
+       |  FROM agg),
+       |est AS (
+       |  SELECT lang, n_zero, s_scaled,
+       |    $alpha * $m2r / CAST(s_scaled AS DOUBLE) AS raw_est
+       |  FROM fin)
+       |SELECT lang, CAST(n_zero AS BIGINT) AS n_zero,
+       |  CAST(s_scaled AS BIGINT) AS s_scaled,
+       |  CASE WHEN raw_est <= ${2.5 * HllM} AND n_zero > 0
+       |       THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST(n_zero AS DOUBLE))
+       |       ELSE raw_est END AS est_distinct
+       |FROM est ORDER BY lang""".stripMargin
   }
 
   /** Driver-witnessed error bound for [[approxDistinct]]: per

@@ -137,17 +137,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
-  test("HLL approximate distinct is within 5% of exact") {
+  test("HLL replay: within 5% of exact, partition-invariant, both estimator branches") {
     import spark.implicits._
-    // the shipped query is sketch-only (exact distinct is the
-    // scale-killer it replaces) — the error bound is pinned HERE
-    // against the test-only exact twin
+    // error bound vs the test-only exact twin (the shipped query is
+    // sketch-only; exact distinct is the scale-killer it replaces)
     val bad = TextAnalytics.approxDistinct(spark, sf)
       .join(TextAnalytics.exactDistinctShingles(spark, sf), "lang")
-      .filter(abs($"approx_shingles" - $"exact_shingles")
+      .filter(abs($"est_distinct" - $"exact_shingles")
         > $"exact_shingles" * 0.05)
       .count()
     assert(bad == 0)
+    // register state is a MAX-merge: partitioning cannot change it
+    val docsDf = graft.sources.Tables.documents(spark, sf)
+    val a = TextAnalytics.approxDistinctOf(docsDf).collect().toSeq
+    val b = TextAnalytics.approxDistinctOf(docsDf.repartition(13)).collect().toSeq
+    assert(a == b, "sketch not partition-invariant")
+    // at sf0.001 every lang sits below 2.5m -> linear-counting branch;
+    // force the raw branch with a synthetic high-cardinality corpus
+    // (4000 distinct shingles > 2.5 * 1024) and re-check the bound
+    val wide = (1 to 4000).map(i => (i.toLong, "en", s"w$i x$i y$i"))
+      .toDF("doc_id", "lang", "text")
+    val row = TextAnalytics.approxDistinctOf(wide)
+      .select($"n_zero", $"est_distinct").head()
+    val est = row.getDouble(1)
+    assert(math.abs(est - 4000.0) <= 4000.0 * 0.10,
+      s"raw-branch estimate $est off >10% from 4000")
+    // raw branch really taken: raw > 2.5m means the LC guard is false
+    assert(est > 2.5 * TextAnalytics.HllM)
   }
 
   test("token counts are consistent: subword >= word >= ws tokens") {
