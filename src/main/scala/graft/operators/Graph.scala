@@ -43,7 +43,8 @@ object Graph {
     * (isolated actors have no edges but keep their teleport mass). */
   private[graft] def coActorEdges(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val edges = cached("coactor-edges", Tables.coActorEdgesBucketed(spark, sfDir))
+    val edges = cached("coactor-edges",
+      Tables.coActorEdgesBucketed(spark, sfDir).select($"src", $"dst"))
     val nodes = cached("coactor-nodes", Tables.movies(spark, sfDir)
       .select(explode($"actors").as("a")).distinct())
     (edges, nodes)
@@ -420,5 +421,205 @@ object Graph {
     s"""$head$steps
        |SELECT a AS actor, ROUND(r, 6) AS rank
        |FROM r$iters ORDER BY rank DESC, actor LIMIT $k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // rel_graph_cc / rel_graph_kcore — component and core structure of
+  // the weight-thresholded collaboration graph
+  // ---------------------------------------------------------------
+
+  /** Tuning shared with the oracles. The raw co-actor graph is a
+    * single dense component (every part co-occurs with every popular
+    * part somewhere), so component/core structure only appears on the
+    * REPEAT-collaboration graph: edges kept when the pair co-occurs
+    * in ≥ [[GraphWeightMin]] movies — the weight ships in the
+    * materialized edge table, so the threshold is a bucket-local
+    * filter, not a re-derivation. MaxRounds bounds both iterations;
+    * the operators require convergence within it (loud failure beats
+    * a silent oracle mismatch) and the oracles unroll exactly that
+    * many rounds (post-fixpoint rounds are no-ops, so early Spark
+    * convergence stays equal). Measured at sf0.01: CC fixpoint in 10
+    * rounds, k=3 peel in 10 — 20 is 2× headroom. */
+  val GraphWeightMin = 2
+  val GraphMaxRounds = 20
+  val KCoreK = 3
+
+  /** Weight-thresholded directed edges (both arcs), actor ids as
+    * longs (label MIN must be numeric: the string min of stringified
+    * part keys would order "10" < "2"). */
+  private def weightedEdges(spark: SparkSession, sfDir: String, minW: Int): DataFrame = {
+    import spark.implicits._
+    cached(s"wedges-$minW", Tables.coActorEdgesBucketed(spark, sfDir)
+      .filter($"wt" >= minW)
+      .select($"src".cast("long").as("src"), $"dst".cast("long").as("dst")))
+  }
+
+  private def longNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    cached("coactor-nodes-long", Tables.movies(spark, sfDir)
+      .select(explode($"actors").as("s"))
+      .select($"s".cast("long").as("a")).distinct())
+  }
+
+  /** Connected components by synchronous min-label propagation:
+    * label(v) ← min(label(v), min over in-neighbors), iterated to
+    * fixpoint. Output is the component-size census `(comp_size,
+    * n_comps)` — isolated actors show up as size-1 components (the
+    * node frame is the full actor set, not just edge endpoints).
+    *
+    * Scale posture: per round ONE equi-join of the edge list with the
+    * node-cardinality label frame (tier-gated broadcast — the edge
+    * side never shuffles under the tier) and one partial+final MIN on
+    * the node key; the convergence witness is a single driver long
+    * (count of changed labels). localCheckpoint per round keeps the
+    * plan constant-size (the pagerank discipline). Rounds scale with
+    * component diameter — the right shape for short-diameter
+    * collaboration graphs; a 100-TB graph with adversarial diameter
+    * would move to the large-star/small-star contraction (O(log n)
+    * rounds), which this operator's interface admits unchanged. */
+  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ccOf(weightedEdges(spark, sfDir, GraphWeightMin), longNodes(spark, sfDir),
+      GraphMaxRounds)
+      .groupBy($"lbl").agg(count(lit(1)).as("comp_size"))
+      .groupBy($"comp_size").agg(count(lit(1)).as("n_comps"))
+      .orderBy($"comp_size")
+  }
+
+  /** [[connectedComponents]] over any directed edge frame `(src,
+    * dst)` (both arcs present) and node frame `(a)`; returns `(a,
+    * lbl)` with `lbl` = min node id of the component. */
+  private[graft] def ccOf(edges: DataFrame, nodes: DataFrame,
+                          maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = cached("cc-edges", edges)
+    val n = nodes.count()
+    var labels = nodes.select($"a", $"a".as("lbl")).localCheckpoint()
+    var changed = -1L
+    var it = 0
+    while (changed != 0L && it < maxRounds) {
+      val msgs = e
+        .join(graft.util.Broadcasting.maybeBroadcast(labels, n),
+          e("src") === labels("a"))
+        .select($"dst".as("a"), $"lbl")
+      val next = labels.unionByName(msgs)
+        .groupBy($"a").agg(min($"lbl").as("lbl"))
+        .localCheckpoint()
+      // convergence witness: one driver long off the two frames the
+      // round already materialized
+      changed = next.join(labels.select($"a", $"lbl".as("old")), Seq("a"))
+        .filter($"lbl" =!= $"old").count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    require(changed == 0L,
+      s"connected components did not converge within $maxRounds rounds")
+    labels
+  }
+
+  def connectedComponentsSql(minW: Int = GraphWeightMin,
+                             rounds: Int = GraphMaxRounds): String = {
+    val head =
+      s"""WITH movies AS (${Tables.moviesSql}),
+         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+         |e AS MATERIALIZED (
+         |      SELECT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
+         |      FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $minW),
+         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
+         |l0 AS (SELECT a, a AS lbl FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT n.a, LEAST(n.lbl, COALESCE(m.ml, n.lbl)) AS lbl
+         |  FROM l${i - 1} n LEFT JOIN (
+         |    SELECT e.dst AS a, MIN(p.lbl) AS ml
+         |    FROM e JOIN l${i - 1} p ON e.src = p.a GROUP BY e.dst) m USING (a))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$steps
+       |SELECT comp_size, COUNT(*) AS n_comps
+       |FROM (SELECT lbl, COUNT(*) AS comp_size FROM l$rounds GROUP BY lbl)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** k-core of the repeat-collaboration graph: iteratively peel
+    * nodes of remaining degree < k until the fixpoint; one summary
+    * row `(n_nodes, n_core_nodes, n_core_edges, min_core_deg)` —
+    * `min_core_deg ≥ k` (or 0 on an empty core) is the coreness
+    * certificate carried in the result itself.
+    *
+    * Scale posture: per round one partial+final degree aggregate on
+    * the bucketing key plus two anti-joins against the (small, and
+    * shrinking) peeled-node frame — tier-gated broadcast, so the
+    * surviving edge list never shuffles; the round count is the peel
+    * depth, bounded by the degeneracy ordering (10 measured at
+    * sf0.01). localCheckpoint per round; convergence witness is the
+    * peeled count the round computes anyway. */
+  def kcoreSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val core = kcoreOf(weightedEdges(spark, sfDir, GraphWeightMin),
+      KCoreK, GraphMaxRounds)
+    val nNodes = longNodes(spark, sfDir)
+      .agg(count(lit(1)).as("n_nodes"))
+    val coreNodes = core.agg(
+      countDistinct($"src").as("n_core_nodes"),
+      count(lit(1)).as("n_core_edges"))
+    val minDeg = core.groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(min($"d"), lit(0L)).as("min_core_deg"))
+    nNodes.crossJoin(coreNodes).crossJoin(minDeg) // three 1-row aggregates
+  }
+
+  /** [[kcoreSummary]]'s loop over any directed edge frame (both arcs
+    * present): returns the surviving edge frame. */
+  private[graft] def kcoreOf(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.localCheckpoint()
+    var removed = -1L
+    var it = 0
+    while (removed != 0L && it < maxRounds) {
+      val bad = e.groupBy($"src").agg(count(lit(1)).as("d"))
+        .filter($"d" < k).select($"src".as("b"))
+      removed = bad.count()
+      if (removed != 0L) {
+        val gated = graft.util.Broadcasting.maybeBroadcast(bad, removed)
+        val next = e
+          .join(gated, e("src") === $"b", "left_anti")
+          .join(gated, e("dst") === $"b", "left_anti")
+          .localCheckpoint()
+        e.unpersist(blocking = false)
+        e = next
+      }
+      it += 1
+    }
+    require(removed == 0L, s"$k-core peel did not converge within $maxRounds rounds")
+    e
+  }
+
+  def kcoreSummarySql(k: Int = KCoreK, minW: Int = GraphWeightMin,
+                      rounds: Int = GraphMaxRounds): String = {
+    val head =
+      s"""WITH movies AS (${Tables.moviesSql}),
+         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+         |e0 AS MATERIALIZED (
+         |       SELECT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
+         |       FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $minW),
+         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN (SELECT src FROM e${i - 1} GROUP BY src
+         |        HAVING COUNT(*) >= $k) s ON e.src = s.src
+         |  JOIN (SELECT src FROM e${i - 1} GROUP BY src
+         |        HAVING COUNT(*) >= $k) t ON e.dst = t.src)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$steps
+       |SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       |  (SELECT COUNT(DISTINCT src) FROM e$rounds) AS n_core_nodes,
+       |  (SELECT COUNT(*) FROM e$rounds) AS n_core_edges,
+       |  (SELECT CAST(COALESCE(MIN(d), 0) AS BIGINT) FROM
+       |     (SELECT COUNT(*) AS d FROM e$rounds GROUP BY src)) AS min_core_deg""".stripMargin
   }
 }

@@ -195,15 +195,20 @@ object Tables {
     * [[moviesBucketed]]. */
   def coActorEdgesBucketed(spark: SparkSession, sfDir: String,
                            buckets: Int = 16): DataFrame = {
-    val name = s"graft_coactor_edges_${sfDir.hashCode.toHexString}_b$buckets"
+    val name = s"graft_coactor_edges_${sfDir.hashCode.toHexString}_b${buckets}w"
     if (!spark.catalog.tableExists(name)) {
       import spark.implicits._
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$name"
       val sel = movies(spark, sfDir).select($"id", explode($"actors").as("a"))
+      // co-occurrence count as edge weight `wt` (wt >= 1 ⊇ the old
+      // DISTINCT pairs): the weighted graph ships in the SAME build —
+      // weight-thresholded consumers (connected components, k-core)
+      // filter bucket-locally instead of re-deriving a second edge
+      // list with its own corpus shuffle
       sel.as("x").join(sel.as("y"), Seq("id"))
         .filter($"x.a" =!= $"y.a")
-        .select($"x.a".as("src"), $"y.a".as("dst"))
-        .distinct()
+        .groupBy($"x.a".as("src"), $"y.a".as("dst"))
+        .agg(count(lit(1)).as("wt"))
         .write
         .bucketBy(buckets, "src")
         .sortBy("src")

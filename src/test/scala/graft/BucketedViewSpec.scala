@@ -45,14 +45,17 @@ class BucketedViewSpec extends AnyFunSuite with SparkSpec {
       val plan = deg.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"src-keyed aggregate over the bucketed edge table must not shuffle:\n$plan")
-      // content ≡ the inline explode→self-join→distinct derivation
+      // content ≡ the inline explode→self-join→count derivation
+      // (weights included: wt is the pair co-occurrence count)
       val sel = Tables.movies(spark, sf).select($"id", explode($"actors").as("a"))
       val inline = sel.as("x").join(sel.as("y"), Seq("id"))
         .filter($"x.a" =!= $"y.a")
-        .select($"x.a".as("src"), $"y.a".as("dst")).distinct()
+        .groupBy($"x.a".as("src"), $"y.a".as("dst"))
+        .agg(count(lit(1)).as("wt"))
       assert(e.count() == inline.count() &&
         e.except(inline).count() == 0 && inline.except(e).count() == 0,
-        "materialized edge table must hold exactly the derived edge set")
+        "materialized edge table must hold exactly the derived weighted edge set")
+      assert(e.filter($"wt" < 1L).count() == 0, "weights must be >= 1")
       // integrity card: every arc has its reverse (asym_edges == 0)
       val card = graft.operators.Graph.coActorEdgeSummary(spark, sf).head()
       assert(card.getLong(card.fieldIndex("asym_edges")) == 0L)

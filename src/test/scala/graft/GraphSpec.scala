@@ -97,6 +97,64 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     finally spark.conf.unset(graft.util.Broadcasting.maxRowsKey)
   }
 
+  test("connected components: fixture census, isolates kept, tier-forced route agrees") {
+    import spark.implicits._
+    // components: triangle {1,2,3}, path {4,5} (diameter stresses
+    // propagation rounds via 5→4), isolates {6,7}
+    val und = Seq((1, 2), (2, 3), (1, 3), (4, 5))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("a")
+    val labels = Graph.ccOf(edges, nodes, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+    // too few rounds to converge must fail loudly, not return wrong labels
+    val longPath = (1 to 6).map(i => (i.toLong, (i + 1).toLong))
+    val pathEdges = (longPath ++ longPath.map(_.swap)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.ccOf(pathEdges, (1L to 7L).toDF("a"), maxRounds = 2).count()
+    }
+    // cap 0 forces the shuffled label join; labels identical
+    spark.conf.set(graft.util.Broadcasting.maxRowsKey, "0")
+    try assert(Graph.ccOf(edges, nodes, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap == labels)
+    finally spark.conf.unset(graft.util.Broadcasting.maxRowsKey)
+    // corpus census: sizes partition the actor set
+    val census = Graph.connectedComponents(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val totalActors = graft.sources.Tables.movies(spark, sf)
+      .select(explode($"actors")).distinct().count()
+    assert(census.map { case (size, n) => size * n }.sum == totalActors)
+  }
+
+  test("k-core: multi-round peel on a fixture, certificate holds on the corpus") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + chain 4-5-6: peeling 6 (deg 1) drops 5 to deg 1,
+    // so round 2 peels 5 — the 3-core is exactly the K4
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val core = Graph.kcoreOf(edges, k = 3, maxRounds = 10)
+      .as[(Long, Long)].collect().toSet
+    val k4 = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    assert(core == (k4 ++ k4.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }.toSet)
+    // insufficient rounds fail loudly (chain of pendants needs one
+    // round per link: 9-8-...-1 all below k until the end)
+    val chain = (1 to 9).map(i => (i.toLong, (i + 1).toLong))
+    val chainEdges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.kcoreOf(chainEdges, k = 2, maxRounds = 3).count()
+    }
+    // corpus summary: the result row carries its own coreness certificate
+    val row = Graph.kcoreSummary(spark, sf).head()
+    val (nc, ne, md) = (row.getLong(row.fieldIndex("n_core_nodes")),
+      row.getLong(row.fieldIndex("n_core_edges")),
+      row.getLong(row.fieldIndex("min_core_deg")))
+    assert(nc == 0L || md >= Graph.KCoreK.toLong, s"core deg $md below k")
+    assert((nc == 0L) == (ne == 0L))
+  }
+
   test("khop histogram on the corpus: one seed, contiguous levels") {
     import spark.implicits._
     val rows = Graph.khopActors(spark, sf).as[(Long, Long)].collect().toSeq
