@@ -2259,6 +2259,69 @@ object Relational {
       |    AS segment_revenue
       |FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
 
+  /** Leakage-safe (leave-one-out) target encoding — the ML-feature
+    * prep that turns a categorical column into the mean of a target
+    * computed WITHOUT the row's own target: enc(row) = (S_g − x) /
+    * (n_g − 1) for the row's group g. LOO is the k-fold limit of
+    * out-of-fold encoding; using the plain group mean leaks each
+    * row's own label into its feature, which a downstream model
+    * happily memorizes. Here: encode the customer market segment by
+    * order total.
+    *
+    * Numerics: S_g sums in DECIMAL (exact, order-invariant — a double
+    * sum would round differently per partition layout), the division
+    * drops to double and rounds. Encodings of 1-row groups are NULL
+    * (no out-of-sample evidence), guarded identically in both
+    * engines. The catalog output is the bounded per-segment audit
+    * (count, group mean, encoding min/max — min_enc pairs with the
+    * group's max target and vice versa); the per-row frame is the
+    * production feature output.
+    *
+    * Scale: one broadcast join of the row stream against the
+    * |segments|-row stats frame, per-row arithmetic, one partial+
+    * final aggregate — the encoding never shuffles the fact table. */
+  def targetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"), dec($"o_totalprice").as("x"))
+    targetEncodeOf(o)
+  }
+
+  /** [[targetEncode]] over any `(segment, x: decimal)` frame. */
+  private[graft] def targetEncodeOf(o: DataFrame): DataFrame = {
+    import o.sparkSession.implicits._
+    val stats = o.groupBy($"segment")
+      .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+    o.join(broadcast(stats), "segment")
+      .withColumn("enc", when($"n" > 1L,
+        round(($"s" - $"x").cast("double") / ($"n" - 1L).cast("double"), 4)))
+      .groupBy($"segment", $"s", $"n")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"enc").as("min_enc"), max($"enc").as("max_enc"))
+      .select($"segment", $"n_orders",
+        round($"s".cast("double") / $"n".cast("double"), 4).as("mean_price"),
+        $"min_enc", $"max_enc")
+      .orderBy($"segment")
+  }
+
+  val targetEncodeSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |st AS (SELECT segment, SUM(x) AS s, COUNT(*) AS n
+      |       FROM o GROUP BY segment),
+      |e AS (SELECT o.segment, s, n,
+      |        CASE WHEN n > 1 THEN
+      |          round(CAST(s - x AS DOUBLE) / CAST(n - 1 AS DOUBLE), 4)
+      |        END AS enc
+      |      FROM o JOIN st USING (segment))
+      |SELECT segment, COUNT(*) AS n_orders,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_price,
+      |  MIN(enc) AS min_enc, MAX(enc) AS max_enc
+      |FROM e GROUP BY segment, s, n ORDER BY segment""".stripMargin
+
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
     * they are supposed to flag, the median and the median absolute

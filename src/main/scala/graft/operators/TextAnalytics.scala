@@ -1535,6 +1535,164 @@ object TextAnalytics {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_kn_bigram — Kneser-Ney smoothed bigram LM surprisal
+  // ---------------------------------------------------------------
+
+  /** Absolute discount for the interpolated Kneser-Ney model; 0.75 is
+    * the textbook fixed-discount choice. */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser-Ney bigram surprisal per document — the
+    * smoothed upgrade of [[bigramLogprob]]'s MLE model:
+    *
+    *   P(w|v) = max(c(v,w) − d, 0)/c(v·) + (d·N₁₊(v·)/c(v·)) · N₁₊(·w)/B
+    *
+    * with c(v·) the context token count, N₁₊(v·) the distinct
+    * continuations of v, N₁₊(·w) the distinct contexts preceding w
+    * (the continuation count — KN's insight: "Francisco" is frequent
+    * but follows only "San", so its backoff mass is tiny), and B the
+    * number of distinct bigram types. The interpolation weights are
+    * exact: Σ_w∈V P(w|v) = 1 for every context (spec-pinned on a
+    * fixture, including unseen (v,w) pairs where the discounted term
+    * is 0) — Σ_w N₁₊(·w) = B makes the backoff integrate to
+    * d·N₁₊(v·)/c(v·), exactly the mass discounting removed.
+    *
+    * All model statistics are integers; P is the same
+    * fixed-parenthesization double expression in both engines, so the
+    * oracle hash-checks the smoothed probabilities themselves.
+    *
+    * Scale: three aggregates off the shared cached bigram frame (the
+    * [[bigramLogprob]] stage cache — computed once for both LM
+    * queries), each keyed on vocab-cardinality keys; all three model
+    * tables broadcast (vocab ≪ corpus, grows sub-linearly); B rides a
+    * 1-row crossJoin, never a driver literal. */
+  def knBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bi = cached("bigramShingles",
+      docs(spark, sfDir)
+        .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+        .withColumn("prev", split($"bg", " ").getItem(0)))
+    val bgFreq = cached("knBgFreq",
+      bi.groupBy($"bg").agg(count(lit(1)).as("cb")))
+    val ctx = bgFreq
+      .withColumn("prev", split($"bg", " ").getItem(0))
+      .groupBy($"prev")
+      .agg(sum($"cb").cast("long").as("cp"), count(lit(1)).as("nfol"))
+    val cont = bgFreq
+      .withColumn("nxt", split($"bg", " ").getItem(1))
+      .groupBy($"nxt").agg(count(lit(1)).as("nprec"))
+    val types = bgFreq.agg(count(lit(1)).as("ntypes"))
+    bi
+      .join(broadcast(bgFreq.select($"bg", $"cb")), "bg")
+      .join(broadcast(ctx), "prev")
+      .withColumn("nxt", split($"bg", " ").getItem(1))
+      .join(broadcast(cont), "nxt")
+      .crossJoin(broadcast(types))
+      .withColumn("p",
+        (greatest($"cb".cast("double") - lit(KnDiscount), lit(0.0))
+          / $"cp".cast("double")) +
+          (lit(KnDiscount) * $"nfol".cast("double") / $"cp".cast("double")) *
+            ($"nprec".cast("double") / $"ntypes".cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log($"p")), 4).as("avg_kn_surprisal"))
+      .withColumn("kn_ppl", round(exp($"avg_kn_surprisal"), 4))
+      .orderBy($"doc_id")
+  }
+
+  val knBigramSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |bi AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS prev,
+       |              string_split(bg, ' ')[2] AS nxt
+       |       FROM (SELECT doc_id, unnest(${shinglesNSql("ts", 2)}) AS bg FROM t)),
+       |bf AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY bg),
+       |ctx AS (SELECT string_split(bg, ' ')[1] AS prev,
+       |               CAST(SUM(cb) AS BIGINT) AS cp, COUNT(*) AS nfol
+       |        FROM bf GROUP BY 1),
+       |cont AS (SELECT string_split(bg, ' ')[2] AS nxt, COUNT(*) AS nprec
+       |         FROM bf GROUP BY 1),
+       |ty AS (SELECT COUNT(*) AS ntypes FROM bf),
+       |s AS (SELECT doc_id,
+       |        (GREATEST(CAST(cb AS DOUBLE) - $KnDiscount, 0.0)
+       |          / CAST(cp AS DOUBLE)) +
+       |        ($KnDiscount * CAST(nfol AS DOUBLE) / CAST(cp AS DOUBLE)) *
+       |          (CAST(nprec AS DOUBLE) / CAST(ntypes AS DOUBLE)) AS p
+       |      FROM bi JOIN bf USING (bg) JOIN ctx USING (prev)
+       |           JOIN cont USING (nxt) CROSS JOIN ty),
+       |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |             round(avg(-ln(p)), 4) AS avg_kn_surprisal
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, avg_kn_surprisal,
+       |       round(exp(avg_kn_surprisal), 4) AS kn_ppl
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_f2_sketch — AMS second-moment (self-join size) estimate
+  // ---------------------------------------------------------------
+
+  /** Independent ±1 hash functions in the AMS sketch. */
+  val F2Sketches = 16
+
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch of the term stream: F₂ =
+    * Σ_t f_t² is the self-join size of the term column — the
+    * statistic a join planner needs to price a skewed equi-join
+    * before running it (F₂/n is the expected matches per probe row).
+    * Each of the [[F2Sketches]] estimators is S_i = Σ_tokens
+    * sign_i(term) with sign_i = ±1 from bit 0 of md5(term, salt i);
+    * E[S_i²] = F₂ exactly, Var ≤ 2F₂². The whole sketch state is 16
+    * longs, merged by plain addition across any partitioning —
+    * CONSTANT-size state where the exact F₂ needs a full distinct
+    * aggregation of the term column.
+    *
+    * Output is one row: the 16-long state itself (space-joined, so
+    * the oracle hash-checks the sketch contents), the mean-of-16
+    * estimate (integer DIV — exact), the exact F₂ as the diagnostic
+    * twin (dropped in production: it costs the distinct-term
+    * shuffle the sketch avoids), and the signed relative error. */
+  def f2Sketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = cached("f2-terms",
+      docs(spark, sfDir).select(explode(tokens($"text")).as("term")))
+    def sign(i: Int): Column =
+      (md5i32($"term", 100 + i).bitwiseAND(lit(1L)) * 2L - 1L)
+    val sketch = terms
+      .agg(count(lit(1)).as("n_tokens"),
+        array((0 until F2Sketches).map(i => sum(sign(i))): _*).as("s"))
+      .select($"n_tokens",
+        array_join(transform($"s", x => x.cast("string")), " ").as("sketch"),
+        aggregate($"s", lit(0L), (acc, x) => acc + x * x).as("s2sum"))
+      .withColumn("f2_est", expr(s"s2sum DIV $F2Sketches"))
+    val exact = terms.groupBy($"term").agg(count(lit(1)).as("f"))
+      .agg(sum($"f" * $"f").cast("long").as("f2_exact"))
+    sketch.crossJoin(exact) // two 1-row aggregates
+      .select($"n_tokens", $"sketch", $"f2_est", $"f2_exact",
+        round(($"f2_est" - $"f2_exact").cast("double")
+          / $"f2_exact".cast("double"), 6).as("err_frac"))
+  }
+
+  def f2SketchSql(): String = {
+    val signs = (0 until F2Sketches).map { i =>
+      s"CAST(SUM((${md5i32Sql("term", 100 + i)} & 1) * 2 - 1) AS BIGINT)"
+    }
+    s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
+       |sk AS (SELECT COUNT(*) AS n_tokens,
+       |         [${signs.mkString(",\n          ")}] AS s
+       |       FROM terms),
+       |fl AS (SELECT n_tokens, s,
+       |         list_aggregate(list_transform(s, x -> x * x), 'sum') AS s2sum
+       |       FROM sk),
+       |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM
+       |         (SELECT COUNT(*) AS f FROM terms GROUP BY term))
+       |SELECT n_tokens,
+       |  array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ' ')
+       |    AS sketch,
+       |  CAST(s2sum // $F2Sketches AS BIGINT) AS f2_est, f2_exact,
+       |  round(CAST(s2sum // $F2Sketches - f2_exact AS DOUBLE)
+       |        / CAST(f2_exact AS DOUBLE), 6) AS err_frac
+       |FROM fl CROSS JOIN ex""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_source_cap — per-source document caps with budget accounting
   // ---------------------------------------------------------------
 

@@ -463,4 +463,33 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_._5).sum - totalRev) < 1e-6,
       "segment revenue must reconstruct the customer total")
   }
+
+  test("target encode: LOO arithmetic on a fixture, 1-row groups NULL, corpus audit sane") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A: targets 10, 20, 40 -> LOO enc 30, 25, 15; B: single row -> NULL
+    val o = Seq(("A", 10.0), ("A", 20.0), ("A", 40.0), ("B", 99.0))
+      .toDF("segment", "t")
+      .select($"segment", $"t".cast("decimal(18,2)").as("x"))
+    val got = Relational.targetEncodeOf(o).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == Seq(
+      ("A", 3L, 23.3333, Some(15.0), Some(30.0)),
+      ("B", 1L, 99.0, None, None)), s"got $got")
+    // corpus: every segment's encodings bracket the group mean (LOO
+    // encodings average back to the mean, so min <= mean <= max), and
+    // no segment leaks its own row (enc != x identity is structural)
+    val rows = Relational.targetEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean) = (r.getLong(1), r.getDouble(2))
+      if (n > 1) {
+        val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+        assert(lo <= mean + 1e-4 && mean <= hi + 1e-4,
+          s"mean $mean outside enc range [$lo,$hi]")
+      }
+    }
+  }
 }

