@@ -223,6 +223,37 @@ object Graft {
   def kmvSourceOverlap(docs: DataFrame, k: Int = 256): DataFrame =
     operators.TextAnalytics.kmvSourceOverlapOf(docs, k)
 
+  /** Kneser-Ney smoothed bigram surprisal per document — integer
+    * model statistics, probabilities oracle-exact. */
+  def knBigram(docs: DataFrame): DataFrame =
+    operators.TextAnalytics.knBigramOf(docs)
+
+  /** AMS F₂ (self-join size) sketch of the term stream — 16 longs of
+    * addition-merged state, exact twin included as the diagnostic. */
+  def f2Sketch(docs: DataFrame): DataFrame =
+    operators.TextAnalytics.f2SketchOf(docs)
+
+  /** Count-Min frequency sketch with md5 rows (every counter
+    * oracle-replayable); estimates for the exact top-k terms. */
+  def countMinReplay(docs: DataFrame): DataFrame =
+    operators.TextAnalytics.countMinReplayOf(docs)
+
+  /** df-capped inverted index with bounded posting lists (native
+    * per-key top-k heap). */
+  def invertedIndex(docs: DataFrame, dfCap: Int = operators.TextAnalytics.IndexDfCap,
+                    p: Int = operators.TextAnalytics.IndexPostings): DataFrame =
+    operators.TextAnalytics.invertedIndexOf(docs, dfCap, p)
+
+  /** HyperLogLog distinct-shingle estimate per language — md5
+    * registers, state and estimate oracle-exact. */
+  def hllDistinct(docs: DataFrame): DataFrame =
+    operators.TextAnalytics.approxDistinctOf(docs)
+
+  /** Leave-one-out target encoding audit over a `(segment, x)` frame
+    * — the leakage-safe categorical encoder. */
+  def targetEncode(rows: DataFrame): DataFrame =
+    operators.Relational.targetEncodeOf(rows)
+
   /** Near-dup pairs straddling the content-hash train/val/test
     * boundary — the eval-leakage audit. */
   def splitLeakage(docs: DataFrame, n: Int = 3, dfCap: Int = 16,
@@ -362,6 +393,20 @@ object Graft {
     * `seed` node frame `(a)` over a directed edge frame → `(a, hop)`. */
   def khop(edges: DataFrame, seed: DataFrame, hops: Int): DataFrame =
     operators.Graph.khopOf(edges, seed, hops)
+
+  /** Connected components by min-label propagation over a directed
+    * edge frame `(src, dst)` (both arcs) and node frame `(a)` →
+    * `(a, lbl)` with `lbl` the component's minimum node id. Fails
+    * loudly if the fixpoint needs more than `maxRounds` rounds. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxRounds: Int = operators.Graph.GraphMaxRounds): DataFrame =
+    operators.Graph.ccOf(edges, nodes, maxRounds)
+
+  /** k-core: iteratively peel nodes of remaining degree < k; returns
+    * the surviving edge frame (empty when no k-core exists). */
+  def kcore(edges: DataFrame, k: Int = operators.Graph.KCoreK,
+            maxRounds: Int = operators.Graph.GraphMaxRounds): DataFrame =
+    operators.Graph.kcoreOf(edges, k, maxRounds)
 
   // -- similarity over (vec_id, embedding) frames ------------------
 

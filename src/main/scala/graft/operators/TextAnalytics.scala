@@ -1566,10 +1566,13 @@ object TextAnalytics {
     * queries), each keyed on vocab-cardinality keys; all three model
     * tables broadcast (vocab ≪ corpus, grows sub-linearly); B rides a
     * 1-row crossJoin, never a driver literal. */
-  def knBigram(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def knBigram(spark: SparkSession, sfDir: String): DataFrame =
+    knBigramOf(docs(spark, sfDir))
+
+  def knBigramOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
     val bi = cached("bigramShingles",
-      docs(spark, sfDir)
+      documents
         .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
         .withColumn("prev", split($"bg", " ").getItem(0)))
     val bgFreq = cached("knBgFreq",
@@ -1649,10 +1652,13 @@ object TextAnalytics {
     * estimate (integer DIV — exact), the exact F₂ as the diagnostic
     * twin (dropped in production: it costs the distinct-term
     * shuffle the sketch avoids), and the signed relative error. */
-  def f2Sketch(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def f2Sketch(spark: SparkSession, sfDir: String): DataFrame =
+    f2SketchOf(docs(spark, sfDir))
+
+  def f2SketchOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
     val terms = cached("f2-terms",
-      docs(spark, sfDir).select(explode(tokens($"text")).as("term")))
+      documents.select(explode(tokens($"text")).as("term")))
     def sign(i: Int): Column =
       (md5i32($"term", 100 + i).bitwiseAND(lit(1L)) * 2L - 1L)
     val sketch = terms

@@ -460,4 +460,49 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("round-10 sketch/graph scale invariants: HLL band, CMS bound, F2 band, graph rounds at 10x-100x") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq("sf0.01", "sf0.1").foreach { dir0 =>
+      val dir = s"/root/testdata/$dir0"
+      // HLL replay: state bounded by construction (m registers); the
+      // estimate stays inside ~3σ = 3·1.04/√m ≈ 9.8% of exact at
+      // every scale (both estimator branches admissible)
+      val hll = graft.operators.TextAnalytics.approxDistinct(spark, dir)
+        .as[(String, Long, Long, Double)].collect()
+      val exact = graft.operators.TextAnalytics.exactDistinctShingles(spark, dir)
+        .as[(String, Long)].collect().toMap
+      assert(hll.nonEmpty)
+      hll.foreach { case (lang, nZero, sScaled, est) =>
+        val m = graft.operators.TextAnalytics.HllM.toLong
+        assert(nZero >= 0 && nZero <= m && sScaled <= m * (1L << graft.operators.TextAnalytics.HllR))
+        val err = math.abs(est - exact(lang)) / exact(lang).toDouble
+        info(f"$dir0 HLL $lang%-4s est=$est%.0f exact=${exact(lang)}%d err=$err%.4f")
+        assert(err <= 0.10, s"$dir0 $lang: HLL err $err out of band")
+      }
+      // Count-Min: per-sketch state ≤ depth·width and est ≥ exact on
+      // every probe however the corpus grows
+      val cms = graft.operators.TextAnalytics.countMinReplay(spark, dir)
+      assert(cms.filter($"est" < $"n").count() == 0, s"$dir0: CMS bound violated")
+      // F2: the 16-long state's mean estimate stays inside 3× (≈8σ)
+      val f2 = graft.operators.TextAnalytics.f2Sketch(spark, dir).head()
+      val (f2est, f2exact) = (f2.getLong(2), f2.getLong(3))
+      info(f"$dir0 F2 est=$f2est exact=$f2exact")
+      assert(f2est > f2exact / 3 && f2est < f2exact * 3, s"$dir0: F2 est out of band")
+      // graph iterations: both converge inside GraphMaxRounds at every
+      // scale (the operators REQUIRE it — a completed run is the
+      // witness), census partitions the node set, core certifies itself
+      val census = graft.operators.Graph.connectedComponents(spark, dir)
+        .as[(Long, Long)].collect()
+      val nActors = graft.sources.Tables.movies(spark, dir)
+        .select(explode($"actors")).distinct().count()
+      assert(census.map { case (s, n) => s * n }.sum == nActors,
+        s"$dir0: census does not partition the actor set")
+      val core = graft.operators.Graph.kcoreSummary(spark, dir).head()
+      val (cn, cd) = (core.getLong(1), core.getLong(3))
+      info(s"$dir0 CC comps=${census.map(_._2).sum} core_nodes=$cn min_core_deg=$cd")
+      assert(cn == 0L || cd >= graft.operators.Graph.KCoreK.toLong)
+    }
+  }
 }
