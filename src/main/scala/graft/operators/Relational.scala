@@ -2322,6 +2322,86 @@ object Relational {
       |  MIN(enc) AS min_enc, MAX(enc) AS max_enc
       |FROM e GROUP BY segment, s, n ORDER BY segment""".stripMargin
 
+  /** Count-Min inner-product geometry for the join-size estimate,
+    * shared with the oracle; probe years are catalog constants. */
+  val CjsDepth = 4
+  val CjsWidth = 256
+  val CjsYearA = 1995
+  val CjsYearB = 1996
+
+  /** Join-cardinality estimate from Count-Min sketch inner products —
+    * the planner statistic that prices an equi-join from two bounded
+    * sketches BEFORE running it: |A ⋈ B| = Σ_k f_A(k)·f_B(k) is
+    * estimated by min over the depth rows of Σ_cell a_c·b_c, and the
+    * estimate can only overcount (hash collisions add nonnegative
+    * cross terms), so `est ≥ exact` is a certificate carried in the
+    * result. Here: repeat-customer pairs across two order years
+    * (every (1995 order, 1996 order) pair of the same customer).
+    *
+    * Scale shape: each side folds to ≤ depth·width counters in one
+    * partial+final aggregate — the 16 KB of state a 1000-executor
+    * planner would gossip, vs the full join the exact count pays
+    * (shipped here only as the diagnostic twin). The inner product
+    * joins two ≤ 1024-row frames. Engine-neutral md5 rows make every
+    * counter and the estimate integer-exact in the oracle. */
+  def cmsJoinSize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey".cast("string").as("k"),
+        year(to_date($"o_orderdate")).as("yr"))
+    def saltCells = array((0 until CjsDepth).map(s =>
+      struct(lit(s).as("salt"),
+        pmod(graft.functions.Hashing.md5i32($"k", 200 + s),
+          lit(CjsWidth.toLong)).as("cell"))): _*)
+    def cellsOf(yr: Int) = o.filter($"yr" === yr)
+      .select(explode(saltCells).as("sc"))
+      .select($"sc.salt".as("salt"), $"sc.cell".as("cell"))
+      .groupBy($"salt", $"cell").agg(count(lit(1)).as("c"))
+    val a = cellsOf(CjsYearA)
+    val b = cellsOf(CjsYearB)
+    val est = a.join(b.select($"salt", $"cell", $"c".as("c2")), Seq("salt", "cell"))
+      .groupBy($"salt").agg(sum($"c" * $"c2").as("ip"))
+      .agg(min($"ip").cast("long").as("est_pairs"))
+    val counts = o.agg(
+      sum(when($"yr" === CjsYearA, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when($"yr" === CjsYearB, 1L).otherwise(0L)).cast("long").as("n_b"))
+    val exact = o.filter($"yr" === CjsYearA).select($"k")
+      .join(o.filter($"yr" === CjsYearB).select($"k".as("k2")), $"k" === $"k2")
+      .agg(count(lit(1)).as("exact_pairs"))
+    counts.crossJoin(exact).crossJoin(est) // three 1-row aggregates
+      .select($"n_a", $"n_b", $"exact_pairs", $"est_pairs",
+        ($"est_pairs" - $"exact_pairs").as("overcount"))
+  }
+
+  val cmsJoinSizeSql: String = {
+    val h = graft.functions.Hashing
+      .md5i32Sql("k", "CAST(200 + salt AS VARCHAR)")
+    s"""WITH o AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+       |             year(CAST(o_orderdate AS DATE)) AS yr FROM orders),
+       |salts AS (SELECT unnest(range($CjsDepth)) AS salt),
+       |ca AS (SELECT salt, $h % $CjsWidth AS cell, COUNT(*) AS c
+       |       FROM o CROSS JOIN salts WHERE yr = $CjsYearA GROUP BY 1, 2),
+       |cb AS (SELECT salt, $h % $CjsWidth AS cell, COUNT(*) AS c
+       |       FROM o CROSS JOIN salts WHERE yr = $CjsYearB GROUP BY 1, 2),
+       |est AS (
+       |  SELECT CAST(MIN(ip) AS BIGINT) AS est_pairs FROM (
+       |    SELECT ca.salt, SUM(ca.c * cb.c) AS ip
+       |    FROM ca JOIN cb ON ca.salt = cb.salt AND ca.cell = cb.cell
+       |    GROUP BY ca.salt)),
+       |n AS (SELECT
+       |        CAST(SUM(CASE WHEN yr = $CjsYearA THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_a,
+       |        CAST(SUM(CASE WHEN yr = $CjsYearB THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_b
+       |      FROM o),
+       |ex AS (SELECT COUNT(*) AS exact_pairs
+       |       FROM o a JOIN o b ON a.k = b.k
+       |       WHERE a.yr = $CjsYearA AND b.yr = $CjsYearB)
+       |SELECT n_a, n_b, exact_pairs, est_pairs,
+       |       est_pairs - exact_pairs AS overcount
+       |FROM n CROSS JOIN ex CROSS JOIN est""".stripMargin
+  }
+
   /** Robust (median/MAD) daily-revenue outliers — the heavy-tail-safe
     * twin of [[outlierZscoreOf]]: mean/stddev move with the outliers
     * they are supposed to flag, the median and the median absolute

@@ -273,6 +273,124 @@ object EventStreams {
         $"salt", $"cell", $"c")
   }
 
+  /** Windowed HLL register geometry (p=6 → m=64 registers ≈ 512 B
+    * per open window) and the textbook α₆₄; shared with the oracle. */
+  val EventHllP = 6
+  val EventHllM: Int = 1 << EventHllP
+  val EventHllW: Int = 32 - EventHllP
+  val EventHllR: Int = EventHllW + 1
+  val EventHllAlpha = 0.709
+  val EventHllSalt = 7
+
+  /** Tumbling daily HLL registers of the user-id stream — the fourth
+    * windowed sketch (KMV = checkable distinct, value-KMV =
+    * quantiles, CMS = frequency): TRULY fixed state. The KMV window
+    * holds min(k, distinct) hashes — k longs at saturation; HLL holds
+    * exactly m=64 register maxima per window no matter how many
+    * distinct users arrive, the right trade when windows are many and
+    * memory is the constraint. A plain windowed MAX aggregate
+    * (register index = high p bits of the engine-neutral md5, rho =
+    * leading-zero rank of the rest), so it streams under a watermark
+    * with no custom state and registers merge by MAX across
+    * micro-batches by construction. Works identically on a batch
+    * frame (the stream==batch witness). */
+  def dailyUserHllRegisters(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mask = (1L << EventHllW) - 1
+    events
+      .select($"ts",
+        graft.functions.Hashing.md5i32($"user_id".cast("string"), EventHllSalt)
+          .as("h"))
+      .select($"ts", shiftright($"h", EventHllW).as("idx"),
+        $"h".bitwiseAND(lit(mask)).as("w"))
+      .select($"ts", $"idx",
+        when($"w" === 0L, lit(EventHllR.toLong))
+          .otherwise(lit((EventHllW + 1).toLong)
+            - length(expr("bin(w)")).cast("long")).as("rho"))
+      .groupBy(window($"ts", "1 day"), $"idx")
+      .agg(max($"rho").as("mj"))
+      .select(date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"idx", $"mj")
+  }
+
+  /** Batch twin of [[dailyUserHllRegisters]]: fold each day's
+    * registers into the integer-scaled harmonic sum and the standard
+    * estimator (linear counting below 2.5m with zero registers, else
+    * α·m²·2^R/s_scaled — the [[graft.operators.TextAnalytics
+    * .approxDistinct]] arithmetic at window grain), joined with the
+    * exact per-day distinct as the certificate the oracle recomputes
+    * identically. Production ships the registers; the exact twin is
+    * the diagnostic. */
+  def eventsHllWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val m = EventHllM.toLong
+    val m2r = EventHllM.toDouble * EventHllM.toDouble * (1L << EventHllR).toDouble
+    val folded = dailyUserHllRegisters(ev)
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $EventHllR - mj)")).as("s_used"))
+      .select($"day", (lit(m) - $"n_used").as("n_zero"),
+        ($"s_used" + (lit(m) - $"n_used") * lit(1L << EventHllR)).as("s_scaled"))
+      .withColumn("raw_est",
+        lit(EventHllAlpha) * lit(m2r) / $"s_scaled".cast("double"))
+      .select($"day", $"n_zero", $"s_scaled",
+        when($"raw_est" <= lit(2.5 * EventHllM) && $"n_zero" > 0L,
+          lit(EventHllM.toDouble)
+            * log(lit(EventHllM.toDouble) / $"n_zero".cast("double")))
+          .otherwise($"raw_est").as("est_users"))
+    val exact = ev
+      .groupBy(window($"ts", "1 day"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_format($"window.start", "yyyy-MM-dd").as("day"), $"n_users")
+    folded.join(exact, Seq("day"))
+      .select($"day", $"n_zero", $"s_scaled", $"est_users", $"n_users")
+      .orderBy($"day")
+  }
+
+  def eventsHllWindowSql(): String = {
+    val h = graft.functions.Hashing
+      .md5i32Sql("CAST(user_id AS VARCHAR)", EventHllSalt)
+    val (m, w, r) = (EventHllM, EventHllW, EventHllR)
+    val m2r = java.lang.Double.toString(
+      EventHllM.toDouble * EventHllM.toDouble * (1L << EventHllR).toDouble)
+    s"""WITH e AS (
+       |  SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+       |                  '%Y-%m-%d') AS day, user_id
+       |  FROM events),
+       |bits AS (SELECT day, h >> $w AS idx, h & ${(1L << w) - 1} AS w
+       |         FROM (SELECT day, $h AS h FROM e)),
+       |regs AS (
+       |  SELECT day, idx,
+       |    MAX(CASE WHEN w = 0 THEN $r
+       |        ELSE ${w + 1} - (length(bin(w)) - position('1' IN bin(w)) + 1)
+       |        END) AS mj
+       |  FROM bits GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT day, COUNT(*) AS n_used,
+       |    SUM(1::BIGINT << ($r - mj)) AS s_used
+       |  FROM regs GROUP BY day),
+       |fin AS (
+       |  SELECT day, $m - n_used AS n_zero,
+       |    s_used + ($m - n_used) * ${1L << r} AS s_scaled
+       |  FROM agg),
+       |est AS (
+       |  SELECT day, n_zero, s_scaled,
+       |    $EventHllAlpha * $m2r / CAST(s_scaled AS DOUBLE) AS raw_est
+       |  FROM fin),
+       |ex AS (SELECT day, COUNT(DISTINCT user_id) AS n_users FROM e GROUP BY day)
+       |SELECT est.day, CAST(n_zero AS BIGINT) AS n_zero,
+       |  CAST(s_scaled AS BIGINT) AS s_scaled,
+       |  CASE WHEN raw_est <= ${2.5 * EventHllM} AND n_zero > 0
+       |       THEN ${EventHllM.toDouble}
+       |            * ln(${EventHllM.toDouble} / CAST(n_zero AS DOUBLE))
+       |       ELSE raw_est END AS est_users,
+       |  ex.n_users
+       |FROM est JOIN ex ON est.day = ex.day
+       |ORDER BY est.day""".stripMargin
+  }
+
   /** 30-minute-gap session windows per user (a new session starts
     * when the gap since the previous event is >= 30 min —
     * `session_window`'s contract). ONE stateful aggregation, so it is

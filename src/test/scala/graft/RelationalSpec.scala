@@ -464,6 +464,20 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       "segment revenue must reconstruct the customer total")
   }
 
+  test("CMS join-size estimate: overcount certificate and exact-at-fixture-density") {
+    val r = Relational.cmsJoinSize(spark, sf).head()
+    val (na, nb, exact, est, over) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(na > 0 && nb > 0)
+    // the CMS inner-product can only overcount (collision cross terms
+    // are nonnegative products)
+    assert(est >= exact && over == est - exact, s"est $est < exact $exact")
+    // and it never exceeds the blind upper bound n_a * n_b
+    assert(est <= na * nb)
+    // second evaluation reproduces the sketch estimate bit-for-bit
+    assert(Relational.cmsJoinSize(spark, sf).head().getLong(3) == est)
+  }
+
   test("target encode: LOO arithmetic on a fixture, 1-row groups NULL, corpus audit sane") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

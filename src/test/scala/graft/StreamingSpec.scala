@@ -109,6 +109,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0, "CMS bound violated on twin")
   }
 
+  test("daily user HLL registers: stream == batch, state fixed at m, estimate in band") {
+    val rows = eventRows(800)
+    import spark.implicits._
+    val batch = EventStreams.dailyUserHllRegisters(rows.toDF())
+    val stream = runStream(rows, "s_hll_regs")(EventStreams.dailyUserHllRegisters(_))
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+    // TRULY fixed state: <= m register rows per day, registers in range
+    val perDay = batch.groupBy($"day").count().select(max($"count")).as[Long].head()
+    assert(perDay <= EventStreams.EventHllM.toLong,
+      s"registers per day $perDay exceed m")
+    val badReg = batch.filter($"mj" < 1L || $"mj" > EventStreams.EventHllR.toLong
+      || $"idx" < 0L || $"idx" >= EventStreams.EventHllM.toLong).count()
+    assert(badReg == 0, "register out of geometry")
+    // batch twin: estimate within the m=64 band (~13% = 1.04/sqrt(64),
+    // allow 3x; deterministic given md5) on every day
+    val twin = EventStreams.eventsHllWindow(spark, sf)
+    val offBand = twin.filter(
+      abs($"est_users" - $"n_users") > $"n_users" * 0.39).count()
+    assert(offBand == 0, "HLL day estimate out of band")
+  }
+
   test("stream-static enrichment join: stream == batch") {
     val rows = eventRows(800)
     import spark.implicits._
