@@ -510,6 +510,77 @@ object TimeSeries {
        |ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_seasonal_decompose — trend + weekday effect + residual
+  // ---------------------------------------------------------------
+
+  /** Classical additive seasonal decomposition of the daily revenue
+    * series: revenue = trend + weekday_effect + residual, the
+    * pre-processing behind any weekly-seasonality anomaly monitor
+    * (a raw z-score flags every Sunday; the residual flags actual
+    * anomalies). Trend is the 7-ROW centered moving average over the
+    * observed daily series (edge days without a full window are
+    * dropped, which also makes every deviation an exact ×7 integer:
+    * dev = 7·rev − sum7 stays DECIMAL end-to-end); the weekday effect
+    * is the mean deviation per ISO weekday (Mon=0, Spark `weekday` ==
+    * DuckDB `isodow − 1`); the residual is what's left. All three
+    * components derive from decimal-exact sums — the only doubles are
+    * final fixed-parenthesization divisions, so the oracle
+    * hash-checks the whole decomposition.
+    *
+    * Scale: the raw stream collapses to ≤ calendar-days rows first;
+    * the single unpartitioned window runs on that bounded frame (the
+    * EWMA/outlier precedent), and the 7-row weekday-effect table
+    * broadcasts back. */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+    val w = Window.orderBy($"day").rowsBetween(-3, 3)
+    val interior = daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("sum7", sum($"rev").over(w))
+      .filter($"n7" === 7)
+      .withColumn("trend", round($"sum7".cast("double") / 7.0, 4))
+      .withColumn("dev", $"rev" * 7 - $"sum7")
+      .withColumn("wd", weekday($"day").cast("long"))
+    val eff = interior.groupBy($"wd")
+      .agg((sum($"dev")).as("sdev"), count(lit(1)).as("nw"))
+      .select($"wd",
+        round($"sdev".cast("double") / (lit(7.0) * $"nw".cast("double")), 4)
+          .as("effect"))
+    interior.join(broadcast(eff), "wd")
+      .select($"day".cast("string").as("day"),
+        round($"rev".cast("double"), 2).as("revenue"),
+        $"trend", $"effect",
+        round($"rev".cast("double") - $"trend" - $"effect", 4).as("resid"))
+      .orderBy($"day")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, rev, COUNT(*) OVER w AS n7, SUM(rev) OVER w AS sum7
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |i AS (
+      |  SELECT day, rev, round(CAST(sum7 AS DOUBLE) / 7.0, 4) AS trend,
+      |    rev * 7 - sum7 AS dev, isodow(day) - 1 AS wd
+      |  FROM t WHERE n7 = 7),
+      |e AS (
+      |  SELECT wd,
+      |    round(CAST(SUM(dev) AS DOUBLE) / (7.0 * CAST(COUNT(*) AS DOUBLE)), 4)
+      |      AS effect
+      |  FROM i GROUP BY wd)
+      |SELECT CAST(i.day AS VARCHAR) AS day,
+      |  round(CAST(rev AS DOUBLE), 2) AS revenue, trend, effect,
+      |  round(CAST(rev AS DOUBLE) - trend - effect, 4) AS resid
+      |FROM i JOIN e USING (wd) ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_ewma_daily — exponentially weighted smoothing
   // ---------------------------------------------------------------
 

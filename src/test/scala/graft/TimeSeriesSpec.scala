@@ -224,4 +224,29 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getDouble(3) >= r.getDouble(1) && r.getDouble(4) <= r.getDouble(2))
     }
   }
+
+  test("seasonal decompose: components reconstruct revenue, weekday effects centered, edges dropped") {
+    import spark.implicits._
+    val rows = TimeSeries.seasonalDecompose(spark, sf).cache()
+    val n = rows.count()
+    val nDays = graft.sources.Tables.orders(spark, sf)
+      .select(to_date($"o_orderdate")).distinct().count()
+    // exactly the 3+3 edge days of the observed series are dropped
+    assert(n == nDays - 6, s"interior days $n vs observed $nDays")
+    // identity: revenue == trend + effect + resid (to rounding dust)
+    val broken = rows.filter(
+      abs($"revenue" - ($"trend" + $"effect" + $"resid")) > 2e-4).count()
+    assert(broken == 0, "decomposition does not reconstruct revenue")
+    // weekday effects are deviations from a centered average: their
+    // day-weighted mean is ~0 relative to the revenue scale (exact 0
+    // only if edge days contributed symmetrically to every window)
+    val meanRev = rows.agg(avg($"revenue")).head().getDouble(0)
+    val eff = rows.groupBy($"effect").count().collect()
+      .map(r => r.getDouble(0) * r.getLong(1)).sum / n
+    assert(math.abs(eff) < 0.005 * meanRev,
+      s"weekday effects not centered: $eff vs revenue scale $meanRev")
+    // residuals are centered too (same argument)
+    val res = rows.agg(avg($"resid")).head().getDouble(0)
+    assert(math.abs(res) < 0.005 * meanRev, s"residual mean $res vs $meanRev")
+  }
 }
