@@ -581,6 +581,80 @@ object TimeSeries {
       |FROM i JOIN e USING (wd) ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_revenue_drawdown — cumulative-deviation regime monitor
+  // ---------------------------------------------------------------
+
+  /** Report the `k` deepest drawdown days. */
+  val DrawdownTopK = 15
+
+  /** Cumulative-deviation drawdown of the daily revenue series — the
+    * window-expressible cousin of CUSUM changepoint detection (CUSUM's
+    * `max(0, prev + δ)` recursion has no closed window form; the
+    * drawdown `runmax(cum) − cum` flags the same sustained-drop
+    * regimes and is two plain window functions). The series is
+    * centered on the GLOBAL mean so flat periods hold the cumulative
+    * path level: a sustained below-mean regime walks the path down
+    * and the gap to its running maximum is the drawdown depth.
+    *
+    * Integer-exact construction: centering on μ = S/n would leave
+    * decimal land (μ is rational), so the path is scaled by n —
+    * cum_d = Σ_{j≤d} (n·x_j − S), an exact DECIMAL walk — and depth
+    * scales back by one final division. Output: the [[DrawdownTopK]]
+    * deepest days (day, revenue, depth), depth in revenue units.
+    *
+    * Scale: raw stream → ≤ calendar-days frame first; one
+    * unpartitioned window over that bounded frame (EWMA precedent);
+    * top-k via TakeOrdered. */
+  def revenueDrawdown(spark: SparkSession, sfDir: String,
+                      k: Int = DrawdownTopK): DataFrame = {
+    import spark.implicits._
+    revenueDrawdownOf(
+      Tables.orders(spark, sfDir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(dec($"o_totalprice")).as("rev")),
+      k)
+  }
+
+  /** [[revenueDrawdown]] over any `(day, rev: decimal)` daily frame. */
+  private[graft] def revenueDrawdownOf(daily: DataFrame, k: Int): DataFrame = {
+    import daily.sparkSession.implicits._
+    val stats = daily.agg(sum($"rev").as("s"), count(lit(1)).as("n"))
+    val cumW = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("cum", sum($"rev" * $"n" - $"s").over(cumW))
+      .withColumn("peak", max($"cum").over(cumW))
+      .select($"day".cast("string").as("day"),
+        round($"rev".cast("double"), 2).as("revenue"),
+        round(($"peak" - $"cum").cast("double") / $"n".cast("double"), 4)
+          .as("depth"))
+      .orderBy($"depth".desc, $"day")
+      .limit(k)
+  }
+
+  def revenueDrawdownSql(k: Int = DrawdownTopK): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM orders GROUP BY 1),
+       |st AS (SELECT SUM(rev) AS s, COUNT(*) AS n FROM daily),
+       |c AS (
+       |  SELECT day, rev, n,
+       |    SUM(rev * n - s) OVER w AS cum
+       |  FROM daily CROSS JOIN st
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW)),
+       |p AS (
+       |  SELECT day, rev, n, cum, MAX(cum) OVER w AS peak
+       |  FROM c
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW))
+       |SELECT CAST(day AS VARCHAR) AS day,
+       |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+       |  round(CAST(peak - cum AS DOUBLE) / CAST(n AS DOUBLE), 4) AS depth
+       |FROM p ORDER BY depth DESC, day LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_ewma_daily — exponentially weighted smoothing
   // ---------------------------------------------------------------
 

@@ -249,4 +249,25 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val res = rows.agg(avg($"resid")).head().getDouble(0)
     assert(math.abs(res) < 0.005 * meanRev, s"residual mean $res vs $meanRev")
   }
+
+  test("revenue drawdown: hand-walked dip fixture, nonnegative depths on the corpus") {
+    import spark.implicits._
+    // 8 days, a 2-day dip: mean 8.25, scaled path peaks at day 4 and
+    // bottoms at day 6 — depth (peak-cum)/n hand-computed
+    val daily = Seq("2024-01-01" -> 10.0, "2024-01-02" -> 10.0,
+      "2024-01-03" -> 10.0, "2024-01-04" -> 10.0,
+      "2024-01-05" -> 2.0, "2024-01-06" -> 2.0,
+      "2024-01-07" -> 10.0, "2024-01-08" -> 10.0)
+      .toDF("d", "r")
+      .select($"d".cast("date").as("day"), $"r".cast("decimal(18,2)").as("rev"))
+    val got = TimeSeries.revenueDrawdownOf(daily, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(got == Seq(("2024-01-06", 12.5), ("2024-01-07", 10.75),
+      ("2024-01-08", 9.0)), s"got $got")
+    // corpus: depths are nonnegative (cum <= its running max by
+    // construction) and the report is exactly k rows
+    val corpus = TimeSeries.revenueDrawdown(spark, sf).collect()
+    assert(corpus.length == TimeSeries.DrawdownTopK)
+    assert(corpus.forall(_.getDouble(2) >= 0.0))
+  }
 }
