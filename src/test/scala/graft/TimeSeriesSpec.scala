@@ -252,8 +252,10 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
 
   test("revenue drawdown: hand-walked dip fixture, nonnegative depths on the corpus") {
     import spark.implicits._
-    // 8 days, a 2-day dip: mean 8.25, scaled path peaks at day 4 and
-    // bottoms at day 6 — depth (peak-cum)/n hand-computed
+    // 8 days, a 2-day dip: S=64, mean 8; scaled deviations 8x−64 are
+    // +16 per 10-day and −48 per 2-day, so the path peaks at day 4
+    // (cum 64) and bottoms at day 6 (cum −32) — depth (peak−cum)/8
+    // is 12 at the dip bottom, recovering by 2/day after
     val daily = Seq("2024-01-01" -> 10.0, "2024-01-02" -> 10.0,
       "2024-01-03" -> 10.0, "2024-01-04" -> 10.0,
       "2024-01-05" -> 2.0, "2024-01-06" -> 2.0,
@@ -262,8 +264,8 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .select($"d".cast("date").as("day"), $"r".cast("decimal(18,2)").as("rev"))
     val got = TimeSeries.revenueDrawdownOf(daily, k = 3).collect()
       .map(r => (r.getString(0), r.getDouble(2))).toSeq
-    assert(got == Seq(("2024-01-06", 12.5), ("2024-01-07", 10.75),
-      ("2024-01-08", 9.0)), s"got $got")
+    assert(got == Seq(("2024-01-06", 12.0), ("2024-01-07", 10.0),
+      ("2024-01-08", 8.0)), s"got $got")
     // corpus: depths are nonnegative (cum <= its running max by
     // construction) and the report is exactly k rows
     val corpus = TimeSeries.revenueDrawdown(spark, sf).collect()
