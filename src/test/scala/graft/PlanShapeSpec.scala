@@ -197,4 +197,59 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"PCA step is not a partial+final aggregate:\n$plan")
   }
+
+  test("CMS builds plan map-side partial counts; probe join broadcasts the sketch (r10)") {
+    val plan = graft.operators.TextAnalytics.countMinReplay(spark, sf)
+      .queryExecution.executedPlan.toString
+    // cell counts are a plain partial+final count on (salt, cell):
+    // per task at most depth*width rows cross the wire
+    assert("partial_count".r.findAllIn(plan).size >= 1, plan.take(900))
+    // the ≤ depth·width sketch is the BROADCAST side of the probe join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(900))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("inverted index rides the native bounded-heap top-k, no window sort (r10)") {
+    val plan = graft.operators.TextAnalytics.invertedIndex(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"posting cap must use the native heap plan:\n${plan.take(900)}")
+    // the df-capped posting build must not fall back to a per-term
+    // global Window (rank-over-sort materializes every posting)
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      plan.take(900))
+  }
+
+  test("CC round: edges never shuffle under the tier — labels broadcast (r10)") {
+    import spark.implicits._
+    // one propagation round over a fixture edge frame: the edge side
+    // must join against a BROADCAST label frame (tier on), and the
+    // new-label reduction is a partial+final MIN on the node key
+    val und = Seq((1, 2), (2, 3), (1, 3), (4, 5))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val labels = (1L to 5L).toDF("a").select($"a", $"a".as("lbl"))
+    val msgs = edges
+      .join(graft.util.Broadcasting.maybeBroadcast(labels, 5L),
+        edges("src") === labels("a"))
+      .select($"dst".as("a"), $"lbl")
+    val next = labels.unionByName(msgs).groupBy($"a")
+      .agg(org.apache.spark.sql.functions.min($"lbl").as("lbl"))
+    val plan = next.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label join must broadcast under the tier:\n${plan.take(900)}")
+    assert("partial_min".r.findAllIn(plan).size >= 1, plan.take(900))
+  }
+
+  test("seasonal decompose: effect table broadcasts back; daily collapse precedes the window (r10)") {
+    val qe = TimeSeries.seasonalDecompose(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // the 7-row weekday-effect join must broadcast, not shuffle the
+    // daily frame a second time
+    assert(plan.contains("BroadcastHashJoin"), plan.take(900))
+    // exactly one unpartitioned window pass over the ≤calendar-days
+    // frame (trend); the raw order stream collapses via aggregate first
+    assert("Window".r.findAllIn(plan).size >= 1 &&
+      "partial_sum".r.findAllIn(plan).size >= 1, plan.take(900))
+  }
 }
