@@ -543,6 +543,97 @@ object Graph {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC '14) — the O(log n)-round upgrade path
+    * [[connectedComponents]]'s scaladoc names for adversarial-diameter
+    * graphs. Same output contract (component-size census, isolates
+    * kept), so the SAME min-label oracle checks it.
+    *
+    * Per alternation: large-star attaches every node's LARGER
+    * neighbors to the minimum of its closed neighborhood; small-star
+    * attaches the node and its SMALLER neighbors to the minimum of
+    * those. Both are one partial+final MIN on the node key plus one
+    * equi-join of the edge frame with that node-cardinality min frame
+    * (tier-gated broadcast) — no collect_list neighborhoods, so a
+    * 100-TB-graph hub node never materializes its adjacency in one
+    * task. Edges stay canonical (src > dst) by construction, which
+    * halves the carried frame vs the both-arcs min-label loop. Round
+    * count is O(log n) alternations vs label propagation's O(diameter)
+    * — on a length-d chain the min-label loop pays d rounds where this
+    * pays ~log d (spec-pinned). Convergence witness: the symmetric
+    * difference of consecutive edge frames, a driver long; fixpoint is
+    * the star forest centered at component minima. localCheckpoint per
+    * alternation bounds the recursive plan (the pagerank discipline). */
+  def connectedComponentsContract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ccContractOf(weightedEdges(spark, sfDir, GraphWeightMin),
+      longNodes(spark, sfDir), GraphMaxRounds)
+      .groupBy($"lbl").agg(count(lit(1)).as("comp_size"))
+      .groupBy($"comp_size").agg(count(lit(1)).as("n_comps"))
+      .orderBy($"comp_size")
+  }
+
+  /** [[connectedComponentsContract]]'s loop over any directed edge
+    * frame (both arcs present) and node frame `(a)`: returns `(a,
+    * lbl)` with `lbl` = min node id of the component — the same
+    * contract as [[ccOf]], by a different route. */
+  private[graft] def ccContractOf(edges: DataFrame, nodes: DataFrame,
+                                  maxRounds: Int): DataFrame =
+    ccContractRounds(edges, nodes, maxRounds)._1
+
+  private[graft] def ccContractRounds(edges: DataFrame, nodes: DataFrame,
+                                      maxRounds: Int): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // canonical big→small arcs: the both-arcs input carries each
+    // undirected edge twice; keep the (src > dst) orientation once
+    var e = edges.filter($"src" > $"dst").select($"src", $"dst")
+      .distinct().localCheckpoint()
+    val nU = nodes.count() // tier bound for the min-frame broadcasts
+    var changed = -1L
+    var it = 0
+    while (changed != 0L && it < maxRounds) {
+      // large-star over the full (symmetrized) neighborhood
+      val both = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+      val mins = both.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("u"), least($"src", $"mn").as("m"))
+      val large = both
+        .join(graft.util.Broadcasting.maybeBroadcast(mins, nU),
+          both("src") === mins("u"))
+        .filter($"dst" > $"src") // larger neighbors v: emit v → m, v > u ≥ m
+        .select($"dst".as("src"), $"m".as("dst"))
+        .distinct()
+      // small-star over the (already canonical) large-star output
+      val mins2 = large.groupBy($"src").agg(min($"dst").as("m"))
+        .select($"src".as("u"), $"m")
+      val gated2 = graft.util.Broadcasting.maybeBroadcast(mins2, nU)
+      val small = large
+        .join(gated2, large("src") === mins2("u"))
+        .select($"dst".as("src"), $"m".as("dst")) // smaller neighbors v → m
+        .unionByName(mins2.select($"u".as("src"), $"m".as("dst"))) // u itself → m
+        .filter($"src" =!= $"dst")
+        .distinct()
+        .localCheckpoint()
+      // convergence witness: symmetric difference of consecutive edge
+      // sets (both sides distinct, so except ≡ exceptAll)
+      changed = small.except(e).count() + e.except(small).count()
+      e.unpersist(blocking = false)
+      e = small
+      it += 1
+    }
+    require(changed == 0L,
+      s"contraction components did not converge within $maxRounds alternations")
+    // fixpoint is a star forest: every non-center appears exactly once
+    // as src, centers only as dst, isolates not at all
+    val member = e.select($"src".as("a"), $"dst".as("lbl"))
+    val ctr = e.select($"dst".as("a"), $"dst".as("lbl")).distinct()
+    val covered = member.select($"a").unionByName(ctr.select($"a"))
+    val iso = nodes.join(covered, Seq("a"), "left_anti")
+      .select($"a", $"a".as("lbl"))
+    (member.unionByName(ctr).unionByName(iso), it)
+  }
+
   /** k-core of the repeat-collaboration graph: iteratively peel
     * nodes of remaining degree < k until the fixpoint; one summary
     * row `(n_nodes, n_core_nodes, n_core_edges, min_core_deg)` —

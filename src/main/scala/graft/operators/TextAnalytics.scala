@@ -1535,6 +1535,83 @@ object TextAnalytics {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_pmi_collocations — pointwise-mutual-information collocations
+  // ---------------------------------------------------------------
+
+  /** Bigrams with unstable PMI are noise: the floor keeps pairs seen
+    * often enough for the log-ratio to mean something (Church &
+    * Hanks' classic caveat). */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
+  /** Top collocations by pointwise mutual information: PMI(a,b) =
+    * ln( p(ab) / (p(a)·p(b)) ) with p(ab) = c(ab)/B over corpus
+    * bigrams and p(·) = c(·)/N over corpus tokens — the classic
+    * "which word pairs co-occur far above chance" query
+    * (collocation mining, MWE detection for tokenizer vocab audits).
+    * Rare pairs are floored at [[PmiMinCount]] before scoring.
+    *
+    * Scale posture: two partial+final counts (unigram, bigram — both
+    * vocab-cardinality, sub-linear in the corpus), the two scalar
+    * totals as 1-row broadcast crossJoins, and the surviving
+    * collocation frame joins the broadcast unigram vocab twice —
+    * exactly [[bigramLogprob]]'s join geometry, sharing its cached
+    * shingle stage. Determinism: the PMI is ONE fixed-
+    * parenthesization double expression over exact integer counts,
+    * rounded once at 4 dp; top-k breaks ties on the pair itself. */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+                      minCount: Int = PmiMinCount, k: Int = PmiTopK): DataFrame =
+    pmiCollocationsOf(docs(spark, sfDir), minCount, k)
+
+  def pmiCollocationsOf(documents: DataFrame,
+                        minCount: Int = PmiMinCount, k: Int = PmiTopK): DataFrame = {
+    import documents.sparkSession.implicits._
+    val toks = cached("pmiTokens",
+      documents.select(explode(tokens($"text")).as("term")))
+    val uni = toks.groupBy($"term").agg(count(lit(1)).as("cu"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val bi = cached("bigramShingles",
+      documents
+        .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+        .withColumn("prev", split($"bg", " ").getItem(0)))
+    val nBg = bi.agg(count(lit(1)).as("n_bg"))
+    bi.groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= minCount)
+      .withColumn("term_a", split($"bg", " ").getItem(0))
+      .withColumn("term_b", split($"bg", " ").getItem(1))
+      .join(broadcast(uni.select($"term".as("term_a"), $"cu".as("c_a"))), "term_a")
+      .join(broadcast(uni.select($"term".as("term_b"), $"cu".as("c_b"))), "term_b")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .withColumn("pmi", round(
+        log(($"c_ab".cast("double") / $"n_bg") /
+          (($"c_a".cast("double") / $"n_tok") * ($"c_b".cast("double") / $"n_tok"))),
+        4))
+      .orderBy($"pmi".desc, $"term_a", $"term_b")
+      .limit(k)
+      .select($"term_a", $"term_b", $"c_ab".cast("long").as("c_ab"),
+        $"c_a".cast("long").as("c_a"), $"c_b".cast("long").as("c_b"), $"pmi")
+  }
+
+  def pmiCollocationsSql(minCount: Int = PmiMinCount, k: Int = PmiTopK): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |tok AS (SELECT unnest(ts) AS term FROM t),
+       |u AS (SELECT term, COUNT(*) AS cu FROM tok GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_tok FROM tok),
+       |bi AS (SELECT unnest(${shinglesNSql("ts", 2)}) AS bg FROM t),
+       |b AS (SELECT COUNT(*) AS n_bg FROM bi),
+       |g AS (SELECT bg, COUNT(*) AS c_ab FROM bi
+       |      GROUP BY bg HAVING COUNT(*) >= $minCount),
+       |s AS (SELECT string_split(bg, ' ')[1] AS term_a,
+       |             string_split(bg, ' ')[2] AS term_b, c_ab FROM g)
+       |SELECT s.term_a, s.term_b, CAST(s.c_ab AS BIGINT) AS c_ab,
+       |  CAST(ua.cu AS BIGINT) AS c_a, CAST(ub.cu AS BIGINT) AS c_b,
+       |  round(ln((s.c_ab::DOUBLE / n_bg) /
+       |    ((ua.cu::DOUBLE / n_tok) * (ub.cu::DOUBLE / n_tok))), 4) AS pmi
+       |FROM s JOIN u ua ON s.term_a = ua.term
+       |       JOIN u ub ON s.term_b = ub.term, n, b
+       |ORDER BY pmi DESC, s.term_a, s.term_b LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_kn_bigram — Kneser-Ney smoothed bigram LM surprisal
   // ---------------------------------------------------------------
 

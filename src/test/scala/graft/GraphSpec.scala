@@ -128,6 +128,44 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(census.map { case (size, n) => size * n }.sum == totalActors)
   }
 
+  test("contraction CC: labels match min-label route; O(log n) rounds on a chain") {
+    import spark.implicits._
+    // same fixture as the min-label test: triangle, path, two isolates
+    val und = Seq((1, 2), (2, 3), (1, 3), (4, 5))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("a")
+    val labels = Graph.ccContractOf(edges, nodes, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+    // the round-complexity separation the operator exists for: a
+    // 100-node chain has diameter 99, so min-label propagation CANNOT
+    // converge in 12 rounds — contraction must (O(log n) alternations)
+    val chain = (1 to 99).map(i => (i.toLong, (i + 1).toLong))
+    val chainEdges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val chainNodes = (1L to 100L).toDF("a")
+    val (chainLabels, rounds) =
+      Graph.ccContractRounds(chainEdges, chainNodes, maxRounds = 12)
+    assert(chainLabels.as[(Long, Long)].collect().forall(_._2 == 1L))
+    assert(rounds <= 12, s"contraction took $rounds alternations on a 100-chain")
+    intercept[IllegalArgumentException] {
+      Graph.ccOf(chainEdges, chainNodes, maxRounds = 12).count()
+    }
+    // tier cap 0 forces shuffled min-frame joins; labels identical
+    spark.conf.set(graft.util.Broadcasting.maxRowsKey, "0")
+    try assert(Graph.ccContractOf(edges, nodes, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap == labels)
+    finally spark.conf.unset(graft.util.Broadcasting.maxRowsKey)
+    // both routes agree on the corpus census — the equivalence that
+    // lets rel_graph_cc_contract share the min-label oracle
+    val viaContract = Graph.connectedComponentsContract(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val viaLabels = Graph.connectedComponents(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaContract == viaLabels)
+  }
+
   test("k-core: multi-round peel on a fixture, certificate holds on the corpus") {
     import spark.implicits._
     // K4 {1,2,3,4} + chain 4-5-6: peeling 6 (deg 1) drops 5 to deg 1,

@@ -301,6 +301,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("PMI collocations: hand-computed fixture, floor and ordering on the corpus") {
+    import spark.implicits._
+    // 6 identical docs "zig zag w<i> zig": c(zig zag)=6, c(zig)=12,
+    // c(zag)=6, N=24 tokens, B=18 bigrams; every other bigram is
+    // unique per doc, so minCount=2 keeps exactly the one collocation
+    val fixture = (1 to 6)
+      .map(i => (i.toLong, s"zig zag w$i zig"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.pmiCollocationsOf(fixture, minCount = 2, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, cab, ca, cb, pmi) = got.head
+    assert((a, b, cab, ca, cb) == ("zig", "zag", 6L, 12L, 6L))
+    val want = BigDecimal(math.log((6.0 / 18) / ((12.0 / 24) * (6.0 / 24))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi == want, s"pmi $pmi != $want")
+    // corpus: bounded at k, floored at PmiMinCount, sorted by pmi desc
+    val corpus = TextAnalytics.pmiCollocations(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(corpus.length <= TextAnalytics.PmiTopK)
+    assert(corpus.forall(_._3 >= TextAnalytics.PmiMinCount))
+    assert(corpus.map(_._6).toSeq == corpus.map(_._6).toSeq.sortBy(-(_: Double)))
+  }
+
   test("feature hashing conserves token mass and bounds nnz") {
     import spark.implicits._
     val fh = TextAnalytics.featureHash(spark, sf)
