@@ -381,6 +381,98 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // llm_multimodal_framesample — video frame sampling + keyframe flag
+  // ---------------------------------------------------------------
+
+  /** Every 4th frame is kept — the classic fixed-stride sampling a
+    * video-training pipeline starts from. */
+  val FrameStride = 4
+
+  /** A sampled frame whose mean intensity shifts > 5 % vs the
+    * previous kept frame is flagged a keyframe (scene-change proxy —
+    * integer cross-multiplied, so no float sits on the boundary). */
+  val KeyframeShiftPct = 5L
+
+  /** Frame-sampling census over the REAL video decode: walk the
+    * framed-PNG container ([[decodeOne]]), slice the decoded stream
+    * into [[DecodedAsset.n_frames]] equal slices, keep every
+    * [[FrameStride]]-th, and emit per kept frame its size, exact
+    * integer code sum, and a keyframe flag (intensity shift >
+    * [[KeyframeShiftPct]] % vs the previous kept frame). The
+    * Spark-side plumbing is the real shape a frame-sampling stage
+    * has — binary container in, per-frame rows out, bounded decode
+    * budget per asset ([[MaxPixels]]) — and the SQL oracle
+    * regenerates every sampled pixel from the pattern formulas
+    * ([[patternValue]], [[frameId]]) and replays slicing, code sums,
+    * and the keyframe window, so the whole codec round-trip is
+    * hash-checked end-to-end (the [[imagePhashPairs]] precedent).
+    *
+    * Scale posture: decode is one mapPartitions pass with per-row
+    * bounded work; the census is per-row array arithmetic (codegen'd
+    * `transform`/`aggregate`) plus ONE asset-partitioned window for
+    * the keyframe lag. Nothing driver-side; output is ≤
+    * assets × ceil(n_frames/stride) rows. */
+  def frameSampleStats(spark: SparkSession, sfDir: String,
+                       stride: Int = FrameStride): DataFrame = {
+    import spark.implicits._
+    val sampled = frameSample(
+      decodeAssets(assetsWithRealPayloads(spark, sfDir)), stride)
+    // exact integer recovery of the pattern byte: px = p/255f, so
+    // round(px·255) = p (the resizePooledCodes scale discipline)
+    val codes = sampled.select($"asset_id", $"frame_idx".cast("long").as("frame_idx"),
+      size($"frame").cast("long").as("n_px"),
+      aggregate(transform($"frame",
+          x => round(x.cast("double") * lit(255.0)).cast("long")),
+        lit(0L), (a, x) => a + x).as("code_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"frame_idx")
+    codes
+      .withColumn("prev_sum", lag($"code_sum", 1).over(w))
+      .withColumn("is_key", $"prev_sum".isNull ||
+        abs($"code_sum" - $"prev_sum") * lit(100L) >
+          $"prev_sum" * lit(KeyframeShiftPct))
+      .select($"asset_id", $"frame_idx", $"n_px", $"code_sum", $"is_key")
+      .orderBy($"asset_id", $"frame_idx")
+  }
+
+  /** End-to-end oracle of [[frameSampleStats]]: regenerates the
+    * decoded video stream from the per-frame pattern formula (global
+    * pixel j of asset a has value `patternValue(a·131 + j div wh,
+    * j mod wh mod w, j mod wh div w)`), replays the equal-slice
+    * frame walk with its decode cap, and the keyframe lag window. */
+  def frameSampleStatsSql(stride: Int = FrameStride): String =
+    s"""WITH v AS (
+       |  SELECT doc_id AS asset_id, 16 + n_chars % 64 AS w,
+       |         16 + n_chars % 48 AS h, 1 + n_chars % 24 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |g AS (SELECT asset_id, w, h, nf,
+       |        LEAST(w * h * nf, $MaxPixels) AS len,
+       |        GREATEST(1, LEAST(w * h * nf, $MaxPixels) // nf) AS flen
+       |      FROM v),
+       |fr AS (SELECT asset_id, w, h, flen,
+       |         unnest(range(0, nf)) AS f FROM g),
+       |kept AS (SELECT * FROM fr WHERE f % $stride = 0),
+       |px AS (SELECT asset_id, f, w, h,
+       |         unnest(range(f * flen, f * flen + flen)) AS j
+       |       FROM kept),
+       |codes AS (
+       |  SELECT asset_id, f AS frame_idx, CAST(COUNT(*) AS BIGINT) AS n_px,
+       |    CAST(SUM((((j % (w * h)) % w) * 7 + ((j % (w * h)) // w) * 13
+       |              + (asset_id * 131 + j // (w * h))) % 256) AS BIGINT)
+       |      AS code_sum
+       |  FROM px GROUP BY asset_id, f, w, h),
+       |lagged AS (
+       |  SELECT asset_id, frame_idx, n_px, code_sum,
+       |    LAG(code_sum) OVER (PARTITION BY asset_id ORDER BY frame_idx)
+       |      AS prev_sum
+       |  FROM codes)
+       |SELECT asset_id, frame_idx, n_px, code_sum,
+       |  (prev_sum IS NULL) OR
+       |    (abs(code_sum - prev_sum) * 100 > prev_sum * $KeyframeShiftPct)
+       |    AS is_key
+       |FROM lagged ORDER BY asset_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------
   // llm_multimodal_decode — encode→decode→resize stats (rows-only
   // check: a binary codec pipeline is not SQL-expressible; the spec
   // pins decoded pixel values exactly instead)

@@ -2084,6 +2084,83 @@ object Relational {
       |    AS BIGINT) AS cells_gt_01
       |FROM cells GROUP BY quarter ORDER BY quarter""".stripMargin
 
+  /** Differentially-private release parameters: per-user-per-cell
+    * contribution cap (the sensitivity bound), the privacy budget ε,
+    * and the hash salt that seeds the deterministic noise stream. */
+  val DpCap = 4
+  val DpEpsilon = 1.0
+  val DpSalt = 77
+
+  /** ε-DP noisy-count release — the fourth rung of the governance
+    * ladder ([[kAnonymity]] bounds re-identification, [[lDiversity]]
+    * homogeneity, [[tCloseness]] attribute disclosure; this one
+    * releases the histogram itself with a quantified privacy
+    * guarantee instead of auditing it). Publishes the per-(event_type,
+    * day) event-count histogram under the Laplace mechanism:
+    *
+    *  1. contribution cap: each user's events in a cell are clipped
+    *     at [[DpCap]], which bounds the release's sensitivity — the
+    *     step naive "just add noise" pipelines skip, and without
+    *     which ε is meaningless;
+    *  2. Laplace(Δ/ε) noise with Δ = [[DpCap]], ε = [[DpEpsilon]],
+    *     per-cell at user level (neighboring datasets differ in one
+    *     user's presence in that cell; cross-cell composition is
+    *     basic-composition as usual);
+    *  3. the TRUE count never appears in the output — only the noisy
+    *     release (negative values are kept: clamping would bias the
+    *     release and leak sign information).
+    *
+    * Determinism discipline: production DP draws fresh randomness;
+    * here the uniform draw is the salted md5 of the cell key mapped
+    * into (0,1) — (h mod 2²⁰ + 0.5)/2²⁰, never exactly 0, ½, or 1 —
+    * pushed through the inverse-CDF Laplace transform as ONE
+    * fixed-parenthesization double chain, so the oracle replays the
+    * release bit-for-bit (the AMS-sketch md5-signs precedent).
+    *
+    * Scale: two partial+final aggregates (per-user-cell clip, cell
+    * sum) and per-row scalar hash arithmetic — nothing leaves the
+    * executors but the ≤ types×days release frame. */
+  def dpRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = DpCap / DpEpsilon // Laplace scale Δ/ε
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"), $"user_id")
+      .agg(count(lit(1)).as("c"))
+    val cells = perUser
+      .groupBy($"event_type", $"day")
+      .agg(sum(least($"c", lit(DpCap.toLong))).as("capped"))
+    val key = concat($"event_type", lit("|"),
+      date_format($"day", "yyyy-MM-dd"))
+    val u = ((pmod(graft.functions.Hashing.md5i32(key, DpSalt),
+      lit(1048576L))).cast("double") + 0.5) / 1048576.0
+    val cen = u - 0.5
+    val noise = -lit(b) * signum(cen) * log(lit(1.0) - lit(2.0) * abs(cen))
+    cells
+      .withColumn("released", round($"capped".cast("double") + noise, 4))
+      .select($"event_type", $"day", $"released")
+      .orderBy($"event_type", $"day")
+  }
+
+  val dpReleaseSql: String = {
+    val h = graft.functions.Hashing.md5i32Sql(
+      "event_type || '|' || strftime(day, '%Y-%m-%d')", DpSalt)
+    s"""WITH pu AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, user_id, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2, 3),
+       |cells AS (
+       |  SELECT event_type, day, CAST(SUM(LEAST(c, $DpCap)) AS BIGINT) AS capped
+       |  FROM pu GROUP BY 1, 2),
+       |n AS (
+       |  SELECT event_type, day, capped,
+       |    (($h % 1048576) + 0.5) / 1048576.0 AS u
+       |  FROM cells)
+       |SELECT event_type, day,
+       |  round(CAST(capped AS DOUBLE) +
+       |    (-${DpCap / DpEpsilon} * sign(u - 0.5)) *
+       |    ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS released
+       |FROM n ORDER BY event_type, day""".stripMargin
+  }
+
   /** Pre-flight join-key skew report: for each prospective join key,
     * the key-frequency shape that decides the physical strategy —
     * `skew_factor` (max key frequency over the uniform expectation

@@ -154,6 +154,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("frame-sample census: code sums replay the pattern through the real codec") {
+    import spark.implicits._
+    val got = Multimodal.frameSampleStats(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    // geometry + code sums replayed from the fixture formulas for
+    // every sampled frame of every video asset (independent of the
+    // decode path — the oracle's logic, in Scala)
+    val geo = Multimodal.assets(spark, sf)
+      .filter($"kind" === "video")
+      .select($"asset_id", $"width", $"height", $"n_frames")
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (id, w, h, nf) => id -> (w, h, nf) }.toMap
+    got.foreach { case (id, f, nPx, codeSum, _) =>
+      val (w, h, nf) = geo(id)
+      val len = math.min(w * h * nf, Multimodal.MaxPixels)
+      val flen = math.max(1, len / nf)
+      assert(f % Multimodal.FrameStride == 0 && f < nf)
+      assert(nPx == flen, s"asset $id frame $f: n_px $nPx != $flen")
+      val want = (f * flen until f * flen + flen).map { j =>
+        val k = (j % (w * h)).toInt
+        Multimodal.patternValue(id * 131L + j / (w * h), k % w, k / w).toLong
+      }.sum
+      assert(codeSum == want, s"asset $id frame $f: code sum $codeSum != $want")
+    }
+    // first kept frame is always a keyframe; per-asset frame counts
+    // match ceil(nf/stride)
+    val byAsset = got.groupBy(_._1)
+    byAsset.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._5, s"asset $id: first sampled frame not a keyframe")
+      val nf = geo(id)._3
+      assert(rows.length == (nf + Multimodal.FrameStride - 1) / Multimodal.FrameStride)
+    }
+  }
+
   test("audio fingerprint: volume-scaled re-masters hash to their originals") {
     import spark.implicits._
     val pairs = Multimodal.audioHashPairs(spark, sf)

@@ -385,6 +385,41 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("DP release: independent replay of cap, hash-noise, and Laplace transform") {
+    import spark.implicits._
+    val got = Relational.dpRelease(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    // independent md5 (java.security, not the Spark expression): the
+    // noise stream and the whole release must replay driver-side
+    def h32(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Relational.DpSalt}:$key".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expect = raw.groupBy(t => (t._1, t._2)).map { case ((tpe, day), es) =>
+      val capped = es.groupBy(_._3).values
+        .map(v => math.min(v.size.toLong, Relational.DpCap.toLong)).sum
+      val u = (h32(s"$tpe|$day") % 1048576L + 0.5) / 1048576.0
+      val cen = u - 0.5
+      val noise = -(Relational.DpCap / Relational.DpEpsilon) *
+        math.signum(cen) * math.log(1.0 - 2.0 * math.abs(cen))
+      (tpe, day) -> BigDecimal(capped.toDouble + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === expect)
+    // the mechanism actually perturbs: no cell releases its exact
+    // capped count (the hash-noise is never exactly zero)
+    val cappedTrue = raw.groupBy(t => (t._1, t._2)).map { case (k, es) =>
+      k -> es.groupBy(_._3).values
+        .map(v => math.min(v.size.toLong, Relational.DpCap.toLong)).sum.toDouble
+    }
+    assert(got.forall { case (k, rel) => rel != cappedTrue(k) })
+  }
+
   test("data skew report: stats replay from an independent key-frequency pass") {
     import spark.implicits._
     val rows = Relational.dataSkewReport(spark, sf).collect()
