@@ -206,6 +206,117 @@ object Graph {
     (ranks, it)
   }
 
+  /** Personalized PageRank from a deterministic single-seed set (the
+    * lexicographically smallest actor id): teleport goes to the SEED,
+    * not uniformly — the "what is related to X" serving query behind
+    * related-item feeds and local community detection, where global
+    * PageRank answers "what is important overall". Dangling mass
+    * returns to the seed as well, so total mass stays 1.
+    *
+    * Same per-iteration shape and determinism contract as
+    * [[pagerankOf]] (one tier-gated rank-broadcast edge join + one
+    * partial+final sum per iteration, 8-dp in-loop rounding,
+    * localCheckpoint against the recursive double reference), and the
+    * frames it shares with global PageRank (degree-joined edges,
+    * nodes, dangling set) resolve to the SAME session-cache entries.
+    * This variant carries the full node frame for oracle-replay
+    * parity; at 100 TB a single-seed PPR would keep only the nonzero
+    * frontier (which grows hop-by-hop from the seed), an
+    * interface-compatible sparsification. */
+  def pprActors(spark: SparkSession, sfDir: String,
+                iters: Int = 5, d: Double = 0.85, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val (edges, nodes) = coActorEdges(spark, sfDir)
+    val seed = cached("ppr-seed", nodes.agg(min($"a").as("a")))
+    pprOf(edges, nodes, seed, iters, d)
+      .select($"a".as("actor"), round($"r", 6).as("rank"))
+      .orderBy($"rank".desc, $"actor")
+      .limit(k)
+  }
+
+  /** [[pprActors]] over any distinct directed edge frame `(src,
+    * dst)`, node frame `(a)`, and seed frame `(a)` (teleport mass
+    * splits uniformly over the seeds). Returns `(a, r)` at 8 dp. */
+  private[graft] def pprOf(edges: DataFrame, nodes0: DataFrame,
+                           seeds: DataFrame, iters: Int = 5,
+                           d: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = cached("pagerank-edges", edges.join(deg, "src"))
+    val nodes = cached("pagerank-nodes", nodes0)
+    val n = nodes.count()
+    val nS = seeds.count().toDouble
+    val dangling = cached("pagerank-dangling",
+      nodes.join(edgesDeg.select($"src"), nodes("a") === $"src", "left_anti"))
+    // teleport vector: 1 on seeds, 0 elsewhere — node-cardinality,
+    // computed once, re-entering every iteration
+    val tv = cached("ppr-tv",
+      nodes.join(seeds.select($"a", lit(1.0).as("t")), Seq("a"), "left")
+        .select($"a", coalesce($"t", lit(0.0)).as("t")))
+    var ranks = tv.select($"a", round($"t" / nS, 8).as("r"))
+    var prevCkpt: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val prev = ranks.localCheckpoint()
+      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+      prevCkpt = prev
+      val m = dangling.join(prev, Seq("a"))
+        .agg(coalesce(sum($"r"), lit(0.0)).as("m"))
+      val contribs = edgesDeg
+        .join(graft.util.Broadcasting.maybeBroadcast(prev, n),
+          edgesDeg("src") === prev("a"))
+        .select($"dst", ($"r" / $"deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      ranks = tv
+        .join(contribs.select($"dst".as("a"), $"s"), Seq("a"), "left")
+        .crossJoin(m)
+        .select($"a",
+          round(lit(1 - d) * $"t" / nS
+            + lit(d) * (coalesce($"s", lit(0.0)) + $"m" * $"t" / nS), 8).as("r"))
+      it += 1
+    }
+    ranks
+  }
+
+  /** Oracle: exact chained-CTE replay of [[pprOf]]'s single-seed run
+    * — seed = MIN(a), so |S| = 1 and the /|S| factors are IEEE
+    * identities the SQL omits. */
+  def pprActorsSql(iters: Int = 5, d: Double = 0.85, k: Int = 20): String = {
+    val head =
+      s"""WITH movies AS (${Tables.moviesSql}),
+         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+         |edges AS (SELECT DISTINCT x.a AS src, y.a AS dst
+         |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
+         |nodes AS (SELECT DISTINCT a FROM sel),
+         |ed AS (SELECT src, dst, deg FROM edges
+         |       JOIN (SELECT src AS s2, COUNT(*) AS deg
+         |             FROM edges GROUP BY src) ON src = s2),
+         |dangling AS (SELECT a FROM nodes
+         |             WHERE a NOT IN (SELECT src FROM edges)),
+         |tv AS (SELECT a, CASE WHEN a = (SELECT MIN(a) FROM nodes)
+         |                      THEN 1.0e0 ELSE 0.0e0 END AS t FROM nodes),
+         |r0 AS (SELECT a, ROUND(t, 8) AS r FROM tv)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (
+         |  SELECT COALESCE(SUM(r), 0.0e0) AS m FROM r${i - 1}
+         |  WHERE a IN (SELECT a FROM dangling)),
+         |r$i AS (
+         |  SELECT tv.a,
+         |    ROUND(${1 - d}e0 * tv.t
+         |          + ${d}e0 * (COALESCE(s.c, 0.0e0)
+         |                      + (SELECT m FROM m$i) * tv.t),
+         |          8) AS r
+         |  FROM tv LEFT JOIN (
+         |    SELECT ed.dst AS a, SUM(p.r / ed.deg) AS c
+         |    FROM ed JOIN r${i - 1} p ON ed.src = p.a
+         |    GROUP BY ed.dst) s USING (a))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$steps
+       |SELECT a AS actor, ROUND(r, 6) AS rank
+       |FROM r$iters ORDER BY rank DESC, actor LIMIT $k""".stripMargin
+  }
+
   /** Triangle count on the co-actor graph via degree orientation:
     * each undirected edge points from its lower-(degree, id) endpoint
     * to the higher, so every wedge is enumerated at exactly one apex

@@ -128,6 +128,52 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(census.map { case (size, n) => size * n }.sum == totalActors)
   }
 
+  test("personalized pagerank: exact fixture replay, seed locality on the corpus") {
+    import spark.implicits._
+    // path 1-2-3-4 plus isolate 5, seeded at "1": teleport and
+    // dangling mass go to the seed only
+    val und = Seq(("1", "2"), ("2", "3"), ("3", "4"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq("1", "2", "3", "4", "5").toDF("a")
+    val seed = Seq("1").toDF("a")
+    val got = Graph.pprOf(edges, nodes, seed, iters = 5)
+      .as[(String, Double)].collect().toMap
+    // independent replay: same recursion in plain Scala arrays with
+    // the same 8-dp in-loop rounding
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = Map("1" -> 1, "2" -> 2, "3" -> 2, "4" -> 1)
+    val adjIn = Map("1" -> Seq("2"), "2" -> Seq("1", "3"),
+      "3" -> Seq("2", "4"), "4" -> Seq("3"))
+    var r = Map("1" -> 1.0, "2" -> 0.0, "3" -> 0.0, "4" -> 0.0, "5" -> 0.0)
+    for (_ <- 1 to 5) {
+      val m = r("5") // the only dangling node
+      r = r.map { case (v, _) =>
+        val c = adjIn.getOrElse(v, Seq.empty).map(u => r(u) / deg(u)).sum
+        val t = if (v == "1") 1.0 else 0.0
+        v -> r8(0.15 * t + 0.85 * (c + m * t))
+      }
+    }
+    assert(got == r, s"got $got, want $r")
+    // locality: unreachable nodes stay at exactly zero, and mass
+    // concentrates in the seed's 1-hop ball (note r(2) > r(1) is
+    // CORRECT here — a degree-1 seed pushes its whole non-teleport
+    // mass to its only neighbor each round)
+    assert(got("5") == 0.0)
+    assert(got("1") + got("2") > got("3") + got("4"))
+    // seed keeps its full teleport floor: r(seed) ≥ 1 − d
+    assert(got("1") >= 0.15)
+    // corpus: ranks non-negative and the min-id seed is in the top-k
+    // (its rank ≥ 0.15 while total mass ≤ 1, so at most 6 nodes can
+    // outrank it — a theorem, not a heuristic)
+    val top = Graph.pprActors(spark, sf).as[(String, Double)].collect()
+    assert(top.length == 20 && top.map(_._2).forall(_ >= 0))
+    val minActor = graft.sources.Tables.movies(spark, sf)
+      .select(explode($"actors").as("a")).agg(min($"a")).as[String].head()
+    assert(top.map(_._1).contains(minActor),
+      s"seed $minActor not in top-20: ${top.take(5).toSeq}")
+  }
+
   test("contraction CC: labels match min-label route; O(log n) rounds on a chain") {
     import spark.implicits._
     // same fixture as the min-label test: triangle, path, two isolates
