@@ -338,6 +338,14 @@ object Graft {
   def dedupSweep(docs: DataFrame): DataFrame =
     operators.Dedup.dedupSweepOf(docs)
 
+  /** Top word pairs by pointwise mutual information over corpus
+    * bigrams (min-count floored) — collocation / MWE mining. Needs
+    * `doc_id, text`. */
+  def pmiCollocations(docs: DataFrame,
+                      minCount: Int = operators.TextAnalytics.PmiMinCount,
+                      k: Int = operators.TextAnalytics.PmiTopK): DataFrame =
+    operators.TextAnalytics.pmiCollocationsOf(docs, minCount, k)
+
   // -- relational / time-series over caller frames ------------------
 
   /** Truncated-EWMA smoothing of a `(priority, day, revenue)`
@@ -356,6 +364,13 @@ object Graft {
   def profileColumns(df: DataFrame, numericCols: Seq[String],
                      categoricalCols: Seq[String] = Nil): DataFrame =
     operators.Relational.columnProfileOf(df, numericCols, categoricalCols)
+
+  /** ε-DP noisy-count histogram release over `(event_type, ts,
+    * user_id)` events: per-user-per-cell contribution capping bounds
+    * the sensitivity, then deterministic hash-seeded Laplace noise —
+    * the released frame never carries the true counts. */
+  def dpRelease(events: DataFrame): DataFrame =
+    operators.Relational.dpReleaseOf(events)
 
   /** SCD type-2 history build from an append-only `(key, ts, seq,
     * attr)` change log: one version row per change with
@@ -407,6 +422,22 @@ object Graft {
   def kcore(edges: DataFrame, k: Int = operators.Graph.KCoreK,
             maxRounds: Int = operators.Graph.GraphMaxRounds): DataFrame =
     operators.Graph.kcoreOf(edges, k, maxRounds)
+
+  /** Connected components by alternating large-star/small-star
+    * contraction — same `(a, lbl)` contract as
+    * [[connectedComponents]] but O(log n) rounds instead of
+    * O(diameter); prefer it when the graph's diameter is unknown. */
+  def connectedComponentsContract(edges: DataFrame, nodes: DataFrame,
+                                  maxRounds: Int = operators.Graph.GraphMaxRounds): DataFrame =
+    operators.Graph.ccContractOf(edges, nodes, maxRounds)
+
+  /** Personalized PageRank: teleport (and dangling mass) go to the
+    * `seeds` frame `(a)` instead of uniformly → `(a, r)`. The
+    * "related to X" ranking; unreachable nodes score exactly 0. */
+  def personalizedPagerank(edges: DataFrame, nodes: DataFrame,
+                           seeds: DataFrame, iters: Int = 5,
+                           damping: Double = 0.85): DataFrame =
+    operators.Graph.pprOf(edges, nodes, seeds, iters, damping)
 
   // -- similarity over (vec_id, embedding) frames ------------------
 

@@ -237,9 +237,9 @@ object Graph {
   /** [[pprActors]] over any distinct directed edge frame `(src,
     * dst)`, node frame `(a)`, and seed frame `(a)` (teleport mass
     * splits uniformly over the seeds). Returns `(a, r)` at 8 dp. */
-  private[graft] def pprOf(edges: DataFrame, nodes0: DataFrame,
-                           seeds: DataFrame, iters: Int = 5,
-                           d: Double = 0.85): DataFrame = {
+  def pprOf(edges: DataFrame, nodes0: DataFrame,
+            seeds: DataFrame, iters: Int = 5,
+            d: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))

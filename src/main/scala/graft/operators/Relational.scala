@@ -2120,10 +2120,15 @@ object Relational {
     * Scale: two partial+final aggregates (per-user-cell clip, cell
     * sum) and per-row scalar hash arithmetic — nothing leaves the
     * executors but the ≤ types×days release frame. */
-  def dpRelease(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def dpRelease(spark: SparkSession, sfDir: String): DataFrame =
+    dpReleaseOf(Tables.events(spark, sfDir))
+
+  /** [[dpRelease]] over any caller `(event_type, ts, user_id)`
+    * frame. */
+  def dpReleaseOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val b = DpCap / DpEpsilon // Laplace scale Δ/ε
-    val perUser = Tables.events(spark, sfDir)
+    val perUser = events
       .groupBy($"event_type", to_date($"ts").as("day"), $"user_id")
       .agg(count(lit(1)).as("c"))
     val cells = perUser
