@@ -431,6 +431,15 @@ object Graft {
                                   maxRounds: Int = operators.Graph.GraphMaxRounds): DataFrame =
     operators.Graph.ccContractOf(edges, nodes, maxRounds)
 
+  /** Synchronous label-propagation communities over a directed edge
+    * frame (both arcs) + nodes `(a)` → `(a, lbl)` after exactly
+    * `rounds` rounds (min tie-break — fully deterministic). Splits
+    * dense regions WITHIN a component, where [[connectedComponents]]
+    * only answers reachability. */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+                       rounds: Int = operators.Graph.LpaRounds): DataFrame =
+    operators.Graph.lpaOf(edges, nodes, rounds)
+
   /** Personalized PageRank: teleport (and dangling mass) go to the
     * `seeds` frame `(a)` instead of uniformly → `(a, r)`. The
     * "related to X" ranking; unreachable nodes score exactly 0. */

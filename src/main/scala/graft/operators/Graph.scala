@@ -745,6 +745,102 @@ object Graph {
     (member.unionByName(ctr).unionByName(iso), it)
   }
 
+  /** Fixed round budget for synchronous label propagation: LPA is
+    * run for exactly this many rounds on BOTH engines (no fixpoint
+    * requirement — synchronous LPA can legally 2-cycle on bipartite
+    * structure, so a convergence gate would be wrong; a fixed,
+    * unrolled round count is the deterministic contract instead). */
+  val LpaRounds = 4
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007) over the weight-thresholded collaboration graph:
+    * every node adopts the most frequent label among its in-neighbors
+    * each round (ties broken by MIN label; nodes with no in-neighbors
+    * keep their own), for exactly [[LpaRounds]] rounds. Where
+    * [[connectedComponents]] answers "what is reachable", LPA splits
+    * dense regions *within* a component — the community census over
+    * the same graph. Output is the community-size histogram
+    * `(comm_size, n_comms)`.
+    *
+    * Determinism: synchronous updates + the min tie-break make every
+    * round a pure function of the previous labels, so the oracle
+    * unrolls the exact round count as chained CTEs and both engines
+    * agree bit-for-bit — the asynchronous/randomized LPA variants
+    * trade that away for faster mixing.
+    *
+    * Scale posture: per round one tier-gated broadcast join of the
+    * edge list with the node-cardinality label frame, then
+    * partial+final counts on (dst, lbl), a max per dst, and the
+    * argmin-of-argmax filter — all keyed aggregates, no
+    * collect_list of neighborhoods, driver holds only the loop
+    * counter. localCheckpoint per round (the pagerank discipline). */
+  def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lpaOf(weightedEdges(spark, sfDir, GraphWeightMin),
+      longNodes(spark, sfDir), LpaRounds)
+      .groupBy($"lbl").agg(count(lit(1)).as("comm_size"))
+      .groupBy($"comm_size").agg(count(lit(1)).as("n_comms"))
+      .orderBy($"comm_size")
+  }
+
+  /** [[lpaCommunities]]' loop over any directed edge frame `(src,
+    * dst)` (both arcs present) and node frame `(a)`: returns `(a,
+    * lbl)` after exactly `rounds` synchronous rounds. */
+  def lpaOf(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = cached("lpa-edges", edges)
+    val n = nodes.count()
+    var labels = nodes.select($"a", $"a".as("lbl")).localCheckpoint()
+    var it = 0
+    while (it < rounds) {
+      val cnt = e
+        .join(graft.util.Broadcasting.maybeBroadcast(labels, n),
+          e("src") === labels("a"))
+        .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
+      val mx = cnt.groupBy($"dst").agg(max($"c").as("mx"))
+      val best = cnt.join(mx, "dst").filter($"c" === $"mx")
+        .groupBy($"dst").agg(min($"lbl").as("nl"))
+      val next = labels
+        .join(best.select($"dst".as("a"), $"nl"), Seq("a"), "left")
+        .select($"a", coalesce($"nl", $"lbl").as("lbl"))
+        .localCheckpoint()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  def lpaCommunitiesSql(minW: Int = GraphWeightMin,
+                        rounds: Int = LpaRounds): String = {
+    val head =
+      s"""WITH movies AS (${Tables.moviesSql}),
+         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+         |e AS MATERIALIZED (
+         |      SELECT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
+         |      FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $minW),
+         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
+         |l0 AS (SELECT a, a AS lbl FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst AS a, p.lbl, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} p ON e.src = p.a GROUP BY 1, 2),
+         |b$i AS (
+         |  SELECT a, MIN(lbl) AS nl FROM (
+         |    SELECT a, lbl, c, MAX(c) OVER (PARTITION BY a) AS mx FROM c$i)
+         |  WHERE c = mx GROUP BY a),
+         |l$i AS MATERIALIZED (
+         |  SELECT l.a, COALESCE(b.nl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN b$i b USING (a))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$steps
+       |SELECT comm_size, COUNT(*) AS n_comms
+       |FROM (SELECT lbl, COUNT(*) AS comm_size FROM l$rounds GROUP BY lbl)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** k-core of the repeat-collaboration graph: iteratively peel
     * nodes of remaining degree < k until the fixpoint; one summary
     * row `(n_nodes, n_core_nodes, n_core_edges, min_core_deg)` —

@@ -212,6 +212,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(viaContract == viaLabels)
   }
 
+  test("LPA communities: hand-walked sync rounds split the barbell, isolates keep labels") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4, isolate 7:
+    // hand-walked synchronous min-tie-break LPA settles at
+    // (1,1,1,3,3,3) by round 4 — the bridge does NOT merge the
+    // communities, which is exactly the density split CC can't give
+    val und = Seq((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("a")
+    val labels = Graph.lpaOf(edges, nodes, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L,
+      6L -> 3L, 7L -> 7L), s"got $labels")
+    // tier cap 0 forces the shuffled label join; labels identical
+    spark.conf.set(graft.util.Broadcasting.maxRowsKey, "0")
+    try assert(Graph.lpaOf(edges, nodes, rounds = 4)
+      .as[(Long, Long)].collect().toMap == labels)
+    finally spark.conf.unset(graft.util.Broadcasting.maxRowsKey)
+    // corpus census: community sizes partition the actor set, and
+    // LPA refines (or equals) the component structure — at least as
+    // many communities as components
+    val census = Graph.lpaCommunities(spark, sf).as[(Long, Long)].collect()
+    val total = graft.sources.Tables.movies(spark, sf)
+      .select(explode($"actors")).distinct().count()
+    assert(census.map { case (s, n) => s * n }.sum == total)
+    val nComms = census.map(_._2).sum
+    val nComps = Graph.connectedComponents(spark, sf)
+      .as[(Long, Long)].collect().map(_._2).sum
+    assert(nComms >= nComps, s"$nComms communities < $nComps components")
+  }
+
   test("k-core: multi-round peel on a fixture, certificate holds on the corpus") {
     import spark.implicits._
     // K4 {1,2,3,4} + chain 4-5-6: peeling 6 (deg 1) drops 5 to deg 1,
