@@ -286,6 +286,98 @@ object Dedup {
   def dedupSweep(spark: SparkSession, sfDir: String): DataFrame =
     dedupSweepOf(Tables.documents(spark, sfDir))
 
+  // ---------------------------------------------------------------
+  // llm_lsh_tuning — banding-parameter planner card (S-curves)
+  // ---------------------------------------------------------------
+
+  /** The (bands, rows-per-band) factorizations of the 16-hash
+    * signature budget. Each has S-curve catch probability
+    * p(s) = 1 − (1 − s^r)^b and soft threshold t ≈ (1/b)^(1/r). */
+  val LshGrid: Seq[(Int, Int)] = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** s^n for power-of-two n as an explicit squaring ladder — the SAME
+    * recursion emits the Column tree and the SQL string, so both
+    * engines multiply in the identical association (libm `pow` is not
+    * correctly rounded; chained IEEE multiplies are deterministic). */
+  private def powIntCol(c: Column, n: Int): Column =
+    if (n == 1) c else { val h = powIntCol(c, n / 2); h * h }
+  private def powIntSql(x: String, n: Int): String =
+    if (n == 1) x else { val h = powIntSql(x, n / 2); s"($h * $h)" }
+
+  /** Banding planner card: for every signature-budget factorization
+    * in [[LshGrid]], the soft threshold and the EXPECTED number of
+    * verified near-dup pairs that banding would catch, integrating
+    * the S-curve over the corpus's own candidate-pair similarity
+    * distribution — "which (b, r) do I deploy for my target
+    * threshold" answered from 5 numbers instead of 5 re-runs of the
+    * dedup job. Uses the same bucket-bounded verified pair stream as
+    * [[dedupSweepOf]] (shared cached stages; one corpus pass total).
+    *
+    * Determinism: exact-rational Jaccards, catch probabilities as
+    * pure squaring-ladder multiplies (no `pow`), per-pair floor-
+    * scaling to integer 1e-9 grid so the SUM is order-invariant
+    * BIGINT arithmetic, one double division + round at the end;
+    * thresholds are Scala-computed literals embedded identically in
+    * both plans. */
+  def lshTuningOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = cached("shingle-sets", shingleSetsOf(docs))
+    val buckets = bandedBuckets(cached("minhash-sig", minHashSignatures(sets)))
+    val cand = buckets.as("ba")
+      .join(buckets.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bsig") === col("bb.bsig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
+      .distinct()
+    val pairs = cand
+      .join(sets.select($"doc_id".as("a"), $"shs".as("sa")), "a")
+      .join(sets.select($"doc_id".as("b"), $"shs".as("sb")), "b")
+      .select(jaccard($"sa", $"sb").as("jaccard"))
+    val cfgs = LshGrid.map { case (b, r) =>
+      val t = lshThreshold(b, r)
+      val p = lit(1.0) - powIntCol(lit(1.0) - powIntCol($"jaccard", r), b)
+      struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        lit(t).as("threshold"),
+        floor(p * lit(1.0e9)).cast("long").as("scaled"))
+    }
+    pairs.select($"jaccard", explode(array(cfgs: _*)).as("c"))
+      .select($"jaccard", $"c.*")
+      .groupBy($"bands", $"rows_per_band", $"threshold")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"jaccard" >= $"threshold", 1L).otherwise(0L)).as("n_target"),
+        round(sum($"scaled").cast("double") / lit(1.0e9), 4).as("exp_caught"))
+      .orderBy($"bands")
+  }
+
+  def lshTuning(spark: SparkSession, sfDir: String): DataFrame =
+    lshTuningOf(Tables.documents(spark, sfDir))
+
+  /** (1/b)^(1/r) at 4 dp — driver-computed, embedded as the same
+    * literal in both engines. */
+  private[graft] def lshThreshold(b: Int, r: Int): Double =
+    BigDecimal(math.exp(math.log(1.0 / b) / r))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def lshTuningSql(): String = {
+    val branches = LshGrid.map { case (b, r) =>
+      val t = lshThreshold(b, r)
+      val powB = powIntSql(s"(1.0 - ${powIntSql("jaccard", r)})", b)
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST($t AS DOUBLE) AS threshold,
+         |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(CASE WHEN jaccard >= $t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_target,
+         |  round(CAST(SUM(CAST(FLOOR((1.0 - $powB) * 1000000000.0)
+         |    AS BIGINT)) AS DOUBLE) / 1000000000.0, 4) AS exp_caught
+         |FROM verified""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${minHashPairsCtes()}
+       |$branches
+       |ORDER BY bands""".stripMargin
+  }
+
   def dedupSweepSql(): String = {
     val grid = DedupSweepThresholds.mkString(", ")
     s"""WITH ${minHashPairsCtes()},

@@ -1790,6 +1790,70 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Incremental maintenance of a JOIN view — the join companion to
+    * [[incrementalAgg]]'s partial-merge: with both sides split into
+    * base + delta (O = O₀ ∪ ΔO by order date, L = L₀ ∪ ΔL by ship
+    * date, cutoffs staggered so every quadrant is non-empty), the
+    * maintained view is
+    *
+    *   V = O₀⋈L₀  ∪  ΔO⋈L₀  ∪  O₀⋈ΔL  ∪  ΔO⋈ΔL
+    *
+    * and an incremental refresh computes ONLY the three delta terms
+    * (each bounded by a delta-side scan) instead of re-joining two
+    * full corpora — at 100 TB the difference between a nightly
+    * refresh touching a day's partitions and a full re-shuffle. The
+    * output row carries each branch's row count and decimal-exact
+    * revenue plus the recombined totals; the oracle recomputes the
+    * FULL join once and splits it into the same four quadrants by
+    * predicate, so a hash match proves the delta algebra partitions
+    * the join space exactly (no row lost, none double-counted).
+    *
+    * Scale: all four branches are equi-joins on the order key —
+    * co-partitioned after one exchange per input (ReuseExchange
+    * collapses the shared scans); nothing driver-side but the 1-row
+    * result. */
+  def incrementalJoin(spark: SparkSession, sfDir: String,
+                      cutO: String = "1997-01-01",
+                      cutL: String = "1997-07-01"): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate".cast("timestamp").as("od"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_shipdate".cast("timestamp").as("sd"),
+        dec($"l_extendedprice").as("price"))
+    val co = lit(cutO).cast("timestamp")
+    val cl = lit(cutL).cast("timestamp")
+    val o0 = o.filter($"od" < co); val dO = o.filter($"od" >= co)
+    val l0 = l.filter($"sd" < cl); val dL = l.filter($"sd" >= cl)
+    def branch(a: DataFrame, b: DataFrame, tag: String): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          coalesce(sum($"price"), dec(lit(0))).as(s"rev_$tag"))
+    branch(o0, l0, "base")
+      .crossJoin(branch(dO, l0, "new_orders"))
+      .crossJoin(branch(o0, dL, "new_ship"))
+      .crossJoin(branch(dO, dL, "new_both"))
+      .select($"n_base", $"n_new_orders", $"n_new_ship", $"n_new_both",
+        ($"n_base" + $"n_new_orders" + $"n_new_ship" + $"n_new_both")
+          .as("n_total"),
+        ($"rev_base" + $"rev_new_orders" + $"rev_new_ship" + $"rev_new_both")
+          .cast("double").as("revenue"))
+  }
+
+  def incrementalJoinSql(cutO: String = "1997-01-01",
+                         cutL: String = "1997-07-01"): String =
+    s"""SELECT
+       |  CAST(SUM(CASE WHEN od <  '$cutO' AND sd <  '$cutL' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |  CAST(SUM(CASE WHEN od >= '$cutO' AND sd <  '$cutL' THEN 1 ELSE 0 END) AS BIGINT) AS n_new_orders,
+       |  CAST(SUM(CASE WHEN od <  '$cutO' AND sd >= '$cutL' THEN 1 ELSE 0 END) AS BIGINT) AS n_new_ship,
+       |  CAST(SUM(CASE WHEN od >= '$cutO' AND sd >= '$cutL' THEN 1 ELSE 0 END) AS BIGINT) AS n_new_both,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT CAST(o_orderdate AS TIMESTAMP) AS od,
+       |         CAST(l_shipdate AS TIMESTAMP) AS sd, l_extendedprice
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+
   // null-skipping merge for min/max partials: SQL greatest/least
   // return NULL if ANY argument is null in neither engine... Spark's
   // greatest/least already skip nulls (return the greatest non-null),

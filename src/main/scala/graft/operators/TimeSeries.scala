@@ -731,4 +731,62 @@ object TimeSeries {
        |    / ((1.0 - pow($q, len(vals))) / ${1.0 - q}), 4) AS ewma
        |FROM framed ORDER BY priority, day""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // rel_markov_transitions — event-type transition matrix
+  // ---------------------------------------------------------------
+
+  /** First-order Markov transition matrix of the event stream: for
+    * every (prev_type → event_type) step inside a user's timeline,
+    * the step count and the row-normalized transition probability —
+    * the structure behind next-event prediction, funnel-leak
+    * analysis, and bot detection (bots have near-degenerate rows).
+    * A user's FIRST event has no predecessor and is excluded (the
+    * matrix conditions on a previous state by definition).
+    *
+    * Determinism: the timeline orders by (ts, event_id) — event_id
+    * breaks same-timestamp ties identically in both engines, where
+    * bare-ts ordering would leave lag() nondeterministic. Counts are
+    * exact integers; each probability is ONE division of exact
+    * integers rounded once at 6 dp.
+    *
+    * Scale: one shuffle on user_id for the lag window (each user's
+    * sequence sorts locally in its partition — skew-bounded by the
+    * busiest single user), then a partial+final count on the
+    * (prev, cur) pair; the matrix itself is |types|² rows, driver-
+    * safe at any corpus size. The row-total divisor is a window over
+    * that |types|²-row frame, not the corpus. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    markovTransitionsOf(Tables.events(spark, sfDir))
+
+  /** [[markovTransitions]] over any `(user_id, ts, event_id,
+    * event_type)` frame. */
+  private[graft] def markovTransitionsOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(seq))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"prev_type")).cast("double"), 6))
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH steps AS (
+      |  SELECT LAG(event_type) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id)
+      |         AS prev_type,
+      |         event_type
+      |  FROM events),
+      |m AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      |  round(CAST(n AS DOUBLE) /
+      |        CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+      |FROM m ORDER BY prev_type, event_type""".stripMargin
 }

@@ -496,6 +496,74 @@ object Ingest {
     s"$tmp/graft_roundtrip_${RunToken.value}_${kind}_${sfDir.hashCode.toHexString}"
   }
 
+  // ---------------------------------------------------------------
+  // src_schema_evolution — additive schema evolution without rewrite
+  // ---------------------------------------------------------------
+
+  /** Additive schema evolution served by `mergeSchema`: generation-1
+    * parquet files carry `(v, o_orderkey, o_totalprice)`, generation-2
+    * files add `o_orderpriority`, and ONE read over both generations
+    * unions the schemas — old files serve NULL for the new column.
+    * This is how a 100 TB table evolves in practice: new columns
+    * appear in new files only, no backfill rewrite of the existing
+    * corpus; the cost is a footer-schema union at planning time
+    * (which is why production tables pin the merged schema in a
+    * catalog rather than re-deriving it per read — `mergeSchema` here
+    * stands in for that catalog lookup). The census reports, per
+    * generation, the row count, how many rows actually HAVE the
+    * evolved column, and the decimal-exact price total — pinning
+    * that NULL-filling never drops or fabricates rows. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    evolvedOrders(spark, sfDir)
+      .groupBy($"v")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"o_orderpriority".isNotNull, 1L).otherwise(0L))
+          .as("n_with_priority"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy($"v")
+  }
+
+  /** The two-generation snapshot read frame (write-once per run,
+    * same serialized check-then-write as [[partitionedOrders]]). */
+  private[graft] def evolvedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = roundTripDir(sfDir, "evolve")
+    val done = new java.io.File(root, "_DONE")
+    if (!done.exists()) {
+      bymonthLocks.computeIfAbsent(root, _ => new Object).synchronized {
+        if (!done.exists()) {
+          val o = Tables.orders(spark, sfDir)
+          o.filter($"o_orderkey" % 2 === 0)
+            .select(lit(1).as("v"), $"o_orderkey", $"o_totalprice")
+            .write.mode("overwrite").parquet(s"$root/gen1")
+          o.filter($"o_orderkey" % 2 === 1)
+            .select(lit(2).as("v"), $"o_orderkey", $"o_totalprice",
+              $"o_orderpriority")
+            .write.mode("overwrite").parquet(s"$root/gen2")
+          done.createNewFile()
+        }
+      }
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/gen1", s"$root/gen2")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH e AS (
+      |  SELECT 1 AS v, o_totalprice, NULL AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 2 AS v, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT v, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_with_priority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM e GROUP BY v ORDER BY v""".stripMargin
+
   /** Generated calendar dimension over the orders date range — the
     * date spine every warehouse keys time rollups and gap-fills
     * against, produced by `sequence()` (a generator, zero input

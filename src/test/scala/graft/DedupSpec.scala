@@ -187,4 +187,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rows.find(_._1 == 0.8).get._2 == prod)
     rows.foreach { case (_, _, f) => assert(f >= 0.0 && f <= 1.0) }
   }
+
+  test("LSH tuning card: S-curve monotone in bands, exact on an identical pair") {
+    import spark.implicits._
+    // identical pair → jaccard 1 → every banding catches it with p=1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val card = Dedup.lshTuningOf(docs)
+      .as[(Long, Long, Double, Long, Long, Double)].collect()
+    assert(card.length == Dedup.LshGrid.length)
+    card.foreach { case (b, r, t, nc, nt, ec) =>
+      assert(b * r == 16)
+      assert(nc == 1 && nt == 1, s"($b,$r): candidates $nc target $nt")
+      assert(ec == 1.0, s"($b,$r): exp_caught $ec for an identical pair")
+      assert(t == Dedup.lshThreshold(b.toInt, r.toInt))
+    }
+    // corpus: more bands (with b·r fixed) can only raise the catch
+    // expectation and lower the soft threshold — the S-curve algebra
+    val corpus = Dedup.lshTuning(spark, sf)
+      .as[(Long, Long, Double, Long, Long, Double)].collect()
+      .sortBy(_._1)
+    corpus.sliding(2).foreach {
+      case Array((_, _, t1, _, n1, e1), (_, _, t2, _, n2, e2)) =>
+        assert(t2 < t1 && e2 >= e1 && n2 >= n1)
+      case _ =>
+    }
+  }
 }

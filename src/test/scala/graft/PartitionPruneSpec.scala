@@ -63,4 +63,22 @@ class PartitionPruneSpec extends AnyFunSuite with SparkSpec {
       .agg(count(lit(1)), sum($"o_orderkey")).head()
     assert(part == raw)
   }
+
+  test("schema evolution: mergeSchema unions generations, old files serve NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val merged = Ingest.evolvedOrders(spark, sf)
+    // the evolved column exists in the MERGED schema but genuinely
+    // not in the gen-1 files (evolution happened at the file level)
+    assert(merged.schema.fieldNames.contains("o_orderpriority"))
+    val gen1Only = spark.read.parquet(
+      merged.inputFiles.filter(_.contains("gen1")).toIndexedSeq: _*)
+    assert(!gen1Only.schema.fieldNames.contains("o_orderpriority"))
+    // NULL-fill contract: every gen-1 row reads NULL, every gen-2
+    // row keeps its value; no rows lost vs the raw table
+    assert(merged.filter($"v" === 1 && $"o_orderpriority".isNotNull).count() == 0)
+    assert(merged.filter($"v" === 2 && $"o_orderpriority".isNull).count() == 0)
+    assert(merged.count() ==
+      graft.sources.Tables.orders(spark, sf).count())
+  }
 }

@@ -385,6 +385,25 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental join: four delta branches partition the full join exactly") {
+    import spark.implicits._
+    val row = Relational.incrementalJoin(spark, sf).collect().head
+    val (nb, no, ns, nboth, nt, rev) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5))
+    // every quadrant participates (staggered cutoffs) and the four
+    // branches recombine to the full join, computed directly
+    assert(nb > 0 && no > 0 && ns > 0 && nboth > 0)
+    val full = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        $"o_orderkey" === $"l_orderkey")
+    assert(nt == nb + no + ns + nboth)
+    assert(nt == full.count())
+    val directRev = full
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(rev == directRev, s"maintained revenue $rev != direct $directRev")
+  }
+
   test("DP release: independent replay of cap, hash-noise, and Laplace transform") {
     import spark.implicits._
     val got = Relational.dpRelease(spark, sf).collect()
