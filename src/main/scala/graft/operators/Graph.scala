@@ -926,8 +926,8 @@ object Graph {
     * local on the materialized edge layout; the hub gate is a
     * semi-join BEFORE the two-path join (cap bounds the join INPUT,
     * not post-hoc output); non-adjacency is one anti-join; top-k is
-    * TakeOrdered. Exact integer counts; one double division per
-    * surviving pair, rounded once. */
+    * TakeOrdered. Exact integer counts; the score is scaled-integer
+    * floor division, bit-identical cross-engine. */
   def linkPredict(spark: SparkSession, sfDir: String,
                   k: Int = LinkPredTopK,
                   hubCap: Int = LinkPredHubCap): DataFrame = {
@@ -953,9 +953,12 @@ object Graph {
         "left_anti")
       .join(deg.select($"src".as("a"), $"d".as("da")), "a")
       .join(deg.select($"src".as("b"), $"d".as("db")), "b")
+      // scaled-integer floor division (the dataSkewReport precedent):
+      // round() after a double divide is engine-divergent on
+      // half-boundary rationals like cn/(da+db-cn)
       .select($"a", $"b", $"cn",
-        round($"cn".cast("double") /
-          ($"da" + $"db" - $"cn").cast("double"), 6).as("jaccard"))
+        (expr("CAST((cn * 1000000) DIV (da + db - cn) AS BIGINT)")
+          .cast("double") / 1000000.0).as("jaccard"))
       .orderBy($"jaccard".desc, $"a", $"b")
       .limit(k)
   }
@@ -978,8 +981,8 @@ object Graph {
        |       WHERE NOT EXISTS (SELECT 1 FROM e
        |                         WHERE e.src = tp.a AND e.dst = tp.b))
        |SELECT na.a, na.b, na.cn,
-       |  round(CAST(na.cn AS DOUBLE) /
-       |        CAST(d1.d + d2.d - na.cn AS DOUBLE), 6) AS jaccard
+       |  CAST((na.cn * 1000000) // (d1.d + d2.d - na.cn) AS DOUBLE)
+       |    / 1000000.0 AS jaccard
        |FROM na JOIN deg d1 ON d1.src = na.a
        |        JOIN deg d2 ON d2.src = na.b
        |ORDER BY jaccard DESC, a, b LIMIT $k""".stripMargin

@@ -2294,6 +2294,77 @@ object Relational {
        |ORDER BY tbl, key""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // rel_benford_audit — first-digit fraud/synthesis screen
+  // ---------------------------------------------------------------
+
+  /** Benford's-law expected first-digit shares at 6 dp — driver-
+    * computed once, embedded as the SAME literals in both engines
+    * (log10 never executes inside either engine). */
+  private[graft] val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map { d =>
+      d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+  /** First-significant-digit census of order totals against
+    * Benford's law — the classic screen for fabricated or synthetic
+    * monetary data (organic multi-magnitude amounts follow
+    * log10(1+1/d); uniform generators don't, and this corpus is
+    * uniform, which the spec pins as a LARGE deviation — the audit
+    * flagging its own synthetic data is the demo working). Per digit:
+    * observed count, observed share, the Benford expectation, and
+    * the signed deviation.
+    *
+    * Determinism: the digit is the first character of the
+    * DECIMAL(18,2) rendering — no log10/pow on row values in either
+    * engine (floating log10 at power-of-ten boundaries is exactly
+    * the ulp hazard this avoids); shares are scaled-integer floor
+    * division ([[dataSkewReport]] precedent); the deviation is one
+    * exact subtraction of two 6-dp-grid doubles.
+    *
+    * Scale: ONE partial+final count by digit (9 groups) over the
+    * corpus; everything after runs on the 9-row frame. */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 0)
+      .groupBy(substring(dec($"o_totalprice").cast("string"), 1, 1)
+        .as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val expCol = BenfordExpected.foldLeft(lit(0.0)) {
+      case (acc, (d, p)) => when($"digit" === d.toString, p).otherwise(acc)
+    }
+    counts
+      .withColumn("tot", sum($"n_obs").over(Window.partitionBy()))
+      .select($"digit", $"n_obs",
+        (expr("CAST((n_obs * 1000000) DIV tot AS BIGINT)")
+          .cast("double") / 1000000.0).as("p_obs"),
+        expCol.as("p_benford"))
+      .withColumn("dev", $"p_obs" - $"p_benford")
+      .orderBy($"digit")
+  }
+
+  val benfordAuditSql: String = {
+    val expCase = BenfordExpected
+      .map { case (d, p) => s"WHEN '$d' THEN CAST($p AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH c AS (
+       |  SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+       |                   AS VARCHAR), 1, 1) AS digit,
+       |         CAST(COUNT(*) AS BIGINT) AS n_obs
+       |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+       |t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS tot FROM c),
+       |s AS (SELECT digit, n_obs,
+       |        CAST((n_obs * 1000000) // tot AS DOUBLE) / 1000000.0
+       |          AS p_obs,
+       |        CASE digit $expCase ELSE 0.0 END AS p_benford
+       |      FROM t)
+       |SELECT digit, n_obs, p_obs, p_benford,
+       |  p_obs - p_benford AS dev
+       |FROM s ORDER BY digit""".stripMargin
+  }
+
   /** Market-basket association mining over order line items (the
     * support/confidence/lift triple of classic frequent-pair
     * analysis): for the top co-purchased part pairs, how often the

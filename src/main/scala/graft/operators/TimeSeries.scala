@@ -747,8 +747,10 @@ object TimeSeries {
     * Determinism: the timeline orders by (ts, event_id) — event_id
     * breaks same-timestamp ties identically in both engines, where
     * bare-ts ordering would leave lag() nondeterministic. Counts are
-    * exact integers; each probability is ONE division of exact
-    * integers rounded once at 6 dp.
+    * exact integers; each probability is scaled-integer floor
+    * division (n·10⁶ DIV total)/10⁶ — the [[dataSkewReport]]
+    * precedent; round() after a double divide diverges cross-engine
+    * on half-boundary rationals.
     *
     * Scale: one shuffle on user_id for the lag window (each user's
     * sequence sorts locally in its partition — skew-bounded by the
@@ -771,8 +773,10 @@ object TimeSeries {
       .groupBy($"prev_type", $"event_type")
       .agg(count(lit(1)).as("n"))
     counts
-      .withColumn("p", round($"n".cast("double") /
-        sum($"n").over(Window.partitionBy($"prev_type")).cast("double"), 6))
+      .withColumn("tot", sum($"n").over(Window.partitionBy($"prev_type")))
+      .select($"prev_type", $"event_type", $"n",
+        (expr("CAST((n * 1000000) DIV tot AS BIGINT)")
+          .cast("double") / 1000000.0).as("p"))
       .orderBy($"prev_type", $"event_type")
   }
 
@@ -784,9 +788,10 @@ object TimeSeries {
       |         event_type
       |  FROM events),
       |m AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
-      |      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, event_type, n,
+      |        SUM(n) OVER (PARTITION BY prev_type) AS tot FROM m)
       |SELECT prev_type, event_type, n,
-      |  round(CAST(n AS DOUBLE) /
-      |        CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
-      |FROM m ORDER BY prev_type, event_type""".stripMargin
+      |  CAST((n * 1000000) // tot AS DOUBLE) / 1000000.0 AS p
+      |FROM t ORDER BY prev_type, event_type""".stripMargin
 }

@@ -318,4 +318,30 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .agg(sum($"total_price")).as[Double].head()
     assert(math.abs(got - expect) < 1e-4, s"$got vs $expect")
   }
+
+  test("link prediction: square fixture exact, hub cap gates, corpus top-k sane") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the two diagonals are the only non-adjacent
+    // pairs; each shares BOTH its neighbors with the other end, so
+    // jaccard = 2/(2+2-2) = 1.0 exactly — and every intermediate has
+    // degree 2, sub-hub, so the capped score is the exact Jaccard
+    val und = Seq((1, 2), (2, 3), (3, 4), (4, 1))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val got = Graph.linkPredictOf(edges, k = 10, hubCap = 64)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), s"got $got")
+    // hubCap below every degree removes all intermediates -> empty
+    assert(Graph.linkPredictOf(edges, k = 10, hubCap = 1).count() == 0)
+    // corpus: exactly k rows, scores in (0, 1], and the top pair is
+    // genuinely non-adjacent — re-checked against the raw edge list
+    val corpus = Graph.linkPredict(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(corpus.length == Graph.LinkPredTopK)
+    corpus.foreach { case (_, _, cn, j) =>
+      assert(cn >= 1 && j > 0.0 && j <= 1.0) }
+    val (ta, tb, _, _) = corpus.head
+    val e = graft.sources.Tables.coActorEdgesBucketed(spark, sf)
+    assert(e.filter($"src" === ta && $"dst" === tb).count() == 0)
+  }
 }

@@ -560,4 +560,29 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("benford audit: expectations are the law, counts conserve, synthetic data flagged") {
+    import spark.implicits._
+    val rows = Relational.benfordAudit(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    // all nine digits reported, in order
+    assert(rows.map(_._1).toSeq == (1 to 9).map(_.toString))
+    // the embedded expectations ARE log10(1+1/d) at the 6-dp grid,
+    // and they sum to 1 within grid error (log10 telescopes)
+    rows.foreach { case (d, _, _, pb, _) =>
+      val want = BigDecimal(math.log10(1.0 + 1.0 / d.toInt))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pb == want, s"digit $d: $pb != $want") }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
+    // counts conserve to the (all-positive) orders corpus
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == n)
+    // dev replays as p_obs - p_benford exactly
+    rows.foreach { case (_, _, po, pb, dev) => assert(dev == po - pb) }
+    // the synthetic totals are band-limited, NOT Benford -- the
+    // audit must flag them loudly (uniform-band data overweights a
+    // few leading digits); genuine multi-magnitude data would sit
+    // near zero here
+    assert(rows.map(r => math.abs(r._5)).max > 0.02)
+  }
 }

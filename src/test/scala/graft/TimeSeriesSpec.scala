@@ -272,4 +272,36 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(corpus.length == TimeSeries.DrawdownTopK)
     assert(corpus.forall(_.getDouble(2) >= 0.0))
   }
+
+  test("markov transitions: hand-walked matrix with a same-ts tie, corpus rows normalize") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // u1 has two events at the SAME timestamp — event_id breaks the
+    // tie (A before B), so the walk is A,B,A: A->B, B->A.
+    // u2 walks A,A: A->A. Row A normalizes to 0.5/0.5, row B to 1.0.
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(0), 2L, "B"), (1L, ts(5), 3L, "A"),
+      (2L, ts(0), 4L, "A"), (2L, ts(9), 5L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = TimeSeries.markovTransitionsOf(ev)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5),
+      ("B", "A", 1L, 1.0)), s"got $got")
+    // corpus: every row of the matrix normalizes to 1 within the
+    // floor-division grid (|types| * 1e-6), counts conserve to
+    // (events - users) — each user contributes sequence-length - 1
+    val m = TimeSeries.markovTransitions(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    val byPrev = m.groupBy(_._1)
+    byPrev.values.foreach { rows =>
+      val tot = rows.map(_._4).sum
+      assert(tot <= 1.0 + 1e-9 && tot > 1.0 - rows.length * 1e-6,
+        s"row sum $tot")
+    }
+    val events = graft.sources.Tables.events(spark, sf)
+    val expectSteps = events.count() -
+      events.select($"user_id").distinct().count()
+    assert(m.map(_._3).sum == expectSteps)
+  }
 }
