@@ -1360,4 +1360,84 @@ object CorpusQuality {
        |SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
        |  MAX(shared) AS max_shared
        |FROM pairs GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_blocklist_filter — denylist screen with per-term attribution
+  // ---------------------------------------------------------------
+
+  /** The compliance denylist — ONE definition feeding the operator,
+    * the oracle, and the spec. */
+  val BlocklistTerms: Seq[String] = Seq("big", "slow", "stream", "vector")
+
+  /** Denylist screen over the corpus — the compliance/NSFW-wordlist
+    * stage every production curation pipeline runs before anything
+    * model-based: per blocked term, how many documents contain it as
+    * a WHOLE word, plus the `__any__` row (documents hitting at
+    * least one term — what a remove-on-any policy would drop; its
+    * complement is the survivor count). Per-term attribution is the
+    * part naive filters skip and reviewers always ask for: which
+    * term is doing the blocking.
+    *
+    * Word-boundary matching is padded substring containment
+    * (` term ` inside ` text `) — codegen'd string search in Spark,
+    * LIKE in DuckDB, byte-identical semantics, no regex engine
+    * divergence. Shares are scaled-integer floor division
+    * ([[Relational.dataSkewReport]] precedent).
+    *
+    * Scale: ONE corpus pass — all flags evaluate per-row, one
+    * partial+final aggregate; the result frame is |terms|+1 rows.
+    * The term list lives in the closure (a literal per term), the
+    * at-scale form for lists up to ~thousands; beyond that it
+    * becomes a broadcast join against an exploded token stream. */
+  def blocklistFilterOf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val flags = BlocklistTerms.map(t =>
+      padded.contains(s" $t ").cast("long").as(s"h_$t"))
+    val flagged = documents.select(flags: _*)
+    val aggCols = BlocklistTerms.map(t => sum(col(s"h_$t")).as(s"n_$t")) ++
+      Seq(sum(greatest(BlocklistTerms.map(t => col(s"h_$t")): _*)).as("n_any"),
+        count(lit(1)).as("n"))
+    val a = flagged.agg(aggCols.head, aggCols.tail: _*)
+    val rows = BlocklistTerms.map(t =>
+      struct(lit(t).as("term"), col(s"n_$t").as("n_hit"))) :+
+      struct(lit("__any__").as("term"), $"n_any".as("n_hit"))
+    a.select($"n", explode(array(rows: _*)).as("r"))
+      .select($"r.term".as("term"), $"r.n_hit".as("n_hit"),
+        (expr("CAST((r.n_hit * 1000000) DIV n AS BIGINT)")
+          .cast("double") / 1000000.0).as("share"))
+      .orderBy($"term")
+  }
+
+  def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame =
+    blocklistFilterOf(docs(spark, sfDir))
+
+  def blocklistFilterSql(): String = {
+    val flagCols = BlocklistTerms.map(t =>
+      s"CASE WHEN ' ' || lower(text) || ' ' LIKE '% $t %' THEN 1 ELSE 0 END AS h_$t")
+      .mkString(",\n|    ")
+    val sums = BlocklistTerms.map(t =>
+      s"CAST(SUM(h_$t) AS BIGINT) AS n_$t").mkString(",\n|    ")
+    val anyExpr = BlocklistTerms.map(t => s"h_$t").mkString("GREATEST(", ", ", ")")
+    val branches = (BlocklistTerms.map(t =>
+      s"SELECT '$t' AS term, n_$t AS n_hit, n FROM a") :+
+      s"SELECT '__any__' AS term, n_any AS n_hit, n FROM a")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH f AS (
+       |  SELECT
+       |    $flagCols
+       |  FROM documents),
+       |a AS (
+       |  SELECT
+       |    $sums,
+       |    CAST(SUM($anyExpr) AS BIGINT) AS n_any,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM f)
+       |SELECT term, n_hit,
+       |  CAST((n_hit * 1000000) // n AS DOUBLE) / 1000000.0 AS share
+       |FROM (
+       |  $branches)
+       |ORDER BY term""".stripMargin
+  }
 }

@@ -812,10 +812,12 @@ object Graph {
     labels
   }
 
-  def lpaCommunitiesSql(minW: Int = GraphWeightMin,
-                        rounds: Int = LpaRounds): String = {
+  /** Shared CTE prefix replaying [[lpaOf]]'s synchronous rounds —
+    * `e` (thresholded arcs), `nodes`, and `l<rounds>` as `(a, lbl)`.
+    * Feeds both the census oracle and the modularity oracle. */
+  private def lpaCtes(minW: Int, rounds: Int): String = {
     val head =
-      s"""WITH movies AS (${Tables.moviesSql}),
+      s"""movies AS (${Tables.moviesSql}),
          |sel AS (SELECT id, unnest(actors) AS a FROM movies),
          |e AS MATERIALIZED (
          |      SELECT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
@@ -835,11 +837,99 @@ object Graph {
          |  SELECT l.a, COALESCE(b.nl, l.lbl) AS lbl
          |  FROM l${i - 1} l LEFT JOIN b$i b USING (a))""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"""$head$steps
+    head + steps
+  }
+
+  def lpaCommunitiesSql(minW: Int = GraphWeightMin,
+                        rounds: Int = LpaRounds): String =
+    s"""WITH ${lpaCtes(minW, rounds)}
        |SELECT comm_size, COUNT(*) AS n_comms
        |FROM (SELECT lbl, COUNT(*) AS comm_size FROM l$rounds GROUP BY lbl)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_graph_modularity — partition-quality score of the LPA run
+  // ---------------------------------------------------------------
+
+  /** Newman modularity of the LPA partition — the evaluation rung of
+    * the community ladder (CC answers reachability, LPA proposes
+    * communities, Q says whether the proposal beats chance):
+    *
+    *   Q = Σ_c e_c/m  −  Σ_c (d_c/m)²
+    *
+    * over the directed-symmetric arc list (m = arc count = 2×edges,
+    * e_c = intra-community arcs, d_c = community degree sum — the
+    * directed formulation equals the textbook 2m form exactly).
+    * One row: arc count, community count, largest community, and Q.
+    *
+    * Determinism: e_c, d_c, m are exact integers; Q is computed as
+    * the single division (Σe_c·m − Σd_c²) / m² of two exact BIGINTs
+    * — one correctly-rounded IEEE op, bit-identical cross-engine, no
+    * round() anywhere. Overflow bound: m² must fit BIGINT, i.e.
+    * m < 3·10⁹ arcs — beyond that route the two totals through
+    * DECIMAL(38,0) (the [[Relational.tCloseness]] bound precedent).
+    *
+    * Scale: labels come from the shared [[lpaOf]] loop (tier-gated
+    * joins, localCheckpoint); scoring adds two label equi-joins on
+    * the arc list, a src-keyed degree aggregate, and three
+    * keyed partial+final sums — nothing driver-side but the 1-row
+    * card. */
+  def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = weightedEdges(spark, sfDir, GraphWeightMin)
+    val labels = lpaOf(edges, longNodes(spark, sfDir), LpaRounds)
+    modularityOf(edges, labels)
   }
+
+  /** [[graphModularity]] over any directed arc frame `(src, dst)`
+    * and label frame `(a, lbl)` covering every arc endpoint. */
+  private[graft] def modularityOf(edges: DataFrame,
+                                  labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lab = labels.localCheckpoint()
+    val el = edges
+      .join(lab.select($"a".as("src"), $"lbl".as("ls")), "src")
+      .join(lab.select($"a".as("dst"), $"lbl".as("ld")), "dst")
+    val eIn = el.filter($"ls" === $"ld")
+      .groupBy($"ls".as("lbl")).agg(count(lit(1)).as("e_in"))
+    val dTot = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+      .join(lab.select($"a".as("src"), $"lbl"), "src")
+      .groupBy($"lbl").agg(sum($"d").as("d_tot"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val comm = lab.groupBy($"lbl").agg(count(lit(1)).as("cs"))
+      .agg(count(lit(1)).as("n_communities"), max($"cs").as("largest_comm"))
+    val se = eIn.agg(coalesce(sum($"e_in"), lit(0L)).as("se"))
+    val sd2 = dTot.agg(coalesce(sum($"d_tot" * $"d_tot"), lit(0L)).as("sd2"))
+    m.crossJoin(comm).crossJoin(se).crossJoin(sd2) // four 1-row aggregates
+      .select($"m".as("n_arcs"), $"n_communities", $"largest_comm",
+        (($"se" * $"m" - $"sd2").cast("double") /
+          ($"m" * $"m").cast("double")).as("q"))
+  }
+
+  def graphModularitySql(minW: Int = GraphWeightMin,
+                         rounds: Int = LpaRounds): String =
+    s"""WITH ${lpaCtes(minW, rounds)},
+       |ein AS (SELECT p.lbl, CAST(COUNT(*) AS BIGINT) AS e_in
+       |        FROM e JOIN l$rounds p ON e.src = p.a
+       |               JOIN l$rounds q ON e.dst = q.a AND p.lbl = q.lbl
+       |        GROUP BY 1),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY 1),
+       |dt AS (SELECT p.lbl, CAST(SUM(d.d) AS BIGINT) AS d_tot
+       |       FROM deg d JOIN l$rounds p ON d.src = p.a GROUP BY 1),
+       |agg AS (SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS m,
+       |  (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM l$rounds)
+       |    AS n_communities,
+       |  (SELECT CAST(MAX(cs) AS BIGINT) FROM
+       |     (SELECT COUNT(*) AS cs FROM l$rounds GROUP BY lbl))
+       |    AS largest_comm,
+       |  CAST(COALESCE((SELECT SUM(e_in) FROM ein), 0) AS BIGINT) AS se,
+       |  CAST(COALESCE((SELECT SUM(d_tot * d_tot) FROM dt), 0) AS BIGINT)
+       |    AS sd2)
+       |SELECT m AS n_arcs, n_communities, largest_comm,
+       |  CAST(se * m - sd2 AS DOUBLE) / CAST(m * m AS DOUBLE) AS q
+       |FROM agg""".stripMargin
 
   /** k-core of the repeat-collaboration graph: iteratively peel
     * nodes of remaining degree < k until the fixpoint; one summary

@@ -2365,6 +2365,96 @@ object Relational {
        |FROM s ORDER BY digit""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // rel_cohort_ltv — lifetime-value curve by acquisition cohort
+  // ---------------------------------------------------------------
+
+  /** LTV curve horizon (months since first order). */
+  val LtvMaxAge = 6
+
+  /** Cumulative lifetime value by acquisition cohort: customers are
+    * cohorted by FIRST-order month, and for each cohort and month-age
+    * 0..[[LtvMaxAge]] the curve reports cohort size, cumulative
+    * cohort revenue, and cumulative revenue per cohort customer (the
+    * LTV every growth team plots against acquisition cost). The
+    * month key is the integer year·12+month — exact integer
+    * arithmetic in both engines where months_between-style date math
+    * carries engine-specific fractional rules.
+    *
+    * Determinism: revenue sums in DECIMAL(18,2); the per-customer
+    * division is scaled-integer floor division on cents
+    * ([[dataSkewReport]] precedent), emitted at the 4-dp grid.
+    *
+    * Scale: one aggregate per customer (first month), one per
+    * (customer, month), one per (cohort, age), then a window over
+    * the cohorts×ages frame (bounded by 12·years·horizon, never
+    * corpus rows). All three aggregates key on custkey or its
+    * cohort — partial+final, no skew hazard beyond the busiest
+    * month. */
+  def cohortLtv(spark: SparkSession, sfDir: String,
+                maxAge: Int = LtvMaxAge): DataFrame =
+    cohortLtvOf(Tables.orders(spark, sfDir), maxAge)
+
+  /** [[cohortLtv]] over any `(o_custkey, o_orderdate, o_totalprice)`
+    * frame. */
+  private[graft] def cohortLtvOf(orders: DataFrame, maxAge: Int): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val o = orders.select($"o_custkey",
+      (year($"o_orderdate") * 12 + month($"o_orderdate")).as("ym"),
+      dec($"o_totalprice").as("price"))
+    val first = o.groupBy($"o_custkey").agg(min($"ym").as("ym0"))
+    val sizes = first.groupBy($"ym0").agg(count(lit(1)).as("n_customers"))
+    val monthly = o.groupBy($"o_custkey", $"ym").agg(sum($"price").as("rev"))
+    val aged = monthly.join(first, "o_custkey")
+      .withColumn("age", $"ym" - $"ym0")
+      .filter($"age" <= maxAge)
+      .groupBy($"ym0", $"age").agg(sum($"rev").as("rev_m"))
+    val cum = Window.partitionBy($"ym0").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged
+      .withColumn("cum_rev", sum($"rev_m").over(cum))
+      .join(sizes, "ym0")
+      .select(
+        format_string("%04d-%02d", expr("CAST((ym0 - 1) DIV 12 AS INT)"),
+          (($"ym0" - 1) % 12 + 1).cast("int")).as("cohort"),
+        $"age", $"n_customers",
+        $"cum_rev".cast("double").as("cum_revenue"),
+        (expr("CAST((CAST(cum_rev * 100 AS BIGINT) * 100) DIV n_customers AS BIGINT)")
+          .cast("double") / 10000.0).as("ltv"))
+      .orderBy($"cohort", $"age")
+  }
+
+  def cohortLtvSql(maxAge: Int = LtvMaxAge): String =
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+       |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+       |  FROM orders),
+       |fo AS (SELECT o_custkey, MIN(ym) AS ym0 FROM o GROUP BY 1),
+       |sizes AS (SELECT ym0, CAST(COUNT(*) AS BIGINT) AS n_customers
+       |          FROM fo GROUP BY 1),
+       |monthly AS (SELECT o_custkey, ym, SUM(price) AS rev
+       |            FROM o GROUP BY 1, 2),
+       |aged AS (
+       |  SELECT f.ym0, m.ym - f.ym0 AS age, SUM(m.rev) AS rev_m
+       |  FROM monthly m JOIN fo f USING (o_custkey)
+       |  WHERE m.ym - f.ym0 <= $maxAge
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT ym0, age,
+       |    SUM(rev_m) OVER (PARTITION BY ym0 ORDER BY age
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+       |  FROM aged)
+       |SELECT printf('%04d-%02d', CAST((ym0 - 1) // 12 AS INT),
+       |         CAST((ym0 - 1) % 12 + 1 AS INT)) AS cohort,
+       |  age, n_customers,
+       |  CAST(cum_rev AS DOUBLE) AS cum_revenue,
+       |  CAST((CAST(cum_rev * 100 AS BIGINT) * 100) // n_customers
+       |       AS DOUBLE) / 10000.0 AS ltv
+       |FROM c JOIN sizes USING (ym0)
+       |ORDER BY cohort, age""".stripMargin
+
   /** Market-basket association mining over order line items (the
     * support/confidence/lift triple of classic frequent-pair
     * analysis): for the top co-purchased part pairs, how often the

@@ -373,4 +373,30 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(spread(0.3) < spread(0.7) && spread(0.7) < spread(1.0),
       "lower temperature must flatten the mix")
   }
+
+  test("blocklist filter: word-boundary hits on a fixture, corpus attribution brackets any") {
+    import spark.implicits._
+    // "bigger" must NOT match the term "big" -- padded word-boundary
+    // containment, not substring; doc 4 hits two terms but counts
+    // once in __any__
+    val docs = Seq(
+      (1L, "big data pipelines"), (2L, "a slow day"),
+      (3L, "nothing bigger here"), (4L, "stream of vector values"))
+      .toDF("doc_id", "text")
+    val got = CorpusQuality.blocklistFilterOf(docs)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("__any__", 3L, 0.75), ("big", 1L, 0.25),
+      ("slow", 1L, 0.25), ("stream", 1L, 0.25), ("vector", 1L, 0.25)),
+      s"got $got")
+    // corpus: any-row brackets the per-term rows (max <= any <= sum)
+    val corpus = CorpusQuality.blocklistFilter(spark, sf)
+      .as[(String, Long, Double)].collect()
+    val (anyRows, termRows) = corpus.partition(_._1 == "__any__")
+    assert(anyRows.length == 1 &&
+      termRows.map(_._1).toSeq == CorpusQuality.BlocklistTerms)
+    val anyN = anyRows.head._2
+    assert(anyN >= termRows.map(_._2).max && anyN <= termRows.map(_._2).sum)
+    corpus.foreach { case (_, n, s) =>
+      assert(n >= 0 && s >= 0.0 && s <= 1.0) }
+  }
 }

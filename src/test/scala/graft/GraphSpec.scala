@@ -344,4 +344,32 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val e = graft.sources.Tables.coActorEdgesBucketed(spark, sf)
     assert(e.filter($"src" === ta && $"dst" === tb).count() == 0)
   }
+
+  test("modularity: two disjoint triangles score 0.5, trivial partitions bracket, corpus sane") {
+    import spark.implicits._
+    // textbook fixture: two disjoint triangles, perfectly partitioned
+    // -> Q = 12/12 - 2*(6/12)^2 = 0.5
+    val und = Seq((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("a")
+    val perfect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 4L).toDF("a", "lbl")
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      Graph.modularityOf(edges, labels).as[(Long, Long, Long, Double)]
+        .head()._4
+    assert(q(perfect) == 0.5)
+    // everything-in-one-community: Q = m/m - (m/m)^2 = 0 exactly
+    assert(q(nodes.select($"a", lit(1L).as("lbl"))) == 0.0)
+    // all-singletons: no intra arcs, Q = -sum (d/m)^2 < 0
+    assert(q(nodes.select($"a", $"a".as("lbl"))) < 0.0)
+    // corpus card: bounds hold and counts reconcile with the census
+    val (arcs, nComms, largest, qc) = Graph.graphModularity(spark, sf)
+      .as[(Long, Long, Long, Double)].head()
+    assert(arcs > 0 && nComms >= 1 && largest >= 1)
+    assert(qc > -0.5 && qc < 1.0)
+    val census = Graph.lpaCommunities(spark, sf).as[(Long, Long)].collect()
+    assert(nComms == census.map(_._2).sum)
+    assert(largest == census.map(_._1).max)
+  }
 }

@@ -585,4 +585,39 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     // near zero here
     assert(rows.map(r => math.abs(r._5)).max > 0.02)
   }
+
+  test("cohort ltv: hand-walked two-customer cohort, corpus curve monotone and consistent") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    // both customers first order 1995-01 (cohort size 2); c1 buys
+    // again in Feb -> age-1 cum 350, ltv 175; c2 only Jan
+    val orders = Seq(
+      (1L, t("1995-01-10"), 100.0), (1L, t("1995-02-05"), 50.0),
+      (2L, t("1995-01-20"), 200.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational.cohortLtvOf(orders, maxAge = 6)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("1995-01", 0L, 2L, 300.0, 150.0),
+      ("1995-01", 1L, 2L, 350.0, 175.0)), s"got $got")
+    // corpus: within each cohort the curve is non-decreasing in age,
+    // ltv replays as floor-scaled cum/n, ages within horizon
+    val corpus = Relational.cohortLtv(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(corpus.nonEmpty)
+    corpus.groupBy(_._1).values.foreach { rows =>
+      val byAge = rows.sortBy(_._2)
+      byAge.sliding(2).foreach {
+        case Array(p, q) => assert(q._4 >= p._4, s"cum dips in ${p._1}")
+        case _ =>
+      }
+    }
+    corpus.foreach { case (_, age, n, cum, ltv) =>
+      assert(age >= 0 && age <= Relational.LtvMaxAge && n >= 1)
+      val cents = BigDecimal(cum).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100
+      assert(ltv == (cents.toLong * 100 / n).toDouble / 10000.0,
+        s"ltv $ltv does not replay from $cum / $n")
+    }
+  }
 }
