@@ -338,6 +338,18 @@ object Graft {
   def dedupSweep(docs: DataFrame): DataFrame =
     operators.Dedup.dedupSweepOf(docs)
 
+  /** LSH banding planner card: for each (bands, rows) factorization
+    * of the signature budget, the soft threshold and the expected
+    * caught-pair mass over the corpus's own similarity distribution —
+    * pick (b, r) from 5 numbers instead of 5 dedup re-runs. */
+  def lshTuning(docs: DataFrame): DataFrame =
+    operators.Dedup.lshTuningOf(docs)
+
+  /** Denylist screen: per-term whole-word document hit counts plus
+    * the `__any__` row a remove-on-any policy would drop. */
+  def blocklistFilter(docs: DataFrame): DataFrame =
+    operators.CorpusQuality.blocklistFilterOf(docs)
+
   /** Top word pairs by pointwise mutual information over corpus
     * bigrams (min-count floored) — collocation / MWE mining. Needs
     * `doc_id, text`. */
@@ -382,6 +394,19 @@ object Graft {
     * value)`; each key expands only to its OWN [min, max] span. */
   def gapFillDaily(events: DataFrame): DataFrame =
     operators.TimeSeries.gapFillDailyOf(events)
+
+  /** First-order Markov transition matrix of an event stream
+    * `(user_id, ts, event_id, event_type)` → per (prev, cur) pair
+    * the step count and row-normalized probability. */
+  def markovTransitions(events: DataFrame): DataFrame =
+    operators.TimeSeries.markovTransitionsOf(events)
+
+  /** Cumulative LTV curve by first-order-month cohort over
+    * `(o_custkey, o_orderdate, o_totalprice)` → (cohort, age,
+    * n_customers, cum_revenue, ltv) for ages 0..`maxAge` months. */
+  def cohortLtv(orders: DataFrame,
+                maxAge: Int = operators.Relational.LtvMaxAge): DataFrame =
+    operators.Relational.cohortLtvOf(orders, maxAge)
 
   /** Interval join without the cartesian: rows of `probe` whose
     * `tsCol` falls in `[startCol, endCol)` of `intervals`, via
@@ -447,6 +472,20 @@ object Graft {
                            seeds: DataFrame, iters: Int = 5,
                            damping: Double = 0.85): DataFrame =
     operators.Graph.pprOf(edges, nodes, seeds, iters, damping)
+
+  /** Common-neighbor link prediction: top-k NON-adjacent pairs by
+    * neighborhood Jaccard, two-path enumeration capped to sub-hub
+    * intermediates (`hubCap` bounds the join blow-up at cap·|E|). */
+  def linkPredict(edges: DataFrame, k: Int = operators.Graph.LinkPredTopK,
+                  hubCap: Int = operators.Graph.LinkPredHubCap): DataFrame =
+    operators.Graph.linkPredictOf(edges, k, hubCap)
+
+  /** Newman modularity Q of a labeling `(a, lbl)` over a directed
+    * arc frame (both arcs) → 1 row (n_arcs, n_communities,
+    * largest_comm, q). Evaluates [[labelPropagation]]'s output:
+    * Q > 0 means the partition beats chance. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame =
+    operators.Graph.modularityOf(edges, labels)
 
   // -- similarity over (vec_id, embedding) frames ------------------
 

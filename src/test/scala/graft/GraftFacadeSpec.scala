@@ -322,4 +322,33 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
       .toDF("priority", "day", "revenue")).collect()
     assert(ewma.forall(_.getDouble(3) === 50.0))
   }
+
+  test("round-10 batch facade entries run on caller frames") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // graph pair: square diagonals predicted, perfect-partition Q
+    val und = Seq((1, 2), (2, 3), (3, 4), (4, 1))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    assert(Graft.linkPredict(edges).count() === 2L)
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L).toDF("a", "lbl")
+    assert(Graft.modularity(edges, labels).columns.toSeq ===
+      Seq("n_arcs", "n_communities", "largest_comm", "q"))
+    // events: two-step timeline -> one transition row
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Graft.markovTransitions(ev).count() === 1L)
+    // orders: single-cohort curve
+    val orders = Seq((1L, Timestamp.valueOf("1995-01-10 00:00:00"), 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    assert(Graft.cohortLtv(orders).count() === 1L)
+    // docs: tuning card has one row per grid point; denylist shape
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Graft.lshTuning(docs).count() ===
+      graft.operators.Dedup.LshGrid.length.toLong)
+    assert(Graft.blocklistFilter(docs).count() ===
+      graft.operators.CorpusQuality.BlocklistTerms.length + 1L)
+  }
 }
