@@ -505,4 +505,32 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
       assert(cn == 0L || cd >= graft.operators.Graph.KCoreK.toLong)
     }
   }
+
+  test("link-predict scale certificate: capped two-paths obey cap x |E| at 10x") {
+    import spark.implicits._
+    // the operator's whole 100-TB argument is the structural bound
+    // |two-paths through sub-hub z| <= hubCap * |E| — check the
+    // actual candidate volume against it at both scales (the
+    // triangle-wedge discipline applied to the friend-of-friend join)
+    def counts(dir: String): (Long, Long) = {
+      val e = graft.sources.Tables.coActorEdgesBucketed(spark, dir)
+        .select($"src", $"dst")
+      val deg = e.groupBy($"src").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("d"))
+      val zok = deg.filter($"d" <= graft.operators.Graph.LinkPredHubCap)
+        .select($"src")
+      val e1 = e.join(zok, "src")
+      val twoPaths = e1.select($"src".as("z"), $"dst".as("a"))
+        .join(e1.select($"src".as("z"), $"dst".as("b")), Seq("z"))
+        .filter($"a" < $"b").count()
+      (e.count(), twoPaths)
+    }
+    val (eLo, tpLo) = counts("/root/testdata/sf0.01")
+    val (eHi, tpHi) = counts("/root/testdata/sf0.1")
+    info(s"edges $eLo -> $eHi, capped two-paths $tpLo -> $tpHi")
+    val cap = graft.operators.Graph.LinkPredHubCap.toLong
+    assert(tpLo <= cap * eLo, s"sf0.01 two-paths $tpLo exceed cap*|E| ${cap * eLo}")
+    assert(tpHi <= cap * eHi, s"sf0.1 two-paths $tpHi exceed cap*|E| ${cap * eHi}")
+  }
 }

@@ -252,4 +252,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 1 &&
       "partial_sum".r.findAllIn(plan).size >= 1, plan.take(900))
   }
+
+  test("link predict: equi-joins only, hub gate precedes the two-path join (r10)") {
+    val qe = graft.operators.Graph.linkPredict(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"link prediction regressed to a cartesian plan:\n$plan")
+    // the hub cap must bound the JOIN INPUT: the optimized plan joins
+    // degree-filtered edge sides on z, not raw edges post-filtered
+    val opt = qe.optimizedPlan.toString
+    assert(opt.contains("(d <= 64)") || opt.contains("(d#") ||
+      plan.contains("d <= 64"),
+      s"hub-degree gate missing from the plan:\n$opt")
+  }
 }
