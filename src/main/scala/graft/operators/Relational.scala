@@ -342,6 +342,236 @@ object Relational {
       |GROUP BY x.i ORDER BY digit_pos""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_ab_test — Welch two-sample test on a hash-split experiment
+  // ---------------------------------------------------------------
+
+  /** Experiment-assignment hash salt — one definition for operator,
+    * oracle, and spec. */
+  val AbSalt = 23
+
+  /** A/B experiment readout: users are deterministically hash-split
+    * into two arms (unit of randomization = user, the assignment any
+    * real experiment framework derives from a salted user hash, so
+    * re-runs and engines agree), and the purchase-value metric gets
+    * the Welch unequal-variance read: per-arm n / floor-scaled mean,
+    * raw sample variances, and the t statistic. On an A/A split like
+    * this synthetic corpus the statistic should be small — the spec
+    * pins |t| < 4 as the null-calibration check.
+    *
+    * Determinism: values sum as DECIMAL(18,2) (exact, order-free);
+    * the moment arithmetic is ONE fixed-parenthesization double
+    * chain over those exact sums — +,−,×,÷,sqrt are all correctly
+    * rounded IEEE ops, so both engines produce the bit-identical
+    * double with no rounding step anywhere (display means are
+    * floor-scaled cents; ln/exp never appear).
+    *
+    * Scale: one filter + one 2-group partial+final aggregate over
+    * the corpus; everything after runs on two rows. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame =
+    abTestOf(Tables.events(spark, sfDir))
+
+  /** [[abTest]] over any `(user_id, event_type, value)` frame. */
+  private[graft] def abTestOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val p = events.filter($"event_type" === "purchase")
+      .select((graft.functions.Hashing.md5i32($"user_id".cast("string"),
+        AbSalt) % 2).as("arm"), dec($"value").as("v"))
+    val s = p.groupBy($"arm").agg(count(lit(1)).as("n"),
+      sum($"v").as("sx"), sum($"v" * $"v").as("sxx"))
+    val a = s.filter($"arm" === 0)
+      .select($"n".as("n_a"), $"sx".as("sxa"), $"sxx".as("sxxa"))
+    val b = s.filter($"arm" === 1)
+      .select($"n".as("n_b"), $"sx".as("sxb"), $"sxx".as("sxxb"))
+    a.crossJoin(b) // two 1-row frames
+      .select($"n_a", $"n_b",
+        (expr("CAST(CAST(sxa * 100 AS BIGINT) * 100 DIV n_a AS BIGINT)")
+          .cast("double") / 10000.0).as("mean_a"),
+        (expr("CAST(CAST(sxb * 100 AS BIGINT) * 100 DIV n_b AS BIGINT)")
+          .cast("double") / 10000.0).as("mean_b"),
+        expr(welchVar("sxxa", "sxa", "n_a")).as("var_a"),
+        expr(welchVar("sxxb", "sxb", "n_b")).as("var_b"),
+        expr(s"""(CAST(sxa AS DOUBLE) / n_a - CAST(sxb AS DOUBLE) / n_b)
+                | / sqrt(${welchVar("sxxa", "sxa", "n_a")} / n_a
+                |        + ${welchVar("sxxb", "sxb", "n_b")} / n_b)"""
+          .stripMargin).as("t_stat"))
+  }
+
+  /** The sample-variance fragment — ONE text shared by the Spark
+    * `expr` and the oracle so the double chain associates
+    * identically in both engines. */
+  private def welchVar(sxx: String, sx: String, n: String): String =
+    s"((CAST($sxx AS DOUBLE) - (CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))" +
+      s" / $n) / ($n - 1))"
+
+  def abTestSql(): String = {
+    val armExpr = graft.functions.Hashing
+      .md5i32Sql("CAST(user_id AS VARCHAR)", AbSalt)
+    s"""WITH p AS (
+       |  SELECT $armExpr % 2 AS arm,
+       |         CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events WHERE event_type = 'purchase'),
+       |s AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+       |        SUM(v) AS sx, SUM(v * v) AS sxx
+       |      FROM p GROUP BY arm),
+       |w AS (SELECT a.n AS n_a, a.sx AS sxa, a.sxx AS sxxa,
+       |             b.n AS n_b, b.sx AS sxb, b.sxx AS sxxb
+       |      FROM s a JOIN s b ON a.arm = 0 AND b.arm = 1)
+       |SELECT n_a, n_b,
+       |  CAST(CAST(sxa * 100 AS BIGINT) * 100 // n_a AS DOUBLE)
+       |    / 10000.0 AS mean_a,
+       |  CAST(CAST(sxb * 100 AS BIGINT) * 100 // n_b AS DOUBLE)
+       |    / 10000.0 AS mean_b,
+       |  ${welchVar("sxxa", "sxa", "n_a")} AS var_a,
+       |  ${welchVar("sxxb", "sxb", "n_b")} AS var_b,
+       |  (CAST(sxa AS DOUBLE) / n_a - CAST(sxb AS DOUBLE) / n_b)
+       |   / sqrt(${welchVar("sxxa", "sxa", "n_a")} / n_a
+       |          + ${welchVar("sxxb", "sxb", "n_b")} / n_b) AS t_stat
+       |FROM w""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // rel_conversion_lag — signup→purchase latency histogram
+  // ---------------------------------------------------------------
+
+  /** Time-to-convert distribution: per user, the FIRST signup and
+    * the first purchase at-or-after it; the histogram of the lag in
+    * whole days. The day arithmetic is calendar-date subtraction —
+    * exact integers in both engines, where epoch/seconds routes
+    * drag float division into a histogram key.
+    *
+    * Scale: two conditional min-aggregates on user_id (the funnel's
+    * partitioning reused across stages) and one bounded histogram
+    * aggregate; the result is ≤ observation-window-days rows. */
+  def conversionLag(spark: SparkSession, sfDir: String): DataFrame =
+    conversionLagOf(Tables.events(spark, sfDir))
+
+  /** [[conversionLag]] over any `(user_id, ts, event_type)` frame. */
+  private[graft] def conversionLagOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val s = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("ts_s"))
+    val p = events.filter($"event_type" === "purchase")
+      .join(s, "user_id").filter($"ts" >= $"ts_s")
+      .groupBy($"user_id", $"ts_s").agg(min($"ts").as("ts_p"))
+    p.select(datediff(to_date($"ts_p"), to_date($"ts_s")).cast("long")
+        .as("lag_days"))
+      .groupBy($"lag_days").agg(count(lit(1)).as("n_users"))
+      .orderBy($"lag_days")
+  }
+
+  val conversionLagSql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS ts_s
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts_p, s.ts_s
+      |  FROM events e JOIN s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.ts_s
+      |  GROUP BY e.user_id, s.ts_s)
+      |SELECT CAST(CAST(ts_p AS DATE) - CAST(ts_s AS DATE) AS BIGINT)
+      |         AS lag_days,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_entity_clusters — dirty-record entity resolution
+  // ---------------------------------------------------------------
+
+  /** Rounds budget for the match-graph components (loud failure past
+    * it — the [[graft.operators.Graph]] discipline). */
+  val EntityCcRounds = 12
+
+  /** Record linkage over a dirtied customer registry: every 7th
+    * customer gains a corrupted incoming record (last name digit →
+    * 'X' — a deterministic stand-in for OCR/typo noise), candidate
+    * pairs come from wildcard-neighborhood blocking (the
+    * [[fuzzyJoin]] scheme — complete for substitution distance 1 BY
+    * CONSTRUCTION, never all-pairs), edit distance ≤ 1 confirms, and
+    * connected components transitively close the match graph into
+    * entity clusters. The LINKAGE rule — a match must pair an
+    * incoming record with a REGISTRY record, registry records never
+    * merge with each other and incoming never link directly — is the
+    * record-linkage (vs dedup) semantic: the registry is
+    * authoritative, and on systematic names like these an
+    * unrestricted lev ≤ 1 closure would collapse the whole registry
+    * into one entity (every name is one digit from a neighbor). The
+    * census (cluster_size, n_clusters) is the acceptance artifact,
+    * and it exposes the honest ambiguity of last-digit corruption:
+    * an 'X' record blocks to its whole decade, so clusters are
+    * decade + its incoming records — deterministic, so the oracle
+    * pins the exact ambiguity structure instead of hiding it.
+    *
+    * Scale: blocking emits 9 keys/record (linear); candidates meet
+    * in a block-key equi-join; components run the shared
+    * [[Graph.ccOf]] min-label loop (tier-gated broadcast,
+    * localCheckpoint), O(match-chain diameter) rounds with loud
+    * non-convergence — for adversarial chain shapes the
+    * large-star/small-star contraction route swaps in with the same
+    * census contract. */
+  def entityClusters(spark: SparkSession, sfDir: String,
+                     maxRounds: Int = EntityCcRounds): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("k"), $"c_name".as("name"))
+    val dirty = cust.select(($"k" * 2).as("id"), $"name")
+      .unionByName(cust.filter($"k" % 7 === 0)
+        .select(($"k" * 2 + 1).as("id"),
+          concat(substring($"name", 1, 17), lit("X")).as("name")))
+    val keys = dirty
+      .select($"id", $"name", explode(sequence(lit(10), lit(18))).as("i"))
+      .select($"id", $"name", $"i",
+        expr("concat(substr(name, 1, i - 1), '*', substr(name, i + 1, 18))")
+          .as("bk"))
+    // linkage rule: exactly one side is an incoming (odd-id) record
+    val pairs = keys.as("x").join(keys.as("y"),
+        col("x.i") === col("y.i") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id") &&
+          (col("x.id") % 2) =!= (col("y.id") % 2))
+      .filter(levenshtein(col("x.name"), col("y.name")) <= 1)
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    Graph.ccOf(edges, dirty.select($"id".as("a")), maxRounds)
+      .groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"cluster_size")
+  }
+
+  def entityClustersSql(rounds: Int = EntityCcRounds): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT n.a, LEAST(n.lbl, COALESCE(m.ml, n.lbl)) AS lbl
+         |  FROM l${i - 1} n LEFT JOIN (
+         |    SELECT e.dst AS a, MIN(q.lbl) AS ml
+         |    FROM e JOIN l${i - 1} q ON e.src = q.a GROUP BY e.dst) m
+         |  USING (a))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cust AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+       |dirty AS (
+       |  SELECT 2 * k AS id, name FROM cust
+       |  UNION ALL
+       |  SELECT 2 * k + 1 AS id, substr(name, 1, 17) || 'X' AS name
+       |  FROM cust WHERE k % 7 = 0),
+       |ks AS (SELECT id, name, i,
+       |         substr(name, 1, i - 1) || '*' || substr(name, i + 1, 18) AS bk
+       |       FROM dirty, range(10, 19) t(i)),
+       |pr AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |       FROM ks x JOIN ks y
+       |         ON x.i = y.i AND x.bk = y.bk AND x.id < y.id
+       |        AND x.id % 2 <> y.id % 2
+       |       WHERE levenshtein(x.name, y.name) <= 1),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pr
+       |  UNION ALL SELECT b, a FROM pr),
+       |l0 AS (SELECT id AS a, id AS lbl FROM dirty),
+       |$steps
+       |SELECT cluster_size, COUNT(*) AS n_clusters
+       |FROM (SELECT lbl, COUNT(*) AS cluster_size FROM l$rounds
+       |      GROUP BY lbl)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // rel_events_funnel — ordered-sequence conversion analysis
   // ---------------------------------------------------------------
 

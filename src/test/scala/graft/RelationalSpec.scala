@@ -620,4 +620,90 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
         s"ltv $ltv does not replay from $cum / $n")
     }
   }
+
+  test("ab test: independent Welch replay on md5-recomputed arms, A/A null calibrated") {
+    import spark.implicits._
+    val row = Relational.abTest(spark, sf).collect().head
+    val (na, nb, ma, mb, va, vb, t) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4),
+      row.getDouble(5), row.getDouble(6))
+    // independent arm assignment (java.security md5, not the Spark
+    // expression) and a from-scratch Welch computation
+    def arm(uid: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Relational.AbSalt}:$uid".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+        % 2).toInt
+    }
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"value").collect()
+      .map(r => (arm(r.getLong(0)),
+        BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    def stats(a: Int) = {
+      val v = vals.filter(_._1 == a).map(_._2)
+      val n = v.length.toLong
+      val sx = v.sum; val sxx = v.map(x => x * x).sum
+      (n, sx, sxx)
+    }
+    val (ena, sxa, sxxa) = stats(0); val (enb, sxb, sxxb) = stats(1)
+    assert((na, nb) == (ena, enb))
+    // floor-scaled display means replay exactly
+    assert(ma == ((sxa * 100).toLong * 100 / ena).toDouble / 10000.0)
+    assert(mb == ((sxb * 100).toLong * 100 / enb).toDouble / 10000.0)
+    def welch(sxx: BigDecimal, sx: BigDecimal, n: Long): Double =
+      (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1)
+    assert(math.abs(va - welch(sxxa, sxa, ena)) < 1e-9 * math.abs(va))
+    assert(math.abs(vb - welch(sxxb, sxb, enb)) < 1e-9 * math.abs(vb))
+    val tExp = (sxa.toDouble / ena - sxb.toDouble / enb) /
+      math.sqrt(welch(sxxa, sxa, ena) / ena + welch(sxxb, sxb, enb) / enb)
+    assert(math.abs(t - tExp) < 1e-9, s"t $t vs replay $tExp")
+    // hash split of an unmanipulated metric is an A/A test: the
+    // statistic must sit in the null's bulk
+    assert(math.abs(t) < 4.0, s"A/A t-statistic implausibly large: $t")
+  }
+
+  test("conversion lag: fixture lags exact, corpus histogram conserves converters") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = (s: String) => Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), "signup"),
+      (1L, t("2024-01-04 09:00:00"), "purchase"),   // lag 3 days
+      (1L, t("2024-01-06 09:00:00"), "purchase"),   // not first -> ignored
+      (2L, t("2024-01-02 08:00:00"), "signup"),
+      (2L, t("2024-01-02 08:00:00"), "purchase"),   // same instant -> lag 0
+      (3L, t("2024-01-03 08:00:00"), "purchase"),   // before signup only
+      (3L, t("2024-01-05 08:00:00"), "signup"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Relational.conversionLagOf(ev)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (3L, 1L)), s"got $got")
+    // corpus: histogram mass == independently counted converters
+    val events = Tables.events(spark, sf)
+    val s0 = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t0"))
+    val conv = events.filter($"event_type" === "purchase")
+      .join(s0, "user_id").filter($"ts" >= $"t0")
+      .select($"user_id").distinct().count()
+    val hist = Relational.conversionLag(spark, sf).as[(Long, Long)].collect()
+    assert(hist.map(_._2).sum == conv)
+    assert(hist.forall(_._1 >= 0))
+  }
+
+  test("entity clusters: census equals the decade+incoming structure, derived independently") {
+    import spark.implicits._
+    val n = Tables.customer(spark, sf).count()
+    assert(n % 10 == 0, s"spec assumes whole decades, got $n customers")
+    // every decade of the registry plus its incoming (X-corrupted)
+    // records is one cluster; an incoming record blocks to its whole
+    // decade, registry records never merge directly
+    val expect = (0L until n / 10).map { d =>
+      10 + (10 * d to 10 * d + 9).count(_ % 7 == 0)
+    }.groupBy(identity).map { case (size, ds) => (size.toLong, ds.size.toLong) }
+    val got = Relational.entityClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, s"got $got want $expect")
+  }
 }
