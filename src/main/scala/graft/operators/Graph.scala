@@ -1077,6 +1077,83 @@ object Graph {
        |        JOIN deg d2 ON d2.src = na.b
        |ORDER BY jaccard DESC, a, b LIMIT $k""".stripMargin
 
+  // ---------------------------------------------------------------
+  // rel_graph_assortativity — degree-mixing coefficient
+  // ---------------------------------------------------------------
+
+  /** Degree assortativity of the co-actor graph: the Pearson
+    * correlation of (deg(src), deg(dst)) over every arc —
+    * Newman's r, the one-number answer to "do hubs collaborate with
+    * hubs (r > 0, social-network mixing) or with the periphery
+    * (r < 0, technological/star mixing)". On the both-arcs
+    * representation the two marginals are identical by symmetry
+    * (Σx = Σy, Σx² = Σy² — a spec invariant), and r reduces to the
+    * textbook undirected coefficient.
+    *
+    * Determinism: all six moments (m, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact BIGINT sums of integer degrees; r is ONE
+    * fixed-parenthesization double chain over them (+,−,×,÷,sqrt —
+    * all correctly-rounded IEEE, bit-identical cross-engine, no
+    * rounding step). On a degree-regular graph the variance is zero
+    * and r is NaN in BOTH engines (0/0 — undefined by the
+    * definition, surfaced rather than masked). Overflow bound:
+    * Σxy ≤ maxdeg²·|E| must fit BIGINT — past ~10¹⁸ route the
+    * moment sums through DECIMAL(38,0).
+    *
+    * Scale: the degree frame is one src-keyed aggregate
+    * (bucket-local on the materialized layout); each arc picks up
+    * its endpoint degrees via two equi-joins; the moments are ONE
+    * partial+final aggregate. Driver sees six longs. */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, _) = coActorEdges(spark, sfDir)
+    assortativityOf(edges)
+  }
+
+  /** [[graphAssortativity]] over any directed arc frame
+    * `(src, dst)`. */
+  private[graft] def assortativityOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select($"src", $"d".as("dx")), "src")
+      .join(deg.select($"src".as("dst"), $"d".as("dy")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      .select($"m", $"sx", $"sy", expr(AssortativityExpr).as("r"))
+  }
+
+  /** The r chain — ONE text shared by the Spark `expr` and the
+    * oracle so the double arithmetic associates identically. */
+  private val AssortativityExpr: String =
+    """((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      | / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"""
+      .stripMargin
+
+  def graphAssortativitySql(): String =
+    s"""WITH movies AS (${Tables.moviesSql}),
+       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.a AS src, y.a AS dst
+       |  FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY src),
+       |mom AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(dx.d) AS BIGINT) AS sx,
+       |    CAST(SUM(dy.d) AS BIGINT) AS sy,
+       |    CAST(SUM(dx.d * dy.d) AS BIGINT) AS sxy,
+       |    CAST(SUM(dx.d * dx.d) AS BIGINT) AS sxx,
+       |    CAST(SUM(dy.d * dy.d) AS BIGINT) AS syy
+       |  FROM e JOIN deg dx ON dx.src = e.src
+       |         JOIN deg dy ON dy.src = e.dst)
+       |SELECT m, sx, sy, $AssortativityExpr AS r
+       |FROM mom""".stripMargin
+
   def kcoreSummarySql(k: Int = KCoreK, minW: Int = GraphWeightMin,
                       rounds: Int = GraphMaxRounds): String = {
     val head =

@@ -2525,6 +2525,76 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // rel_pareto_abc — cumulative-share inventory classification
+  // ---------------------------------------------------------------
+
+  /** ABC class boundaries as percent of cumulative revenue. */
+  val AbcCutA = 80
+  val AbcCutB = 95
+
+  /** Pareto/ABC classification of parts by revenue: rank every part
+    * by lineitem revenue, classify by cumulative share — A up to
+    * [[AbcCutA]]%, B to [[AbcCutB]]%, C beyond — and report the
+    * class census (part count, revenue, revenue share): the classic
+    * "which 20% of SKUs carry 80% of the business" readout.
+    *
+    * Determinism: revenue in exact cents; the class boundary
+    * comparisons are integer cross-multiplications (cum·100 vs
+    * total·cut — the [[tCloseness]] no-float-on-a-policy-boundary
+    * rule), the rank tie-breaks on the part key, and shares are
+    * floor-scaled.
+    *
+    * Scale: one partkey aggregate over the corpus, then ONE ordered
+    * window over the dim-sized part frame (a global sort of the
+    * aggregate, not the corpus — at 100 TB the part dimension is
+    * millions of rows, window-safe; the corpus never sorts). */
+  def paretoAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey")
+      .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100" +
+        " AS BIGINT)").as("cents"))
+    val w = Window.orderBy($"cents".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("cum", sum($"cents").over(w))
+      .withColumn("tot", sum($"cents").over(Window.partitionBy()))
+      .withColumn("abc_class",
+        when($"cum" * 100 <= $"tot" * AbcCutA, "A")
+          .when($"cum" * 100 <= $"tot" * AbcCutB, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        (sum($"cents").cast("double") / 100.0).as("revenue"),
+        (expr("CAST(SUM(cents) * 1000000 DIV MAX(tot) AS BIGINT)")
+          .cast("double") / 1000000.0).as("rev_share"))
+      .orderBy($"abc_class")
+  }
+
+  def paretoAbcSql(): String =
+    s"""WITH parts AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+       |         AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1),
+       |c AS (
+       |  SELECT l_partkey, cents,
+       |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cents) OVER () AS tot
+       |  FROM parts),
+       |k AS (
+       |  SELECT CASE WHEN cum * 100 <= tot * $AbcCutA THEN 'A'
+       |              WHEN cum * 100 <= tot * $AbcCutB THEN 'B'
+       |              ELSE 'C' END AS abc_class, cents, tot
+       |  FROM c)
+       |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(SUM(cents) * 1000000 // MAX(tot) AS DOUBLE) / 1000000.0
+       |    AS rev_share
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_benford_audit — first-digit fraud/synthesis screen
   // ---------------------------------------------------------------
 

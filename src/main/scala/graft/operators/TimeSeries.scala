@@ -733,6 +733,83 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------
+  // rel_forecast_baseline — seasonal-naive backtest by weekday
+  // ---------------------------------------------------------------
+
+  /** Seasonal-naive forecast backtest of the daily revenue series:
+    * ŷ(d) = y(d − 7 days) — the baseline every forecasting system
+    * must beat before it earns its complexity — scored per ISO
+    * weekday with the error metrics a backtest reports (n evaluated
+    * days, total absolute error, MAPE, sMAPE). Per-weekday rows make
+    * the seasonal structure visible: a weekday the naive model
+    * forecasts badly is a weekday with unstable demand.
+    *
+    * The predecessor is joined BY DATE (day − 7), not by 7 rows —
+    * row-lag silently misaligns across calendar gaps. Weekday uses
+    * the audited ISO mapping ([[graft.sources.Ingest.dateDim]]'s
+    * one-place resolution of Spark 1=Sun vs DuckDB isodow).
+    *
+    * Determinism: revenues are exact cents; each day's percentage
+    * error is floor-scaled to the 1e-6 grid BEFORE the mean (a sum
+    * of doubles would be order-dependent), and the means are one
+    * floor division each — BIGINT arithmetic end to end.
+    *
+    * Scale: one daily aggregate (partial+final on the date), one
+    * self equi-join of the ≤ calendar-days frame, one 7-group
+    * aggregate. Nothing scales past the day count. */
+  def forecastBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    forecastBaselineOf(
+      Tables.orders(spark, sfDir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(dec($"o_totalprice")).as("rev")))
+  }
+
+  /** [[forecastBaseline]] over any `(day, rev: decimal)` frame. */
+  private[graft] def forecastBaselineOf(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val cents = daily.select($"day",
+      expr("CAST(rev * 100 AS BIGINT)").as("y"))
+    val f = cents.as("c")
+      .join(cents.select(date_add($"day", 7).as("day"), $"y".as("yhat"))
+        .as("p"), Seq("day"))
+      .filter($"y" > 0)
+      .select($"day", $"y", $"yhat",
+        abs($"y" - $"yhat").as("ae"),
+        expr("CAST(abs(y - yhat) * 1000000 DIV y AS BIGINT)").as("ape6"),
+        expr("CAST(abs(y - yhat) * 2000000 DIV (y + yhat) AS BIGINT)")
+          .as("sape6"))
+    f.groupBy((((dayofweek($"day") + 5) % 7) + 1).cast("bigint")
+        .as("iso_dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum($"ae").cast("double") / 100.0).as("total_abs_err"),
+        (expr("CAST(SUM(ape6) DIV COUNT(1) AS BIGINT)")
+          .cast("double") / 1000000.0).as("mape"),
+        (expr("CAST(SUM(sape6) DIV COUNT(1) AS BIGINT)")
+          .cast("double") / 1000000.0).as("smape"))
+      .orderBy($"iso_dow")
+  }
+
+  val forecastBaselineSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT c.day, c.y, p.y AS yhat, abs(c.y - p.y) AS ae,
+      |    CAST(abs(c.y - p.y) * 1000000 // c.y AS BIGINT) AS ape6,
+      |    CAST(abs(c.y - p.y) * 2000000 // (c.y + p.y) AS BIGINT) AS sape6
+      |  FROM daily c JOIN daily p ON c.day = p.day + 7
+      |  WHERE c.y > 0)
+      |SELECT CAST(isodow(day) AS BIGINT) AS iso_dow,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(ae) AS DOUBLE) / 100.0 AS total_abs_err,
+      |  CAST(SUM(ape6) // COUNT(*) AS DOUBLE) / 1000000.0 AS mape,
+      |  CAST(SUM(sape6) // COUNT(*) AS DOUBLE) / 1000000.0 AS smape
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_markov_transitions — event-type transition matrix
   // ---------------------------------------------------------------
 

@@ -372,4 +372,22 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(nComms == census.map(_._2).sum)
     assert(largest == census.map(_._1).max)
   }
+
+  test("assortativity: perfect star is -1 exactly, corpus marginals symmetric") {
+    import spark.implicits._
+    // star K1,3: every arc pairs the hub (deg 3) with a leaf (deg 1)
+    // -> perfectly disassortative, r = -1 in EXACT arithmetic
+    val und = Seq((1, 2), (1, 3), (1, 4))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val star = Graph.assortativityOf(edges)
+      .as[(Long, Long, Long, Double)].head()
+    assert(star == ((6L, 12L, 12L, -1.0)), s"got $star")
+    // both-arcs representation: marginals identical by symmetry, and
+    // the coefficient is a genuine correlation (|r| <= 1)
+    val (m, sx, sy, r) = Graph.graphAssortativity(spark, sf)
+      .as[(Long, Long, Long, Double)].head()
+    assert(m > 0 && sx == sy)
+    assert(!r.isNaN && math.abs(r) <= 1.0, s"r out of range: $r")
+  }
 }

@@ -706,4 +706,25 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == expect, s"got $got want $expect")
   }
+
+  test("pareto abc: classes partition parts, boundaries respected, shares conserve") {
+    import spark.implicits._
+    val rows = Relational.paretoAbc(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    val byClass = rows.map(r => r._1 -> r).toMap
+    // partition of the part dimension
+    val nParts = Tables.lineitem(spark, sf)
+      .select($"l_partkey").distinct().count()
+    assert(rows.map(_._2).sum == nParts)
+    // revenue conserves to the corpus total (cents-exact both sides)
+    val total = Tables.lineitem(spark, sf)
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(rows.map(_._3).sum - total) < 1e-4)
+    // boundary semantics: A stops at 80%, A+B at 95%, floor grid
+    assert(byClass("A")._4 <= 0.80)
+    assert(byClass("A")._4 + byClass("B")._4 <= 0.95)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 3e-6)
+  }
 }

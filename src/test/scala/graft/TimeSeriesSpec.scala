@@ -304,4 +304,42 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       events.select($"user_id").distinct().count()
     assert(m.map(_._3).sum == expectSteps)
   }
+
+  test("forecast baseline: exact weekly pattern scores zero error except the perturbed day") {
+    import spark.implicits._
+    // two weeks, flat 100/day except 150 on 2024-01-10 (a Wednesday):
+    // the seasonal-naive backtest evaluates week 2 only, and every
+    // weekday scores zero except ISO dow 3 with ape = 50/150
+    val daily = (1 to 14).map { d =>
+      (java.sql.Date.valueOf(f"2024-01-$d%02d"),
+        if (d == 10) BigDecimal(150) else BigDecimal(100))
+    }.toDF("day", "rev")
+      .select($"day", $"rev".cast("decimal(18,2)").as("rev"))
+    val got = TimeSeries.forecastBaselineOf(daily)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.length == 7)
+    got.foreach { case (dow, n, ae, mape, smape) =>
+      assert(n == 1L)
+      if (dow == 3L) {
+        assert(ae == 50.0)
+        assert(mape == (50L * 1000000L / 150L).toDouble / 1000000.0)
+        assert(smape == (50L * 2000000L / 250L).toDouble / 1000000.0)
+      } else assert(ae == 0.0 && mape == 0.0 && smape == 0.0,
+        s"dow $dow not zero: $ae $mape")
+    }
+    // corpus: evaluated-day mass equals the independent day-7-join
+    // count, and the error metrics are within their defined ranges
+    val corpus = TimeSeries.forecastBaseline(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val days = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date($"o_orderdate").as("d"))
+      .distinct()
+    val evaluable = days.as("a").join(days.as("b"),
+      org.apache.spark.sql.functions.expr("a.d = date_add(b.d, 7)")).count()
+    assert(corpus.map(_._2).sum == evaluable)
+    corpus.foreach { case (dow, _, ae, mape, smape) =>
+      assert(dow >= 1 && dow <= 7 && ae >= 0.0 && mape >= 0.0)
+      assert(smape >= 0.0 && smape <= 2.0) // sMAPE is bounded by 2
+    }
+  }
 }
