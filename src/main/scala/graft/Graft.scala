@@ -408,6 +408,22 @@ object Graft {
                 maxAge: Int = operators.Relational.LtvMaxAge): DataFrame =
     operators.Relational.cohortLtvOf(orders, maxAge)
 
+  /** Welch two-sample A/B readout over `(user_id, event_type,
+    * value)`: deterministic hash-split arms, decimal-exact moment
+    * sums, bit-identical t statistic. */
+  def abTest(events: DataFrame): DataFrame =
+    operators.Relational.abTestOf(events)
+
+  /** Signup→purchase time-to-convert histogram (whole days) over
+    * `(user_id, ts, event_type)`. */
+  def conversionLag(events: DataFrame): DataFrame =
+    operators.Relational.conversionLagOf(events)
+
+  /** Seasonal-naive (ŷ = y₋₇ by DATE) backtest of a `(day, rev)`
+    * daily series → per-ISO-weekday n/|err|/MAPE/sMAPE. */
+  def forecastBaseline(daily: DataFrame): DataFrame =
+    operators.TimeSeries.forecastBaselineOf(daily)
+
   /** Interval join without the cartesian: rows of `probe` whose
     * `tsCol` falls in `[startCol, endCol)` of `intervals`, via
     * fixed-width bucket decomposition + residual predicate. */
@@ -486,6 +502,12 @@ object Graft {
     * Q > 0 means the partition beats chance. */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame =
     operators.Graph.modularityOf(edges, labels)
+
+  /** Degree assortativity r over a directed arc frame (both arcs):
+    * do hubs pair with hubs (r > 0) or the periphery (r < 0)?
+    * NaN on a degree-regular graph (zero variance). */
+  def assortativity(edges: DataFrame): DataFrame =
+    operators.Graph.assortativityOf(edges)
 
   // -- similarity over (vec_id, embedding) frames ------------------
 

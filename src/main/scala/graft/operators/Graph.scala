@@ -1095,8 +1095,10 @@ object Graph {
     * fixed-parenthesization double chain over them (+,−,×,÷,sqrt —
     * all correctly-rounded IEEE, bit-identical cross-engine, no
     * rounding step). On a degree-regular graph the variance is zero
-    * and r is NaN in BOTH engines (0/0 — undefined by the
-    * definition, surfaced rather than masked). Overflow bound:
+    * and r is NaN in BOTH engines (undefined by the definition,
+    * surfaced rather than masked — the zero denominator is CASE-
+    * guarded because ANSI Spark raises on it where DuckDB would
+    * not). Overflow bound:
     * Σxy ≤ maxdeg²·|E| must fit BIGINT — past ~10¹⁸ route the
     * moment sums through DECIMAL(38,0).
     *
@@ -1129,10 +1131,13 @@ object Graph {
   /** The r chain — ONE text shared by the Spark `expr` and the
     * oracle so the double arithmetic associates identically. */
   private val AssortativityExpr: String =
-    """((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      | / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-      |        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"""
-      .stripMargin
+    """(CASE WHEN sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |          * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) = 0.0
+      |  THEN CAST('NaN' AS DOUBLE)
+      |  ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |   / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |          * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      |  END)""".stripMargin
 
   def graphAssortativitySql(): String =
     s"""WITH movies AS (${Tables.moviesSql}),

@@ -350,5 +350,22 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
       graft.operators.Dedup.LshGrid.length.toLong)
     assert(Graft.blocklistFilter(docs).count() ===
       graft.operators.CorpusQuality.BlocklistTerms.length + 1L)
+    // batch-3/4 entries: A/B + conversion over events, forecast over
+    // a daily frame, assortativity over the square (regular -> NaN)
+    val ev2 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "signup", 1.0),
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), "purchase", 5.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), "purchase", 7.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    assert(Graft.conversionLag(ev2).count() === 1L)
+    assert(Graft.abTest(ev2).columns.contains("t_stat"))
+    val daily = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), BigDecimal(100)),
+      (java.sql.Date.valueOf("2024-01-08"), BigDecimal(120)))
+      .toDF("day", "rev")
+      .select($"day", $"rev".cast("decimal(18,2)").as("rev"))
+    assert(Graft.forecastBaseline(daily).count() === 1L)
+    assert(Graft.assortativity(edges).as[(Long, Long, Long, Double)]
+      .head()._4.isNaN) // square is 2-regular: zero variance
   }
 }
