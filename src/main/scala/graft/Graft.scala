@@ -509,6 +509,12 @@ object Graft {
   def assortativity(edges: DataFrame): DataFrame =
     operators.Graph.assortativityOf(edges)
 
+  /** Global transitivity 3T/W and mean local clustering coefficient
+    * over a directed arc frame (both arcs); degree-oriented wedge
+    * enumeration, hub-safe. */
+  def clusteringCoeff(edges: DataFrame): DataFrame =
+    operators.Graph.clusteringCoeffOf(edges)
+
   // -- similarity over (vec_id, embedding) frames ------------------
 
   /** Unit-normalize embeddings (cache if reused). */

@@ -1184,4 +1184,126 @@ object Graph {
        |  (SELECT CAST(COALESCE(MIN(d), 0) AS BIGINT) FROM
        |     (SELECT COUNT(*) AS d FROM e$rounds GROUP BY src)) AS min_core_deg""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // rel_graph_clustering_coeff — transitivity + mean local CC
+  // ---------------------------------------------------------------
+
+  /** Clustering coefficients of the co-actor graph: global
+    * transitivity 3·triangles/wedges and the mean LOCAL coefficient
+    * c(v) = t(v) / C(d(v), 2) over vertices with degree ≥ 2 — the
+    * two standard "how clique-like is this network" readouts (they
+    * genuinely differ: transitivity weights hubs by their wedge
+    * count, the local mean weights every vertex equally).
+    *
+    * Triangle enumeration reuses the degree-oriented wedge plan
+    * [[triangleCountOf]] proved out (same session-cache key, so the
+    * oriented edge list is shared when both queries run): every
+    * wedge enumerates at its unique orientation source, closes via
+    * one canonical-pair equi-join, and each triangle surfaces
+    * exactly once — then explodes to its 3 vertices for the local
+    * counts. Out-degrees are bounded by √(2|E|), so the wedge
+    * stream is Σ out-deg(v)² — the power-law-safe bound.
+    *
+    * Determinism: wedges Σ d(d−1)/2, per-vertex triangle counts,
+    * and Σt = 3·triangles are all exact BIGINTs; transitivity is
+    * ONE shared-text double division (CASE-guarded: wedge-free →
+    * NaN); each local coefficient floor-scales to the 1e-6 grid
+    * BEFORE the mean (double averaging would be order-dependent)
+    * and the mean is one floor division. Driver sees four scalars.
+    */
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (edges, _) = coActorEdges(spark, sfDir)
+    clusteringCoeffOf(edges.select(
+      $"src".cast("long").as("src"), $"dst".cast("long").as("dst")))
+  }
+
+  /** [[graphClusteringCoeff]] over any directed arc frame
+    * `(src, dst)` holding BOTH arcs of each undirected edge. */
+  private[graft] def clusteringCoeffOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    // identical construction (and cache key) to triangleCountOf's
+    // orientation, so the two queries share one cached frame
+    val oriented = cached("tri-oriented", edges
+      .join(deg.select($"src", $"d".as("ds")), "src")
+      .join(deg.select($"src".as("dst"), $"d".as("dd")), "dst")
+      .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
+      .select($"src", $"dst"))
+    val closing = oriented.select(
+      least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+    val triVerts = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("v"),
+        least(col("e1.dst"), col("e2.dst")).as("a"),
+        greatest(col("e1.dst"), col("e2.dst")).as("b"))
+      .join(closing, Seq("a", "b"))
+      .select(explode(array($"v", $"a", $"b")).as("u"))
+    val tv = triVerts.groupBy($"u").agg(count(lit(1)).as("t"))
+    // every triangle vertex has degree >= 2, so the d>=2 frame sees
+    // the full triangle mass: sum(t) over it is exactly 3*triangles
+    val locals = deg.filter($"d" >= 2L)
+      .select($"src".as("v2"), $"d")
+      .join(tv, $"v2" === $"u", "left")
+      .select($"d", coalesce($"t", lit(0L)).as("t"))
+      .select($"d", $"t", expr("t * 2000000 DIV (d * (d - 1))").as("cc6"))
+    val wAgg = deg.agg(
+      coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("w"))
+    val lAgg = locals.agg(count(lit(1)).as("n2"),
+      coalesce(sum($"t"), lit(0L)).as("t3"),
+      coalesce(sum($"cc6"), lit(0L)).as("s6"))
+    wAgg.crossJoin(lAgg).select( // two 1-row aggregates
+      $"w".as("n_wedges"),
+      expr("t3 DIV 3").as("n_triangles"),
+      expr(TransitivityExpr).as("transitivity"),
+      expr("""CASE WHEN n2 = 0 THEN CAST('NaN' AS DOUBLE)
+             |ELSE CAST(s6 DIV n2 AS DOUBLE) / 1000000.0 END"""
+        .stripMargin).as("avg_local_cc"))
+  }
+
+  /** Transitivity chain — ONE text shared by the Spark `expr` and
+    * the oracle (t3 = 3·triangles, so this IS 3T/W). */
+  private val TransitivityExpr: String =
+    """(CASE WHEN w = 0 THEN CAST('NaN' AS DOUBLE)
+      |  ELSE CAST(t3 AS DOUBLE) / CAST(w AS DOUBLE) END)""".stripMargin
+
+  def graphClusteringCoeffSql(): String =
+    s"""WITH movies AS (${Tables.moviesSql}),
+       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
+       |  FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY src),
+       |o AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM e
+       |  JOIN deg dx ON dx.src = e.src JOIN deg dy ON dy.src = e.dst
+       |  WHERE dx.d < dy.d OR (dx.d = dy.d AND e.src < e.dst)),
+       |tri AS (
+       |  SELECT unnest([wg.v, wg.a, wg.b]) AS u
+       |  FROM (SELECT e1.src AS v, LEAST(e1.dst, e2.dst) AS a,
+       |               GREATEST(e1.dst, e2.dst) AS b
+       |        FROM o e1 JOIN o e2
+       |          ON e1.src = e2.src AND e1.dst < e2.dst) wg
+       |  JOIN (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM o) c ON wg.a = c.a AND wg.b = c.b),
+       |tv AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS t FROM tri GROUP BY u),
+       |loc AS (
+       |  SELECT d.d, COALESCE(tv.t, 0) AS t,
+       |    COALESCE(tv.t, 0) * 2000000 // (d.d * (d.d - 1)) AS cc6
+       |  FROM deg d LEFT JOIN tv ON tv.u = d.src WHERE d.d >= 2),
+       |agg AS (SELECT
+       |  (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+       |   FROM deg) AS w,
+       |  CAST(COUNT(*) AS BIGINT) AS n2,
+       |  CAST(COALESCE(SUM(t), 0) AS BIGINT) AS t3,
+       |  CAST(COALESCE(SUM(cc6), 0) AS BIGINT) AS s6 FROM loc)
+       |SELECT w AS n_wedges, t3 // 3 AS n_triangles,
+       |  $TransitivityExpr AS transitivity,
+       |  CASE WHEN n2 = 0 THEN CAST('NaN' AS DOUBLE)
+       |       ELSE CAST(s6 // n2 AS DOUBLE) / 1000000.0 END AS avg_local_cc
+       |FROM agg""".stripMargin
 }

@@ -390,4 +390,35 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(m > 0 && sx == sy)
     assert(!r.isNaN && math.abs(r) <= 1.0, s"r out of range: $r")
   }
+
+  test("clustering coeff: triangle, square, star hand-walked; corpus reconciles") {
+    import spark.implicits._
+    def undirected(es: Seq[(Long, Long)]) =
+      (es ++ es.map(_.swap)).toDF("src", "dst")
+    def cc(es: Seq[(Long, Long)]) =
+      Graph.clusteringCoeffOf(undirected(es))
+        .as[(Long, Long, Double, Double)].head()
+    // K3: 3 wedges, 1 triangle, transitivity 3*1/3 = 1, local all 1
+    assert(cc(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)) === ((3L, 1L, 1.0, 1.0)))
+    // C4: 4 wedges, no triangle — both coefficients exactly 0
+    assert(cc(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)) ===
+      ((4L, 0L, 0.0, 0.0)))
+    // star K1,3: 3 wedges at the hub, no triangle; only the hub has
+    // degree >= 2, so the local mean averages one zero
+    assert(cc(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L)) === ((3L, 0L, 0.0, 0.0)))
+    // edgeless frame: NaN surfaced for both (0 wedges, 0 eligible)
+    val empty = Graph.clusteringCoeffOf(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(empty._1 == 0L && empty._2 == 0L &&
+      empty._3.isNaN && empty._4.isNaN)
+    // corpus: triangle count reconciles with the dedicated census,
+    // and both coefficients live in [0, 1]
+    val (w, t, trans, avg) = Graph.graphClusteringCoeff(spark, sf)
+      .as[(Long, Long, Double, Double)].head()
+    val (_, _, tCensus) = Graph.triangleCount(spark, sf)
+      .as[(Long, Long, Long)].head()
+    assert(t == tCensus, s"triangles $t != census $tCensus")
+    assert(w > 0 && trans >= 0.0 && trans <= 1.0 && avg >= 0.0 && avg <= 1.0)
+  }
 }
