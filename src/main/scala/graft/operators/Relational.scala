@@ -2595,6 +2595,85 @@ object Relational {
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_gini_revenue — revenue-concentration coefficient
+  // ---------------------------------------------------------------
+
+  /** Gini coefficient of customer revenue concentration plus the two
+    * shares analysts quote alongside it (bottom-half share, top-decile
+    * share) — the inequality readout behind "how dependent are we on
+    * our biggest accounts". Uses the rank form
+    * G = (2·Σ r·xᵣ − (n+1)·Σx) / (n·Σx) over revenues sorted
+    * ascending with the customer key as tie-break.
+    *
+    * Determinism: revenues are exact cents; rank, Σx, and Σ r·xᵣ are
+    * exact BIGINTs; G and both shares are each emitted by a short
+    * fixed-parenthesization chain of correctly-rounded IEEE doubles
+    * (multiply then divide — bit-identical cross-engine, no rounding
+    * step). Cut-offs are integer counts (n DIV 2, n DIV 10), never a
+    * float percentile. Overflow bound: 2·Σ r·x ≤ 2n·Σx must fit
+    * BIGINT — ~$3·10¹¹ total revenue at 10⁵ customers; past it route
+    * S through DECIMAL(38,0).
+    *
+    * Scale: one custkey aggregate over the corpus, then ONE ordered
+    * window over the dim-sized customer frame (the aggregate sorts,
+    * the corpus never does — the [[paretoAbc]] posture), then a
+    * 1-row aggregate. Driver sees five scalars. */
+  def giniRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
+        " AS BIGINT)").as("cents"))
+    val w = Window.orderBy($"cents", $"o_custkey")
+    cust
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .agg(max($"nn").as("n"), sum($"cents").as("t"),
+        sum($"r" * $"cents").as("s"),
+        sum(when($"r" <= expr("nn DIV 2"), $"cents")).as("b"),
+        sum(when($"r" > expr("nn - nn DIV 10"), $"cents")).as("p"))
+      .select($"n".as("n_customers"),
+        ($"t".cast("double") / 100.0).as("total_revenue"),
+        expr(GiniExpr).as("gini"),
+        expr("CAST(COALESCE(b, 0) AS DOUBLE) / CAST(t AS DOUBLE)")
+          .as("bottom50_share"),
+        expr("CAST(COALESCE(p, 0) AS DOUBLE) / CAST(t AS DOUBLE)")
+          .as("top10_share"))
+  }
+
+  /** The G chain — ONE text shared by the Spark `expr` and the
+    * oracle so the double arithmetic associates identically. */
+  private val GiniExpr: String =
+    """(CAST(2 * s - (n + 1) * t AS DOUBLE)
+      | / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)))""".stripMargin
+
+  def giniRevenueSql(): String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+       |         AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |rk AS (
+       |  SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
+       |    AS BIGINT) AS r
+       |  FROM cust),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cents) AS BIGINT) AS t,
+       |    CAST(SUM(r * cents) AS BIGINT) AS s,
+       |    CAST(COALESCE(SUM(CASE WHEN r <= nc // 2 THEN cents END), 0)
+       |         AS BIGINT) AS b,
+       |    CAST(COALESCE(SUM(CASE WHEN r > nc - nc // 10 THEN cents END), 0)
+       |         AS BIGINT) AS p
+       |  FROM rk, (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cust) c)
+       |SELECT n AS n_customers,
+       |  CAST(t AS DOUBLE) / 100.0 AS total_revenue,
+       |  $GiniExpr AS gini,
+       |  CAST(b AS DOUBLE) / CAST(t AS DOUBLE) AS bottom50_share,
+       |  CAST(p AS DOUBLE) / CAST(t AS DOUBLE) AS top10_share
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_benford_audit — first-digit fraud/synthesis screen
   // ---------------------------------------------------------------
 

@@ -727,4 +727,34 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(byClass("A")._4 + byClass("B")._4 <= 0.95)
     assert(math.abs(rows.map(_._4).sum - 1.0) < 3e-6)
   }
+
+  test("gini: corpus coefficient bounded and shares ordered sanely") {
+    import spark.implicits._
+    val (n, total, gini, bottom50, top10) = Relational.giniRevenue(spark, sf)
+      .as[(Long, Double, Double, Double, Double)].head()
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(n == nCust)
+    // revenue conserves (cents-exact on both sides of the check)
+    val t = Tables.orders(spark, sf)
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(total - t) < 1e-4)
+    // a valid Lorenz geometry: G in [0,1), bottom half carries less
+    // than half, the top decile at least its proportional tenth
+    assert(gini >= 0.0 && gini < 1.0, s"gini $gini")
+    assert(bottom50 < 0.5 && bottom50 > 0.0)
+    assert(top10 >= 0.1 - 1e-9 && top10 < 1.0)
+    // rank-form identity on a hand-walked frame: x = (1,1,2) ->
+    // n=3, T=4, S = 1*1 + 2*1 + 3*2 = 9, G = (18 - 16)/12 = 1/6
+    val tiny = Seq((1L, BigDecimal("0.01")), (2L, BigDecimal("0.01")),
+      (3L, BigDecimal("0.02"))).toDF("o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val g = Relational.giniRevenue(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(g._1 == 3L && g._3 == 2.0 / 12.0, s"got $g")
+    // bottom50 = lowest 1 of 3 ranks = 1 cent of 4; top10 cut n//10=0
+    assert(g._4 == 0.25 && g._5 == 0.0)
+  }
 }
