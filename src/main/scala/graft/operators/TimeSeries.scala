@@ -871,4 +871,81 @@ object TimeSeries {
       |SELECT prev_type, event_type, n,
       |  CAST((n * 1000000) // tot AS DOUBLE) / 1000000.0 AS p
       |FROM t ORDER BY prev_type, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // rel_acf_daily — autocorrelation function of the revenue series
+  // ---------------------------------------------------------------
+
+  /** Default ACF horizon — two weekly cycles, enough to see the
+    * 7-day seasonality the decomposition and naive forecast exploit. */
+  val AcfMaxLag = 14
+
+  /** Autocorrelation function of daily revenue at calendar lags
+    * 1..[[AcfMaxLag]]: r(k) = Σ d(t)·d(t+k) / Σ d(t)² with d(t) the
+    * series centered on its INTEGER-FLOOR mean (whole dollars). The
+    * diagnostic behind every seasonality decision — a spike at lag 7
+    * says "weekly cycle", slow decay says "trend first".
+    *
+    * Determinism: revenue floors to whole dollars (cents DIV 100 —
+    * integer division, identical in both engines where a direct
+    * DECIMAL→BIGINT cast rounds in DuckDB and truncates in Spark);
+    * the mean is the floor mean T DIV n, so every centered value,
+    * product, and the two sums are exact BIGINTs — the sub-dollar
+    * mean truncation shifts all d(t) by one shared ε < $1, an ACF
+    * perturbation far below 1e-6 on any non-degenerate series. Each
+    * r(k) is ONE double division (CASE-guarded: constant series →
+    * NaN). Lags join BY DATE (day+k), so calendar gaps drop pairs
+    * instead of silently misaligning rows. Overflow bound:
+    * Σd² ≤ n·max|d|² must fit BIGINT — $3·10⁷ daily deviations over
+    * 10⁴ days; past it route the moment sums through DECIMAL(38,0).
+    *
+    * Scale: one date-keyed aggregate over the corpus; everything
+    * after (center, explode ×14, self equi-join, 14-group aggregate)
+    * runs on the ≤ calendar-days frame. */
+  def acfDaily(spark: SparkSession, sfDir: String,
+               maxLag: Int = AcfMaxLag): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
+        " AS BIGINT) DIV 100").as("y"))
+    val mu = daily.agg(count(lit(1)).as("n"),
+      expr("SUM(y) DIV COUNT(1)").as("mu"))
+    val centered = daily.crossJoin(broadcast(mu)) // 1-row mean
+      .select($"day", ($"y" - $"mu").as("d"))
+    val dd = centered.agg(sum($"d" * $"d").as("dd"))
+    val shifted = centered
+      .select(explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        expr("date_add(day, lag)").as("day"), $"d".as("dp"))
+    shifted.join(centered, Seq("day"))
+      .groupBy($"lag".cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"dp" * $"d").as("num"))
+      .crossJoin(broadcast(dd)) // 1-row denominator
+      .select($"lag", $"n_pairs", expr(AcfExpr).as("acf"))
+      .orderBy($"lag")
+  }
+
+  /** The r(k) division — ONE text shared by Spark and the oracle. */
+  private val AcfExpr: String =
+    """(CASE WHEN dd = 0 THEN CAST('NaN' AS DOUBLE)
+      |  ELSE CAST(num AS DOUBLE) / CAST(dd AS DOUBLE) END)""".stripMargin
+
+  def acfDailySql(maxLag: Int = AcfMaxLag): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |mu AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS mu FROM daily),
+       |c AS (SELECT day, y - mu AS d FROM daily, mu),
+       |den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS dd FROM c),
+       |p AS (
+       |  SELECT t.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(prev.d * cur.d) AS BIGINT) AS num
+       |  FROM range(1, ${maxLag + 1}) t(lag)
+       |  JOIN c prev ON TRUE
+       |  JOIN c cur ON cur.day = prev.day + CAST(t.lag AS INT)
+       |  GROUP BY t.lag)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, $AcfExpr AS acf
+       |FROM p, den ORDER BY lag""".stripMargin
 }

@@ -342,4 +342,29 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(smape >= 0.0 && smape <= 2.0) // sMAPE is bounded by 2
     }
   }
+
+  test("acf: alternating series hand-walked; corpus values bounded") {
+    import spark.implicits._
+    // y = (100, 200, 100, 200) on consecutive days: mu = 150,
+    // d = (-50, 50, -50, 50), dd = 10000;
+    // lag 1: 3 pairs, num = -7500 -> -0.75; lag 2: 2 pairs, +0.5
+    val tiny = (1 to 4).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-0$i"),
+        BigDecimal(if (i % 2 == 1) 100 else 200))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = TimeSeries.acfDaily(spark, dir, maxLag = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, -0.75), (2L, 2L, 0.5), (3L, 1L, -0.25)),
+      s"got $got")
+    // corpus: every lag present, Cauchy-Schwarz bound holds
+    val corpus = TimeSeries.acfDaily(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(corpus.map(_._1).toSeq == (1L to 14L))
+    corpus.foreach { case (lag, n, r) =>
+      assert(n > 0, s"lag $lag has no pairs")
+      assert(!r.isNaN && math.abs(r) <= 1.0, s"acf($lag) = $r")
+    }
+  }
 }
