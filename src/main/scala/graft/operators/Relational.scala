@@ -2595,6 +2595,89 @@ object Relational {
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_referential_integrity — FK orphan audit over the star schema
+  // ---------------------------------------------------------------
+
+  /** Referential-integrity audit of every foreign key in the star
+    * schema: per relationship, the child row count, NULL-key count,
+    * and orphan count (child keys with no parent — the breakage a
+    * lake with no FK enforcement accumulates silently and every
+    * downstream inner join then DROPS without a trace). A clean
+    * corpus reads all-zeros; the value is the loud pre-flight.
+    *
+    * Scale: each relationship is ONE left-anti join on its key —
+    * dimension parents broadcast under Catalyst's threshold, the two
+    * fact-fact edges (lineitem→orders/part/supplier) shuffle on the
+    * key like any corpus join; parents are key-projected and
+    * deduplicated before the join so the probe side is
+    * dimension-sized. Orphan COUNTS, never orphan rows, reach the
+    * driver. */
+  def referentialIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+      fkAuditOf(name, child, ck, parent, pk)
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val cu = Tables.customer(spark, sfDir)
+    val su = Tables.supplier(spark, sfDir)
+    val na = Tables.nation(spark, sfDir)
+    Seq(
+      audit("customer.nationkey", cu, "c_nationkey", na, "n_nationkey"),
+      audit("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"),
+      audit("lineitem.partkey", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"),
+      audit("lineitem.suppkey", li, "l_suppkey", su, "s_suppkey"),
+      audit("nation.regionkey", na, "n_regionkey",
+        Tables.region(spark, sfDir), "r_regionkey"),
+      audit("orders.custkey", o, "o_custkey", cu, "c_custkey"),
+      audit("supplier.nationkey", su, "s_nationkey", na, "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"fk")
+  }
+
+  /** One FK relationship's audit row — the unit
+    * [[referentialIntegrity]] runs per schema edge. */
+  private[graft] def fkAuditOf(name: String, child: DataFrame, ck: String,
+                               parent: DataFrame, pk: String): DataFrame = {
+    import child.sparkSession.implicits._
+    val c = child.select(col(ck).cast("long").as("k"))
+    val p = parent.select(col(pk).cast("long").as("k")).distinct()
+    val orphans = c.filter($"k".isNotNull).join(p, Seq("k"), "left_anti")
+    c.agg(count(lit(1)).as("n_rows"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(name).as("fk"), $"n_rows", $"n_null", $"n_orphans")
+  }
+
+  def referentialIntegritySql(): String = {
+    def branch(name: String, child: String, ck: String,
+               parent: String, pk: String) =
+      s"""SELECT '$name' AS fk,
+         |  (SELECT COUNT(*) FROM $child) AS n_rows,
+         |  (SELECT COUNT(*) FROM $child WHERE $ck IS NULL) AS n_null,
+         |  (SELECT COUNT(*) FROM $child c WHERE c.$ck IS NOT NULL
+         |     AND NOT EXISTS (SELECT 1 FROM $parent p
+         |                     WHERE p.$pk = c.$ck)) AS n_orphans""".stripMargin
+    Seq(
+      branch("customer.nationkey", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      branch("lineitem.orderkey", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      branch("lineitem.partkey", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      branch("lineitem.suppkey", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      branch("nation.regionkey", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      branch("orders.custkey", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      branch("supplier.nationkey", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
+  }
+
+  // ---------------------------------------------------------------
   // rel_gini_revenue — revenue-concentration coefficient
   // ---------------------------------------------------------------
 

@@ -728,6 +728,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 3e-6)
   }
 
+  test("referential integrity: dirty fixture counted, corpus is clean") {
+    import spark.implicits._
+    // child keys: 1 ok, 2 ok, 99 orphan, NULL — one of each class
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk_key")
+    val parent = Seq(1L, 2L, 3L).toDF("pk_key")
+    val row = Relational.fkAuditOf("t.fk", child, "fk_key", parent, "pk_key")
+      .as[(String, Long, Long, Long)].head()
+    assert(row == (("t.fk", 4L, 1L, 1L)), s"got $row")
+    // the synthetic star schema is referentially clean: 7 rows, all
+    // zero orphans/nulls, child row counts reconcile with the tables
+    val rows = Relational.referentialIntegrity(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 7)
+    rows.foreach { case (fk, n, nNull, nOrphan) =>
+      assert(n > 0, s"$fk empty")
+      assert(nNull == 0L && nOrphan == 0L, s"$fk dirty: $nNull/$nOrphan")
+    }
+    val liRows = Tables.lineitem(spark, sf).count()
+    assert(rows.filter(_._1.startsWith("lineitem.")).forall(_._2 == liRows))
+  }
+
   test("gini: corpus coefficient bounded and shares ordered sanely") {
     import spark.implicits._
     val (n, total, gini, bottom50, top10) = Relational.giniRevenue(spark, sf)
