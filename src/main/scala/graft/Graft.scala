@@ -350,6 +350,12 @@ object Graft {
   def blocklistFilter(docs: DataFrame): DataFrame =
     operators.CorpusQuality.blocklistFilterOf(docs)
 
+  /** ROC-AUC of any `(score: double, label: boolean)` frame via the
+    * grouped rank-sum — exact BIGINT U statistic, tie-aware, one
+    * window over the score grid (never the corpus). */
+  def auc(scored: DataFrame): DataFrame =
+    operators.CorpusQuality.aucOf(scored)
+
   /** Top word pairs by pointwise mutual information over corpus
     * bigrams (min-count floored) — collocation / MWE mining. Needs
     * `doc_id, text`. */

@@ -73,10 +73,14 @@ object CorpusQuality {
     * aggregate, then a 6-row explode — nothing here grows with the
     * corpus.
     */
-  def gopherRulesOf(documents: DataFrame): DataFrame = {
+  /** Per-document Gopher feature frame — ONE definition feeding the
+    * rule census and the score-evaluation queries (AUC/calibration)
+    * so the label can never drift from the gate. */
+  private[operators] def gopherFeaturesOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     val ts = tokens($"text")
-    val f = documents.select(
+    documents.select(
+      $"doc_id",
       size(ts).cast("long").as("n_words"),
       length(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}_]+", ""))
         .cast("long").as("word_chars"),
@@ -84,13 +88,27 @@ object CorpusQuality {
       size(filter(ts, t => t.rlike("^\\p{N}+$"))).cast("long").as("digit_words"),
       size(array_intersect(array_distinct(ts),
         array(allMarkers.map(lit): _*))).cast("long").as("stop_hits"))
-    val failWc    = !($"n_words" >= GopherMinWords.toLong &&
-      $"n_words" <= GopherMaxWords.toLong)
-    val failMwl   = !($"word_chars" >= $"n_words" * GopherMinMwl.toLong &&
-      $"word_chars" <= $"n_words" * GopherMaxMwl.toLong)
-    val failAlpha = !($"alpha_words" * 5L >= $"n_words" * 4L)
-    val failDigit = !($"digit_words" * 10L <= $"n_words" * 3L)
-    val failStop  = !($"stop_hits" >= GopherMinStop.toLong)
+  }
+
+  // the five rule predicates over a gopherFeaturesOf frame — object-
+  // level so every consumer compares the SAME integer expressions
+  private def failWc = !(col("n_words") >= GopherMinWords.toLong &&
+    col("n_words") <= GopherMaxWords.toLong)
+  private def failMwl = !(col("word_chars") >= col("n_words") * GopherMinMwl.toLong &&
+    col("word_chars") <= col("n_words") * GopherMaxMwl.toLong)
+  private def failAlpha = !(col("alpha_words") * 5L >= col("n_words") * 4L)
+  private def failDigit = !(col("digit_words") * 10L <= col("n_words") * 3L)
+  private def failStop = !(col("stop_hits") >= GopherMinStop.toLong)
+
+  /** Per-document any-rule failure flag `(doc_id, fail_any)`. */
+  private[operators] def gopherFlagsOf(documents: DataFrame): DataFrame =
+    gopherFeaturesOf(documents).select(col("doc_id"),
+      (failWc || failMwl || failAlpha || failDigit || failStop)
+        .as("fail_any"))
+
+  def gopherRulesOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val f = gopherFeaturesOf(documents)
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
     val agg = f.agg(
@@ -147,6 +165,157 @@ object CorpusQuality {
        |  UNION ALL SELECT 'word_count', f_wc, total FROM g)
        |ORDER BY rule""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // llm_score_auc / llm_score_calibration — does the LM surprisal
+  // score predict the rule gate? (ROC-AUC + reliability table)
+  // ---------------------------------------------------------------
+
+  /** ROC-AUC of the corpus-LM surprisal score
+    * ([[TextAnalytics.unigramLogprob]]) against the Gopher any-rule
+    * label ([[gopherFlagsOf]]): AUC = P(score(failing doc) >
+    * score(passing doc)), ties counted half — the standard check
+    * that a cheap continuous score agrees with the rule gate before
+    * it replaces the gate at a tunable threshold (the perplexity-
+    * filtering validation step in curation pipelines).
+    *
+    * Computed as the grouped rank-sum (Mann–Whitney U), never a
+    * per-pair join: group documents by score value, one ordered
+    * window over the SCORE GRID (documents collapse onto the 4-dp
+    * surprisal grid — bounded, never corpus-sized), then
+    * 2U = Σ_s n_pos(s)·(2·cum_neg(<s) + n_neg(s)) in exact BIGINTs.
+    * AUC is ONE shared-text double chain (CASE-guarded: a class
+    * empty → NaN). Overflow bound: 2U ≤ 2·P·N must fit BIGINT —
+    * past ~10⁹ documents per class route U through DECIMAL(38,0).
+    * Documents with zero tokens have no score and are excluded (they
+    * fail word_count by definition; documented). */
+  def scoreAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalytics.unigramLogprob(spark, sfDir)
+      .select($"doc_id", $"avg_surprisal".as("score"))
+      .join(gopherFlagsOf(docs(spark, sfDir)), "doc_id")
+      .select($"score", $"fail_any".as("label"))
+    aucOf(scored)
+  }
+
+  /** [[scoreAuc]] over any `(score: double, label: boolean)` frame —
+    * higher scores should predict `label = true`. */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val g = scored.groupBy($"score").agg(
+      sum(when($"label", 1L).otherwise(0L)).as("np"),
+      sum(when($"label", 0L).otherwise(1L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("cumn", coalesce(sum($"nn").over(w), lit(0L)))
+      .agg(count(lit(1)).as("n_scores"),
+        sum($"np").as("p"), sum($"nn").as("n"),
+        coalesce(sum($"np" * (lit(2L) * $"cumn" + $"nn")), lit(0L)).as("u2"))
+      .select($"n_scores", $"p".as("n_pos"), $"n".as("n_neg"),
+        expr(AucExpr).as("auc"))
+  }
+
+  /** The AUC chain — ONE text shared by Spark and the oracle. */
+  private val AucExpr: String =
+    """(CASE WHEN p = 0 OR n = 0 THEN CAST('NaN' AS DOUBLE)
+      |  ELSE CAST(u2 AS DOUBLE)
+      |   / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) END)""".stripMargin
+
+  /** Reliability table for the surprisal score: documents bucketed
+    * into `bins` equal-width score bands (integer boundary math on
+    * the 1e-4 score grid — never a float percentile), each band
+    * reporting its document count, mean score, and observed
+    * rule-failure rate. A monotone failure-rate column is what
+    * "the score is calibrated enough to threshold" looks like.
+    * Floor-scaled rates (1e-6) and floor-mean scores, all BIGINT
+    * until the final display division. */
+  def scoreCalibration(spark: SparkSession, sfDir: String,
+                       bins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalytics.unigramLogprob(spark, sfDir)
+      .select($"doc_id", $"avg_surprisal".as("score"))
+      .join(gopherFlagsOf(docs(spark, sfDir)), "doc_id")
+      .select(expr("CAST(round(score * 10000) AS BIGINT)").as("s4"),
+        $"fail_any".as("label"))
+    val bounds = scored.agg(min($"s4").as("lo"), max($"s4").as("hi"))
+    scored.crossJoin(broadcast(bounds)) // 1-row bounds
+      .select(
+        expr(s"LEAST(CAST(${bins - 1} AS BIGINT)," +
+          s" (s4 - lo) * $bins DIV (hi - lo + 1))").as("bin"),
+        $"s4", $"label")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        (expr("CAST(SUM(s4) DIV COUNT(1) AS BIGINT)")
+          .cast("double") / 10000.0).as("mean_surprisal"),
+        (expr("CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) * 1000000" +
+          " DIV COUNT(1) AS BIGINT)")
+          .cast("double") / 1000000.0).as("fail_rate"))
+      .orderBy($"bin")
+  }
+
+  /** Shared oracle CTEs: per-document surprisal score (the
+    * [[TextAnalytics.unigramLogprobSql]] construction) joined to the
+    * Gopher any-rule flag. Yields `sc(score, np, nn)` for the AUC
+    * and `sl(s4, pos)` for the calibration bands. */
+  private def scoredSqlCtes: String = {
+    val markers = allMarkers.map(m => s"'$m'").mkString(", ")
+    s"""terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+       |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM terms),
+       |sdoc AS (SELECT doc_id, round(avg(-ln(cnt / tot)), 4) AS score
+       |         FROM terms JOIN freq USING (term) CROSS JOIN tot
+       |         GROUP BY doc_id),
+       |gfeat AS (SELECT doc_id, len(ts) AS n_words,
+       |    length(regexp_replace(lt, '[^\\p{L}\\p{N}_]+', '', 'g'))
+       |      AS word_chars,
+       |    len(list_filter(ts, x -> regexp_matches(x, '\\p{L}')))
+       |      AS alpha_words,
+       |    len(list_filter(ts, x -> regexp_matches(x, '^\\p{N}+$$')))
+       |      AS digit_words,
+       |    len(list_intersect(list_distinct(ts), [$markers])) AS stop_hits
+       |  FROM (SELECT doc_id, $tokensSql AS ts, lower(text) AS lt
+       |        FROM documents)),
+       |gf AS (SELECT doc_id,
+       |  CASE WHEN NOT (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+       |        OR NOT (word_chars >= n_words * $GopherMinMwl AND word_chars <= n_words * $GopherMaxMwl)
+       |        OR NOT (alpha_words * 5 >= n_words * 4)
+       |        OR NOT (digit_words * 10 <= n_words * 3)
+       |        OR NOT (stop_hits >= $GopherMinStop) THEN 1 ELSE 0 END AS pos
+       |  FROM gfeat)""".stripMargin
+  }
+
+  def scoreAucSql(): String =
+    s"""WITH ${scoredSqlCtes},
+       |sc AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS np,
+       |         CAST(SUM(1 - pos) AS BIGINT) AS nn
+       |       FROM sdoc JOIN gf USING (doc_id) GROUP BY score),
+       |cum AS (SELECT np, nn,
+       |    CAST(COALESCE(SUM(nn) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cumn
+       |  FROM sc),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scores,
+       |    CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(np * (2 * cumn + nn)), 0) AS BIGINT) AS u2
+       |  FROM cum)
+       |SELECT n_scores, p AS n_pos, n AS n_neg, $AucExpr AS auc
+       |FROM agg""".stripMargin
+
+  def scoreCalibrationSql(bins: Int = 10): String =
+    s"""WITH ${scoredSqlCtes},
+       |sl AS (SELECT CAST(round(score * 10000) AS BIGINT) AS s4, pos
+       |       FROM sdoc JOIN gf USING (doc_id)),
+       |bounds AS (SELECT MIN(s4) AS lo, MAX(s4) AS hi FROM sl),
+       |b AS (SELECT LEAST(${bins - 1},
+       |        (s4 - lo) * $bins // (hi - lo + 1)) AS bin, s4, pos
+       |      FROM sl, bounds)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(CAST(SUM(s4) AS BIGINT) // COUNT(*) AS DOUBLE) / 10000.0
+       |    AS mean_surprisal,
+       |  CAST(SUM(pos) * 1000000 // COUNT(*) AS DOUBLE) / 1000000.0
+       |    AS fail_rate
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
   // ---------------------------------------------------------------
   // llm_soft_dedup — down-weighting by n-gram commonness

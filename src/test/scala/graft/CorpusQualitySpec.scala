@@ -399,4 +399,40 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     corpus.foreach { case (_, n, s) =>
       assert(n >= 0 && s >= 0.0 && s <= 1.0) }
   }
+
+  test("score auc: rank-sum hand-walked (separation, ties, reversal)") {
+    import spark.implicits._
+    def auc(rows: (Double, Boolean)*): (Long, Long, Long, Double) =
+      CorpusQuality.aucOf(rows.toDF("score", "label"))
+        .as[(Long, Long, Long, Double)].head()
+    // perfect separation: every positive above every negative
+    assert(auc((1.0, false), (2.0, true)) == ((2L, 1L, 1L, 1.0)))
+    // full tie: AUC = 1/2 by the half-credit convention
+    assert(auc((1.0, true), (1.0, false)) == ((1L, 1L, 1L, 0.5)))
+    // perfect reversal
+    assert(auc((2.0, false), (1.0, true)) == ((2L, 1L, 1L, 0.0)))
+    // mixed, hand-computed: pos at 3 beats negs at 1,2; pos at 2
+    // ties the neg at 2 -> U = 2 + 1 + 0.5 + 0 = wait, pos = {3, 2},
+    // neg = {1, 2}: U = (2 beats 1, half vs 2) + (3 beats both)
+    //   = 1.5 + 2 = 3.5 of P*N = 4 -> 0.875
+    assert(auc((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      == ((3L, 2L, 2L, 0.875)))
+    // degenerate single-class input surfaces NaN, not a crash
+    assert(auc((1.0, true), (2.0, true))._4.isNaN)
+    // corpus: the label census reconciles with the gopher any_rule
+    // count and AUC is a genuine probability
+    val (nScores, nPos, nNeg, a) = CorpusQuality.scoreAuc(spark, sf)
+      .as[(Long, Long, Long, Double)].head()
+    assert(nScores > 1 && nPos > 0 && nNeg > 0)
+    assert(a >= 0.0 && a <= 1.0, s"auc $a")
+    // calibration: bands partition the scoreable docs, rates bounded
+    val cal = CorpusQuality.scoreCalibration(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cal.map(_._2).sum == nPos + nNeg)
+    assert(cal.forall(b => b._1 >= 0 && b._1 <= 9))
+    assert(cal.forall(b => b._4 >= 0.0 && b._4 <= 1.0))
+    // mean surprisal rises with the band index (equal-width bands)
+    val means = cal.sortBy(_._1).map(_._3)
+    assert(means.zip(means.tail).forall { case (x, y) => x <= y })
+  }
 }
