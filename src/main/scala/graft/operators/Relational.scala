@@ -2595,6 +2595,101 @@ object Relational {
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_chi_square — categorical-independence test on a bounded grid
+  // ---------------------------------------------------------------
+
+  /** Pearson χ² independence test between order priority and order
+    * status over orders, with Cramér's V — the "are these two categorical
+    * columns actually related" screen run before trusting a
+    * segmentation or encoding on either. One corpus aggregate to the
+    * R×C contingency table; every later step runs on the bounded
+    * grid.
+    *
+    * Determinism: observed counts and margins are exact BIGINTs;
+    * each cell's (o−e)²/e is the SAME fixed-parenthesization double
+    * chain in both engines, then FLOOR-scaled to the 1e-6 grid
+    * before summing (a double Σ over cells would be order-dependent;
+    * `floor` is exact on any double, unlike the engines' divergent
+    * double→int casts). χ² and V are floor-grid values; dof is
+    * integer algebra. */
+  def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority".as("a"), $"o_orderstatus".as("b"))
+      .agg(count(lit(1)).as("o"))
+    // the FULL R×C grid: unobserved cells still contribute (o−e)²/e
+    // — dropping them silently understates the statistic. Two
+    // category dimensions cross-joined: bounded by construction.
+    val cells = obs.select($"a").distinct()
+      .crossJoin(obs.select($"b").distinct())
+      .join(obs, Seq("a", "b"), "left")
+      .select($"a", $"b", coalesce($"o", lit(0L)).as("o"))
+    val withMargins = cells
+      .withColumn("r", sum($"o").over(Window.partitionBy($"a")))
+      .withColumn("c", sum($"o").over(Window.partitionBy($"b")))
+      .withColumn("t", sum($"o").over(Window.partitionBy()))
+    withMargins
+      .select($"a", $"b", $"o", $"r", $"c", $"t",
+        expr(ChiCellExpr).as("cell6"))
+      .agg(max($"t").as("n_rows"), count(lit(1)).as("n_cells"),
+        countDistinct($"a").as("nr"), countDistinct($"b").as("nc"),
+        sum($"cell6").as("chi6"))
+      .select($"n_rows", $"n_cells",
+        (($"nr" - 1L) * ($"nc" - 1L)).as("dof"),
+        ($"chi6".cast("double") / 1000000.0).as("chi2"),
+        expr(CramersVExpr).as("cramers_v"))
+  }
+
+  /** Per-cell floor-scaled χ² contribution — ONE text shared by the
+    * Spark `expr` and the oracle. Cells with a zero margin cannot
+    * occur (they would not appear in the grouped table). */
+  private val ChiCellExpr: String =
+    """CAST(floor(
+      |  (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+      |     / CAST(t AS DOUBLE))
+      |  * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+      |     / CAST(t AS DOUBLE))
+      |  / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+      |  * 1000000.0) AS BIGINT)""".stripMargin
+
+  /** Cramér's V from the floor-grid χ²: sqrt(χ²/(n·min(R−1,C−1))),
+    * NaN on a degenerate 1×C or R×1 table. */
+  private val CramersVExpr: String =
+    """(CASE WHEN nr <= 1 OR nc <= 1 THEN CAST('NaN' AS DOUBLE)
+      |  ELSE sqrt(CAST(chi6 AS DOUBLE) / 1000000.0
+      |    / (CAST(n_rows AS DOUBLE)
+      |       * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))) END)""".stripMargin
+
+  def chiSquareSql(): String =
+    s"""WITH obs AS (
+       |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM orders GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT g.a, g.b, COALESCE(obs.o, 0) AS o
+       |  FROM (SELECT ra.a, cb.b
+       |        FROM (SELECT DISTINCT a FROM obs) ra
+       |        CROSS JOIN (SELECT DISTINCT b FROM obs) cb) g
+       |  LEFT JOIN obs ON obs.a = g.a AND obs.b = g.b),
+       |m AS (
+       |  SELECT a, b, o,
+       |    CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+       |    CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+       |    CAST(SUM(o) OVER () AS BIGINT) AS t
+       |  FROM cells),
+       |agg AS (
+       |  SELECT CAST(MAX(t) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+       |    CAST(COUNT(DISTINCT b) AS BIGINT) AS nc,
+       |    CAST(SUM($ChiCellExpr) AS BIGINT) AS chi6
+       |  FROM m)
+       |SELECT n_rows, n_cells, (nr - 1) * (nc - 1) AS dof,
+       |  CAST(chi6 AS DOUBLE) / 1000000.0 AS chi2,
+       |  $CramersVExpr AS cramers_v
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_referential_integrity — FK orphan audit over the star schema
   // ---------------------------------------------------------------
 

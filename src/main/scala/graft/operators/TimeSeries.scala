@@ -925,6 +925,81 @@ object TimeSeries {
       .orderBy($"lag")
   }
 
+  // ---------------------------------------------------------------
+  // rel_changepoint — binary-segmentation step on the revenue series
+  // ---------------------------------------------------------------
+
+  /** Single most-likely level-shift changepoint of the daily revenue
+    * series — the first step of binary segmentation: the split k
+    * maximizing the between-segment sum-of-squares reduction
+    * gain(k) = S₁²/k + S₂²/(n−k) − T²/n (the k-means-style identity;
+    * variance terms cancel). Emits the winning boundary with both
+    * segment means and the gain — the "did the series regime-shift,
+    * and when" pre-flight a forecast or drift monitor runs first.
+    *
+    * Determinism: the series floors to whole dollars and the prefix
+    * sums S₁, counts, and totals are exact BIGINTs; each candidate's
+    * gain is the SAME fixed-parenthesization double chain in both
+    * engines (products/divisions of exact integers — correctly
+    * rounded, bit-identical), and the argmax tie-breaks on the
+    * earlier day. Segment means are floor divisions.
+    *
+    * Scale: one date-keyed corpus aggregate; the prefix sums, the
+    * n−1 candidate gains, and the top-1 all run on the ≤
+    * calendar-days frame (one bounded window sort, never the
+    * corpus). */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
+        " AS BIGINT) DIV 100").as("y"))
+    val seq = Window.orderBy($"day")
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("t"))
+    daily
+      .select($"day", row_number().over(seq).cast("long").as("k"),
+        sum($"y").over(seq.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("s1"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .filter($"k" < $"n")
+      .select($"day".as("split_day"), $"k".as("n_before"),
+        ($"n" - $"k").as("n_after"),
+        (expr("s1 DIV k").cast("double")).as("mean_before"),
+        (expr("(t - s1) DIV (n - k)").cast("double")).as("mean_after"),
+        expr(ChangepointGainExpr).as("gain"))
+      .orderBy($"gain".desc, $"split_day")
+      .limit(1)
+  }
+
+  /** The gain chain — ONE text shared by Spark and the oracle. */
+  private val ChangepointGainExpr: String =
+    """(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+      | + CAST(t - s1 AS DOUBLE) * CAST(t - s1 AS DOUBLE)
+      |   / CAST(n - k AS DOUBLE)
+      | - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))"""
+      .stripMargin
+
+  def changepointSql(): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |               CAST(SUM(y) AS BIGINT) AS t FROM daily),
+       |pre AS (
+       |  SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+       |    CAST(SUM(y) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS s1
+       |  FROM daily)
+       |SELECT day AS split_day, k AS n_before, n - k AS n_after,
+       |  CAST(s1 // k AS DOUBLE) AS mean_before,
+       |  CAST((t - s1) // (n - k) AS DOUBLE) AS mean_after,
+       |  $ChangepointGainExpr AS gain
+       |FROM pre, tot WHERE k < n
+       |ORDER BY gain DESC, split_day LIMIT 1""".stripMargin
+
   /** The r(k) division — ONE text shared by Spark and the oracle. */
   private val AcfExpr: String =
     """(CASE WHEN dd = 0 THEN CAST('NaN' AS DOUBLE)

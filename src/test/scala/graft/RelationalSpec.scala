@@ -728,6 +728,24 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 3e-6)
   }
 
+  test("chi square: corpus grid complete, statistic and V bounded") {
+    import spark.implicits._
+    val (n, cells, dof, chi2, v) = Relational.chiSquare(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].head()
+    // the grid is the FULL cross product (zero cells included)
+    val li = Tables.orders(spark, sf)
+    val r = li.select($"o_orderpriority").distinct().count()
+    val c = li.select($"o_orderstatus").distinct().count()
+    assert(cells == r * c, s"grid $cells != $r x $c")
+    assert(n == li.count() && dof == (r - 1) * (c - 1))
+    // chi2 >= 0 by construction; V in [0, 1] (floor grid can only
+    // shave it down, never push it over)
+    assert(chi2 >= 0.0, s"chi2 $chi2")
+    assert(!v.isNaN && v >= 0.0 && v <= 1.0, s"V $v")
+    // independence bound: chi2 <= n * min(r-1, c-1) exactly when V <= 1
+    assert(chi2 <= n.toDouble * math.min(r - 1, c - 1))
+  }
+
   test("referential integrity: dirty fixture counted, corpus is clean") {
     import spark.implicits._
     // child keys: 1 ok, 2 ok, 99 orphan, NULL — one of each class

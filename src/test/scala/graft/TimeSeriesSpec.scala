@@ -367,4 +367,25 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(!r.isNaN && math.abs(r) <= 1.0, s"acf($lag) = $r")
     }
   }
+
+  test("changepoint: step series splits at the step; corpus sane") {
+    import spark.implicits._
+    // y = (100, 100, 200, 200): the k=2 split removes ALL within-
+    // segment variance -> gain = 20000 + 80000 - 90000 = 10000
+    val tiny = (1 to 4).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-0$i"),
+        BigDecimal(if (i <= 2) 100 else 200))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("cpt").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = TimeSeries.changepoint(spark, dir)
+      .as[(java.sql.Date, Long, Long, Double, Double, Double)].head()
+    assert(got == ((java.sql.Date.valueOf("2024-01-02"), 2L, 2L,
+      100.0, 200.0, 10000.0)), s"got $got")
+    // corpus: a genuine interior split with non-negative gain (the
+    // between-segment identity bounds gain below by zero)
+    val c = TimeSeries.changepoint(spark, sf)
+      .as[(java.sql.Date, Long, Long, Double, Double, Double)].head()
+    assert(c._2 > 0 && c._3 > 0 && c._6 >= 0.0, s"corpus $c")
+  }
 }
