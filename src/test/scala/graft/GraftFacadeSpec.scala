@@ -367,5 +367,13 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     assert(Graft.forecastBaseline(daily).count() === 1L)
     assert(Graft.assortativity(edges).as[(Long, Long, Long, Double)]
       .head()._4.isNaN) // square is 2-regular: zero variance
+    // square: 4 wedges, 0 triangles, both coefficients exactly 0
+    assert(Graft.clusteringCoeff(edges)
+      .as[(Long, Long, Double, Double)].head() === ((4L, 0L, 0.0, 0.0)))
+    // perfectly separated scores: AUC = 1
+    val scored = Seq((1.0, false), (2.0, false), (3.0, true))
+      .toDF("score", "label")
+    assert(Graft.auc(scored)
+      .as[(Long, Long, Long, Double)].head() === ((3L, 1L, 2L, 1.0)))
   }
 }
