@@ -2614,9 +2614,14 @@ object Relational {
     * integer algebra. */
   def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: the R×C observed table is referenced three
+    // times below (two distinct projections + the left join); without
+    // the eager cut each reference re-aggregates the corpus — three
+    // scans where one suffices. The checkpoint is bounded (R×C rows).
     val obs = Tables.orders(spark, sfDir)
       .groupBy($"o_orderpriority".as("a"), $"o_orderstatus".as("b"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     // the FULL R×C grid: unobserved cells still contribute (o−e)²/e
     // — dropping them silently understates the statistic. Two
     // category dimensions cross-joined: bounded by construction.

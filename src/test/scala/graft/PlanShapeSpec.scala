@@ -266,4 +266,47 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       plan.contains("d <= 64"),
       s"hub-degree gate missing from the plan:\n$opt")
   }
+
+  // an adaptive plan's toString repeats the tree under "== Initial
+  // Plan =="; scan counts must only see the final section
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize the adaptive plan before inspecting
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("chi-square: the corpus aggregates once — grid branches read the checkpoint (r10)") {
+    val plan = finalPlan(Relational.chiSquare(spark, sf))
+    // the R×C grid references the observed aggregate three times
+    // (distinct a, distinct b, left join); at 100 TB those MUST share
+    // one scan (the checkpointed aggregate), not re-scan per branch
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"grid branches re-scan the corpus ($scans scans):\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan Existing"),
+      s"checkpointed observed table missing:\n${plan.take(1500)}")
+  }
+
+  test("gini: one corpus scan; the window sorts the customer aggregate (r10)") {
+    val df = Relational.giniRevenue(spark, sf)
+    val plan = finalPlan(df)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one orders scan, got $scans:\n$plan")
+    // the global sort feeding row_number must sit ABOVE the custkey
+    // aggregate (dim-sized input), i.e. the plan aggregates before
+    // any single-partition exchange
+    val aggIdx = plan.indexOf("HashAggregate")
+    val spIdx = plan.indexOf("SinglePartition")
+    assert(aggIdx >= 0 && spIdx >= 0 && spIdx < plan.lastIndexOf("HashAggregate"),
+      s"window input is not the aggregate:\n$plan")
+  }
+
+  test("referential integrity: dims broadcast their anti-joins (r10)") {
+    val plan = finalPlan(Relational.referentialIntegrity(spark, sf))
+    // every edge is an anti-join; the five dimension parents must
+    // arrive broadcast (the two fact-fact edges may shuffle)
+    val anti = "LeftAnti".r.findAllIn(plan).length
+    assert(anti >= 7, s"expected 7 anti-joins, saw $anti:\n${plan.take(2000)}")
+    val bAnti = "BroadcastHashJoin [^\n]*LeftAnti".r.findAllIn(plan).length
+    assert(bAnti >= 5, s"dimension anti-joins not broadcast ($bAnti):\n${plan.take(2000)}")
+  }
 }
