@@ -533,4 +533,38 @@ class CrossScaleSpec extends AnyFunSuite with SparkSpec {
     assert(tpLo <= cap * eLo, s"sf0.01 two-paths $tpLo exceed cap*|E| ${cap * eLo}")
     assert(tpHi <= cap * eHi, s"sf0.1 two-paths $tpHi exceed cap*|E| ${cap * eHi}")
   }
+
+  test("batch-5 scale invariants: bounded grids bounded, CC wall time near-linear") {
+    // STRUCTURAL pins first. The χ² contingency grid is bounded by
+    // category cardinality, NOT corpus size: the cell count must be
+    // IDENTICAL across the 10× step. The AUC's windowed frame is the
+    // score grid — it may grow, but never past the document count.
+    def chi(dir: String) = graft.operators.Relational.chiSquare(spark, dir)
+      .select("n_cells").head().getLong(0)
+    assert(chi("/root/testdata/sf0.01") == chi("/root/testdata/sf0.1"),
+      "χ² grid grew with the corpus — the category model is broken")
+    def aucScores(dir: String) = graft.operators.CorpusQuality
+      .scoreAuc(spark, dir).head()
+    val (sLo, sHi) = (aucScores("/root/testdata/sf0.01"),
+      aucScores("/root/testdata/sf0.1"))
+    assert(sLo.getLong(0) <= sLo.getLong(1) + sLo.getLong(2),
+      s"sf0.01 score grid exceeds doc count: $sLo")
+    assert(sHi.getLong(0) <= sHi.getLong(1) + sHi.getLong(2),
+      s"sf0.1 score grid exceeds doc count: $sHi")
+    // wall-time curve for the wedge-bounded clustering coefficient —
+    // same 6×-linear guard + retry discipline as the other curves
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(dir: String): Double =
+      secs(graft.operators.Graph.graphClusteringCoeff(spark, dir).count())
+    val (lo, hi) = (run("/root/testdata/sf0.01"), run("/root/testdata/sf0.1"))
+    info(f"clustering coeff sf0.01=$lo%.2fs sf0.1=$hi%.2fs")
+    val passed = hi <= 6.0 * 10 * math.max(lo, 0.5) || {
+      val (lo2, hi2) = (run("/root/testdata/sf0.01"), run("/root/testdata/sf0.1"))
+      info(f"retry sf0.01=$lo2%.2fs sf0.1=$hi2%.2fs")
+      math.min(hi, hi2) <= 6.0 * 10 * math.max(math.min(lo, lo2), 0.5)
+    }
+    assert(passed, s"clustering coefficient grew super-linearly: $lo -> $hi")
+  }
 }
