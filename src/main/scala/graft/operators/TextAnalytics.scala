@@ -2295,6 +2295,88 @@ object TextAnalytics {
        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // llm_heldout_ppl — held-out perplexity of the corpus LM
+  // ---------------------------------------------------------------
+
+  /** Held-out perplexity evaluation: an add-1-smoothed per-language
+    * unigram LM is trained on the TRAIN split (the same salted hash
+    * split [[corpusSplitOf]] reports on — h < 80) and scored on the
+    * held-out TEST split (h ≥ 90), reporting per language the token
+    * masses, train self-perplexity, held-out perplexity, and the
+    * overfit gap. This is the eval loop data pipelines run on every
+    * curation change: a filter that helps should LOWER held-out
+    * ppl; a gap blowing up says the corpus stopped generalizing
+    * (dedup leak, contamination, vocabulary collapse).
+    *
+    * Smoothing: p(w) = (cnt(w)+1)/(N+V+1) with unseen test tokens
+    * at 1/(N+V+1) — the +1 in the denominator is the single shared
+    * OOV bucket. Determinism: counts are exact BIGINTs; per-token
+    * `ln` and the final `exp` ride the library-wide round(…, 4)
+    * absorption (the [[unigramLogprob]] precedent); the gap is one
+    * correctly-rounded subtraction of the rounded values.
+    *
+    * Scale: one tokenize scan (cached — feeds the LM counts, the
+    * stats, and both eval sides), one (lang, term) aggregate, two
+    * equi-joins against the vocab-keyed counts (AQE broadcasts them
+    * while they fit; at a 100 TB vocabulary the join degrades to a
+    * plain shuffle, never a driver structure), per-lang bounded
+    * output. */
+  def heldoutPpl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = cached("heldoutToks", docs(spark, sfDir)
+      .select($"lang", pmod(md5i32($"text", 17), lit(100)).as("h"),
+        explode(tokens($"text")).as("term")))
+    val train = toks.filter($"h" < 80).select($"lang", $"term")
+    val test = toks.filter($"h" >= 90).select($"lang", $"term")
+    val counts = train.groupBy($"lang", $"term").agg(count(lit(1)).as("cnt"))
+    val stats = train.groupBy($"lang")
+      .agg(count(lit(1)).as("nn"), countDistinct($"term").as("v"))
+    def eval(side: DataFrame, nCol: String, pplCol: String): DataFrame =
+      side
+        .join(counts, Seq("lang", "term"), "left")
+        .join(broadcast(stats), Seq("lang")) // one row per language
+        .select($"lang", (-log((coalesce($"cnt", lit(0L)) + lit(1.0))
+          / ($"nn" + $"v" + lit(1.0)))).as("s"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as(nCol), round(exp(round(avg($"s"), 4)), 4).as(pplCol))
+    eval(train, "n_train_tokens", "train_ppl")
+      .join(eval(test, "n_test_tokens", "heldout_ppl"), Seq("lang"))
+      .select($"lang", $"n_train_tokens", $"train_ppl",
+        $"n_test_tokens", $"heldout_ppl",
+        ($"heldout_ppl" - $"train_ppl").as("overfit_gap"))
+      .orderBy($"lang")
+  }
+
+  def heldoutPplSql(): String = {
+    def ev(side: String) =
+      s"""SELECT e.lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |  round(exp(round(avg(-ln((COALESCE(c.cnt, 0) + 1.0)
+         |                          / (s.nn + s.v + 1.0))), 4)), 4) AS ppl
+         |FROM $side e
+         |LEFT JOIN c ON c.lang = e.lang AND c.term = e.term
+         |JOIN s ON s.lang = e.lang
+         |GROUP BY e.lang""".stripMargin
+    s"""WITH t AS (
+       |  SELECT lang, ${md5i32Sql("text", 17)} % 100 AS h,
+       |         unnest($tokensSql) AS term
+       |  FROM documents),
+       |tr AS (SELECT lang, term FROM t WHERE h < 80),
+       |te AS (SELECT lang, term FROM t WHERE h >= 90),
+       |c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM tr GROUP BY 1, 2),
+       |s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nn,
+       |             CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+       |      FROM tr GROUP BY 1),
+       |etr AS (${ev("tr")}),
+       |ete AS (${ev("te")})
+       |SELECT etr.lang, etr.n AS n_train_tokens, etr.ppl AS train_ppl,
+       |  ete.n AS n_test_tokens, ete.ppl AS heldout_ppl,
+       |  ete.ppl - etr.ppl AS overfit_gap
+       |FROM etr JOIN ete ON etr.lang = ete.lang
+       |ORDER BY etr.lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // llm_seq_pack — context-window packing accounting
   // ---------------------------------------------------------------
 

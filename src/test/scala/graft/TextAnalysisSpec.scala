@@ -988,4 +988,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
         (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(got.toSet == windowRoute, "native top-k diverges from window route")
   }
+
+  test("held-out ppl: token masses reconcile with the split report, ppls sane") {
+    import spark.implicits._
+    val rows = TextAnalytics.heldoutPpl(spark, sf)
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // the train/test token masses must be EXACTLY the split census's
+    // (same salted hash, same tokenizer — shared by construction)
+    val split = TextAnalytics.corpusSplit(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    rows.foreach { case (lang, nTr, pTr, nTe, pTe, gap) =>
+      assert(nTr == split(("train", lang)), s"$lang train mass")
+      assert(nTe == split(("test", lang)), s"$lang test mass")
+      // add-1 unigram ppl is >= 1 and finite; vocab bounds it above
+      // by N+V+1 (the uniform-OOV worst case)
+      assert(pTr >= 1.0 && pTe >= 1.0, s"$lang ppl degenerate")
+      assert(!pTr.isNaN && !pTe.isNaN && !pTr.isInfinite && !pTe.isInfinite)
+      assert(gap == pTe - pTr, s"$lang gap not the plain difference")
+      // held-out ppl should exceed train self-ppl on every language:
+      // unseen tokens only ever cost MORE than seen ones on a corpus
+      // this size (pinning the direction guards the join polarity —
+      // a swapped train/test would flip it)
+      assert(gap > 0.0, s"$lang held-out not above train: $pTr vs $pTe")
+    }
+  }
 }
