@@ -1232,16 +1232,41 @@ object Graph {
       .join(deg.select($"src".as("dst"), $"d".as("dd")), "dst")
       .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
       .select($"src", $"dst"))
-    val closing = oriented.select(
-      least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-    val triVerts = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
-      .filter(col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("v"),
-        least(col("e1.dst"), col("e2.dst")).as("a"),
-        greatest(col("e1.dst"), col("e2.dst")).as("b"))
-      .join(closing, Seq("a", "b"))
-      .select(explode(array($"v", $"a", $"b")).as("u"))
+    // Two capacity-tiered triangle enumerations, both emitting each
+    // triangle ONCE as its 3 vertices (the triangleCountOf tiers,
+    // upgraded to carry vertex identity for the local counts):
+    //
+    // UNDER CAP — adjacency intersection: for oriented (u,v), every
+    // w ∈ N⁺(u) ∩ N⁺(v) closes exactly one triangle (u = source,
+    // v = middle, w = sink in the acyclic orientation). The explode
+    // emits |triangles| rows — the wedge stream (Σ outdeg² rows)
+    // never materializes.
+    //
+    // OVER CAP — the MapReduce wedge count: enumerate wedges at the
+    // apex, shuffle-join against the canonical closing-edge set.
+    val nE = oriented.count()
+    val triVerts = (if (graft.util.Broadcasting.fits(spark, nE)) {
+      val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
+      // inner joins: an edge whose endpoint has no out-neighbors
+      // closes no triangle — dropping it early is correct and keeps
+      // the branch type-generic (no hardcoded empty-array type)
+      oriented
+        .join(broadcast(adj.select($"src", $"nbrs".as("nu"))), Seq("src"))
+        .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nv"))),
+          Seq("dst"))
+        .select($"src".as("v"), $"dst".as("a"),
+          explode(array_intersect($"nu", $"nv")).as("b"))
+    } else {
+      val closing = oriented.select(
+        least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+        .filter(col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("v"),
+          least(col("e1.dst"), col("e2.dst")).as("a"),
+          greatest(col("e1.dst"), col("e2.dst")).as("b"))
+        .join(closing, Seq("a", "b"))
+    }).select(explode(array($"v", $"a", $"b")).as("u"))
     val tv = triVerts.groupBy($"u").agg(count(lit(1)).as("t"))
     // every triangle vertex has degree >= 2, so the d>=2 frame sees
     // the full triangle mass: sum(t) over it is exactly 3*triangles

@@ -2595,6 +2595,80 @@ object Relational {
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_survival_hazard — discrete-time customer churn hazard
+  // ---------------------------------------------------------------
+
+  /** Discrete-time survival analysis of customer lifetimes: age is
+    * months since first order (the [[cohortLtvOf]] integer
+    * year·12+month arithmetic), a customer CHURNS at the age of
+    * their last order unless that month is the corpus's final one —
+    * then they are CENSORED (still alive at the observation edge;
+    * counting them as churners is the classic retention-analysis
+    * bias). Per age: the at-risk set (observed lifetime ≥ age),
+    * churn events, censored exits, and the hazard
+    * churned/at-risk — the life-table a retention model starts from
+    * (the Kaplan–Meier product replays from exactly these columns).
+    *
+    * Determinism: month integers, lifetime ages, and the
+    * descending-cumulative at-risk counts are all exact BIGINTs;
+    * the hazard floor-scales to 1e-6. Scale: one custkey aggregate
+    * over the corpus, one 1-row max-month broadcast, then the
+    * life-table window runs on the ≤ corpus-span-in-months frame. */
+  def survivalHazard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.orders(spark, sfDir)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("ym"))
+      .groupBy($"o_custkey")
+      .agg(min($"ym").as("ym0"), max($"ym").as("ym1"))
+    val edge = spans.agg(max($"ym1").as("m")) // observation edge
+    val lifet = spans.crossJoin(broadcast(edge))
+      .select(($"ym1" - $"ym0").cast("long").as("age"),
+        ($"ym1" === $"m").as("censored"))
+    val byAge = lifet.groupBy($"age").agg(
+      sum(when($"censored", 0L).otherwise(1L)).as("n_churned"),
+      sum(when($"censored", 1L).otherwise(0L)).as("n_censored"))
+    // at-risk at age a = everyone whose observed lifetime is >= a:
+    // a descending cumulative count over the bounded age frame
+    val w = Window.orderBy($"age")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byAge
+      .withColumn("n_at_risk", sum($"n_churned" + $"n_censored").over(w))
+      .select($"age", $"n_at_risk", $"n_churned", $"n_censored",
+        (expr("CAST(n_churned * 1000000 DIV n_at_risk AS BIGINT)")
+          .cast("double") / 1000000.0).as("hazard"))
+      .orderBy($"age")
+  }
+
+  def survivalHazardSql(): String =
+    s"""WITH spans AS (
+       |  SELECT o_custkey,
+       |    MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS ym0,
+       |    MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS ym1
+       |  FROM orders GROUP BY 1),
+       |edge AS (SELECT MAX(ym1) AS m FROM spans),
+       |lifet AS (SELECT CAST(ym1 - ym0 AS BIGINT) AS age,
+       |                 ym1 = m AS censored
+       |          FROM spans, edge),
+       |byage AS (
+       |  SELECT age,
+       |    CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_churned,
+       |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_censored
+       |  FROM lifet GROUP BY age)
+       |SELECT age, n_at_risk, n_churned, n_censored,
+       |  CAST(n_churned * 1000000 // n_at_risk AS DOUBLE) / 1000000.0
+       |    AS hazard
+       |FROM (
+       |  SELECT age, n_churned, n_censored,
+       |    CAST(SUM(n_churned + n_censored) OVER (ORDER BY age
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS BIGINT) AS n_at_risk
+       |  FROM byage)
+       |ORDER BY age""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_chi_square — categorical-independence test on a bounded grid
   // ---------------------------------------------------------------
 

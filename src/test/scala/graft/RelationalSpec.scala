@@ -728,6 +728,40 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 3e-6)
   }
 
+  test("survival hazard: censoring hand-walked, life-table identities hold") {
+    import spark.implicits._
+    // c1 spans Jan..Mar (age 2, last month == edge -> CENSORED),
+    // c2 only Jan (age 0, churned), c3 only Mar (age 0, censored)
+    val tiny = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-05"), BigDecimal(10)),
+      (1L, java.sql.Date.valueOf("2024-03-09"), BigDecimal(10)),
+      (2L, java.sql.Date.valueOf("2024-01-20"), BigDecimal(10)),
+      (3L, java.sql.Date.valueOf("2024-03-01"), BigDecimal(10)))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("surv").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.survivalHazard(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 3L, 1L, 1L, 0.333333), (2L, 1L, 0L, 1L, 0.0)),
+      s"got $got")
+    // corpus life-table identities: exits partition the customers,
+    // at-risk monotone non-increasing from n, hazards are rates
+    val rows = Relational.survivalHazard(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(r => r._3 + r._4).sum == nCust)
+    // every customer's lifetime is >= the minimum observed exit age,
+    // so the first life-table row puts the whole population at risk
+    assert(rows.head._2 == nCust)
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x._2 > y._2, s"at-risk not decreasing: $x -> $y")
+      case _ => ()
+    }
+    rows.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
   test("chi square: corpus grid complete, statistic and V bounded") {
     import spark.implicits._
     val (n, cells, dof, chi2, v) = Relational.chiSquare(spark, sf)
