@@ -521,6 +521,13 @@ object Graft {
   def clusteringCoeff(edges: DataFrame): DataFrame =
     operators.Graph.clusteringCoeffOf(edges)
 
+  /** Weighted PageRank over `(src, dst, wt)` arcs + nodes `(a)`:
+    * contributions split along edge weight (r·w/W(u)); same
+    * per-iteration plan and rounding contract as [[pagerank]]. */
+  def pagerankWeighted(edges: DataFrame, nodes: DataFrame,
+                       iters: Int = 5, d: Double = 0.85): DataFrame =
+    operators.Graph.pagerankWeightedOf(edges, nodes, iters, d)
+
   // -- similarity over (vec_id, embedding) frames ------------------
 
   /** Unit-normalize embeddings (cache if reused). */

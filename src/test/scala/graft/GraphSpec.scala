@@ -28,6 +28,34 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         .as[(String, Double)].collect().sortBy(_._1).take(20).toSeq)
   }
 
+  test("weighted pagerank: unit weights reduce to the plain walk, corpus mass conserved") {
+    import spark.implicits._
+    // on a unit-weight graph the weighted update IS the unweighted
+    // one (wt/W(u) == 1/deg(u)) — bit-for-bit under the shared 8-dp
+    // rounding contract
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("a") // node 5 isolated: teleport-only
+    val unit = edges.withColumn("wt", lit(1L))
+    val w = Graph.pagerankWeightedOf(unit, nodes)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val u = Graph.pagerankOf(edges, nodes)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(w == u, s"unit-weight walk diverged:\n$w\n$u")
+    // skewed weights steer mass: double every 3->4 arc weight and
+    // node 4 must outrank its unit-weight self
+    val skewed = unit.withColumn("wt",
+      when($"src" === 3L && $"dst" === 4L, lit(9L)).otherwise($"wt"))
+    val s = Graph.pagerankWeightedOf(skewed, nodes)
+      .as[(Long, Double)].collect().toMap
+    assert(s(4L) > u.toMap.apply(4L), s"weight skew did not raise node 4: $s")
+    // corpus: mass conservation under the same rounding contract
+    val all = Graph.pagerankWeightedActors(spark, sf, k = Int.MaxValue)
+      .as[(String, Double)].collect()
+    val mass = all.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"weighted rank mass $mass")
+  }
+
   test("graph trio shares ONE cached co-actor edge derivation") {
     // the explode → self-join → distinct edge build is the expensive
     // shared prefix of pagerank/triangles/k-hop: every call must get
