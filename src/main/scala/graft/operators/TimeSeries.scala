@@ -926,6 +926,113 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------
+  // rel_bootstrap_ci — hash-seeded bootstrap CI for the daily median
+  // ---------------------------------------------------------------
+
+  /** Bootstrap replicas and the salted draw-hash — shared with the
+    * oracle so both engines draw the identical resamples. */
+  val BootstrapB = 40
+  val BootstrapSalt = 101
+
+  /** Percentile-bootstrap 90 % confidence interval for the MEDIAN
+    * daily revenue: [[BootstrapB]] resamples-with-replacement of the
+    * day frame, each drawn by the salted md5 of `(replica:slot)` —
+    * deterministic, so both engines draw the SAME resamples and the
+    * interval replays bit-for-bit (no RNG state anywhere). The
+    * uncertainty readout a point median hides; medians have no CLT
+    * closed form, which is exactly when analysts reach for the
+    * bootstrap.
+    *
+    * All medians are exact lower medians of whole-dollar BIGINTs
+    * (rank (n+1) DIV 2 — a value at a rank is tie-order-invariant);
+    * the CI takes the 5th/95th percentile RANKS of the B replica
+    * medians by the same integer rule. No floats anywhere.
+    *
+    * Scale: one date-keyed corpus aggregate; the resample universe
+    * is days × B rows (bounded — the calendar, not the corpus), the
+    * replica medians are B windowed rows, the readout is 1. */
+  def bootstrapCi(spark: SparkSession, sfDir: String,
+                  b: Int = BootstrapB): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing.md5i32
+    // localCheckpoint: the indexed day frame is both the slot
+    // generator and the value lookup — without the cut each
+    // reference re-aggregates the corpus (the chiSquare discipline)
+    val idx = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
+        " AS BIGINT) DIV 100").as("y"))
+      .select($"y", (row_number().over(Window.orderBy($"day")) - 1)
+        .cast("long").as("i"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .localCheckpoint()
+    val picks = idx.select($"i".as("slot"), $"n")
+      .select(explode(sequence(lit(0), lit(b - 1))).as("b"), $"slot", $"n")
+      .select($"b", pmod(md5i32(concat_ws(":", $"b", $"slot"),
+        BootstrapSalt), $"n").as("i"))
+    val medians = picks.join(idx.select($"i", $"y"), Seq("i"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"b").orderBy($"y")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"b"))
+        .cast("long"))
+      .filter($"rn" === expr("(cnt + 1) DIV 2"))
+      .select($"b", $"y".as("med"))
+    val ranked = medians.select($"med",
+      row_number().over(Window.orderBy($"med")).cast("long").as("rb"))
+    val kLo = math.max(1, b * 5 / 100)
+    val kHi = b + 1 - kLo
+    val point = idx
+      .withColumn("rn", row_number().over(Window.orderBy($"y")).cast("long"))
+      .filter($"rn" === expr("(n + 1) DIV 2"))
+      .select($"n".as("n_days"), $"y".as("median"))
+    point // four 1-row frames
+      .crossJoin(medians.agg(count(lit(1)).as("n_replicas")))
+      .crossJoin(ranked.filter($"rb" === kLo).select($"med".as("ci_lo")))
+      .crossJoin(ranked.filter($"rb" === kHi).select($"med".as("ci_hi")))
+      .select($"n_days", $"n_replicas", $"median", $"ci_lo", $"ci_hi")
+  }
+
+  def bootstrapCiSql(b: Int = BootstrapB): String = {
+    import graft.functions.Hashing.md5i32Sql
+    val kLo = math.max(1, b * 5 / 100)
+    val kHi = b + 1 - kLo
+    val draw = md5i32Sql(
+      "CAST(b AS VARCHAR) || ':' || CAST(slot AS VARCHAR)",
+      BootstrapSalt)
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |idx AS (
+       |  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT)
+       |    AS i, (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n
+       |  FROM daily),
+       |picks AS (
+       |  SELECT t.b, $draw % n AS i
+       |  FROM (SELECT i AS slot, n FROM idx) s,
+       |       range(0, $b) t(b)),
+       |med AS (
+       |  SELECT b, y AS med FROM (
+       |    SELECT p.b, x.y,
+       |      ROW_NUMBER() OVER (PARTITION BY p.b ORDER BY x.y) AS rn,
+       |      COUNT(*) OVER (PARTITION BY p.b) AS cnt
+       |    FROM picks p JOIN idx x ON x.i = p.i)
+       |  WHERE rn = (cnt + 1) // 2),
+       |ranked AS (SELECT med, ROW_NUMBER() OVER (ORDER BY med) AS rb
+       |           FROM med),
+       |pt AS (SELECT n AS n_days, y AS median FROM (
+       |         SELECT y, n, ROW_NUMBER() OVER (ORDER BY y) AS rn FROM idx)
+       |       WHERE rn = (n + 1) // 2)
+       |SELECT pt.n_days,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM med) AS n_replicas,
+       |  pt.median,
+       |  (SELECT med FROM ranked WHERE rb = $kLo) AS ci_lo,
+       |  (SELECT med FROM ranked WHERE rb = $kHi) AS ci_hi
+       |FROM pt""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // rel_changepoint — binary-segmentation step on the revenue series
   // ---------------------------------------------------------------
 

@@ -368,6 +368,30 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bootstrap CI: constant series collapses the interval; corpus bracket holds") {
+    import spark.implicits._
+    // every resample of a constant series has the same median: the
+    // interval MUST collapse to the point exactly
+    val tiny = (1 to 9).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-0${(i % 9) + 1}"),
+        BigDecimal(250))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .withColumnRenamed("o_custkey", "o_orderkey")
+    val dir = java.nio.file.Files.createTempDirectory("boot").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val flat = TimeSeries.bootstrapCi(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(flat == ((9L, 40L, 250L, 250L, 250L)), s"got $flat")
+    // corpus: a genuine interval inside the observed range, ordered,
+    // and deterministic across runs (no RNG state anywhere)
+    val c = TimeSeries.bootstrapCi(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(c._2 == 40L && c._4 <= c._3 && c._3 <= c._5,
+      s"interval does not bracket the median: $c")
+    assert(c == TimeSeries.bootstrapCi(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].head())
+  }
+
   test("changepoint: step series splits at the step; corpus sane") {
     import spark.implicits._
     // y = (100, 100, 200, 200): the k=2 split removes ALL within-
