@@ -2595,6 +2595,79 @@ object Relational {
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_fd_audit — functional-dependency discovery census
+  // ---------------------------------------------------------------
+
+  /** Functional-dependency audit over candidate det→dep column pairs
+    * of the star schema: for each, the determinant-group count, the
+    * groups where the dependent takes MORE than one value (FD
+    * violations), and the verdict. The profiling step behind
+    * normalization decisions, join-key trust, and "can I use X as a
+    * dimension key for Y" — key-determined pairs must read zero
+    * violations (schema sanity), and the non-key candidates document
+    * HOW non-functional they are instead of a bare false.
+    *
+    * Scale: each candidate is one two-level hash aggregate
+    * (det,dep → det) over its table; verdict rows only reach the
+    * driver. All counts exact BIGINTs; the rate floor-scales. */
+  def fdAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, df: DataFrame, det: String, dep: String) =
+      fdAuditOf(name, df, det, dep)
+    Seq(
+      audit("customer: custkey->nationkey",
+        Tables.customer(spark, sfDir), "c_custkey", "c_nationkey"),
+      audit("lineitem: orderkey->partkey",
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey"),
+      audit("lineitem: partkey->suppkey",
+        Tables.lineitem(spark, sfDir), "l_partkey", "l_suppkey"),
+      audit("nation: nationkey->regionkey",
+        Tables.nation(spark, sfDir), "n_nationkey", "n_regionkey"),
+      audit("orders: custkey->orderpriority",
+        Tables.orders(spark, sfDir), "o_custkey", "o_orderpriority"))
+      .reduce(_ unionByName _)
+      .orderBy($"fd")
+  }
+
+  /** One candidate dependency's audit row. */
+  private[graft] def fdAuditOf(name: String, df: DataFrame,
+                               det: String, dep: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"nd" > 1L, 1L).otherwise(0L)).as("n_violating"))
+      .select(lit(name).as("fd"), $"n_groups", $"n_violating",
+        ($"n_violating" === 0L).as("holds"),
+        (expr("CAST(n_violating * 1000000 DIV n_groups AS BIGINT)")
+          .cast("double") / 1000000.0).as("violation_rate"))
+  }
+
+  def fdAuditSql(): String = {
+    def branch(name: String, table: String, det: String, dep: String) =
+      s"""SELECT '$name' AS fd,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+         |       // COUNT(*) AS DOUBLE) / 1000000.0 AS violation_rate
+         |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd
+         |      FROM $table GROUP BY $det)""".stripMargin
+    Seq(
+      branch("customer: custkey->nationkey", "customer",
+        "c_custkey", "c_nationkey"),
+      branch("lineitem: orderkey->partkey", "lineitem",
+        "l_orderkey", "l_partkey"),
+      branch("lineitem: partkey->suppkey", "lineitem",
+        "l_partkey", "l_suppkey"),
+      branch("nation: nationkey->regionkey", "nation",
+        "n_nationkey", "n_regionkey"),
+      branch("orders: custkey->orderpriority", "orders",
+        "o_custkey", "o_orderpriority"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
+  }
+
+  // ---------------------------------------------------------------
   // rel_survival_hazard — discrete-time customer churn hazard
   // ---------------------------------------------------------------
 

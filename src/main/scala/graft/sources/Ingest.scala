@@ -673,4 +673,60 @@ object Ingest {
        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // src_compaction_plan — small-partition coalescing plan
+  // ---------------------------------------------------------------
+
+  /** Target output-file size for the compaction plan, in rows. */
+  val CompactTargetRows = 1000L
+
+  /** Compaction plan for a date-partitioned order table: assign the
+    * (small) daily partitions, in calendar order, to output files of
+    * ~[[CompactTargetRows]] rows — file k takes the days whose
+    * cumulative row count lands in [k·target, (k+1)·target). The
+    * maintenance pass every partitioned lake needs: thousands of
+    * small daily files become a bounded set of right-sized ones,
+    * and CONTIGUITY is preserved so date-range pruning still works
+    * on the compacted layout. Emits per output file: day span, day
+    * count, and rows — the manifest a rewrite job executes.
+    *
+    * Determinism: integer row counts, integer floor division on the
+    * EXCLUSIVE cumulative sum (a day never splits across files —
+    * the greedy sequential rule, exact in both engines). Scale: one
+    * date-keyed corpus aggregate, one bounded window over the
+    * calendar frame, one group per output file. */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+                     target: Long = CompactTargetRows): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    daily
+      .withColumn("before", coalesce(sum($"n").over(w), lit(0L)))
+      .select(expr(s"before DIV $target").as("file_id"), $"day", $"n")
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_days"), sum($"n").as("n_rows"),
+        min($"day").as("day_lo"), max($"day").as("day_hi"))
+      .orderBy($"file_id")
+  }
+
+  def compactionPlanSql(target: Long = CompactTargetRows): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |c AS (
+       |  SELECT day, n,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS before
+       |  FROM daily)
+       |SELECT before // $target AS file_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  MIN(day) AS day_lo, MAX(day) AS day_hi
+       |FROM c GROUP BY 1 ORDER BY file_id""".stripMargin
 }

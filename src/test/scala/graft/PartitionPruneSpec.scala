@@ -64,6 +64,33 @@ class PartitionPruneSpec extends AnyFunSuite with SparkSpec {
     assert(part == raw)
   }
 
+  test("compaction plan: files right-sized, contiguous, lossless") {
+    import spark.implicits._
+    val target = graft.sources.Ingest.CompactTargetRows
+    val plan = graft.sources.Ingest.compactionPlan(spark, sf)
+      .as[(Long, Long, Long, java.sql.Date, java.sql.Date)].collect()
+    // lossless: planned rows == table rows; file ids contiguous from 0
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(plan.map(_._3).sum == total)
+    assert(plan.map(_._1).toSeq == plan.indices.map(_.toLong))
+    // right-sized: days never split, so a file can miss the target
+    // by at most one day's rows on either side
+    val maxDay = graft.sources.Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date($"o_orderdate"))
+      .count().agg(org.apache.spark.sql.functions.max($"count"))
+      .head().getLong(0)
+    plan.dropRight(1).foreach { f =>
+      assert(f._3 > target - maxDay && f._3 <= target + maxDay,
+        s"file ${f._1} badly sized (target $target, maxDay $maxDay): $f")
+    }
+    // contiguity: file k ends before file k+1 begins (range pruning
+    // survives compaction)
+    plan.sliding(2).foreach {
+      case Array(x, y) => assert(x._5.before(y._4), s"overlap: $x / $y")
+      case _ => ()
+    }
+  }
+
   test("schema evolution: mergeSchema unions generations, old files serve NULL") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

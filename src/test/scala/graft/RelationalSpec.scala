@@ -728,6 +728,28 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 3e-6)
   }
 
+  test("fd audit: key-determined pairs hold, fan-out pairs counted exactly") {
+    import spark.implicits._
+    // hand fixture: a->b holds; a->c violated by exactly one group
+    val df = Seq((1L, 10L, "x"), (1L, 10L, "y"), (2L, 20L, "z"))
+      .toDF("a", "b", "c")
+    val hold = Relational.fdAuditOf("t: a->b", df, "a", "b")
+      .as[(String, Long, Long, Boolean, Double)].head()
+    assert(hold == (("t: a->b", 2L, 0L, true, 0.0)), s"got $hold")
+    val viol = Relational.fdAuditOf("t: a->c", df, "a", "c")
+      .as[(String, Long, Long, Boolean, Double)].head()
+    assert(viol == (("t: a->c", 2L, 1L, false, 0.5)), s"got $viol")
+    // corpus: the two key-determined pairs MUST hold; the fan-out
+    // candidates must not (an order has many parts, etc.)
+    val rows = Relational.fdAudit(spark, sf)
+      .as[(String, Long, Long, Boolean, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("customer: custkey->nationkey")._4)
+    assert(rows("nation: nationkey->regionkey")._4)
+    assert(!rows("lineitem: orderkey->partkey")._4)
+    rows.values.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
   test("survival hazard: censoring hand-walked, life-table identities hold") {
     import spark.implicits._
     // c1 spans Jan..Mar (age 2, last month == edge -> CENSORED),
