@@ -76,6 +76,71 @@ object Dedup {
       min($"survivor_id").cast("long").as("min_survivor"))
   }
 
+  /** Word-order-insensitive duplicate census: documents whose token
+    * MULTISET matches group together even when the text differs —
+    * the shuffled-template/bag duplicate class (reordered boilerplate,
+    * scraped tables re-serialized in another order) that BOTH exact
+    * hashing and shingle MinHash miss (shingles are order-sensitive).
+    * The fixture plants reversed-token twins for every 10th document:
+    * exact dedup catches none of them, the bag fingerprint catches
+    * all — the gap column IS the operator's value.
+    *
+    * Fingerprint = md5 of the sorted `term:count` serialization —
+    * one (doc, term) aggregate then one per-doc sort of its DISTINCT
+    * terms (vocabulary-bounded per doc, never corpus-keyed state).
+    * Determinism: counts exact; the serialization sorts on the term
+    * text in both engines. */
+  def dedupBag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val shuffled = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"))
+    val all = base.union(shuffled)
+    val bags = all
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct($"term", $"c"))),
+        x => concat(x.getField("term"), lit(":"), x.getField("c"))),
+        " ")).as("bag"))
+    val bagG = bags.groupBy($"bag").agg(count(lit(1)).as("gs"))
+      .agg(count(lit(1)).as("bag_groups"),
+        coalesce(sum($"gs" - 1), lit(0L)).as("bag_removed"))
+    val exactG = all.groupBy(md5($"text")).agg(count(lit(1)).as("gs"))
+      .agg(coalesce(sum($"gs" - 1), lit(0L)).as("exact_removed"))
+    all.agg(count(lit(1)).as("n_in"))
+      .crossJoin(bagG).crossJoin(exactG) // three 1-row aggregates
+      .select($"n_in", $"bag_groups", $"bag_removed", $"exact_removed",
+        ($"bag_removed" - $"exact_removed").as("order_only_removed"))
+  }
+
+  val dedupBagSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM all_docs),
+       |bc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM toks GROUP BY 1, 2),
+       |bags AS (SELECT doc_id,
+       |           md5(string_agg(term || ':' || c, ' ' ORDER BY term))
+       |             AS bag
+       |         FROM bc GROUP BY doc_id),
+       |bg AS (SELECT CAST(COUNT(*) AS BIGINT) AS bag_groups,
+       |         CAST(COALESCE(SUM(gs - 1), 0) AS BIGINT) AS bag_removed
+       |       FROM (SELECT COUNT(*) AS gs FROM bags GROUP BY bag)),
+       |eg AS (SELECT CAST(COALESCE(SUM(gs - 1), 0) AS BIGINT)
+       |         AS exact_removed
+       |       FROM (SELECT COUNT(*) AS gs FROM all_docs GROUP BY md5(text)))
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM all_docs) AS n_in,
+       |  bag_groups, bag_removed, exact_removed,
+       |  bag_removed - exact_removed AS order_only_removed
+       |FROM bg, eg""".stripMargin
+
   val dedupExactSql: String =
     """WITH all_docs AS (
       |  SELECT doc_id, text FROM documents

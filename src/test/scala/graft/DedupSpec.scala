@@ -15,6 +15,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 3L), (3L, 1L)))
   }
 
+  test("bag dedup catches every reversed twin that exact dedup misses") {
+    import spark.implicits._
+    val (nIn, bagGroups, bagRemoved, exactRemoved, orderOnly) =
+      Dedup.dedupBag(spark, sf).as[(Long, Long, Long, Long, Long)].head()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nTwins = docs.filter($"doc_id" % 10 === 0).count()
+    assert(nIn == nDocs + nTwins)
+    // a reversed token sequence is a DIFFERENT string (none of these
+    // documents are palindromic word soups) but the SAME bag: the
+    // planted twins are invisible to exact dedup and fully visible
+    // to the bag fingerprint
+    assert(orderOnly >= nTwins,
+      s"bag gap $orderOnly below the $nTwins planted twins " +
+        s"(bag $bagRemoved, exact $exactRemoved)")
+    assert(bagRemoved >= nTwins, s"bag missed planted twins: $bagRemoved < $nTwins")
+    assert(bagGroups == nIn - bagRemoved, "groups + removals must partition")
+  }
+
   test("minhash LSH finds exactly the brute-force near-dup pairs (100% recall here)") {
     import spark.implicits._
     // Brute force ground truth at test scale ONLY (the operator never
