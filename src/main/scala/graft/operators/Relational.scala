@@ -2595,6 +2595,78 @@ object Relational {
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_duplicate_payments — same-payer same-amount proximity audit
+  // ---------------------------------------------------------------
+
+  /** Day window within which a repeated identical charge is suspect. */
+  val DupPayWindowDays = 3
+
+  /** Duplicate-payment screen: pairs of orders by the SAME customer
+    * for the SAME exact amount within [[DupPayWindowDays]] days —
+    * the accounts-payable double-charge audit. Reported as a
+    * per-priority census (pair count, distinct flagged customers,
+    * exposure = the duplicated cents) so reviewers see where the
+    * risk concentrates, plus an `__all__` row.
+    *
+    * Scale: candidates meet in an EQUI-join on (custkey, cents) —
+    * the amount is part of the key, so the blow-up is bounded by
+    * same-customer-same-amount multiplicity, never customers×orders;
+    * the day-window is a residual predicate. Exact cents, calendar-
+    * day arithmetic, orderkey tie-break (a < b) so each pair counts
+    * once. */
+  def duplicatePayments(spark: SparkSession, sfDir: String,
+                        windowDays: Int = DupPayWindowDays): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir).select(
+      $"o_orderkey".as("k"), $"o_custkey".as("c"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      to_date($"o_orderdate").as("d"), $"o_orderpriority".as("prio"))
+    val pairs = o.as("x").join(o.as("y"),
+        col("x.c") === col("y.c") && col("x.cents") === col("y.cents") &&
+          col("x.k") < col("y.k") &&
+          abs(datediff(col("y.d"), col("x.d"))) <= windowDays)
+      .select(col("x.prio").as("prio"), col("x.c").as("c"),
+        col("x.cents").as("cents"))
+    val byPrio = pairs.groupBy($"prio")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"c").as("n_customers"),
+        (coalesce(sum($"cents"), lit(0L)).cast("double") / 100.0)
+          .as("exposure"))
+    val all = pairs.agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"c").as("n_customers"),
+        (coalesce(sum($"cents"), lit(0L)).cast("double") / 100.0)
+          .as("exposure"))
+      .select(lit("__all__").as("prio"), $"n_pairs", $"n_customers",
+        $"exposure")
+    byPrio.unionByName(all).orderBy($"prio")
+  }
+
+  def duplicatePaymentsSql(windowDays: Int = DupPayWindowDays): String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, o_custkey AS c,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents,
+       |    CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio
+       |  FROM orders),
+       |pairs AS (
+       |  SELECT x.prio, x.c, x.cents
+       |  FROM o x JOIN o y
+       |    ON x.c = y.c AND x.cents = y.cents AND x.k < y.k
+       |   AND abs(y.d - x.d) <= $windowDays)
+       |SELECT * FROM (
+       |  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+       |    CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100.0 AS exposure
+       |  FROM pairs GROUP BY prio
+       |  UNION ALL
+       |  SELECT '__all__', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT c) AS BIGINT),
+       |    CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100.0
+       |  FROM pairs)
+       |ORDER BY prio""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_fd_audit — functional-dependency discovery census
   // ---------------------------------------------------------------
 

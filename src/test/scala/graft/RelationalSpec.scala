@@ -728,6 +728,33 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 3e-6)
   }
 
+  test("duplicate payments: window and key semantics hand-walked") {
+    import spark.implicits._
+    // k1/k2: same customer+amount 2 days apart -> flagged;
+    // k3: same pair 5 days later -> outside the window;
+    // k4: same amount, different customer -> never a candidate
+    val tiny = Seq(
+      (1L, 7L, java.sql.Date.valueOf("2024-01-01"), BigDecimal(100), "1-URGENT"),
+      (2L, 7L, java.sql.Date.valueOf("2024-01-03"), BigDecimal(100), "1-URGENT"),
+      (3L, 7L, java.sql.Date.valueOf("2024-01-08"), BigDecimal(100), "1-URGENT"),
+      (4L, 8L, java.sql.Date.valueOf("2024-01-02"), BigDecimal(100), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("duppay").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.duplicatePayments(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("1-URGENT", 1L, 1L, 100.0),
+      ("__all__", 1L, 1L, 100.0)), s"got $got")
+    // corpus: the __all__ row reconciles with the per-priority rows
+    val rows = Relational.duplicatePayments(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    val (allR, prioR) = rows.partition(_._1 == "__all__")
+    assert(allR.length == 1)
+    assert(allR.head._2 == prioR.map(_._2).sum)
+    assert(allR.head._3 <= prioR.map(_._3).sum) // a customer can span priorities
+  }
+
   test("fd audit: key-determined pairs hold, fan-out pairs counted exactly") {
     import spark.implicits._
     // hand fixture: a->b holds; a->c violated by exactly one group
