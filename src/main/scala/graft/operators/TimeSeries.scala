@@ -873,6 +873,58 @@ object TimeSeries {
       |FROM t ORDER BY prev_type, event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_event_paths — most-common user journeys (3-step paths)
+  // ---------------------------------------------------------------
+
+  /** Top event-type PATHS: every consecutive 3-step journey segment
+    * per user (ordered by ts with the event_id tie-break — the
+    * [[markovTransitions]] determinism call), counted corpus-wide,
+    * top 20 by frequency. Where the Markov matrix answers "what
+    * follows X", paths answer "which journeys actually happen" —
+    * the product-analytics staple the transition matrix marginalizes
+    * away (A→B→C and B→C→A share its cells but are different
+    * stories).
+    *
+    * Scale: one user-keyed window (bounded by the busiest user, the
+    * sessionization posture), one (path) partial+final count over
+    * the ≤|types|³ path space, one bounded TakeOrdered. Counts
+    * exact; share floor-scaled. */
+  def eventPaths(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(seq))
+      .withColumn("e3", lead($"event_type", 2).over(seq))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+    val counts = paths.groupBy($"path").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum($"n").over(Window.partitionBy()))
+      .select($"path", $"n",
+        (expr("CAST(n * 1000000 DIV tot AS BIGINT)")
+          .cast("double") / 1000000.0).as("share"))
+      .orderBy($"n".desc, $"path")
+      .limit(k)
+  }
+
+  def eventPathsSql(k: Int = 20): String =
+    s"""WITH s AS (
+       |  SELECT event_type AS e1,
+       |    LEAD(event_type, 1) OVER w AS e2,
+       |    LEAD(event_type, 2) OVER w AS e3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |c AS (SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       |      GROUP BY 1),
+       |t AS (SELECT path, n, SUM(n) OVER () AS tot FROM c)
+       |SELECT path, n,
+       |  CAST(n * 1000000 // tot AS DOUBLE) / 1000000.0 AS share
+       |FROM t ORDER BY n DESC, path LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_acf_daily — autocorrelation function of the revenue series
   // ---------------------------------------------------------------
 

@@ -368,6 +368,28 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("event paths: corpus paths reconcile with the step census") {
+    import spark.implicits._
+    val rows = TimeSeries.eventPaths(spark, sf, k = Int.MaxValue)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // total 3-step segments = Σ over users max(0, n_events - 2)
+    val want = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .agg(sum(greatest($"n" - 2L, lit(0L)))).head().getLong(0)
+    assert(rows.map(_._2).sum == want, s"path mass ${rows.map(_._2).sum} != $want")
+    // ordering contract + floor-scaled shares
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sortBy(-_))
+    rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
+    // every path is three '>'-joined known event types
+    val types = Tables.events(spark, sf)
+      .select($"event_type").distinct().as[String].collect().toSet
+    rows.foreach { r =>
+      val parts = r._1.split(">")
+      assert(parts.length == 3 && parts.forall(types), s"bad path ${r._1}")
+    }
+  }
+
   test("bootstrap CI: constant series collapses the interval; corpus bracket holds") {
     import spark.implicits._
     // every resample of a constant series has the same median: the
