@@ -581,6 +581,76 @@ object TimeSeries {
       |FROM i JOIN e USING (wd) ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------
+  // rel_seasonal_anomaly — seasonally-adjusted MAD anomaly flags
+  // ---------------------------------------------------------------
+
+  /** Anomaly flags on the DESEASONALIZED series: the additive
+    * decomposition's residual, screened by the robust median/MAD
+    * rule (|resid − med| > 3·MAD). This is the composition the two
+    * building blocks exist for — the raw z-score flags every busy
+    * weekday as an outlier (the decompose operator's own
+    * motivation), and a mean/σ rule lets one true spike inflate σ
+    * and hide its twin; median/MAD on the residual does neither.
+    *
+    * Determinism: residuals land on the 1e-4 grid (the decompose
+    * rounding contract) and are integerized by round-then-cast;
+    * both medians are exact lower medians by rank (day tie-break),
+    * and the flag compare is integer cross-multiplication
+    * (dev > 3·mad exactly). Zero-MAD (a constant residual) flags
+    * nothing by definition — CASE-guarded.
+    *
+    * Scale: everything downstream of the decompose runs on the
+    * ≤ calendar-days frame (two rank selections + one filter). */
+  def seasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = seasonalDecompose(spark, sfDir)
+      .select($"day", $"revenue", $"resid",
+        expr("CAST(round(resid * 10000) AS BIGINT)").as("r4"))
+    val med = d
+      .withColumn("rn", row_number()
+        .over(Window.orderBy($"r4", $"day")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .filter($"rn" === expr("(n + 1) DIV 2"))
+      .select($"r4".as("med4"))
+    val dev = d.crossJoin(broadcast(med)) // 1-row median
+      .withColumn("dev4", abs($"r4" - $"med4"))
+    val mad = dev
+      .withColumn("rn", row_number()
+        .over(Window.orderBy($"dev4", $"day")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .filter($"rn" === expr("(n + 1) DIV 2"))
+      .select($"dev4".as("mad4"))
+    dev.crossJoin(broadcast(mad)) // 1-row MAD
+      .filter($"mad4" > 0L && $"dev4" > $"mad4" * 3L)
+      .select($"day", $"revenue", $"resid",
+        ($"dev4".cast("double") / 10000.0).as("abs_dev"),
+        ($"mad4".cast("double") / 10000.0).as("mad"))
+      .orderBy($"day")
+  }
+
+  def seasonalAnomalySql(): String =
+    s"""WITH dcmp AS (${seasonalDecomposeSql.replace("\n", "\n")}),
+       |d AS (SELECT day, revenue, resid,
+       |        CAST(round(resid * 10000) AS BIGINT) AS r4
+       |      FROM dcmp),
+       |med AS (SELECT r4 AS med4 FROM (
+       |          SELECT r4, ROW_NUMBER() OVER (ORDER BY r4, day) AS rn,
+       |                 COUNT(*) OVER () AS n
+       |          FROM d) WHERE rn = (n + 1) // 2),
+       |dev AS (SELECT day, revenue, resid, abs(r4 - med4) AS dev4
+       |        FROM d, med),
+       |mad AS (SELECT dev4 AS mad4 FROM (
+       |          SELECT dev4, ROW_NUMBER() OVER (ORDER BY dev4, day) AS rn,
+       |                 COUNT(*) OVER () AS n
+       |          FROM dev) WHERE rn = (n + 1) // 2)
+       |SELECT day, revenue, resid,
+       |  CAST(dev4 AS DOUBLE) / 10000.0 AS abs_dev,
+       |  CAST(mad4 AS DOUBLE) / 10000.0 AS mad
+       |FROM dev, mad
+       |WHERE mad4 > 0 AND dev4 > mad4 * 3
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
   // rel_revenue_drawdown — cumulative-deviation regime monitor
   // ---------------------------------------------------------------
 

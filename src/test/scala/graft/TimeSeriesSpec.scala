@@ -368,6 +368,27 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("seasonal anomaly: flags replay from the decompose residuals") {
+    import spark.implicits._
+    val flagged = TimeSeries.seasonalAnomaly(spark, sf)
+      .as[(String, Double, Double, Double, Double)].collect()
+    // independent replay from the decompose output
+    val resid = TimeSeries.seasonalDecompose(spark, sf)
+      .select($"day", $"resid").as[(String, Double)].collect()
+      .map { case (d, r) => (d, math.round(r * 10000)) }
+    def lowerMedian(xs: Seq[Long]): Long =
+      xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    val med = lowerMedian(resid.map(_._2).toSeq)
+    val mad = lowerMedian(resid.map(x => math.abs(x._2 - med)).toSeq)
+    val want = resid.filter(x => mad > 0 && math.abs(x._2 - med) > 3 * mad)
+      .map(_._1).toSet
+    assert(flagged.map(_._1).toSet == want,
+      s"flags ${flagged.map(_._1).toSet} != replay $want")
+    flagged.foreach(f => assert(f._4 > 3 * f._5))
+    // the MAD column is one global scalar on every row
+    assert(flagged.map(_._5).distinct.length <= 1)
+  }
+
   test("event paths: corpus paths reconcile with the step census") {
     import spark.implicits._
     val rows = TimeSeries.eventPaths(spark, sf, k = Int.MaxValue)
