@@ -592,6 +592,31 @@ object EventStreams {
         col("purchase_value"))
   }
 
+  /** FULL-OUTER click→purchase attribution — the last cell of the
+    * stream-stream join matrix: matched pairs, unconverted clicks
+    * (null purchase), AND organic purchases with no preceding click
+    * (null click — the "dark conversion" a left join never surfaces,
+    * and the number marketing attribution fights over). Same
+    * ONE-transform-both-modes discipline: in streaming, BOTH sides
+    * hold state until the watermark proves no qualifying partner can
+    * arrive (click_ts + 30 min past watermark for clicks; purchase_ts
+    * itself for purchases), then flush null-padded exactly once. As
+    * a batch join it is the oracle-checked twin. */
+  def attributionFull(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(
+      col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"), col("purchase_value"))
+  }
+
   // -- batch twins (oracle-checked) --------------------------------
 
   def eventsSliding(spark: SparkSession, sfDir: String): DataFrame = {
@@ -865,6 +890,46 @@ object EventStreams {
       | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
       |WHERE c.event_type = 'click'
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
+  /** Batch twin of [[attributionFull]]: per-user conversion census
+    * including the organic-purchase column. */
+  def eventsAttributionFull(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    attributionFull(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "purchase"))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"click_id".isNotNull && $"purchase_id".isNotNull, 1)
+          .otherwise(0)).cast("long").as("n_attributed"),
+        sum(when($"purchase_id".isNull, 1).otherwise(0)).cast("long")
+          .as("n_unmatched_clicks"),
+        sum(when($"click_id".isNull, 1).otherwise(0)).cast("long")
+          .as("n_organic_purchases"),
+        sum(when($"click_id".isNotNull, dec($"purchase_value")))
+          .cast("double").as("attributed_value"))
+      .orderBy($"user_id")
+  }
+
+  val eventsAttributionFullSql: String =
+    """SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |  CAST(SUM(CASE WHEN c.event_id IS NOT NULL
+      |                 AND p.event_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_attributed,
+      |  CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched_clicks,
+      |  CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_organic_purchases,
+      |  CAST(SUM(CASE WHEN c.event_id IS NOT NULL
+      |            THEN CAST(p.value AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS attributed_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      |GROUP BY COALESCE(c.user_id, p.user_id)
+      |ORDER BY user_id""".stripMargin
 
   def eventsSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

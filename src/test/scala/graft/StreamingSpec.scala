@@ -469,6 +469,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(unmatched > 0, "expected watermark-flushed unmatched clicks")
   }
 
+  test("stream-stream full-outer attribution: BOTH unmatched sides flush") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the last cell of the join matrix: unmatched clicks AND organic
+    // purchases (no preceding click) both emit null-padded once the
+    // watermark proves no partner can arrive. Sentinels as in the
+    // left-outer test.
+    val rows = eventRows(800)
+    val clicks = rows.filter(_.event_type == "click")
+    val purchases = rows.filter(_.event_type == "purchase")
+    val maxTs = rows.map(_.ts.getTime).max
+    def sentinel(offsetH: Int, id: Long): (Ev, Ev) = {
+      val ts = new java.sql.Timestamp(maxTs + offsetH * 3600L * 1000L)
+      (Ev(id, ts, 999000L + id, "click", 1.0),
+        Ev(id + 1, ts, 999000L + id, "purchase", 1.0))
+    }
+    val (sc1, sp1) = sentinel(2, 900001L)
+    val (sc2, sp2) = sentinel(4, 900011L)
+    val allClicks = clicks ++ Seq(sc1, sc2)
+    val allPurchases = purchases ++ Seq(sp1, sp2)
+    val batch = EventStreams.attributionFull(allClicks.toDF(), allPurchases.toDF())
+
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    val joined = EventStreams.attributionFull(
+      memC.toDF().withWatermark("ts", "1 hour"),
+      memP.toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory")
+      .queryName("s_attr_full").outputMode("append").start()
+    try {
+      val (c1, c2) = clicks.splitAt(clicks.size / 2)
+      val (p1, p2) = purchases.splitAt(purchases.size / 3)
+      memC.addData(c1); memP.addData(p1); q.processAllAvailable()
+      memC.addData(c2); memP.addData(p2); q.processAllAvailable()
+      memC.addData(Seq(sc1)); memP.addData(Seq(sp1)); q.processAllAvailable()
+      memC.addData(Seq(sc2)); memP.addData(Seq(sp2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(canon(spark.table("s_attr_full")) == canon(batch))
+    // strictly extends the left-outer form: organic purchases appear
+    val organic = spark.table("s_attr_full")
+      .filter($"click_id".isNull).count()
+    assert(organic > 0, "expected watermark-flushed organic purchases")
+    assert(spark.table("s_attr_full").filter($"purchase_id".isNull).count() > 0)
+  }
+
   test("foreachBatch ingest dedups each micro-batch against the corpus") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
