@@ -274,6 +274,80 @@ object Clustering {
     (init +: steps).mkString(",\n")
   }
 
+  // ---------------------------------------------------------------
+  // llm_kcenter_select — greedy farthest-point coreset selection
+  // ---------------------------------------------------------------
+
+  /** Selection budget for the k-center coreset. */
+  val KCenterK = 8
+
+  /** Greedy k-center (farthest-point) selection over the normalized
+    * embeddings: seed at the minimum vec_id, then k−1 rounds each
+    * adding the vector FARTHEST from the current selection (minimum
+    * max-cosine, vec_id tie-break) — the classic 2-approximation of
+    * the k-center objective, and the coreset/diversity-sampling
+    * primitive behind active learning and training-data pruning
+    * ("cover the embedding space with k exemplars"). Emits the
+    * selected ids in pick order plus the achieved coverage radius
+    * max_x min_{s∈S} (1 − cos(x, s)).
+    *
+    * Determinism: every candidate's coverage score is
+    * MAX(round(dot, 6)) — the k-means rounding contract — so the
+    * per-round argmin and the radius replay bit-for-bit as chained
+    * CTEs in the oracle. Scale: k−1 rounds of ONE corpus scan
+    * against ≤ k broadcast centroid literals (the kmeansModel
+    * posture — driver holds k·d doubles, never corpus rows); the
+    * argmin per round is a bounded TakeOrdered. */
+  def kcenterSelect(spark: SparkSession, sfDir: String,
+                    k: Int = KCenterK): DataFrame = {
+    import spark.implicits._
+    val e = cached("kcenterE", Similarity.normalized(spark, sfDir))
+    val seed = e.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].head()
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (0L, seed._1, seed._2.toArray))
+    def mdCol: Column = array_max(array(
+      sel.map(s => round(dot($"v", litArray(s._3)), 6)).toSeq: _*))
+    for (t <- 1L until k.toLong) {
+      val next = e.select($"vec_id", $"v", mdCol.as("md"))
+        .orderBy($"md".asc, $"vec_id".asc).limit(1)
+        .select($"vec_id", $"v").as[(Long, Seq[Double])].head()
+      sel += ((t, next._1, next._2.toArray))
+    }
+    val minMd = e.select(mdCol.as("md")).agg(min($"md")).head().getDouble(0)
+    val radius = BigDecimal(1.0 - minMd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    sel.map { case (ord, id, _) => (ord, id, radius) }.toSeq
+      .toDF("ord", "vec_id", "radius")
+  }
+
+  def kcenterSelectSql(k: Int = KCenterK): String = {
+    val head =
+      s"""WITH e AS (${Similarity.normalizedSql}),
+         |sel0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS ord, vec_id, v FROM e
+         |  WHERE vec_id = (SELECT MIN(vec_id) FROM e))""".stripMargin
+    val steps = (1 until k).map { t =>
+      s"""md$t AS (
+         |  SELECT e.vec_id, e.v,
+         |    MAX(round(list_dot_product(e.v, s.v), 6)) AS md
+         |  FROM e, sel${t - 1} s GROUP BY e.vec_id, e.v),
+         |p$t AS (
+         |  SELECT CAST($t AS BIGINT) AS ord, vec_id, v FROM (
+         |    SELECT vec_id, v, row_number() OVER (ORDER BY md, vec_id)
+         |      AS rn FROM md$t) WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+        .stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$steps,
+       |rad AS (
+       |  SELECT round(1 - MIN(md), 6) AS radius FROM (
+       |    SELECT MAX(round(list_dot_product(e.v, s.v), 6)) AS md
+       |    FROM e, sel${k - 1} s GROUP BY e.vec_id))
+       |SELECT ord, vec_id, radius FROM sel${k - 1}, rad
+       |ORDER BY ord""".stripMargin
+  }
+
   def kmeansSql(k: Int = K, iters: Int = Iters): String =
     s"""WITH e AS (${Similarity.normalizedSql}),
        |${kmeansChainSql(k, iters)},

@@ -141,4 +141,29 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
       assert(m <= n && p > 0.0 && p <= 1.0)
     }
   }
+
+  test("k-center: greedy separation property and coverage radius hold") {
+    import spark.implicits._
+    val rows = Clustering.kcenterSelect(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == Clustering.KCenterK)
+    assert(rows.map(_._1).toSeq == (0L until Clustering.KCenterK.toLong))
+    assert(rows.map(_._2).distinct.length == rows.length, "duplicate picks")
+    val radius = rows.head._3
+    assert(rows.forall(_._3 == radius) && radius >= 0.0 && radius <= 2.0)
+    // farthest-point guarantee: the selected exemplars are pairwise
+    // at least the coverage radius apart (1 - cosine distance)
+    val ids = rows.map(_._2).toSet
+    val vecs = Graft.normalize(graft.sources.Tables.embeddings(spark, sf))
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+      .filter(v => ids(v._1)).map(v => v._1 -> v._2.toArray).toMap
+    val pairs = for {
+      a <- ids.toSeq; b <- ids.toSeq if a < b
+    } yield 1.0 - vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+    pairs.foreach(d =>
+      assert(d >= radius - 1e-6, s"selected pair closer ($d) than radius $radius"))
+    // deterministic across runs
+    assert(rows.toSeq == Clustering.kcenterSelect(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq)
+  }
 }
