@@ -430,6 +430,33 @@ object Graft {
   def forecastBaseline(daily: DataFrame): DataFrame =
     operators.TimeSeries.forecastBaselineOf(daily)
 
+  /** Pearson χ² independence test (+ Cramér's V) between two
+    * categorical columns of any frame; the full R×C grid including
+    * empty cells, floor-scaled cell contributions. */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame =
+    operators.Relational.chiSquareOf(df, colA, colB)
+
+  /** Autocorrelation of a `(day, rev: decimal)` daily series at
+    * calendar lags 1..maxLag (floor-mean centered, exact moments). */
+  def acf(daily: DataFrame, maxLag: Int = operators.TimeSeries.AcfMaxLag): DataFrame =
+    operators.TimeSeries.acfOf(daily, maxLag)
+
+  /** Top-k 3-step event-type journeys over `(user_id, ts, event_id,
+    * event_type)`. */
+  def eventPaths(events: DataFrame, k: Int = 20): DataFrame =
+    operators.TimeSeries.eventPathsOf(events, k)
+
+  /** Censoring-aware discrete-time churn life-table over an
+    * `(id, d)` activity frame: at-risk/churned/censored/hazard per
+    * age month. */
+  def survivalHazard(activity: DataFrame): DataFrame =
+    operators.Relational.survivalHazardOf(activity)
+
+  /** One functional-dependency audit row: does `det` determine
+    * `dep` in this frame, and how badly not? */
+  def fdCheck(df: DataFrame, det: String, dep: String): DataFrame =
+    operators.Relational.fdAuditOf(s"$det->$dep", df, det, dep)
+
   /** Interval join without the cartesian: rows of `probe` whose
     * `tsCol` falls in `[startCol, endCol)` of `intervals`, via
     * fixed-width bucket decomposition + residual predicate. */

@@ -2759,12 +2759,19 @@ object Relational {
     * the hazard floor-scales to 1e-6. Scale: one custkey aggregate
     * over the corpus, one 1-row max-month broadcast, then the
     * life-table window runs on the ≤ corpus-span-in-months frame. */
-  def survivalHazard(spark: SparkSession, sfDir: String): DataFrame = {
+  def survivalHazard(spark: SparkSession, sfDir: String): DataFrame =
+    survivalHazardOf(Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("id"), col("o_orderdate").as("d")))
+
+  /** [[survivalHazard]] over any `(id, d: date/timestamp)` activity
+    * frame. */
+  private[graft] def survivalHazardOf(activity: DataFrame): DataFrame = {
+    val spark = activity.sparkSession
     import spark.implicits._
-    val spans = Tables.orders(spark, sfDir)
-      .select($"o_custkey",
-        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("ym"))
-      .groupBy($"o_custkey")
+    val spans = activity
+      .select($"id",
+        (year($"d") * 12 + month($"d")).as("ym"))
+      .groupBy($"id")
       .agg(min($"ym").as("ym0"), max($"ym").as("ym1"))
     val edge = spans.agg(max($"ym1").as("m")) // observation edge
     val lifet = spans.crossJoin(broadcast(edge))
@@ -2831,14 +2838,22 @@ object Relational {
     * `floor` is exact on any double, unlike the engines' divergent
     * double→int casts). χ² and V are floor-grid values; dof is
     * integer algebra. */
-  def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+  def chiSquare(spark: SparkSession, sfDir: String): DataFrame =
+    chiSquareOf(Tables.orders(spark, sfDir),
+      "o_orderpriority", "o_orderstatus")
+
+  /** [[chiSquare]] between any two categorical columns of any
+    * frame. */
+  private[graft] def chiSquareOf(df: DataFrame,
+                                 colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
     // localCheckpoint: the R×C observed table is referenced three
     // times below (two distinct projections + the left join); without
     // the eager cut each reference re-aggregates the corpus — three
     // scans where one suffices. The checkpoint is bounded (R×C rows).
-    val obs = Tables.orders(spark, sfDir)
-      .groupBy($"o_orderpriority".as("a"), $"o_orderstatus".as("b"))
+    val obs = df
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
       .agg(count(lit(1)).as("o"))
       .localCheckpoint()
     // the FULL R×C grid: unobserved cells still contribute (o−e)²/e

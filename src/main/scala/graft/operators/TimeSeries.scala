@@ -959,10 +959,16 @@ object TimeSeries {
     * sessionization posture), one (path) partial+final count over
     * the ≤|types|³ path space, one bounded TakeOrdered. Counts
     * exact; share floor-scaled. */
-  def eventPaths(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+  def eventPaths(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    eventPathsOf(Tables.events(spark, sfDir), k)
+
+  /** [[eventPaths]] over any `(user_id, ts, event_id, event_type)`
+    * frame. */
+  private[graft] def eventPathsOf(events: DataFrame, k: Int = 20): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val paths = Tables.events(spark, sfDir)
+    val paths = events
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("e2", lead($"event_type", 1).over(seq))
       .withColumn("e3", lead($"event_type", 2).over(seq))
@@ -1027,10 +1033,19 @@ object TimeSeries {
   def acfDaily(spark: SparkSession, sfDir: String,
                maxLag: Int = AcfMaxLag): DataFrame = {
     import spark.implicits._
-    val daily = Tables.orders(spark, sfDir)
+    acfOf(Tables.orders(spark, sfDir)
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
-        " AS BIGINT) DIV 100").as("y"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev")),
+      maxLag)
+  }
+
+  /** [[acfDaily]] over any `(day: date, rev: decimal)` frame. */
+  private[graft] def acfOf(dailyRev: DataFrame,
+                           maxLag: Int = AcfMaxLag): DataFrame = {
+    val spark = dailyRev.sparkSession
+    import spark.implicits._
+    val daily = dailyRev.select($"day",
+      expr("CAST(rev * 100 AS BIGINT) DIV 100").as("y"))
     val mu = daily.agg(count(lit(1)).as("n"),
       expr("SUM(y) DIV COUNT(1)").as("mu"))
     val centered = daily.crossJoin(broadcast(mu)) // 1-row mean

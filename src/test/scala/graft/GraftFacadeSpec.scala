@@ -375,5 +375,30 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
       .toDF("score", "label")
     assert(Graft.auc(scored)
       .as[(Long, Long, Long, Double)].head() === ((3L, 1L, 2L, 1.0)))
+    // batch-6 facade entries on caller frames
+    val cat = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("c1", "c2")
+    assert(Graft.chiSquare(cat, "c1", "c2").count() === 1L)
+    assert(Graft.fdCheck(cat, "c1", "c2")
+      .as[(String, Long, Long, Boolean, Double)].head()._4) // c1 -> c2 holds
+    val evs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "b"),
+      (1L, Timestamp.valueOf("2024-01-01 00:02:00"), 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Graft.eventPaths(evs).as[(String, Long, Double)].head() ===
+      (("a>b>c", 1L, 1.0)))
+    val act = Seq((1L, java.sql.Date.valueOf("2024-01-01")),
+      (1L, java.sql.Date.valueOf("2024-02-01")),
+      (2L, java.sql.Date.valueOf("2024-01-15"))).toDF("id", "d")
+    // id 1 censored at age 1 (active in the final month), id 2
+    // churned at age 0
+    assert(Graft.survivalHazard(act).count() === 2L)
+    val dailyAcf = (1 to 4).map(i =>
+      (java.sql.Date.valueOf(f"2024-01-0$i"),
+        BigDecimal(if (i % 2 == 1) 100 else 200)))
+      .toDF("day", "rev")
+      .select($"day", $"rev".cast("decimal(18,2)").as("rev"))
+    assert(Graft.acf(dailyAcf, maxLag = 1)
+      .as[(Long, Long, Double)].head() === ((1L, 3L, -0.75)))
   }
 }
