@@ -336,4 +336,68 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("AUC: negation antisymmetry and label-flip complement on random scores") {
+    import spark.implicits._
+    val gen = Gen.chooseNum(4, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-50, 50).map(_ / 10.0),
+        Gen.oneOf(true, false)))
+    }
+    samples(gen, 8, 271L).foreach { rows =>
+      val (pos, neg) = rows.partition(_._2)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        def auc(xs: Seq[(Double, Boolean)]): Double =
+          graft.operators.CorpusQuality.aucOf(xs.toDF("score", "label"))
+            .collect().head.getDouble(3)
+        val a = auc(rows)
+        // negating every score reverses every pairwise comparison:
+        // AUC(-s, l) == 1 - AUC(s, l) (ties stay ties at half credit)
+        assert(math.abs(auc(rows.map(r => (-r._1, r._2))) - (1.0 - a)) < 1e-12)
+        // flipping every label swaps the two classes: same identity
+        assert(math.abs(auc(rows.map(r => (r._1, !r._2))) - (1.0 - a)) < 1e-12)
+        assert(a >= 0.0 && a <= 1.0)
+      }
+    }
+  }
+
+  test("clustering coeff: complete graphs are exactly 1/1, stars exactly 0/0") {
+    import spark.implicits._
+    (3 to 6).foreach { n =>
+      val und = for { a <- 1 to n; b <- 1 to n if a < b } yield (a.toLong, b.toLong)
+      val arcs = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val (w, t, trans, avg) = graft.operators.Graph.clusteringCoeffOf(arcs)
+        .as[(Long, Long, Double, Double)].head()
+      // K_n: C(n,2) edges, n*C(n-1,2) wedges, C(n,3) triangles,
+      // every coefficient exactly 1
+      assert(w == n.toLong * (n - 1) * (n - 2) / 2, s"K$n wedges $w")
+      assert(t == n.toLong * (n - 1) * (n - 2) / 6, s"K$n triangles $t")
+      assert(trans == 1.0 && avg == 1.0, s"K$n coefficients $trans/$avg")
+      val star = ((2 to n).map(i => (1L, i.toLong)) ++
+        (2 to n).map(i => (i.toLong, 1L))).toDF("src", "dst")
+      val s = graft.operators.Graph.clusteringCoeffOf(star)
+        .as[(Long, Long, Double, Double)].head()
+      assert(s._2 == 0L && s._3 == 0.0 && s._4 == 0.0, s"star K1,${n - 1}: $s")
+    }
+  }
+
+  test("ACF: Cauchy-Schwarz bound holds on random integer revenue series") {
+    import spark.implicits._
+    val gen = Gen.chooseNum(6, 30).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 1000))
+    }
+    samples(gen, 6, 389L).foreach { ys =>
+      val daily = ys.zipWithIndex.map { case (y, i) =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          BigDecimal(y))
+      }.toDF("day", "rev")
+        .select($"day", $"rev".cast("decimal(18,2)").as("rev"))
+      graft.operators.TimeSeries.acfOf(daily, maxLag = 5)
+        .as[(Long, Long, Double)].collect().foreach { case (lag, np, r) =>
+          // full-series denominator: |r(k)| <= 1 by Cauchy-Schwarz
+          // (NaN only on a constant series, which flooring can create)
+          assert(np >= 1)
+          assert(r.isNaN || math.abs(r) <= 1.0 + 1e-12, s"acf($lag) = $r")
+        }
+    }
+  }
 }
