@@ -302,14 +302,26 @@ object Clustering {
                     k: Int = KCenterK): DataFrame = {
     import spark.implicits._
     val e = cached("kcenterE", Similarity.normalized(spark, sfDir))
-    val seed = e.orderBy($"vec_id").limit(1)
-      .select($"vec_id", $"v").as[(Long, Seq[Double])].head()
+    // degenerate guards: an empty corpus returns an empty (typed)
+    // frame; a corpus smaller than the budget selects every vector
+    // once and stops (the greedy would otherwise re-pick selected
+    // points — distance 0 — and emit duplicates)
+    val seedRows = e.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+    if (seedRows.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("ord", "vec_id", "radius")
+    val budget = math.min(k.toLong, e.count())
+    val seed = seedRows.head
     val sel = scala.collection.mutable.ArrayBuffer(
       (0L, seed._1, seed._2.toArray))
     def mdCol: Column = array_max(array(
       sel.map(s => round(dot($"v", litArray(s._3)), 6)).toSeq: _*))
-    for (t <- 1L until k.toLong) {
-      val next = e.select($"vec_id", $"v", mdCol.as("md"))
+    for (t <- 1L until budget) {
+      // selected ids excluded: an exact-duplicate vector ties a
+      // selected point at md = 1.0 and the id tie-break could
+      // otherwise re-emit the selected one (oracle mirrors the NOT IN)
+      val next = e.filter(!$"vec_id".isin(sel.map(_._2).toSeq: _*))
+        .select($"vec_id", $"v", mdCol.as("md"))
         .orderBy($"md".asc, $"vec_id".asc).limit(1)
         .select($"vec_id", $"v").as[(Long, Seq[Double])].head()
       sel += ((t, next._1, next._2.toArray))
@@ -331,7 +343,9 @@ object Clustering {
       s"""md$t AS (
          |  SELECT e.vec_id, e.v,
          |    MAX(round(list_dot_product(e.v, s.v), 6)) AS md
-         |  FROM e, sel${t - 1} s GROUP BY e.vec_id, e.v),
+         |  FROM e, sel${t - 1} s
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  GROUP BY e.vec_id, e.v),
          |p$t AS (
          |  SELECT CAST($t AS BIGINT) AS ord, vec_id, v FROM (
          |    SELECT vec_id, v, row_number() OVER (ORDER BY md, vec_id)
