@@ -2707,10 +2707,12 @@ object Relational {
     import df.sparkSession.implicits._
     df.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
       .agg(count(lit(1)).as("n_groups"),
-        sum(when($"nd" > 1L, 1L).otherwise(0L)).as("n_violating"))
+        coalesce(sum(when($"nd" > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating"))
       .select(lit(name).as("fd"), $"n_groups", $"n_violating",
         ($"n_violating" === 0L).as("holds"),
-        (expr("CAST(n_violating * 1000000 DIV n_groups AS BIGINT)")
+        (expr("CAST(CASE WHEN n_groups = 0 THEN 0 ELSE" +
+          " n_violating * 1000000 DIV n_groups END AS BIGINT)")
           .cast("double") / 1000000.0).as("violation_rate"))
   }
 
@@ -2718,11 +2720,12 @@ object Relational {
     def branch(name: String, table: String, det: String, dep: String) =
       s"""SELECT '$name' AS fd,
          |  CAST(COUNT(*) AS BIGINT) AS n_groups,
-         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_violating,
-         |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds,
-         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
-         |       // COUNT(*) AS DOUBLE) / 1000000.0 AS violation_rate
+         |  CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+         |       AS BIGINT) AS n_violating,
+         |  COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds,
+         |  CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+         |       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+         |       // COUNT(*) END AS DOUBLE) / 1000000.0 AS violation_rate
          |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd
          |      FROM $table GROUP BY $det)""".stripMargin
     Seq(

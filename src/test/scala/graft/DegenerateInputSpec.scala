@@ -247,4 +247,41 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       assert(!r.getDouble(1).isNaN)
     }
   }
+
+  test("round-10 batch operators degrade on empty/trivial inputs") {
+    import spark.implicits._
+    // empty frames: no crash, empty (or single NULL-aggregate) output
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val cc = graft.operators.Graph.clusteringCoeffOf(noEdges)
+      .as[(Long, Long, Double, Double)].head()
+    assert(cc._1 == 0L && cc._2 == 0L && cc._3.isNaN && cc._4.isNaN)
+    val noScores = Seq.empty[(Double, Boolean)].toDF("score", "label")
+    assert(graft.operators.CorpusQuality.aucOf(noScores).count() == 1L)
+    val noDaily = Seq.empty[(java.sql.Date, BigDecimal)].toDF("day", "rev")
+      .select($"day", $"rev".cast("decimal(18,2)").as("rev"))
+    assert(graft.operators.TimeSeries.acfOf(noDaily).count() == 0)
+    assert(graft.operators.TimeSeries.forecastBaselineOf(noDaily).count() == 0)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(graft.operators.TimeSeries.eventPathsOf(noEvents).count() == 0)
+    val noActivity = Seq.empty[(Long, java.sql.Date)].toDF("id", "d")
+    assert(graft.operators.Relational.survivalHazardOf(noActivity).count() == 0)
+    // single-category chi-square: V is the guarded NaN, chi2 is zero
+    val oneCat = Seq(("a", "x"), ("a", "y")).toDF("c1", "c2")
+    val chi = graft.operators.Relational.chiSquareOf(oneCat, "c1", "c2")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(chi._3 == 0L && chi._4 == 0.0 && chi._5.isNaN)
+    // single-day series: no interior candidate -> empty changepoint
+    // frame is impossible by construction (k < n needs n >= 2), and
+    // a 1-row ACF input yields zero lag pairs
+    val oneDay = Seq((java.sql.Date.valueOf("2024-01-01"), BigDecimal(5)))
+      .toDF("day", "rev")
+      .select($"day", $"rev".cast("decimal(18,2)").as("rev"))
+    assert(graft.operators.TimeSeries.acfOf(oneDay).count() == 0)
+    // FD audit of an empty frame: zero groups, trivially holds
+    val noRows = Seq.empty[(Long, Long)].toDF("a", "b")
+    val fd = graft.operators.Relational.fdAuditOf("t", noRows, "a", "b")
+      .as[(String, Long, Long, Boolean, Double)].head()
+    assert(fd._2 == 0L && fd._4)
+  }
 }
