@@ -300,6 +300,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"window input is not the aggregate:\n$plan")
   }
 
+  test("duplicate payments: equi-join on (customer, amount), never a cartesian (r10)") {
+    val plan = finalPlan(Relational.duplicatePayments(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"amount-keyed self-join regressed to a cartesian:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the (customer, cents) key:\n${plan.take(1500)}")
+  }
+
   test("referential integrity: dims broadcast their anti-joins (r10)") {
     val plan = finalPlan(Relational.referentialIntegrity(spark, sf))
     // every edge is an anti-join; the five dimension parents must
