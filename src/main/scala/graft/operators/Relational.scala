@@ -54,6 +54,43 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6-shaped revenue-change forecast: the revenue freed by
+    * dropping discounts in a band, for one shipping year and a
+    * quantity ceiling — the classic "what-if" scan whose value at
+    * scale is the PLAN: every predicate (year range, discount band,
+    * quantity cut) pushes to the parquet scan, no join, ONE partial+
+    * final aggregate, so the query reads a fraction of the corpus
+    * and shuffles 3 numbers. Discount-band edges compare in exact
+    * DECIMAL (the float `between` would be an engine-edge hazard at
+    * 0.05/0.07). */
+  def forecastDiscount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("date") &&
+        $"l_shipdate" < lit("1997-01-01").cast("date") &&
+        $"l_discount".cast("decimal(4,2)").between(
+          lit("0.05").cast("decimal(4,2)"), lit("0.07").cast("decimal(4,2)")) &&
+        $"l_quantity" < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double")
+          .as("revenue_effect"),
+        sum(dec($"l_extendedprice")).cast("double").as("base_price"))
+  }
+
+  val forecastDiscountSql: String =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue_effect,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS base_price
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01'
+      |  AND l_shipdate < DATE '1997-01-01'
+      |  AND CAST(l_discount AS DECIMAL(4,2))
+      |      BETWEEN CAST('0.05' AS DECIMAL(4,2)) AND CAST('0.07' AS DECIMAL(4,2))
+      |  AND l_quantity < 24""".stripMargin
+
   /** 3-way equi-join customer⋈orders⋈lineitem → revenue by segment.
     * At scale: orders⋈lineitem is the big shuffle join on orderkey
     * (co-partitioned if both bucketed by orderkey); customer side

@@ -300,6 +300,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"window input is not the aggregate:\n$plan")
   }
 
+  test("discount forecast: predicates push to the scan, no join, one aggregate (r10)") {
+    val df = Relational.forecastDiscount(spark, sf)
+    val plan = finalPlan(df)
+    // the query's value at 100 TB IS the pushdown: ship-date and
+    // quantity predicates must reach the parquet reader
+    // (sparkPlan, not executedPlan: the unexecuted adaptive wrapper
+    // is childless, so collectLeaves sees no scans — the
+    // columnProfile precedent)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }
+    assert(scan.isDefined, "no parquet scan found")
+    val pushed = scan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"predicates not pushed: $pushed")
+    assert(!plan.contains("Join"), s"Q6 shape must not join:\n${plan.take(800)}")
+    // exactly one scan, one partial+final aggregate
+    assert("Scan parquet".r.findAllIn(plan).length == 1)
+    // the whole pipeline fuses into whole-stage codegen
+    assert(plan.contains("*("), s"no codegen span:\n${plan.take(800)}")
+  }
+
   test("duplicate payments: equi-join on (customer, amount), never a cartesian (r10)") {
     val plan = finalPlan(Relational.duplicatePayments(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
