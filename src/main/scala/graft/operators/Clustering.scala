@@ -336,11 +336,11 @@ object Clustering {
   def kcenterSelectSql(k: Int = KCenterK): String = {
     val head =
       s"""WITH e AS (${Similarity.normalizedSql}),
-         |sel0 AS (
+         |sel0 AS MATERIALIZED (
          |  SELECT CAST(0 AS BIGINT) AS ord, vec_id, v FROM e
          |  WHERE vec_id = (SELECT MIN(vec_id) FROM e))""".stripMargin
     val steps = (1 until k).map { t =>
-      s"""md$t AS (
+      s"""md$t AS MATERIALIZED (
          |  SELECT e.vec_id, e.v,
          |    MAX(round(list_dot_product(e.v, s.v), 6)) AS md
          |  FROM e, sel${t - 1} s
@@ -350,7 +350,8 @@ object Clustering {
          |  SELECT CAST($t AS BIGINT) AS ord, vec_id, v FROM (
          |    SELECT vec_id, v, row_number() OVER (ORDER BY md, vec_id)
          |      AS rn FROM md$t) WHERE rn = 1),
-         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
         .stripMargin
     }.mkString(",\n", ",\n", "")
     s"""$head$steps,
