@@ -385,10 +385,15 @@ object Graft {
 
   /** ε-DP noisy-count histogram release over `(event_type, ts,
     * user_id)` events: per-user-per-cell contribution capping bounds
-    * the sensitivity, then deterministic hash-seeded Laplace noise —
-    * the released frame never carries the true counts. */
-  def dpRelease(events: DataFrame): DataFrame =
-    operators.Relational.dpReleaseOf(events)
+    * the sensitivity, then Laplace noise from REAL randomness
+    * (`rand()`, or the caller's seed for run-to-run reproducibility —
+    * a released seed voids the guarantee) — the released frame never
+    * carries the true counts. The deterministic hash-seeded variant
+    * (`Relational.dpReleaseOf`) exists ONLY for the differential
+    * oracle: its noise is a public function of the cell key, so it
+    * provides no privacy. */
+  def dpRelease(events: DataFrame, seed: Option[Long] = None): DataFrame =
+    operators.Relational.dpReleaseRandom(events, seed)
 
   /** SCD type-2 history build from an append-only `(key, ts, seq,
     * attr)` change log: one version row per change with

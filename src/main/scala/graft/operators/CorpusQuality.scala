@@ -1547,24 +1547,30 @@ object CorpusQuality {
     * part naive filters skip and reviewers always ask for: which
     * term is doing the blocking.
     *
-    * Word-boundary matching is padded substring containment
-    * (` term ` inside ` text `) — codegen'd string search in Spark,
-    * LIKE in DuckDB, byte-identical semantics, no regex engine
-    * divergence. Shares are scaled-integer floor division
-    * ([[Relational.dataSkewReport]] precedent).
+    * Word-boundary matching is membership in the shared [[tokens]]
+    * stream (the library-wide tokenizer every text operator uses), so
+    * a denylist term adjacent to punctuation or a line break
+    * (`"big,"`, `"big.\n"`) counts — the round-10 advice caught that
+    * the earlier space-padded containment silently missed those.
+    * `array_contains` in Spark, `list_contains` in DuckDB, over the
+    * IDENTICAL regex token stream — no engine divergence. Shares are
+    * scaled-integer floor division ([[Relational.dataSkewReport]]
+    * precedent).
     *
-    * Scale: ONE corpus pass — all flags evaluate per-row, one
-    * partial+final aggregate; the result frame is |terms|+1 rows.
-    * The term list lives in the closure (a literal per term), the
-    * at-scale form for lists up to ~thousands; beyond that it
-    * becomes a broadcast join against an exploded token stream. */
+    * Scale: ONE corpus pass — all flags evaluate per-row over one
+    * shared tokenize, one partial+final aggregate; the result frame
+    * is |terms|+1 rows. The term list lives in the closure (a literal
+    * per term), the at-scale form for lists up to ~thousands; beyond
+    * that it becomes a broadcast join against an exploded token
+    * stream. */
   def blocklistFilterOf(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    // tokenize ONCE per row; each term flag is an array probe over
+    // the shared stream
     val flags = BlocklistTerms.map(t =>
-      padded.contains(s" $t ").cast("long").as(s"h_$t"))
-    val flagged = documents.select(flags: _*)
+      array_contains($"ts", t).cast("long").as(s"h_$t"))
+    val flagged = documents.select(tokens($"text").as("ts")).select(flags: _*)
     val aggCols = BlocklistTerms.map(t => sum(col(s"h_$t")).as(s"n_$t")) ++
       Seq(sum(greatest(BlocklistTerms.map(t => col(s"h_$t")): _*)).as("n_any"),
         count(lit(1)).as("n"))
@@ -1584,7 +1590,7 @@ object CorpusQuality {
 
   def blocklistFilterSql(): String = {
     val flagCols = BlocklistTerms.map(t =>
-      s"CASE WHEN ' ' || lower(text) || ' ' LIKE '% $t %' THEN 1 ELSE 0 END AS h_$t")
+      s"CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END AS h_$t")
       .mkString(",\n|    ")
     val sums = BlocklistTerms.map(t =>
       s"CAST(SUM(h_$t) AS BIGINT) AS n_$t").mkString(",\n|    ")
@@ -1596,7 +1602,7 @@ object CorpusQuality {
     s"""WITH f AS (
        |  SELECT
        |    $flagCols
-       |  FROM documents),
+       |  FROM (SELECT $tokensSql AS ts FROM documents)),
        |a AS (
        |  SELECT
        |    $sums,

@@ -360,14 +360,32 @@ object Dedup {
     * p(s) = 1 − (1 − s^r)^b and soft threshold t ≈ (1/b)^(1/r). */
   val LshGrid: Seq[(Int, Int)] = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
 
-  /** s^n for power-of-two n as an explicit squaring ladder — the SAME
-    * recursion emits the Column tree and the SQL string, so both
+  /** s^n for n ≥ 1 as an explicit square-and-multiply ladder — the
+    * SAME recursion emits the Column tree and the SQL string, so both
     * engines multiply in the identical association (libm `pow` is not
-    * correctly rounded; chained IEEE multiplies are deterministic). */
-  private def powIntCol(c: Column, n: Int): Column =
-    if (n == 1) c else { val h = powIntCol(c, n / 2); h * h }
-  private def powIntSql(x: String, n: Int): String =
-    if (n == 1) x else { val h = powIntSql(x, n / 2); s"($h * $h)" }
+    * correctly rounded; chained IEEE multiplies are deterministic).
+    * Odd n multiplies the squared half back by the base (`h·h·c`) in
+    * the same parenthesization on both sides — the round-10 advice
+    * caught that the squaring-only ladder silently returned
+    * c^(2^⌊log2 n⌋) for non-power-of-two n (safe only while
+    * [[LshGrid]] held powers of two, and uncatchable differentially
+    * because both engines shared the bug). */
+  private[graft] def powIntCol(c: Column, n: Int): Column = {
+    require(n >= 1, s"powIntCol exponent must be >= 1, got $n")
+    if (n == 1) c
+    else {
+      val h = powIntCol(c, n / 2); val sq = h * h
+      if (n % 2 == 1) sq * c else sq
+    }
+  }
+  private[graft] def powIntSql(x: String, n: Int): String = {
+    require(n >= 1, s"powIntSql exponent must be >= 1, got $n")
+    if (n == 1) x
+    else {
+      val h = powIntSql(x, n / 2); val sq = s"($h * $h)"
+      if (n % 2 == 1) s"($sq * $x)" else sq
+    }
+  }
 
   /** Banding planner card: for every signature-budget factorization
     * in [[LshGrid]], the soft threshold and the EXPECTED number of

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2441,12 +2441,18 @@ object Relational {
     *     release (negative values are kept: clamping would bias the
     *     release and leak sign information).
     *
-    * Determinism discipline: production DP draws fresh randomness;
-    * here the uniform draw is the salted md5 of the cell key mapped
-    * into (0,1) — (h mod 2²⁰ + 0.5)/2²⁰, never exactly 0, ½, or 1 —
-    * pushed through the inverse-CDF Laplace transform as ONE
-    * fixed-parenthesization double chain, so the oracle replays the
-    * release bit-for-bit (the AMS-sketch md5-signs precedent).
+    * Randomness discipline (round-10 advice, MEDIUM): real DP needs
+    * noise an adversary cannot recompute. The production path is
+    * [[dpReleaseRandom]] (and the `Graft.dpRelease` facade), whose
+    * uniform draw is `rand()` — fresh, or seed-injected by the
+    * caller for their own reproducibility needs. THIS catalog entry
+    * and [[dpReleaseOf]] are the ORACLE-REPLAY variant: the draw is
+    * the salted md5 of the cell key mapped into (0,1) —
+    * (h mod 2²⁰ + 0.5)/2²⁰, never exactly 0, ½, or 1 — which makes
+    * the release bit-for-bit replayable by DuckDB (the AMS-sketch
+    * md5-signs precedent) but carries NO privacy guarantee, because
+    * the noise is a public function of the cell key. Both variants
+    * share one pipeline ([[dpReleaseWith]]); only the draw differs.
     *
     * Scale: two partial+final aggregates (per-user-cell clip, cell
     * sum) and per-row scalar hash arithmetic — nothing leaves the
@@ -2454,9 +2460,37 @@ object Relational {
   def dpRelease(spark: SparkSession, sfDir: String): DataFrame =
     dpReleaseOf(Tables.events(spark, sfDir))
 
-  /** [[dpRelease]] over any caller `(event_type, ts, user_id)`
-    * frame. */
+  /** DETERMINISTIC-REPLAY [[dpRelease]] over any caller
+    * `(event_type, ts, user_id)` frame — differential-test harness
+    * only; the hash-seeded noise is publicly recomputable, so this
+    * variant provides NO privacy. Production callers use
+    * [[dpReleaseRandom]]. */
   def dpReleaseOf(events: DataFrame): DataFrame = {
+    val key = concat(col("event_type"), lit("|"),
+      date_format(col("day"), "yyyy-MM-dd"))
+    val u = ((pmod(graft.functions.Hashing.md5i32(key, DpSalt),
+      lit(1048576L))).cast("double") + 0.5) / 1048576.0
+    dpReleaseWith(events, u)
+  }
+
+  /** Production ε-DP release: the same cap→Laplace pipeline with a
+    * REAL uniform draw — fresh `rand()` (or the caller's seed, for
+    * their own run-to-run reproducibility; note a released seed
+    * voids the guarantee just like the hash draw). The draw is
+    * floored onto the same (k+0.5)/2²⁰ grid as the replay variant,
+    * which never lands on 0, ½, or 1 (the Laplace inverse-CDF's
+    * singular points). */
+  def dpReleaseRandom(events: DataFrame,
+                      seed: Option[Long] = None): DataFrame = {
+    val r = seed.map(rand).getOrElse(rand())
+    val u = (floor(r * 1048576.0) + 0.5) / 1048576.0
+    dpReleaseWith(events, u)
+  }
+
+  /** Shared cap→sum→Laplace pipeline: `uniform` is evaluated against
+    * the per-(event_type, day) cell frame and must be a (0,1) draw
+    * avoiding 0, ½, and 1 exactly. */
+  private def dpReleaseWith(events: DataFrame, uniform: Column): DataFrame = {
     import events.sparkSession.implicits._
     val b = DpCap / DpEpsilon // Laplace scale Δ/ε
     val perUser = events
@@ -2465,11 +2499,7 @@ object Relational {
     val cells = perUser
       .groupBy($"event_type", $"day")
       .agg(sum(least($"c", lit(DpCap.toLong))).as("capped"))
-    val key = concat($"event_type", lit("|"),
-      date_format($"day", "yyyy-MM-dd"))
-    val u = ((pmod(graft.functions.Hashing.md5i32(key, DpSalt),
-      lit(1048576L))).cast("double") + 0.5) / 1048576.0
-    val cen = u - 0.5
+    val cen = uniform - 0.5
     val noise = -lit(b) * signum(cen) * log(lit(1.0) - lit(2.0) * abs(cen))
     cells
       .withColumn("released", round($"capped".cast("double") + noise, 4))
@@ -3161,40 +3191,62 @@ object Relational {
     *
     * Scale: ONE partial+final count by digit (9 groups) over the
     * corpus; everything after runs on the 9-row frame. */
-  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame =
+    benfordAuditOf(Tables.orders(spark, sfDir))
+
+  /** [[benfordAudit]] over any caller frame with an `o_totalprice`
+    * column. */
+  def benfordAuditOf(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     import spark.implicits._
-    val counts = Tables.orders(spark, sfDir)
+    // full outer against the fixed 1-9 spine (round-10 advice): a
+    // digit with ZERO occurrences — the strongest possible Benford
+    // deviation — must appear with n_obs=0 and dev=-p_benford instead
+    // of silently vanishing from the census; a stray non-significant
+    // digit ('0' from sub-unit amounts) still surfaces (p_benford 0)
+    // so the counts always conserve to the filtered corpus.
+    val counts = orders
       .filter($"o_totalprice" > 0)
       .groupBy(substring(dec($"o_totalprice").cast("string"), 1, 1)
         .as("digit"))
       .agg(count(lit(1)).as("n_obs"))
-    val expCol = BenfordExpected.foldLeft(lit(0.0)) {
-      case (acc, (d, p)) => when($"digit" === d.toString, p).otherwise(acc)
-    }
-    counts
+    val spine = BenfordExpected.toDF("d", "p_benford")
+      .select($"d".cast("string").as("digit"), $"p_benford")
+    spine.join(counts, Seq("digit"), "full")
+      .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"),
+        coalesce($"p_benford", lit(0.0)).as("p_benford"))
       .withColumn("tot", sum($"n_obs").over(Window.partitionBy()))
       .select($"digit", $"n_obs",
-        (expr("CAST((n_obs * 1000000) DIV tot AS BIGINT)")
-          .cast("double") / 1000000.0).as("p_obs"),
-        expCol.as("p_benford"))
+        when($"tot" > 0,
+          expr("CAST((n_obs * 1000000) DIV tot AS BIGINT)")
+            .cast("double") / 1000000.0).otherwise(0.0).as("p_obs"),
+        $"p_benford")
       .withColumn("dev", $"p_obs" - $"p_benford")
       .orderBy($"digit")
   }
 
   val benfordAuditSql: String = {
-    val expCase = BenfordExpected
-      .map { case (d, p) => s"WHEN '$d' THEN CAST($p AS DOUBLE)" }
-      .mkString(" ")
+    val spineRows = BenfordExpected
+      .map { case (d, p) => s"('$d', CAST($p AS DOUBLE))" }
+      .mkString(", ")
     s"""WITH c AS (
        |  SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
        |                   AS VARCHAR), 1, 1) AS digit,
        |         CAST(COUNT(*) AS BIGINT) AS n_obs
        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
-       |t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS tot FROM c),
+       |spine(digit, p_benford) AS (VALUES $spineRows),
+       |j AS (
+       |  SELECT COALESCE(spine.digit, c.digit) AS digit,
+       |         COALESCE(c.n_obs, 0) AS n_obs,
+       |         COALESCE(spine.p_benford, 0.0) AS p_benford
+       |  FROM spine FULL JOIN c ON spine.digit = c.digit),
+       |t AS (SELECT digit, n_obs, p_benford,
+       |        SUM(n_obs) OVER () AS tot FROM j),
        |s AS (SELECT digit, n_obs,
-       |        CAST((n_obs * 1000000) // tot AS DOUBLE) / 1000000.0
-       |          AS p_obs,
-       |        CASE digit $expCase ELSE 0.0 END AS p_benford
+       |        CASE WHEN tot > 0 THEN
+       |          CAST((n_obs * 1000000) // tot AS DOUBLE) / 1000000.0
+       |        ELSE 0.0 END AS p_obs,
+       |        p_benford
        |      FROM t)
        |SELECT digit, n_obs, p_obs, p_benford,
        |  p_obs - p_benford AS dev

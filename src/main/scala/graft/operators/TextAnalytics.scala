@@ -2321,9 +2321,14 @@ object TextAnalytics {
     * while they fit; at a 100 TB vocabulary the join degrades to a
     * plain shuffle, never a driver structure), per-lang bounded
     * output. */
-  def heldoutPpl(spark: SparkSession, sfDir: String): DataFrame = {
+  def heldoutPpl(spark: SparkSession, sfDir: String): DataFrame =
+    heldoutPplOf(docs(spark, sfDir))
+
+  /** [[heldoutPpl]] over any caller `(lang, text)` frame. */
+  def heldoutPplOf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    val toks = cached("heldoutToks", docs(spark, sfDir)
+    val toks = cached("heldoutToks", documents
       .select($"lang", pmod(md5i32($"text", 17), lit(100)).as("h"),
         explode(tokens($"text")).as("term")))
     val train = toks.filter($"h" < 80).select($"lang", $"term")
@@ -2339,10 +2344,17 @@ object TextAnalytics {
           / ($"nn" + $"v" + lit(1.0)))).as("s"))
         .groupBy($"lang")
         .agg(count(lit(1)).as(nCol), round(exp(round(avg($"s"), 4)), 4).as(pplCol))
+    // FULL outer on lang (round-10 advice): a language with no
+    // held-out documents is exactly the eval-coverage failure this
+    // operator exists to catch — it must surface loudly as a row
+    // with null heldout columns (n_test_tokens 0), not drop from the
+    // report; a test-only language (possible under a caller split)
+    // surfaces symmetrically with null train columns.
     eval(train, "n_train_tokens", "train_ppl")
-      .join(eval(test, "n_test_tokens", "heldout_ppl"), Seq("lang"))
+      .join(eval(test, "n_test_tokens", "heldout_ppl"), Seq("lang"), "full")
       .select($"lang", $"n_train_tokens", $"train_ppl",
-        $"n_test_tokens", $"heldout_ppl",
+        coalesce($"n_test_tokens", lit(0L)).as("n_test_tokens"),
+        $"heldout_ppl",
         ($"heldout_ppl" - $"train_ppl").as("overfit_gap"))
       .orderBy($"lang")
   }
@@ -2369,11 +2381,12 @@ object TextAnalytics {
        |      FROM tr GROUP BY 1),
        |etr AS (${ev("tr")}),
        |ete AS (${ev("te")})
-       |SELECT etr.lang, etr.n AS n_train_tokens, etr.ppl AS train_ppl,
-       |  ete.n AS n_test_tokens, ete.ppl AS heldout_ppl,
+       |SELECT COALESCE(etr.lang, ete.lang) AS lang,
+       |  etr.n AS n_train_tokens, etr.ppl AS train_ppl,
+       |  COALESCE(ete.n, 0) AS n_test_tokens, ete.ppl AS heldout_ppl,
        |  ete.ppl - etr.ppl AS overfit_gap
-       |FROM etr JOIN ete ON etr.lang = ete.lang
-       |ORDER BY etr.lang""".stripMargin
+       |FROM etr FULL JOIN ete ON etr.lang = ete.lang
+       |ORDER BY lang""".stripMargin
   }
 
   // ---------------------------------------------------------------

@@ -376,11 +376,13 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
 
   test("blocklist filter: word-boundary hits on a fixture, corpus attribution brackets any") {
     import spark.implicits._
-    // "bigger" must NOT match the term "big" -- padded word-boundary
-    // containment, not substring; doc 4 hits two terms but counts
-    // once in __any__
+    // "bigger" must NOT match the term "big" -- whole-token
+    // membership, not substring; "Slow," matches despite the comma
+    // and capitalization (the round-10 advice case the space-padded
+    // containment missed); doc 4 hits two terms but counts once in
+    // __any__
     val docs = Seq(
-      (1L, "big data pipelines"), (2L, "a slow day"),
+      (1L, "big data pipelines"), (2L, "a Slow, rainy day"),
       (3L, "nothing bigger here"), (4L, "stream of vector values"))
       .toDF("doc_id", "text")
     val got = CorpusQuality.blocklistFilterOf(docs)

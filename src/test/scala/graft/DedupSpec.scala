@@ -234,4 +234,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       case _ =>
     }
   }
+
+  test("square-and-multiply ladder: odd exponents exact, Column and SQL ladders agree") {
+    import spark.implicits._
+    // the round-10 advice case: n=3 must be c^3, not c^2 — and both
+    // ladders must multiply in the identical association for every n,
+    // so a future non-power-of-two LshGrid row cannot silently
+    // diverge the two engines (they share the recursion, so the
+    // differential oracle alone could never catch it)
+    def ladder(n: Int): Double =
+      if (n == 1) 0.7
+      else {
+        val h = ladder(n / 2); val sq = h * h
+        if (n % 2 == 1) sq * 0.7 else sq
+      }
+    (1 to 9).foreach { n =>
+      val viaCol = spark.range(1)
+        .select(Dedup.powIntCol(lit(0.7), n).as("v")).head().getDouble(0)
+      val viaSql = spark
+        .sql(s"SELECT ${Dedup.powIntSql("CAST(0.7 AS DOUBLE)", n)} AS v")
+        .head().getDouble(0)
+      assert(viaCol == ladder(n), s"n=$n Column ladder")
+      assert(viaSql == ladder(n), s"n=$n SQL ladder")
+    }
+    intercept[IllegalArgumentException](Dedup.powIntCol(lit(1.0), 0))
+    intercept[IllegalArgumentException](Dedup.powIntSql("x", -1))
+  }
 }

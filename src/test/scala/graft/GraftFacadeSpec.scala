@@ -401,4 +401,22 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     assert(Graft.acf(dailyAcf, maxLag = 1)
       .as[(Long, Long, Double)].head() === ((1L, 3L, -0.75)))
   }
+
+  test("facade dpRelease is the production-randomness path, not the oracle replay") {
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      ("click", t("2024-01-01 10:00:00"), 1L),
+      ("click", t("2024-01-01 11:00:00"), 1L),
+      ("click", t("2024-01-02 09:00:00"), 2L),
+      ("view", t("2024-01-01 09:30:00"), 3L))
+      .toDF("event_type", "ts", "user_id")
+    val a = Graft.dpRelease(events, seed = Some(7L)).collect().toSeq
+    val b = Graft.dpRelease(events, seed = Some(7L)).collect().toSeq
+    assert(a == b, "caller-seeded release must be reproducible")
+    val replay = graft.operators.Relational.dpReleaseOf(events).collect().toSeq
+    assert(a.map(r => (r.getString(0), r.getDate(1))) ==
+      replay.map(r => (r.getString(0), r.getDate(1))), "same release cells")
+    assert(a != replay, "facade must not use the public hash-noise stream")
+  }
 }

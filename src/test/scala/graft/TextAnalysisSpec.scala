@@ -1014,4 +1014,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       assert(gap > 0.0, s"$lang held-out not above train: $pTr vs $pTe")
     }
   }
+
+  test("held-out ppl: a language with no test split surfaces, not silently dropped") {
+    import spark.implicits._
+    // build the fixture FROM the operator's own salted hash: probe
+    // candidate texts for their split bucket, then give lang xx
+    // train-only texts and lang yy both sides (round-10 advice — the
+    // inner join dropped exactly the coverage failure the operator
+    // exists to catch)
+    val withH = (0 until 400).map(i => s"word$i alpha beta").toDF("text")
+      .select($"text", pmod(md5i32($"text", 17), lit(100)).as("h"))
+      .as[(String, Long)].collect()
+    val trainTexts = withH.filter(_._2 < 80).map(_._1)
+    val testTexts = withH.filter(_._2 >= 90).map(_._1)
+    assert(trainTexts.length >= 5 && testTexts.length >= 3)
+    val docs = (trainTexts.take(5).map(("xx", _)) ++
+      trainTexts.slice(5, 10).map(("yy", _)) ++
+      testTexts.take(3).map(("yy", _))).toSeq.toDF("lang", "text")
+    val rows = TextAnalytics.heldoutPplOf(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("xx", "yy"))
+    val xx = rows.find(_.getString(0) == "xx").get
+    assert(xx.getLong(3) == 0L && xx.isNullAt(4) && xx.isNullAt(5),
+      "missing test split must surface as an explicit zero/null row")
+    val yy = rows.find(_.getString(0) == "yy").get
+    assert(yy.getLong(3) > 0L && !yy.isNullAt(4) && !yy.isNullAt(5))
+  }
 }
