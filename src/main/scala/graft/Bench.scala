@@ -32,10 +32,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * SPARK_GRAFT_ONLY=q1,q2 restricts the run to a comma-separated
   * subset — a local-iteration convenience; the driver never sets it.
+  * SPARK_GRAFT_PASSES overrides the timed-pass count (default 3) —
+  * the sf1 linearity sweep uses fewer passes to bound wall time.
+  *
+  * Isolated re-run protocol (round-10 verdict item 2): the 203.8 s
+  * driver artifact vs the builder's 136.8 s calibrated checkpoint
+  * left three queries without a clean in-artifact number. If a
+  * committed `BENCH_prior.json` (same sf as this run) is present,
+  * any query whose best full-run pass exceeds 1.5× its prior value
+  * + 0.3 s is automatically re-measured at the END of the run —
+  * best-of-3 after a GC quiesce, with nothing else in flight — and
+  * both numbers land in the same JSON (`queries` = full-run,
+  * `isolated` = the re-measures). A slow-in-company-but-fast-alone
+  * query is ambient noise; slow in both is a real regression.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Minimal extraction of {"queries":{...},"sf":"..."} from our own
+    * one-line bench JSON — no JSON library in the shipped classpath,
+    * and the format is self-authored. */
+  private[graft] def parsePrior(line: String): (Map[String, Double], String) = {
+    val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse("")
+    val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse("")
+    val pairs = "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(qs)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    (pairs, sf)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,9 +107,40 @@ object Bench {
       // a transiently failing pass must not discard another pass's
       // valid time (min with the -1 sentinel would); only a query
       // failing ALL passes reports as errored
-      val times = Seq.fill(3)(pass()).filter(_ >= 0)
+      val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+      val times = Seq.fill(passes)(pass()).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+
+    // isolated re-run of outliers vs the committed prior (see object
+    // scaladoc): triggers only when the prior artifact measured the
+    // SAME sf directory as this run
+    val priorPath = sys.env.get("SPARK_GRAFT_PRIOR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("BENCH_prior.json"))
+    val isolated: Map[String, Double] =
+      if (!java.nio.file.Files.exists(priorPath)) Map.empty
+      else {
+        val (prior, priorSf) = parsePrior(
+          java.nio.file.Files.readString(priorPath))
+        if (priorSf != sfDir) Map.empty
+        else results.toSeq.flatMap { case (name, t) =>
+          prior.get(name).filter(p => p >= 0 && t >= 0 &&
+            t > 1.5 * p + 0.3).map { p =>
+            System.err.println(
+              f"[bench] $name: $t%.3f s vs prior $p%.3f s — isolated re-run")
+            System.gc(); Thread.sleep(200)
+            val fn = queries(name)
+            def pass(): Double = {
+              val t0 = System.nanoTime()
+              try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+            }
+            val ts = Seq.fill(3)(pass()).filter(_ >= 0)
+            name -> (if (ts.isEmpty) -1.0 else ts.min)
+          }
+        }.toMap
+      }
     // ms precision, trailing zeros stripped — keeps the one-line JSON
     // inside the driver's tail-capture budget.
     def ms(v: Double): String = {
@@ -95,9 +152,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"isolated":$iso,"errors":$errs,"sf":"$sfDir"}"""
     // the driver's stdout tail capture is 2,000 chars and the full
     // line exceeds it at 80+ queries — persist the complete JSON to
     // both tmpdir and the working directory (the latter survives in

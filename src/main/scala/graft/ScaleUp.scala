@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: derive an sf1-equivalent (10×) dataset from the driver's
+  * sf0.1 parquet for the SCALE-LINEARITY sweep — `graft.Bench` run
+  * against the output proves every catalog query's wall time grows
+  * ≤~linearly at a real 10× step, which sf0.1 alone cannot (the
+  * round-10 verdict's #1 ask). The output is bench-only input: the
+  * correctness gate stays exclusively on the driver's own testdata.
+  *
+  * Scaling semantics (TPC-H-style):
+  *  - `region`/`nation` are fixed dimensions — copied verbatim;
+  *  - every scaling table is replicated `factor`× with COPY-OFFSET
+  *    keys, applied consistently to primary keys and every foreign
+  *    key that references a scaled table, so join cardinalities and
+  *    fan-outs grow exactly linearly (copy 0 is the identity);
+  *  - timestamps keep their calendar span (more activity in the same
+  *    period — the realistic growth axis; windows-per-day row counts
+  *    scale, the day count does not);
+  *  - `documents.text` in copies > 0 gets ~25% of its tokens
+  *    replaced with copy-salted novel tokens. Verbatim copies would
+  *    make every doc a 10-way exact/near duplicate and inflate
+  *    candidate-pair counts ~45× (quadratic in the replication, an
+  *    artifact of the scaler, not the engine); the replacement pushes
+  *    cross-copy 3-gram Jaccard well under the MinHash band
+  *    threshold while keeping per-copy duplicate structure intact,
+  *    so dedup work scales like a real 10× corpus;
+  *  - `embeddings.embedding` in copies > 0 is perturbed with a
+  *    deterministic pseudo-random direction and re-normalized
+  *    (cross-copy cosine ≈ 0.6, below every near-dup threshold) for
+  *    the same reason; `label` balance is preserved.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("testdata-sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // fixed dimensions: copied verbatim
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    // key spans measured from the source so offsets never collide
+    def span(t: String, key: String): Long =
+      read(t).agg(max(col(key))).head().getLong(0) + 1L
+    val kCust = span("customer", "c_custkey")
+    val kSupp = span("supplier", "s_suppkey")
+    val kPart = span("part", "p_partkey")
+    val kOrd = span("orders", "o_orderkey")
+    val kEvt = span("events", "event_id")
+    val kUser = span("events", "user_id")
+    val kDoc = span("documents", "doc_id")
+    val kVec = span("embeddings", "vec_id")
+
+    val copies = spark.range(factor.toLong).select($"id".cast("int").as("cp"))
+    def rep(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
+    def off(key: String, k: Long): Column = col(key) + $"cp" * lit(k)
+
+    write(rep(read("customer")).select(off("c_custkey", kCust).as("c_custkey"),
+      $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment"), "customer")
+    write(rep(read("supplier")).select(off("s_suppkey", kSupp).as("s_suppkey"),
+      $"s_name", $"s_nationkey", $"s_acctbal"), "supplier")
+    write(rep(read("part")).select(off("p_partkey", kPart).as("p_partkey"),
+      $"p_name", $"p_brand", $"p_type", $"p_size", $"p_retailprice"), "part")
+    write(rep(read("orders")).select(off("o_orderkey", kOrd).as("o_orderkey"),
+      off("o_custkey", kCust).as("o_custkey"), $"o_orderstatus",
+      $"o_totalprice", $"o_orderdate", $"o_orderpriority"), "orders")
+    write(rep(read("lineitem")).select(off("l_orderkey", kOrd).as("l_orderkey"),
+      off("l_partkey", kPart).as("l_partkey"),
+      off("l_suppkey", kSupp).as("l_suppkey"),
+      $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount",
+      $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"), "lineitem")
+    write(rep(read("events")).select(off("event_id", kEvt).as("event_id"),
+      $"ts", off("user_id", kUser).as("user_id"), $"event_type", $"value",
+      $"props"), "events")
+
+    // documents: ~25% token replacement per copy (hash-chosen
+    // positions, copy-salted novel tokens) — see the scaladoc
+    val saltedText = when($"cp" === 0, $"text").otherwise(array_join(
+      transform(split($"text", " "), (w, j) =>
+        when(pmod(hash($"doc_id", $"cp", j), lit(4)) === 0,
+          concat(w, lit("x"), $"cp".cast("string"))).otherwise(w)),
+      " "))
+    write(rep(read("documents"))
+      .select(off("doc_id", kDoc).as("doc_id"), saltedText.as("text"),
+        $"lang", $"source")
+      .withColumn("n_chars", length($"text").cast("long")), "documents")
+
+    // embeddings: deterministic perturbation + re-normalization per
+    // copy (cross-copy cosine ≈ 1/sqrt(1 + 0.25²·d/2) ≈ 0.6 at d=64)
+    val pert = transform($"embedding", (x, j) =>
+      (x.cast("double") + lit(0.25) *
+        sin($"vec_id".cast("double") * 0.7 + j.cast("double") * 1.3 +
+          $"cp".cast("double") * 2.9)))
+    write(rep(read("embeddings"))
+      .withColumn("p", when($"cp" === 0, transform($"embedding",
+        x => x.cast("double"))).otherwise(pert))
+      .withColumn("nrm", sqrt(aggregate($"p", lit(0.0d),
+        (acc, x) => acc + x * x)))
+      .select(off("vec_id", kVec).as("vec_id"),
+        transform($"p", x => (x / $"nrm").cast("float")).as("embedding"),
+        $"label"), "embeddings")
+
+    // census so the run log shows the achieved scale step
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
