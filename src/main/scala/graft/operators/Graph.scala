@@ -236,10 +236,24 @@ object Graph {
 
   /** [[pprActors]] over any distinct directed edge frame `(src,
     * dst)`, node frame `(a)`, and seed frame `(a)` (teleport mass
-    * splits uniformly over the seeds). Returns `(a, r)` at 8 dp. */
+    * splits uniformly over the seeds). Returns `(a, r)` at 8 dp.
+    *
+    * `eps > 0` turns on the same ε-convergence tier as
+    * [[pagerankOf]] (round-10 verdict item 5: PPR is the #2 heaviest
+    * catalog query and ran fixed iterations unconditionally): exit
+    * as soon as the per-iteration L1 delta falls below `eps`, one
+    * driver double per iteration. `eps = 0` keeps the fixed-iteration
+    * oracle-replay contract bit-for-bit. */
   def pprOf(edges: DataFrame, nodes0: DataFrame,
             seeds: DataFrame, iters: Int = 5,
-            d: Double = 0.85): DataFrame = {
+            d: Double = 0.85, eps: Double = 0.0): DataFrame =
+    pprWithStats(edges, nodes0, seeds, iters, d, eps)._1
+
+  /** [[pprOf]] plus the number of iterations actually run. */
+  private[graft] def pprWithStats(edges: DataFrame, nodes0: DataFrame,
+                                  seeds: DataFrame, iters: Int = 5,
+                                  d: Double = 0.85,
+                                  eps: Double = 0.0): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -256,10 +270,12 @@ object Graph {
         .select($"a", coalesce($"t", lit(0.0)).as("t")))
     var ranks = tv.select($"a", round($"t" / nS, 8).as("r"))
     var prevCkpt: DataFrame = null
+    var ranksCkpted = false
     var it = 0
-    while (it < iters) {
-      val prev = ranks.localCheckpoint()
-      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+    var converged = false
+    while (it < iters && !converged) {
+      val prev = if (ranksCkpted) ranks else ranks.localCheckpoint()
+      if (prevCkpt != null && !(prevCkpt eq prev)) prevCkpt.unpersist(blocking = false)
       prevCkpt = prev
       val m = dangling.join(prev, Seq("a"))
         .agg(coalesce(sum($"r"), lit(0.0)).as("m"))
@@ -268,15 +284,29 @@ object Graph {
           edgesDeg("src") === prev("a"))
         .select($"dst", ($"r" / $"deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      ranks = tv
+      val next = tv
         .join(contribs.select($"dst".as("a"), $"s"), Seq("a"), "left")
         .crossJoin(m)
         .select($"a",
           round(lit(1 - d) * $"t" / nS
             + lit(d) * (coalesce($"s", lit(0.0)) + $"m" * $"t" / nS), 8).as("r"))
+      if (eps > 0) {
+        val cur = next.localCheckpoint()
+        val delta = cur.join(prev.select($"a", $"r".as("rp")), Seq("a"))
+          .agg(coalesce(sum(abs($"r" - $"rp")), lit(0.0)))
+          .head().getDouble(0)
+        prev.unpersist(blocking = false)
+        prevCkpt = cur
+        ranks = cur
+        ranksCkpted = true
+        if (delta < eps) converged = true
+      } else {
+        ranks = next
+        ranksCkpted = false
+      }
       it += 1
     }
-    ranks
+    (ranks, it)
   }
 
   /** Oracle: exact chained-CTE replay of [[pprOf]]'s single-seed run
@@ -564,10 +594,18 @@ object Graph {
   }
 
   /** [[pagerankWeightedActors]] over any `(src, dst, wt)` arc frame
-    * plus the full node frame `(a)`. */
+    * plus the full node frame `(a)`. `eps > 0` turns on the same
+    * ε-convergence tier as [[pagerankOf]] (round-10 verdict item 5);
+    * `eps = 0` keeps the fixed-iteration oracle-replay contract. */
   private[graft] def pagerankWeightedOf(edges: DataFrame, nodes0: DataFrame,
-                                        iters: Int = 5,
-                                        d: Double = 0.85): DataFrame = {
+                                        iters: Int = 5, d: Double = 0.85,
+                                        eps: Double = 0.0): DataFrame =
+    pagerankWeightedWithStats(edges, nodes0, iters, d, eps)._1
+
+  /** [[pagerankWeightedOf]] plus the number of iterations run. */
+  private[graft] def pagerankWeightedWithStats(
+      edges: DataFrame, nodes0: DataFrame, iters: Int = 5,
+      d: Double = 0.85, eps: Double = 0.0): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val wdeg = edges.groupBy($"src").agg(sum($"wt").as("wdeg"))
@@ -580,9 +618,12 @@ object Graph {
       nodes.join(edgesW.select($"src"), nodes("a") === $"src", "left_anti"))
     var ranks = nodes.select($"a", round(lit(1.0) / n, 8).as("r"))
     var prevCkpt: DataFrame = null
-    for (_ <- 1 to iters) {
-      val prev = ranks.localCheckpoint()
-      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+    var ranksCkpted = false
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val prev = if (ranksCkpted) ranks else ranks.localCheckpoint()
+      if (prevCkpt != null && !(prevCkpt eq prev)) prevCkpt.unpersist(blocking = false)
       prevCkpt = prev
       val m = dangling.join(prev, Seq("a"))
         .agg(coalesce(sum($"r"), lit(0.0)).as("m"))
@@ -591,13 +632,28 @@ object Graph {
           edgesW("src") === prev("a"))
         .select($"dst", ($"r" * $"wt" / $"wdeg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      ranks = contribs.select($"dst".as("a"), $"s")
+      val next = contribs.select($"dst".as("a"), $"s")
         .unionByName(noInbound.select($"a", lit(0.0).as("s")))
         .crossJoin(m) // 1-row dangling mass
         .select($"a",
           round(lit(1 - d) / n + lit(d) * ($"s" + $"m" / n), 8).as("r"))
+      if (eps > 0) {
+        val cur = next.localCheckpoint()
+        val delta = cur.join(prev.select($"a", $"r".as("rp")), Seq("a"))
+          .agg(coalesce(sum(abs($"r" - $"rp")), lit(0.0)))
+          .head().getDouble(0)
+        prev.unpersist(blocking = false)
+        prevCkpt = cur
+        ranks = cur
+        ranksCkpted = true
+        if (delta < eps) converged = true
+      } else {
+        ranks = next
+        ranksCkpted = false
+      }
+      it += 1
     }
-    ranks
+    (ranks, it)
   }
 
   def pagerankWeightedActorsSql(iters: Int = 5, d: Double = 0.85,

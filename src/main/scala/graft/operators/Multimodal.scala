@@ -298,6 +298,22 @@ object Multimodal {
   def assetsWithImagePayloads(spark: SparkSession, sfDir: String): DataFrame =
     assetsWithRealPayloads(spark, sfDir)
 
+  /** The decoded corpus, decoded ONCE per (session, sf) and cached —
+    * decode / framesample / phash / audiohash all consume the same
+    * decoded frames instead of each paying the full codec pass
+    * (round-10 verdict item 4: the three image/video queries
+    * re-decoded the same PNG/video payloads). Cache cost is bounded
+    * by [[MaxPixels]] floats per asset; at a scale where the decoded
+    * corpus no longer fits executor storage, callers drop to
+    * [[decodeAssets]] per query — the cache is a bench/session
+    * convenience, not a correctness dependency. */
+  def decodedAssets(spark: SparkSession, sfDir: String): Dataset[DecodedAsset] = {
+    import spark.implicits._
+    payloadCache.getOrElseUpdate(spark, s"decoded:$sfDir")(
+      decodeAssets(assetsWithRealPayloads(spark, sfDir)).toDF().cache())
+      .as[DecodedAsset]
+  }
+
   /** Distributed decode: one codec scope per partition, rows streamed
     * through it — the shape a real decoder (libjpeg/ffmpeg handle,
     * model session) requires. */
@@ -415,8 +431,7 @@ object Multimodal {
   def frameSampleStats(spark: SparkSession, sfDir: String,
                        stride: Int = FrameStride): DataFrame = {
     import spark.implicits._
-    val sampled = frameSample(
-      decodeAssets(assetsWithRealPayloads(spark, sfDir)), stride)
+    val sampled = frameSample(decodedAssets(spark, sfDir), stride)
     // exact integer recovery of the pattern byte: px = p/255f, so
     // round(px·255) = p (the resizePooledCodes scale discipline)
     val codes = sampled.select($"asset_id", $"frame_idx".cast("long").as("frame_idx"),
@@ -553,16 +568,18 @@ object Multimodal {
     * real asset id, so provenance survives the union. */
   private[graft] val PhashTwinOffset = 1L << 40
 
-  /** Image corpus + perturbed re-encode twins: every image is decoded,
-    * ~4 % of pixels get +1 luminance, and the result is re-encoded
-    * through the SAME real PNG codec under `asset_id + PhashTwinOffset`.
-    * This is the controlled near-duplicate a perceptual-hash detector
-    * must recover (re-encoded ≠ byte-identical, so content hashing
-    * cannot find it). */
-  private[graft] def imagesWithTwins(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Perturbed re-encode twins of the image corpus: every image is
+    * decoded, ~4 % of pixels get +1 luminance, and the result is
+    * re-encoded through the SAME real PNG codec under
+    * `asset_id + PhashTwinOffset`. This is the controlled
+    * near-duplicate a perceptual-hash detector must recover
+    * (re-encoded ≠ byte-identical, so content hashing cannot find
+    * it). Returns ONLY the twins — originals come from the shared
+    * decoded cache ([[decodedAssets]]). */
+  private[graft] def imageTwins(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val imgs = assetsWithRealPayloads(spark, sfDir).filter($"kind" === "image")
-    val twins = imgs
+    imgs
       .select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
       .as[(Long, String, Array[Byte], Int, Int, Int)]
       .mapPartitions { rows =>
@@ -600,8 +617,6 @@ object Multimodal {
         }
       }
       .toDF("asset_id", "kind", "bytes", "width", "height", "n_frames")
-    imgs.select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
-      .union(twins)
   }
 
   /** Banded Hamming self-join over `(asset_id, sig)` 64-bit
@@ -642,21 +657,27 @@ object Multimodal {
   def imagePhashPairs(spark: SparkSession, sfDir: String,
                       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val sigs = decodeAssets(imagesWithTwins(spark, sfDir))
+    // originals hash from the shared decoded cache; only the
+    // re-encoded twins pay a fresh decode (they MUST — the operator
+    // exists to prove the detector survives a real re-encode)
+    val origSigs = decodedAssets(spark, sfDir).filter(_.kind == "image")
       .map(d => (d.asset_id, intAHash64(d.pixels, 255f)))
-      .toDF("asset_id", "sig")
-    bandedHammingPairs(sigs, maxHamming)
+    val twinSigs = decodeAssets(imageTwins(spark, sfDir))
+      .map(d => (d.asset_id, intAHash64(d.pixels, 255f)))
+    bandedHammingPairs(
+      origSigs.union(twinSigs).toDF("asset_id", "sig"), maxHamming)
   }
 
-  /** Audio corpus + controlled twins: every audio payload is decoded,
-    * every PCM sample scaled to 90 % amplitude, and re-encoded
-    * through the SAME real WAV codec under `asset_id +
-    * PhashTwinOffset` — the volume-normalized re-master a content
-    * hash cannot match. */
-  private[graft] def audioWithTwins(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Controlled re-master twins of the audio corpus: every audio
+    * payload is decoded, every PCM sample scaled to 90 % amplitude,
+    * and re-encoded through the SAME real WAV codec under
+    * `asset_id + PhashTwinOffset` — the volume-normalized re-master
+    * a content hash cannot match. Returns ONLY the twins
+    * (the [[imageTwins]] discipline). */
+  private[graft] def audioTwins(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val snd = assetsWithRealPayloads(spark, sfDir).filter($"kind" === "audio")
-    val twins = snd
+    snd
       .select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
       .as[(Long, String, Array[Byte], Int, Int, Int)]
       .mapPartitions { rows =>
@@ -682,8 +703,6 @@ object Multimodal {
         }
       }
       .toDF("asset_id", "kind", "bytes", "width", "height", "n_frames")
-    snd.select($"asset_id", $"kind", $"bytes", $"width", $"height", $"n_frames")
-      .union(twins)
   }
 
   /** Audio-fingerprint near-duplicate pairs (the Shazam-family
@@ -697,10 +716,14 @@ object Multimodal {
   def audioHashPairs(spark: SparkSession, sfDir: String,
                      maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val sigs = decodeAssets(audioWithTwins(spark, sfDir))
+    // same split as imagePhashPairs: cached decode for originals,
+    // fresh decode only for the re-mastered twins
+    val origSigs = decodedAssets(spark, sfDir).filter(_.kind == "audio")
       .map(d => (d.asset_id, energyDeltaSig(d.pixels)))
-      .toDF("asset_id", "sig")
-    bandedHammingPairs(sigs, maxHamming)
+    val twinSigs = decodeAssets(audioTwins(spark, sfDir))
+      .map(d => (d.asset_id, energyDeltaSig(d.pixels)))
+    bandedHammingPairs(
+      origSigs.union(twinSigs).toDF("asset_id", "sig"), maxHamming)
   }
 
   /** [[PhashTwinOffset]] as a SQL literal (2⁴⁰). */
@@ -816,7 +839,7 @@ object Multimodal {
     * encode- or decode-side codec bug surfaces as a hash mismatch. */
   def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pooled = resizePooledCodes(decodeAssets(assetsWithRealPayloads(spark, sfDir)))
+    val pooled = resizePooledCodes(decodedAssets(spark, sfDir))
     pooled
       .select($"kind", $"n_px",
         ($"n_px" - $"n_px" % 64).cast("long").as("pooled_px"),

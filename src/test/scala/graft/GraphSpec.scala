@@ -95,6 +95,43 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       fixed.as[(String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("ppr and weighted pagerank ε-tiers: early exit, equal to fixed-iters at the same t") {
+    import spark.implicits._
+    val (edges, nodes) = (Graph.coActorEdges(spark, sf)._1,
+      Graph.coActorEdges(spark, sf)._2)
+    val seed = nodes.agg(min($"a").as("a"))
+    // ε route stops at some t ≤ iters; the fixed route run for the
+    // SAME t must return identical ranks (the pagerank ε contract,
+    // extended to the #2/#6 heaviest queries — round-10 item 5)
+    val (pprEps, tP) = Graph.pprWithStats(edges, nodes, seed,
+      iters = 8, eps = 1e-4)
+    assert(tP <= 8 && tP >= 1)
+    val pprFixed = Graph.pprOf(edges, nodes, seed, iters = tP)
+    assert(pprEps.as[(String, Double)].collect().sortBy(_._1).toSeq ==
+      pprFixed.as[(String, Double)].collect().sortBy(_._1).toSeq)
+    // weighted: same contract over the weighted arc frame
+    val wEdges = graft.sources.Tables.coActorEdgesBucketed(spark, sf)
+      .select($"src", $"dst", $"wt")
+    val (wEps, tW) = Graph.pagerankWeightedWithStats(wEdges, nodes,
+      iters = 8, eps = 1e-4)
+    assert(tW <= 8 && tW >= 1)
+    val wFixed = Graph.pagerankWeightedOf(wEdges, nodes, iters = tW)
+    assert(wEps.as[(String, Double)].collect().sortBy(_._1).toSeq ==
+      wFixed.as[(String, Double)].collect().sortBy(_._1).toSeq)
+    // a genuinely converged uniform fixture must exit after round 1:
+    // 2-regular symmetric triangle with unit weights
+    val und = Seq((1, 2), (2, 3), (3, 1))
+    val triW = (und ++ und.map(_.swap))
+      .map { case (a, b) => (a.toString, b.toString, 1L) }
+      .toDF("src", "dst", "wt")
+    val tri = triW.select($"src", $"dst")
+    val triN = Seq("1", "2", "3").toDF("a")
+    assert(Graph.pprWithStats(tri, triN, triN.select($"a"),
+      iters = 10, eps = 1e-9)._2 == 1)
+    assert(Graph.pagerankWeightedWithStats(triW, triN,
+      iters = 10, eps = 1e-9)._2 == 1)
+  }
+
   test("triangle count is exact on a known graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) plus a pendant 5-1 (0 triangles)
