@@ -1,0 +1,159 @@
+package graft
+
+import graft.streaming.{EventStreams, PackAssignShard, PackDoc}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Long-soak posture tests (round-10 verdict item 6): the per-query
+  * streaming specs prove stream==batch over 2-4 micro-batches; these
+  * run 100+ micro-batches under the RocksDB state-store provider —
+  * the pinned 100-TB posture — and assert the TWO things only a soak
+  * can: state size stays bounded by the operator's design invariant
+  * (cursor keys for the packer, the watermark horizon for the
+  * stream-stream join), and stream==batch still holds at the end,
+  * across a mid-soak restart from checkpoint.
+  */
+class StreamingSoakSpec extends AnyFunSuite with SparkSpec {
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  test("sharded packer 125-micro-batch soak on RocksDB: bounded state, restart, == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDb {
+      val (ctx, shards) = (64, 4)
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select($"doc_id", $"lang",
+          size(graft.functions.TextAnalysis.tokens($"text")).cast("long")
+            .as("n_tokens"))
+        .as[PackDoc].collect().sortBy(_.doc_id).toSeq
+      val nLangs = docs.map(_.lang).distinct.size
+      val batch = EventStreams.packBatchSharded(docs.toDS(), ctx, shards)
+        .collect().map(a => a.doc_id -> a).toMap
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-soak-ckpt").toString
+      val mem = MemoryStream[PackDoc]
+      val sunk = new scala.collection.mutable.ArrayBuffer[PackAssignShard]
+      val stateRows = new scala.collection.mutable.ArrayBuffer[Long]
+      val rocksSeen = new scala.collection.mutable.ArrayBuffer[Boolean]
+      def start() = EventStreams.packStreamSharded(mem.toDS(), ctx, shards)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[PackAssignShard],
+                         _: Long) =>
+          sunk.synchronized { sunk ++= df.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      // 4-doc batches over 500 docs = 125 micro-batches, restart at 60
+      val chunks = docs.grouped(4).toSeq
+      val (firstHalf, secondHalf) = chunks.splitAt(60)
+      def soak(q: org.apache.spark.sql.streaming.StreamingQuery,
+               cs: Seq[Seq[PackDoc]]): Unit =
+        cs.foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+          Option(q.lastProgress).foreach { p =>
+            p.stateOperators.foreach { so =>
+              stateRows += so.numRowsTotal
+              rocksSeen += so.customMetrics.keySet().toArray
+                .exists(_.toString.toLowerCase.contains("rocksdb"))
+            }
+          }
+        }
+      val q1 = start()
+      try soak(q1, firstHalf) finally q1.stop()
+      val q2 = start()
+      try soak(q2, secondHalf) finally q2.stop()
+      // state invariant: ONE cursor row per (lang, shard) key, for the
+      // whole soak — a packer whose state grew with documents would
+      // OOM a real deployment long before the corpus ends
+      assert(stateRows.nonEmpty && stateRows.max <= nLangs.toLong * shards,
+        s"cursor state exceeded langs*shards: max=${stateRows.max}")
+      assert(rocksSeen.exists(identity), "state operator never on RocksDB")
+      // exactly-once across the restart, equal to the batch twin
+      val stream = sunk.synchronized(sunk.toArray).map(a => a.doc_id -> a).toMap
+      assert(stream.keySet == batch.keySet)
+      stream.foreach { case (id, a) =>
+        assert(a == batch(id), s"doc $id: $a vs batch ${batch(id)}") }
+    }
+  }
+
+  test("full-outer attribution 100-micro-batch soak: watermark keeps join state bounded") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDb {
+      // 2,000 chronological clicks, 6 min apart (200 h span), every
+      // 3rd converting 10 min later; 1 h watermark ⇒ join state may
+      // only ever hold the last ~1.5-2 h of rows, never the 200-h tail
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+      val clicks = (0 until 2000).map(i =>
+        Ev(i.toLong, ts(i * 6L), (i % 50).toLong, "click", 1.0))
+      val purchases = (0 until 2000 by 3).map(i =>
+        Ev(100000L + i, ts(i * 6L + 10), (i % 50).toLong, "purchase", 5.0)) ++
+        // organic purchases from users with no click — the dark
+        // conversions the full-outer form exists to surface
+        (0 until 2000 by 50).map(i =>
+          Ev(200000L + i, ts(i * 6L + 5), 800L + i, "purchase", 9.0))
+      // far-future self-matching sentinel advances the watermark past
+      // every real row so the final unmatched rows flush (the
+      // full-outer spec's discipline); it appears in BOTH twins
+      val sc = Ev(900001L, ts(2000L * 6 + 600), 999L, "click", 1.0)
+      val sp = Ev(900002L, ts(2000L * 6 + 600), 999L, "purchase", 1.0)
+      val batch = EventStreams.attributionFull(
+        (clicks :+ sc).toDF(), (purchases :+ sp).toDF())
+
+      val memC = MemoryStream[Ev]
+      val memP = MemoryStream[Ev]
+      val joined = EventStreams.attributionFull(
+        memC.toDF().withWatermark("ts", "1 hour"),
+        memP.toDF().withWatermark("ts", "1 hour"))
+      val q = joined.writeStream.format("memory")
+        .queryName("soak_attr_full").outputMode("append").start()
+      val stateRows = new scala.collection.mutable.ArrayBuffer[Long]
+      try {
+        // 100 chronological chunks of 20 clicks (+ their purchases)
+        // purchases ride with their click's chunk — feeding them later
+        // would lag the MIN-across-inputs watermark and accrue click
+        // state for reasons that are the TEST's fault, not the join's
+        val cChunks = clicks.grouped(20).toSeq
+        val pByChunk = purchases.groupBy(p =>
+          ((p.ts.getTime - t0) / (120L * 60000L)).toInt)
+        cChunks.zipWithIndex.foreach { case (c, i) =>
+          memC.addData(c)
+          memP.addData(pByChunk.getOrElse(i, Seq.empty))
+          q.processAllAvailable()
+          Option(q.lastProgress).foreach(p =>
+            p.stateOperators.foreach(so => stateRows += so.numRowsTotal))
+        }
+        memC.addData(Seq(sc)); memP.addData(Seq(sp)); q.processAllAvailable()
+        // one more empty-ish cycle so the watermark-advance flush lands
+        memC.addData(Seq.empty[Ev]); q.processAllAvailable()
+      } finally q.stop()
+      // the soak's point: 2,667 rows flowed through, but the watermark
+      // horizon bounds live state to ~2 h of traffic (≤ ~40 rows) —
+      // assert with a wide ambient margin, NOT proportional to input
+      assert(stateRows.nonEmpty && stateRows.max <= 400L,
+        s"join state not watermark-bounded: max=${stateRows.max}")
+      val stream = spark.table("soak_attr_full")
+      def canon(df: DataFrame): Seq[Seq[String]] =
+        df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      assert(canon(stream) == canon(batch))
+      // both unmatched classes actually exercised
+      assert(stream.filter($"purchase_id".isNull).count() > 0)
+      assert(stream.filter($"click_id".isNull).count() > 0)
+    }
+  }
+}
