@@ -2633,7 +2633,12 @@ object Relational {
       .groupBy($"abc_class")
       .agg(count(lit(1)).as("n_parts"),
         (sum($"cents").cast("double") / 100.0).as("revenue"),
-        (expr("CAST(SUM(cents) * 1000000 DIV MAX(tot) AS BIGINT)")
+        // share numerator in DECIMAL(38,0): SUM(cents)·10⁶ overflows
+        // BIGINT once corpus revenue passes ~$9.2e10 — the sf1 sweep
+        // caught exactly this; DuckDB already sums BIGINT into
+        // HUGEINT, so widening Spark keeps the two engines identical
+        (expr("CAST(CAST(SUM(cents) AS DECIMAL(38,0)) * 1000000" +
+          " DIV MAX(tot) AS BIGINT)")
           .cast("double") / 1000000.0).as("rev_share"))
       .orderBy($"abc_class")
   }

@@ -846,9 +846,14 @@ object TimeSeries {
       .filter($"y" > 0)
       .select($"day", $"y", $"yhat",
         abs($"y" - $"yhat").as("ae"),
-        expr("CAST(abs(y - yhat) * 1000000 DIV y AS BIGINT)").as("ape6"),
-        expr("CAST(abs(y - yhat) * 2000000 DIV (y + yhat) AS BIGINT)")
-          .as("sape6"))
+        // per-day error cents ·10⁶ in DECIMAL(38,0)/HUGEINT on the
+        // two engines — BIGINT would overflow once a single day's
+        // revenue error passes ~$9.2e10 (the pareto sf1 lesson,
+        // applied proactively to the money-magnitude sites)
+        expr("CAST(CAST(abs(y - yhat) AS DECIMAL(38,0)) * 1000000" +
+          " DIV y AS BIGINT)").as("ape6"),
+        expr("CAST(CAST(abs(y - yhat) AS DECIMAL(38,0)) * 2000000" +
+          " DIV (y + yhat) AS BIGINT)").as("sape6"))
     f.groupBy((((dayofweek($"day") + 5) % 7) + 1).cast("bigint")
         .as("iso_dow"))
       .agg(count(lit(1)).as("n_days"),
@@ -868,8 +873,10 @@ object TimeSeries {
       |  FROM orders GROUP BY 1),
       |f AS (
       |  SELECT c.day, c.y, p.y AS yhat, abs(c.y - p.y) AS ae,
-      |    CAST(abs(c.y - p.y) * 1000000 // c.y AS BIGINT) AS ape6,
-      |    CAST(abs(c.y - p.y) * 2000000 // (c.y + p.y) AS BIGINT) AS sape6
+      |    CAST(CAST(abs(c.y - p.y) AS HUGEINT) * 1000000 // c.y
+      |         AS BIGINT) AS ape6,
+      |    CAST(CAST(abs(c.y - p.y) AS HUGEINT) * 2000000 // (c.y + p.y)
+      |         AS BIGINT) AS sape6
       |  FROM daily c JOIN daily p ON c.day = p.day + 7
       |  WHERE c.y > 0)
       |SELECT CAST(isodow(day) AS BIGINT) AS iso_dow,
