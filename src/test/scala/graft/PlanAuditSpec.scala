@@ -1,5 +1,11 @@
 package graft
 
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -7,111 +13,160 @@ import org.scalatest.funsuite.AnyFunSuite
   * per-query guards in [[PlanShapeSpec]] pin the plans whose rewrites
   * were hand-fought; THIS spec sweeps EVERY `SparkEntry.queries`
   * entry and asserts the global invariants no query may silently
-  * regress out of:
+  * regress out of. The invariants are STRUCTURAL, not a name list:
   *
-  *  1. no `CartesianProduct` / `BroadcastNestedLoopJoin` anywhere in
-  *     the plan, except queries on the enumerated whitelist — each a
-  *     documented ≤1-row (or ≤k-literal-row) broadcast re-entry of a
-  *     driver-bounded aggregate, never a data×data product;
-  *  2. no whole-frame `Window` (empty partitionSpec ⇒ all rows on one
-  *     partition) except over the enumerated provably-bounded frames
-  *     (calendar-day counts, ≤k-row aggregates, grid literals);
-  *  3. whitelists carry NO stale entries: an entry whose plan no
-  *     longer contains the flagged node fails the audit too, so the
-  *     whitelist shrinks with the code instead of fossilizing.
+  *  1. a `CartesianProduct` / `BroadcastNestedLoopJoin` is legal only
+  *     when its build (resp. either) side is provably bounded from
+  *     the plan itself — a no-grouping aggregate (exactly 1 row), a
+  *     literal local table, or a limit/top-k — i.e. the library's
+  *     documented "1-row aggregate re-entry" idiom. A data×data
+  *     product has no bounded side and fails.
+  *  2. a whole-frame `Window` (empty partitionSpec ⇒ single
+  *     partition) is legal only over an already-aggregated or
+  *     limit-bounded frame — the window may collapse an AGGREGATE to
+  *     one partition (day series, digit spines, per-key rollups ≪
+  *     corpus), never a raw scan.
+  *  3. the residual NAME whitelist — entries the plan shape alone
+  *     cannot prove bounded — must stay exact: stale entries fail.
   *
   * The audit builds plans with AQE off (the bm25-guard precedent:
   * `AdaptiveSparkPlanExec` is a leaf to `collect`, so the real
   * operator tree is only traversable pre-adaptive; AQE only ever
-  * REMOVES exchanges at runtime, so the static tree is the
-  * conservative one to audit).
+  * REMOVES work at runtime, so the static tree is the conservative
+  * one to audit).
   */
 class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
-  /** Queries whose plan may contain BroadcastNestedLoopJoin or
-    * CartesianProduct — value = why that is bounded. */
+  /** Queries whose nested-loop/cartesian build side is bounded by
+    * DATA semantics the plan cannot show — value = why. (The title
+    * probes, forecast/PCA/spectrum 1-row re-entries, and sketch-merge
+    * frames all PROVE bounded structurally and need no entry here.) */
+  private val knnProbeNote =
+    "build side is the probe set `vec_id < NumProbes` (a literal range " +
+      "over dense ids, ≤ NumProbes rows) broadcast against the corpus — " +
+      "the documented serve shape (Similarity.scala); the plan cannot " +
+      "see the id density that bounds the filter"
   private val nestedLoopOk: Map[String, String] = Map(
-    "ref_title_levels" ->
-      "1-row broadcast probe (the searched title's actor set) joined θ-style against the movies view — ReferenceQueries.scala",
-    "ref_title_levels_bucketed" ->
-      "same 1-row probe re-entry over the bucketed movies snapshot",
-    "ref_title_dup_probe" ->
-      "same 1-row probe path, duplicate-title fixture",
-    "ref_title_missing" ->
-      "same 1-row probe path, miss ⇒ empty result",
-    "rel_forecast_baseline" ->
-      "1-row fitted-coefficients frame crossJoined back onto the ≤calendar-days daily frame — TimeSeries.scala",
-    "rel_forecast_discount" ->
-      "1-row what-if coefficient frame, same re-entry",
+    "llm_knn_exact" -> knnProbeNote,
+    "llm_knn_ivf_persisted" -> knnProbeNote,
+    "llm_knn_ivfpq" -> knnProbeNote,
+    "llm_knn_label_eval" -> knnProbeNote,
+    "llm_knn_negatives" -> knnProbeNote,
+    "llm_knn_pq" -> knnProbeNote,
+    "llm_knn_pq_refine" -> knnProbeNote,
+    "llm_knn_recall" -> knnProbeNote,
+    "llm_knn_sq" -> knnProbeNote,
     "rel_ab_test" ->
-      "two 1-row arm aggregates crossJoined for the Welch statistic",
-    "rel_seasonal_decompose" ->
-      "1-row grand-mean frame broadcast back over the daily frame",
+      ("build side aggregates by arm = md5 % 2 with an arm = 1 filter " +
+        "below: exactly one group row (Relational ab-test Welch frame)"),
+    "rel_chi_square" ->
+      ("build side is the distinct event-type frame: grouping key's " +
+        "data domain is the handful of event types, ≪ broadcast cap"),
     "rel_seasonal_anomaly" ->
-      "decomposition residual path shares the 1-row grand-mean re-entry",
-    "rel_revenue_bootstrap_ci" ->
-      "1-row (n, seed) frame crossJoined to the resample index literals",
-    "llm_embed_pca" ->
-      "1-row moment aggregate (mean vector) re-entered over the corpus",
-    "llm_embed_spectrum" ->
-      "1-row Rayleigh-coefficient frame per block-iteration round",
-    "llm_embed_qa" ->
-      "1-row corpus-moment frame re-entered for the per-dim z audit"
+      ("build side keys on day-of-week/effect frames: ≤ 7 grouped rows " +
+        "re-entering the daily series"),
+    "llm_kmv_overlap" ->
+      ("build side is the per-source KMV sketch frame: |sources| rows " +
+        "of ≤ k-minima state each, the sketch-algebra broadcast")
   )
 
-  /** Queries whose plan may contain a whole-frame Window — value =
-    * the bound on the windowed frame. */
+  /** Queries with a whole-frame window over a non-aggregate child
+    * that is still bounded — value = the bound. */
   private val globalWindowOk: Map[String, String] = Map(
-    "rel_benford_audit" ->
-      "share-of-total over the 9-row digit spine",
-    "rel_pareto_abc" ->
-      "running share over the ≤customers aggregate — bounded by the Pareto cut output, and range-sorted upstream",
-    "rel_concurrency_peak" ->
-      "carry-in prefix over the ≤calendar-days per-day frame (documented in TimeSeries.scala:391)",
-    "rel_revenue_drawdown" ->
-      "running max over the ≤calendar-days daily revenue frame",
-    "rel_gini_revenue" ->
-      "Lorenz rank over the per-customer aggregate (≤customers rows after the one corpus scan; acceptable at the 15k-customer dim — documented in PlanShapeSpec gini pin)"
+    "rel_bootstrap_ci" ->
+      ("window over the resample grid: |resamples| × calendar-days " +
+        "rows, both literals/aggregates — bounded, but the grid is " +
+        "built by a Generate the shape rule does not look through")
   )
 
-  // one sweep, shared by the tests: query name -> (plan string,
-  // empty-partition window count)
-  private lazy val audited: Map[String, (String, Int)] = {
+  // -- structural boundedness ---------------------------------------
+
+  /** Descend through caching/reuse indirections so the audit sees the
+    * real subtree, not an opaque leaf. */
+  private def inner(p: SparkPlan): Seq[SparkPlan] = p match {
+    case im: InMemoryTableScanExec => Seq(im.relation.cachedPlan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case _ => p.children
+  }
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] =
+    p +: inner(p).flatMap(walk)
+
+  /** A subtree that provably produces a bounded row count: a global
+    * (no-grouping) aggregate is exactly 1 row; a literal local table
+    * is as big as its literal list; limits/top-k are their k. Unions
+    * and joins of bounded frames stay bounded; explodes in this
+    * library expand literal grids / ≤k sketch arrays (module
+    * contracts pin corpus-keyed collect_list to zero), so they pass
+    * through. Anything reaching a scan or a keyed aggregate is NOT
+    * bounded. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    case l: LocalTableScanExec => l.rows.size <= 64
+    case _: GlobalLimitExec | _: LocalLimitExec |
+         _: TakeOrderedAndProjectExec => true
+    case u: UnionExec => u.children.forall(bounded)
+    case j if j.nodeName.contains("Join") => inner(j).exists(bounded)
+    case other =>
+      val kids = inner(other)
+      kids.nonEmpty && kids.forall(bounded)
+  }
+
+  private def nljOffense(p: SparkPlan): Boolean = p match {
+    case j: BroadcastNestedLoopJoinExec =>
+      val build = j.buildSide match {
+        case BuildRight => j.right
+        case BuildLeft => j.left
+      }
+      !bounded(build)
+    case c: CartesianProductExec =>
+      !bounded(c.left) && !bounded(c.right)
+    case _ => false
+  }
+
+  private def windowOffense(p: SparkPlan): Boolean = p match {
+    case w: WindowExec if w.partitionSpec.isEmpty =>
+      // the whole-frame window must sit over an aggregate/limit —
+      // "single partition" is then ≤ the aggregate's key cardinality,
+      // never the corpus
+      !walk(w.child).exists {
+        case a: BaseAggregateExec => true
+        case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  // one sweep, shared by the tests
+  private lazy val audited: Map[String, (Int, Int)] = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.map { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
-      val globalWindows = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }.length
-      name -> (plan.toString, globalWindows)
+      val nodes = walk(plan)
+      name -> (nodes.count(nljOffense), nodes.count(windowOffense))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  private def hasNlj(s: String): Boolean =
-    s.contains("CartesianProduct") || s.contains("BroadcastNestedLoopJoin")
-
-  test("no cartesian/nested-loop join outside the bounded-probe whitelist") {
+  test("every cartesian/nested-loop join has a provably bounded side") {
     val offenders = audited.collect {
-      case (n, (s, _)) if hasNlj(s) && !nestedLoopOk.contains(n) => n
+      case (n, (nlj, _)) if nlj > 0 && !nestedLoopOk.contains(n) => n
     }.toSeq.sorted
     assert(offenders.isEmpty,
-      s"unwhitelisted nested-loop/cartesian plans: $offenders\n" +
-        offenders.headOption.map(n => audited(n)._1.take(2000)).getOrElse(""))
+      s"data×data nested-loop/cartesian plans: $offenders")
   }
 
-  test("no whole-frame window outside the bounded-frame whitelist") {
+  test("every whole-frame window sits over an aggregated frame") {
     val offenders = audited.collect {
       case (n, (_, w)) if w > 0 && !globalWindowOk.contains(n) => n
     }.toSeq.sorted
     assert(offenders.isEmpty,
-      s"unwhitelisted whole-frame windows: $offenders\n" +
-        offenders.headOption.map(n => audited(n)._1.take(2000)).getOrElse(""))
+      s"whole-frame windows over non-aggregated frames: $offenders")
   }
 
-  test("whitelists carry no stale entries") {
+  test("residual whitelists carry no stale entries") {
     val staleNlj = nestedLoopOk.keySet.filter(n =>
-      audited.get(n).exists(p => !hasNlj(p._1)))
+      audited.get(n).exists(_._1 == 0))
     val staleWin = globalWindowOk.keySet.filter(n =>
       audited.get(n).exists(_._2 == 0))
     val unknown = (nestedLoopOk.keySet ++ globalWindowOk.keySet)
