@@ -70,10 +70,19 @@ object ScaleUp {
     def rep(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
     def off(key: String, k: Long): Column = col(key) + $"cp" * lit(k)
 
+    // key-derived entity names are REGENERATED from the offset key
+    // (TPC-H style 'Customer#000000042') — replicating them verbatim
+    // would hand every name 10 exact twins and quadratically inflate
+    // any name-blocked join (the fuzzy join read 75× linear on the
+    // first sweep from exactly this scaler artifact)
+    def keyName(prefix: String, key: Column): Column =
+      concat(lit(prefix), lpad(key.cast("string"), 9, "0"))
     write(rep(read("customer")).select(off("c_custkey", kCust).as("c_custkey"),
-      $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment"), "customer")
+      keyName("Customer#", off("c_custkey", kCust)).as("c_name"),
+      $"c_nationkey", $"c_acctbal", $"c_mktsegment"), "customer")
     write(rep(read("supplier")).select(off("s_suppkey", kSupp).as("s_suppkey"),
-      $"s_name", $"s_nationkey", $"s_acctbal"), "supplier")
+      keyName("Supplier#", off("s_suppkey", kSupp)).as("s_name"),
+      $"s_nationkey", $"s_acctbal"), "supplier")
     write(rep(read("part")).select(off("p_partkey", kPart).as("p_partkey"),
       $"p_name", $"p_brand", $"p_type", $"p_size", $"p_retailprice"), "part")
     write(rep(read("orders")).select(off("o_orderkey", kOrd).as("o_orderkey"),
@@ -100,19 +109,28 @@ object ScaleUp {
         $"lang", $"source")
       .withColumn("n_chars", length($"text").cast("long")), "documents")
 
-    // embeddings: deterministic perturbation + re-normalization per
-    // copy (cross-copy cosine ≈ 1/sqrt(1 + 0.25²·d/2) ≈ 0.6 at d=64)
-    val pert = transform($"embedding", (x, j) =>
-      (x.cast("double") + lit(0.25) *
-        sin($"vec_id".cast("double") * 0.7 + j.cast("double") * 1.3 +
-          $"cp".cast("double") * 2.9)))
+    // embeddings: each copy applies a per-copy SIGNED PERMUTATION of
+    // the dimensions — an exact orthogonal transform, so every
+    // within-copy inner product (and the unit norm) is preserved
+    // bit-structure-for-bit-structure and the corpus's near-dup /
+    // cluster geometry replicates exactly 10×, while cross-copy dots
+    // collapse to ~0 (additive perturbations tried first were either
+    // too gentle — cosine-0.6 echoes colliding in LSH bands — or,
+    // with sin-sequence noise, mutually CORRELATED, which fabricated
+    // 45M phantom near-dup pairs at sf1). Permutation k → (a·k + b)
+    // mod d with odd a is bijective for d a power of two; signs come
+    // from a murmur3 hash of (cp, k).
+    val d = 64
+    val perm = transform(sequence(lit(0), lit(d - 1)), j => {
+      val a = $"cp" * 2 + 1 // odd ⇒ bijective mod 2^6
+      val idx = pmod(a * j + $"cp" * 17, lit(d))
+      val sgn = (lit(1) - lit(2) * pmod(hash($"cp" * 1000 + j), lit(2)))
+        .cast("float")
+      element_at($"embedding", (idx + 1).cast("int")) * sgn
+    })
     write(rep(read("embeddings"))
-      .withColumn("p", when($"cp" === 0, transform($"embedding",
-        x => x.cast("double"))).otherwise(pert))
-      .withColumn("nrm", sqrt(aggregate($"p", lit(0.0d),
-        (acc, x) => acc + x * x)))
       .select(off("vec_id", kVec).as("vec_id"),
-        transform($"p", x => (x / $"nrm").cast("float")).as("embedding"),
+        when($"cp" === 0, $"embedding").otherwise(perm).as("embedding"),
         $"label"), "embeddings")
 
     // census so the run log shows the achieved scale step

@@ -254,7 +254,17 @@ object Similarity {
   /** All pairs with cosine ≥ `threshold`, candidates from shared LSH
     * band buckets (a < b). The embedding-space sibling of MinHash
     * near-dedup: same banded-bucket candidate structure, cosine
-    * instead of Jaccard as the verifier. */
+    * instead of Jaccard as the verifier.
+    *
+    * Verify-BEFORE-dedup (round-11 sf1 lesson): the raw candidate
+    * stream is n²/buckets per band and at 10× data it reached ~50M
+    * rows — distinct-ing the IDs first put all 50M through an
+    * exchange and then re-attached both vectors per survivor. Dotting
+    * inside the band join's own codegen stage instead means a
+    * candidate that fails the threshold dies in-loop without ever
+    * being materialized; only the verified pairs (output-sized) reach
+    * the band-collision `distinct`. Cosine is deterministic per pair,
+    * so distinct-after-verify returns the identical set. */
   def embedNearDups(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
@@ -262,22 +272,14 @@ object Similarity {
     val banded = (0 until PlaneBands).map { b =>
       e.select($"vec_id", $"v", lit(b).as("band"), col(s"bucket$b").as("bucket"))
     }.reduce(_ union _)
-    // self-join on narrow (band, bucket, id) rows; dedup ID pairs,
-    // then join both vectors back for the verify step
-    val keys = banded.select($"vec_id", $"band", $"bucket")
-    val candIds = keys.as("ea")
-      .join(keys.as("eb"),
+    banded.as("ea")
+      .join(banded.as("eb"),
         col("ea.band") === col("eb.band") && col("ea.bucket") === col("eb.bucket") &&
           col("ea.vec_id") < col("eb.vec_id"))
-      .select(col("ea.vec_id").as("a"), col("eb.vec_id").as("b"))
-      .distinct()
-    val e0 = embNormed(spark, sfDir)
-    val cand = candIds
-      .join(e0.select($"vec_id".as("a"), $"v".as("va")), "a")
-      .join(e0.select($"vec_id".as("b"), $"v".as("vb")), "b")
-    cand
-      .withColumn("cosine", round(dot($"va", $"vb"), 6))
+      .select(col("ea.vec_id").as("a"), col("eb.vec_id").as("b"),
+        round(dot(col("ea.v"), col("eb.v")), 6).as("cosine"))
       .filter($"cosine" >= threshold)
+      .distinct()
       .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
       .orderBy($"vec_a", $"vec_b")
   }
@@ -287,14 +289,12 @@ object Similarity {
       s"SELECT vec_id, v, $b AS band, ${bucketExprSql(b)} AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS ($embNormedSql),
-       |banded AS ($bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT ea.vec_id AS a, ea.v AS va, eb.vec_id AS b, eb.v AS vb
-       |  FROM banded ea JOIN banded eb
-       |    ON ea.band = eb.band AND ea.bucket = eb.bucket AND ea.vec_id < eb.vec_id
-       |)
-       |SELECT a AS vec_a, b AS vec_b, round(list_dot_product(va, vb), 6) AS cosine
-       |FROM cand WHERE round(list_dot_product(va, vb), 6) >= $threshold
+       |banded AS ($bandSelects)
+       |SELECT DISTINCT ea.vec_id AS vec_a, eb.vec_id AS vec_b,
+       |  round(list_dot_product(ea.v, eb.v), 6) AS cosine
+       |FROM banded ea JOIN banded eb
+       |  ON ea.band = eb.band AND ea.bucket = eb.bucket AND ea.vec_id < eb.vec_id
+       |WHERE round(list_dot_product(ea.v, eb.v), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
