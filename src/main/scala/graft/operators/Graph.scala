@@ -381,44 +381,31 @@ object Graph {
       .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
       .select($"src", $"dst"))
     val nE = oriented.count()
-    // Two capacity-tiered algorithms (the adjacency table totals |E|
-    // longs — the same bound as the closing-edge set):
-    //
-    // UNDER CAP — adjacency intersection: tri = Σ over oriented edges
+    // ONE algorithm, capacity-tiered JOIN STRATEGY (round-11 sf1
+    // lesson): adjacency intersection — tri = Σ over oriented edges
     // (u,v) of |N⁺(u) ∩ N⁺(v)|. In the acyclic degree orientation
     // every triangle has one source, one middle, one sink; only the
     // source→middle edge sees the sink in both out-neighborhoods, so
-    // each triangle is counted exactly once. The corpus-sized
-    // intermediate of the wedge formulation (Σ outdeg² rows) never
-    // materializes — the job is one |E|-row scan against a broadcast
-    // adjacency map with a per-row bounded intersection (arrays ≤
-    // √(2|E|) by the orientation bound). Measured 2.9 s → see
-    // PLANS.md at sf0.1 vs the wedge route.
-    //
-    // OVER CAP — the textbook MapReduce wedge count: enumerate wedges
-    // at their apex, shuffle-join against the closing-edge set; both
-    // sides shuffle on the canonical pair, AQE picks the strategy.
-    val tri = if (graft.util.Broadcasting.fits(spark, nE)) {
-      val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
-      oriented
-        .join(broadcast(adj.select($"src", $"nbrs".as("nu"))), Seq("src"))
-        .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nv"))),
-          Seq("dst"), "left")
-        .select(when($"nv".isNull, lit(0))
-          .otherwise(size(array_intersect($"nu", $"nv"))).as("c"))
-        .agg(coalesce(sum($"c"), lit(0L))).head().getLong(0)
-    } else {
-      val wedges = oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
-        .filter(col("e1.dst") < col("e2.dst"))
-        .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-      val closing = oriented.select(
-        least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      wedges
-        .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
-        .join(closing, Seq("a", "b"))
-        .count()
-    }
+    // each triangle is counted exactly once. The wedge formulation
+    // that used to be the over-cap tier shuffled Σ outdeg² ROWS —
+    // one row per wedge through two exchanges — and measured 25×
+    // linear at a 10× step; intersecting packed adjacency arrays
+    // moves Σ outdeg longs instead (√(2|E|)-bounded per row by the
+    // orientation), so past the broadcast cap the SAME plan simply
+    // degrades from broadcast-hash to shuffled-hash joins of the
+    // |E|-row adjacency table. Measured 51.8 s → 6.1 s at sf1
+    // (5.2× the sf0.1 wall at a 10× data step).
+    val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
+    val adjU = graft.util.Broadcasting.maybeBroadcast(
+      adj.select($"src", $"nbrs".as("nu")), nE)
+    val adjV = graft.util.Broadcasting.maybeBroadcast(
+      adj.select($"src".as("dst"), $"nbrs".as("nv")), nE)
+    val tri = oriented
+      .join(adjU, Seq("src"))
+      .join(adjV, Seq("dst"), "left")
+      .select(when($"nv".isNull, lit(0))
+        .otherwise(size(array_intersect($"nu", $"nv"))).as("c"))
+      .agg(coalesce(sum($"c"), lit(0L))).head().getLong(0)
     val nV = nodes.count()
     Seq((nV, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
@@ -1391,41 +1378,27 @@ object Graph {
       .join(deg.select($"src".as("dst"), $"d".as("dd")), "dst")
       .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
       .select($"src", $"dst"))
-    // Two capacity-tiered triangle enumerations, both emitting each
-    // triangle ONCE as its 3 vertices (the triangleCountOf tiers,
-    // upgraded to carry vertex identity for the local counts):
-    //
-    // UNDER CAP — adjacency intersection: for oriented (u,v), every
-    // w ∈ N⁺(u) ∩ N⁺(v) closes exactly one triangle (u = source,
-    // v = middle, w = sink in the acyclic orientation). The explode
-    // emits |triangles| rows — the wedge stream (Σ outdeg² rows)
-    // never materializes.
-    //
-    // OVER CAP — the MapReduce wedge count: enumerate wedges at the
-    // apex, shuffle-join against the canonical closing-edge set.
+    // ONE triangle enumeration, capacity-tiered JOIN STRATEGY (the
+    // round-11 triangleCountOf rewrite, carried here): for oriented
+    // (u,v), every w ∈ N⁺(u) ∩ N⁺(v) closes exactly one triangle
+    // (u = source, v = middle, w = sink in the acyclic orientation);
+    // the explode emits |triangles| rows. Past the broadcast cap the
+    // SAME plan degrades to shuffled-hash joins of the |E|-row
+    // adjacency table — the retired wedge tier shuffled one row per
+    // wedge (Σ outdeg² rows) and measured 25× linear at a 10× step.
     val nE = oriented.count()
-    val triVerts = (if (graft.util.Broadcasting.fits(spark, nE)) {
-      val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
-      // inner joins: an edge whose endpoint has no out-neighbors
-      // closes no triangle — dropping it early is correct and keeps
-      // the branch type-generic (no hardcoded empty-array type)
-      oriented
-        .join(broadcast(adj.select($"src", $"nbrs".as("nu"))), Seq("src"))
-        .join(broadcast(adj.select($"src".as("dst"), $"nbrs".as("nv"))),
-          Seq("dst"))
-        .select($"src".as("v"), $"dst".as("a"),
-          explode(array_intersect($"nu", $"nv")).as("b"))
-    } else {
-      val closing = oriented.select(
-        least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
-        .filter(col("e1.dst") < col("e2.dst"))
-        .select(col("e1.src").as("v"),
-          least(col("e1.dst"), col("e2.dst")).as("a"),
-          greatest(col("e1.dst"), col("e2.dst")).as("b"))
-        .join(closing, Seq("a", "b"))
-    }).select(explode(array($"v", $"a", $"b")).as("u"))
+    val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
+    // inner joins: an edge whose endpoint has no out-neighbors
+    // closes no triangle — dropping it early is correct and keeps
+    // the plan type-generic (no hardcoded empty-array type)
+    val triVerts = oriented
+      .join(graft.util.Broadcasting.maybeBroadcast(
+        adj.select($"src", $"nbrs".as("nu")), nE), Seq("src"))
+      .join(graft.util.Broadcasting.maybeBroadcast(
+        adj.select($"src".as("dst"), $"nbrs".as("nv")), nE), Seq("dst"))
+      .select($"src".as("v"), $"dst".as("a"),
+        explode(array_intersect($"nu", $"nv")).as("b"))
+      .select(explode(array($"v", $"a", $"b")).as("u"))
     val tv = triVerts.groupBy($"u").agg(count(lit(1)).as("t"))
     // every triangle vertex has degree >= 2, so the d>=2 frame sees
     // the full triangle mass: sum(t) over it is exactly 3*triangles
