@@ -89,6 +89,19 @@ object Bench {
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
+    // Malformed or non-positive SPARK_GRAFT_PASSES falls back to 3
+    // with a warning (a bare .toInt crashed the whole bench; passes
+    // <= 0 silently reported every query as errored).
+    val passes = sys.env.get("SPARK_GRAFT_PASSES") match {
+      case None => 3
+      case Some(raw) =>
+        scala.util.Try(raw.trim.toInt).toOption.filter(_ >= 1).getOrElse {
+          System.err.println(
+            s"[bench] SPARK_GRAFT_PASSES='$raw' invalid — using 3")
+          3
+        }
+    }
+
     // a failed query must NOT masquerade as a fast one: report -1 for
     // its time and list it under "errors". Each query is timed THREE
     // times and the best pass reported: the host is a shared microVM
@@ -107,7 +120,6 @@ object Bench {
       // a transiently failing pass must not discard another pass's
       // valid time (min with the -1 sentinel would); only a query
       // failing ALL passes reports as errored
-      val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
       val times = Seq.fill(passes)(pass()).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
@@ -178,6 +190,21 @@ object Bench {
       }
     }
     println(line)
+    // Round-11 verdict item 7: the full line above (~6 KB at 266
+    // queries) overflows the driver's 2,000-char stdout tail, so its
+    // artifact carried `"parsed": null`. The LAST thing this program
+    // prints is therefore a COMPACT summary line guaranteed to fit
+    // inside the tail even with sbt's epilogue after it: total +
+    // errors + the reference-parity headline timings (the queries
+    // BASELINE.md actually grades) + a pointer to the full per-query
+    // dump written just above.
+    val headline = results.toSeq
+      .filter { case (k, _) => k.startsWith("ref_") }
+      .sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$headline,"n_queries":${results.size},"errors":$errs,"sf":"$sfDir","full":"graft_bench_last.json"}""")
     spark.stop()
   }
 }

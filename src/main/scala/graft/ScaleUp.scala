@@ -120,7 +120,16 @@ object ScaleUp {
     // 45M phantom near-dup pairs at sf1). Permutation k → (a·k + b)
     // mod d with odd a is bijective for d a power of two; signs come
     // from a murmur3 hash of (cp, k).
-    val d = 64
+    // dimension comes from the DATA, not a constant: a hardcoded d
+    // that drifted from the corpus width would make element_at read
+    // past the array and silently fill scaled copies with nulls. The
+    // odd-multiplier permutation is only bijective mod a power of
+    // two, so assert that too instead of corrupting the output.
+    val d = read("embeddings").select(size($"embedding")).head().getInt(0)
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"embedding dim $d must be a power of two for the signed-permutation scaler")
+    require(read("embeddings").filter(size($"embedding") =!= d).isEmpty,
+      s"embeddings corpus is ragged: not every vector has dim $d")
     val perm = transform(sequence(lit(0), lit(d - 1)), j => {
       val a = $"cp" * 2 + 1 // odd ⇒ bijective mod 2^6
       val idx = pmod(a * j + $"cp" * 17, lit(d))

@@ -247,12 +247,45 @@ object Clustering {
     * independent trainings (the PQ sub-codebooks replay one chain
     * per vector subspace). The final centroids land in `${pfx}c$iters`. */
   private[operators] def kmeansChainSql(k: Int, iters: Int,
-                                        src: String, pfx: String): String = {
+                                        src: String, pfx: String): String =
+    kmeansChainSqlInit(k.toString, iters, src, pfx)
+
+  /** DYNAMIC-k chain: the cell count is not a literal but the
+    * [[kFor]] sizing rule evaluated over `src` itself —
+    * ⌈count/target⌉ clamped to [1, maxK] — so the oracle replays the
+    * exact k the Scala side derives from `e.count()`. The init CTE
+    * ranks by the same salted hash and keeps `rn <= k` via a scalar
+    * subquery instead of a literal LIMIT; every subsequent Lloyd's
+    * step is k-free, so the step CTEs are shared verbatim with the
+    * fixed-k chain. */
+  private[operators] def kmeansChainSqlKFor(iters: Int, src: String, pfx: String,
+                                            target: Long = TargetCellSize,
+                                            maxK: Int = 1 << 16): String = {
+    val kExpr =
+      s"(SELECT LEAST($maxK, GREATEST(1, CAST(CEIL(COUNT(*) / $target.0) AS BIGINT))) FROM $src)"
+    val init =
+      s"""${pfx}c0 AS (
+         |  SELECT rn - 1 AS cell, v AS cv FROM (
+         |    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn
+         |    FROM (SELECT vec_id, v, ${Hashing.md5i32Sql("vec_id::VARCHAR", InitSalt)} AS h
+         |          FROM $src))
+         |  WHERE rn <= $kExpr)""".stripMargin
+    init + ",\n" + kmeansChainStepsSql(iters, src, pfx)
+  }
+
+  private def kmeansChainSqlInit(k: String, iters: Int,
+                                 src: String, pfx: String): String = {
     val init =
       s"""${pfx}c0 AS (
          |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
          |  FROM (SELECT vec_id, v, ${Hashing.md5i32Sql("vec_id::VARCHAR", InitSalt)} AS h
          |        FROM $src ORDER BY h, vec_id LIMIT $k))""".stripMargin
+    init + ",\n" + kmeansChainStepsSql(iters, src, pfx)
+  }
+
+  /** The k-free Lloyd's step CTEs (assign → mean-update → collect),
+    * shared by the fixed-k and dynamic-k chains. */
+  private def kmeansChainStepsSql(iters: Int, src: String, pfx: String): String = {
     val steps = (1 to iters).map { t =>
       s"""${pfx}s$t AS (
          |  SELECT e.vec_id, e.v, c.cell,
@@ -271,7 +304,7 @@ object Clustering {
          |    FROM ${pfx}a$t) GROUP BY cell, dim),
          |${pfx}c$t AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ${pfx}m$t GROUP BY cell)""".stripMargin
     }
-    (init +: steps).mkString(",\n")
+    steps.mkString(",\n")
   }
 
   // ---------------------------------------------------------------
@@ -521,7 +554,13 @@ object Clustering {
                   threshold: Double = 0.4): String =
     s"""WITH e AS (${Similarity.normalizedSql}),
        |${kmeansChainSql(k, iters)},
-       |sf AS (
+       |${semDedupTailSql(iters, threshold)}""".stripMargin
+
+  /** The assign + cell-scoped pair-verify tail shared by the fixed-k
+    * and at-scale SemDeDup oracles (both read the trained centroids
+    * from `c$iters`). */
+  private def semDedupTailSql(iters: Int, threshold: Double): String =
+    s"""sf AS (
        |  SELECT e.vec_id, e.v, c.cell,
        |         round(list_dot_product(e.v, c.cv)
        |               - 0.5 * list_dot_product(c.cv, c.cv), 6) AS score
@@ -535,4 +574,39 @@ object Clustering {
        |FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // llm_semdedup_atscale — SemDeDup with corpus-sized cell count
+  // ---------------------------------------------------------------
+
+  /** The AT-SCALE SemDeDup configuration, driver-checked (round-11
+    * verdict item 1): identical operator to [[semDedup]], but the
+    * cell count is NOT a fixed demo constant — it is the [[kFor]]
+    * capacity rule, k ≈ n / [[TargetCellSize]], evaluated against
+    * the corpus at hand. This is the configuration whose cost is
+    * linear in the corpus: expected Σ|cell|²/2 ≈ n·target/2 grows
+    * 1:1 with n (the fixed-k=8 demo registered as `llm_semdedup`
+    * is quadratic — its cells grow with the corpus, and its pair
+    * verify read 14× at the round-11 10× sweep), while the
+    * [[CellJoinCap]] sub-bucketing keeps any single hot cell from
+    * skewing the join. Assignment dispatches through [[withCell]]:
+    * map-side literal argmax for small k, broadcast-centroid join
+    * once kFor crosses [[AssignLiteralMaxK]] — both one corpus scan.
+    *
+    * The oracle replays the identical dynamic-k training chain
+    * ([[kmeansChainSqlKFor]]): the SAME ⌈count/target⌉ sizing, the
+    * same salted-hash init ranking, the same rounded Lloyd's
+    * updates — so the entry is hash-checked end-to-end, sizing rule
+    * included. */
+  def semDedupAtScale(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.4): DataFrame = {
+    val e = Similarity.normalized(spark, sfDir)
+    val k = kFor(e.count())
+    semDedupOf(e, kmeansModel(spark, sfDir, k), threshold)
+  }
+
+  def semDedupAtScaleSql(iters: Int = Iters, threshold: Double = 0.4): String =
+    s"""WITH e AS (${Similarity.normalizedSql}),
+       |${kmeansChainSqlKFor(iters, "e", "")},
+       |${semDedupTailSql(iters, threshold)}""".stripMargin
 }

@@ -1535,8 +1535,18 @@ object CorpusQuality {
   // ---------------------------------------------------------------
 
   /** The compliance denylist — ONE definition feeding the operator,
-    * the oracle, and the spec. */
+    * the oracle, and the spec.
+    *
+    * Terms are constrained to the tokenizer's own output alphabet
+    * (lowercase `[\p{L}\p{N}_]+`): the match is membership in the
+    * [[tokens]] stream, so a term with uppercase, punctuation, or a
+    * quote could NEVER match a token — and a quote would additionally
+    * break the interpolated `'$t'` literal in the oracle SQL and the
+    * derived `h_$t` column names. Fail loudly at class-load instead
+    * of silently matching nothing (round-11 advice). */
   val BlocklistTerms: Seq[String] = Seq("big", "slow", "stream", "vector")
+  require(BlocklistTerms.forall(_.matches("[\\p{Ll}\\p{N}_]+")),
+    s"blocklist terms must be lowercase [\\p{L}\\p{N}_]+ tokens: $BlocklistTerms")
 
   /** Denylist screen over the corpus — the compliance/NSFW-wordlist
     * stage every production curation pipeline runs before anything

@@ -50,6 +50,53 @@ object Graph {
     (edges, nodes)
   }
 
+  /** [[coActorEdges]] with ids as longs — the hash/compare type every
+    * numeric graph kernel wants (actor ids are stringified part
+    * keys). ONE session-cached frame shared by triangle counting,
+    * clustering coefficients, k-hop, and assortativity, instead of
+    * each entry re-deriving its own cast copy. */
+  private[graft] def coActorEdgesLong(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    cached("coactor-edges-long", coActorEdges(spark, sfDir)._1
+      .select($"src".cast("long").as("src"), $"dst".cast("long").as("dst")))
+  }
+
+  /** Undirected degree frame `(src, d)` over a both-arcs edge frame —
+    * session-cached (keyed by the edge frame's own plan hash), so the
+    * triangle / clustering-coefficient / assortativity trio derives
+    * it once per session, not once per query. */
+  private def cachedDeg(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    cached("graph-deg", edges.groupBy($"src").agg(count(lit(1)).as("d")))
+  }
+
+  /** Degree orientation of a both-arcs edge frame: every undirected
+    * edge kept once, pointing from its lower-(degree, id) endpoint to
+    * the higher — the power-law-safe wedge apex bound (out-degrees ≤
+    * √(2|E|) on any graph). ONE construction (and session-cache
+    * entry) shared by [[triangleCountOf]] and [[clusteringCoeffOf]];
+    * the degree frame it consumes is the shared [[cachedDeg]]. */
+  private def orientedEdges(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val deg = cachedDeg(edges)
+    cached("tri-oriented", edges
+      .join(deg.select($"src", $"d".as("ds")), "src")
+      .join(deg.select($"src".as("dst"), $"d".as("dd")), "dst")
+      .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
+      .select($"src", $"dst"))
+  }
+
+  /** Out-neighbor adjacency lists of the oriented frame — the build
+    * side of the triangle-intersection join, session-cached and
+    * shared by the triangle and clustering-coefficient entries (the
+    * collect_list aggregate is the most expensive derivation either
+    * makes). */
+  private def orientedAdj(oriented: DataFrame): DataFrame = {
+    import oriented.sparkSession.implicits._
+    cached("tri-adj",
+      oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs")))
+  }
+
   /** Layout/content card of the materialized co-actor edge table —
     * the `src_coactor_edges` catalog entry. One row: edge count,
     * distinct sources, max out-degree, and the count of asymmetric
@@ -357,12 +404,11 @@ object Graph {
     * Returns one row: nodes, undirected edges, triangles. */
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (edges, nodes) = coActorEdges(spark, sfDir)
     // actor ids are stringified part keys: hash/compare the wedge
-    // stream (the big intermediate) as longs, not strings
-    triangleCountOf(
-      edges.select($"src".cast("long").as("src"), $"dst".cast("long").as("dst")),
-      nodes.select($"a".cast("long").as("a")))
+    // stream (the big intermediate) as longs, not strings — via the
+    // shared session-cached cast frame
+    triangleCountOf(coActorEdgesLong(spark, sfDir),
+      coActorEdges(spark, sfDir)._2.select($"a".cast("long").as("a")))
   }
 
   /** [[triangleCount]] over any directed edge frame `(src, dst)`
@@ -371,15 +417,7 @@ object Graph {
   def triangleCountOf(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // undirected degree (the directed list has both arcs, so out-deg
-    // of the directed list == undirected degree)
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      .select($"src".as("v"), $"deg")
-    val oriented = cached("tri-oriented", edges
-      .join(deg.select($"v".as("src"), $"deg".as("ds")), "src")
-      .join(deg.select($"v".as("dst"), $"deg".as("dd")), "dst")
-      .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
-      .select($"src", $"dst"))
+    val oriented = orientedEdges(edges)
     val nE = oriented.count()
     // ONE algorithm, capacity-tiered JOIN STRATEGY (round-11 sf1
     // lesson): adjacency intersection — tri = Σ over oriented edges
@@ -395,7 +433,7 @@ object Graph {
     // degrades from broadcast-hash to shuffled-hash joins of the
     // |E|-row adjacency table. Measured 51.8 s → 6.1 s at sf1
     // (5.2× the sf0.1 wall at a 10× data step).
-    val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
+    val adj = orientedAdj(oriented)
     val adjU = graft.util.Broadcasting.maybeBroadcast(
       adj.select($"src", $"nbrs".as("nu")), nE)
     val adjV = graft.util.Broadcasting.maybeBroadcast(
@@ -429,8 +467,8 @@ object Graph {
     * an exhausted component. */
   def khopActors(spark: SparkSession, sfDir: String, hops: Int = 3): DataFrame = {
     import spark.implicits._
-    val (edges, nodes) = coActorEdges(spark, sfDir)
-    val e = edges.select($"src".cast("long").as("src"), $"dst".cast("long").as("dst"))
+    val nodes = coActorEdges(spark, sfDir)._2
+    val e = coActorEdgesLong(spark, sfDir)
     val seed = nodes.agg(min($"a".cast("long")).as("a"))
     khopOf(e, seed, hops)
       .groupBy($"hop")
@@ -753,22 +791,28 @@ object Graph {
     val e = cached("cc-edges", edges)
     val n = nodes.count()
     var labels = nodes.select($"a", $"a".as("lbl")).localCheckpoint()
+    var prevCkpt = labels
     var changed = -1L
     var it = 0
     while (changed != 0L && it < maxRounds) {
+      // min over in-neighbor labels, LEFT-joined back onto the label
+      // frame — the oracle's LEAST/COALESCE formulation, which lets
+      // the round CARRY the old label through the checkpoint: the
+      // convergence witness is then a filter-count SCAN of the frame
+      // the round materialized anyway, not a second |V|-row join job
+      // per round (measured ~2× the per-round wall at bench scale)
       val msgs = e
         .join(graft.util.Broadcasting.maybeBroadcast(labels, n),
           e("src") === labels("a"))
-        .select($"dst".as("a"), $"lbl")
-      val next = labels.unionByName(msgs)
-        .groupBy($"a").agg(min($"lbl").as("lbl"))
+        .groupBy($"dst").agg(min($"lbl").as("ml"))
+      val next = labels.select($"a", $"lbl".as("old"))
+        .join(msgs.select($"dst".as("a"), $"ml"), Seq("a"), "left")
+        .select($"a", least($"old", coalesce($"ml", $"old")).as("lbl"), $"old")
         .localCheckpoint()
-      // convergence witness: one driver long off the two frames the
-      // round already materialized
-      changed = next.join(labels.select($"a", $"lbl".as("old")), Seq("a"))
-        .filter($"lbl" =!= $"old").count()
-      labels.unpersist(blocking = false)
-      labels = next
+      changed = next.filter($"lbl" =!= $"old").count()
+      prevCkpt.unpersist(blocking = false)
+      prevCkpt = next
+      labels = next.select($"a", $"lbl")
       it += 1
     }
     require(changed == 0L,
@@ -873,8 +917,12 @@ object Graph {
         .distinct()
         .localCheckpoint()
       // convergence witness: symmetric difference of consecutive edge
-      // sets (both sides distinct, so except ≡ exceptAll)
-      changed = small.except(e).count() + e.except(small).count()
+      // sets. Both sides are distinct, so |AΔB| = |A| + |B| − 2|A∩B|
+      // — ONE equi-join job plus two scans of frames already
+      // checkpointed, where the two except() forms each paid a full
+      // two-sided shuffle per alternation
+      val inter = small.join(e, Seq("src", "dst")).count()
+      changed = small.count() + e.count() - 2 * inter
       e.unpersist(blocking = false)
       e = small
       it += 1
@@ -1252,17 +1300,18 @@ object Graph {
     * (bucket-local on the materialized layout); each arc picks up
     * its endpoint degrees via two equi-joins; the moments are ONE
     * partial+final aggregate. Driver sees six longs. */
-  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val (edges, _) = coActorEdges(spark, sfDir)
-    assortativityOf(edges)
-  }
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    // long ids: r depends only on degrees, so the cast changes no
+    // output value — but the two degree equi-joins hash longs instead
+    // of strings, and the degree frame is the session-shared one
+    assortativityOf(coActorEdgesLong(spark, sfDir))
 
   /** [[graphAssortativity]] over any directed arc frame
     * `(src, dst)`. */
   private[graft] def assortativityOf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val deg = cachedDeg(edges)
     edges
       .join(deg.select($"src", $"d".as("dx")), "src")
       .join(deg.select($"src".as("dst"), $"d".as("dy")), "dst")
@@ -1358,26 +1407,19 @@ object Graph {
     * BEFORE the mean (double averaging would be order-dependent)
     * and the mean is one floor division. Driver sees four scalars.
     */
-  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (edges, _) = coActorEdges(spark, sfDir)
-    clusteringCoeffOf(edges.select(
-      $"src".cast("long").as("src"), $"dst".cast("long").as("dst")))
-  }
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringCoeffOf(coActorEdgesLong(spark, sfDir))
 
   /** [[graphClusteringCoeff]] over any directed arc frame
     * `(src, dst)` holding BOTH arcs of each undirected edge. */
   private[graft] def clusteringCoeffOf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val deg = cachedDeg(edges)
     // identical construction (and cache key) to triangleCountOf's
-    // orientation, so the two queries share one cached frame
-    val oriented = cached("tri-oriented", edges
-      .join(deg.select($"src", $"d".as("ds")), "src")
-      .join(deg.select($"src".as("dst"), $"d".as("dd")), "dst")
-      .filter($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"))
-      .select($"src", $"dst"))
+    // orientation, so the two queries share one cached frame —
+    // likewise the degree frame and the adjacency build side below
+    val oriented = orientedEdges(edges)
     // ONE triangle enumeration, capacity-tiered JOIN STRATEGY (the
     // round-11 triangleCountOf rewrite, carried here): for oriented
     // (u,v), every w ∈ N⁺(u) ∩ N⁺(v) closes exactly one triangle
@@ -1387,7 +1429,7 @@ object Graph {
     // adjacency table — the retired wedge tier shuffled one row per
     // wedge (Σ outdeg² rows) and measured 25× linear at a 10× step.
     val nE = oriented.count()
-    val adj = oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
+    val adj = orientedAdj(oriented)
     // inner joins: an edge whose endpoint has no out-neighbors
     // closes no triangle — dropping it early is correct and keeps
     // the plan type-generic (no hardcoded empty-array type)

@@ -2479,7 +2479,18 @@ object Relational {
     * voids the guarantee just like the hash draw). The draw is
     * floored onto the same (k+0.5)/2²⁰ grid as the replay variant,
     * which never lands on 0, ½, or 1 (the Laplace inverse-CDF's
-    * singular points). */
+    * singular points).
+    *
+    * Seeded-reproducibility CAVEAT (round-11 advice): `rand(seed)`
+    * derives each row's value from (seed, partitionId, rowOffset),
+    * so a seeded run only replays bit-for-bit under the SAME
+    * partitioning of the cells frame — same input layout, same
+    * shuffle-partition config, same Spark version. It is run-to-run
+    * stable on one fixed pipeline, NOT a cross-environment contract;
+    * callers who need environment-independent seeded noise should
+    * derive it from a keyed hash of (seed, cell key) instead — at
+    * which point the noise is a function of released data and the
+    * same no-privacy warning as [[dpReleaseOf]] applies. */
   def dpReleaseRandom(events: DataFrame,
                       seed: Option[Long] = None): DataFrame = {
     val r = seed.map(rand).getOrElse(rand())

@@ -103,6 +103,43 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     pairs.unpersist()
   }
 
+  test("kFor: capacity sizing rule is ceil(n/target) clamped to [1, maxK]") {
+    assert(Clustering.kFor(0) == 1)
+    assert(Clustering.kFor(1) == 1)
+    assert(Clustering.kFor(256) == 1)
+    assert(Clustering.kFor(257) == 2)
+    assert(Clustering.kFor(2000) == 8)
+    assert(Clustering.kFor(20000) == 79)
+    assert(Clustering.kFor(Long.MaxValue / 2) == (1 << 16), "maxK clamp")
+    // the at-scale path crosses into the broadcast-join assignment
+    // tier once kFor(n) exceeds the literal-argmax codegen budget
+    assert(Clustering.kFor(64L * 256 + 1) > Clustering.AssignLiteralMaxK)
+  }
+
+  test("semDedupAtScale: kFor-sized model, pair invariants, matches direct run") {
+    import spark.implicits._
+    val thr = 0.4
+    val n = e.count()
+    val k = Clustering.kFor(n)
+    assert(k != Clustering.K,
+      s"test corpus sizes kFor to the demo k=$k — differential is vacuous")
+    val pairs = Clustering.semDedupAtScale(spark, sf, thr).cache()
+    val rows = pairs.collect()
+    assert(rows.nonEmpty, "no at-scale semantic near-dup pairs at test scale")
+    assert(rows.forall(r => r.getLong(1) < r.getLong(2)))
+    assert(rows.forall(_.getDouble(3) >= thr))
+    // the trained model really is kFor-sized (empty cells may drop)
+    val model = Clustering.kmeansModel(spark, sf, k)
+    assert(model.size <= k && model.nonEmpty)
+    assert(rows.map(_.getInt(0)).forall(c => c >= 0 && c < k))
+    // bit-identical to an explicit semDedupOf run at the same k
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_a", $"vec_b", $"cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(key(pairs) == key(Clustering.semDedupOf(e, model, thr)))
+    pairs.unpersist()
+  }
+
   test("IVF over trained k-means centroids achieves reasonable recall") {
     import spark.implicits._
     val k = 5

@@ -42,11 +42,19 @@ def main(lo_path, hi_path, step):
         print(f"{name:42s} {tl:8.3f} {th:8.3f} {ratio:7.2f}{mark}")
     tot_lo = sum(v for v in qlo.values() if v >= 0)
     tot_hi = sum(v for v in qhi.values() if v >= 0)
+    tot_ratio = f"{tot_hi/tot_lo:.2f}" if tot_lo > 0 else "n/a (lo total is 0)"
     print(f"\ntotals: lo={tot_lo:.1f}s hi={tot_hi:.1f}s "
-          f"ratio={tot_hi/tot_lo:.2f} (step={step}, envelope={3*step}x)")
+          f"ratio={tot_ratio} (step={step}, envelope={3*step}x)")
+    # a renamed/dropped query must not silently vanish from the sweep:
+    # report the symmetric difference and treat it as a failure
+    only_lo, only_hi = sorted(set(qlo) - set(qhi)), sorted(set(qhi) - set(qlo))
+    if only_lo:
+        print(f"only in {lo_path}: {only_lo}")
+    if only_hi:
+        print(f"only in {hi_path}: {only_hi}")
     print(f"flagged: {flagged or 'none'}")
     print(f"errored at hi scale: {errored or 'none'}")
-    return 1 if (flagged or errored) else 0
+    return 1 if (flagged or errored or only_lo or only_hi) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2], float(sys.argv[3])))
