@@ -32,6 +32,15 @@ object Graft {
                     hasHeader: Boolean = true): DataFrame =
     sources.Ingest.readMoviesCsv(spark, path, hasHeader)
 
+  /** [[readMoviesCsv]] plus a dead-letter frame: `(good, quarantined)`
+    * — `good` is bit-for-bit the plain read; `quarantined` carries one
+    * `_quarantined` raw-content row per line the ingest filter
+    * rejected (missing id/title), so malformed rows are reviewable
+    * instead of silently dropped at the library's front door. */
+  def readMoviesCsvQuarantined(spark: org.apache.spark.sql.SparkSession,
+                               path: String, hasHeader: Boolean = true): (DataFrame, DataFrame) =
+    sources.Ingest.readMoviesCsvQuarantined(spark, path, hasHeader)
+
   /** Movies sharing cast with `title`, leveled by overlap (≤4). */
   def titleLevels(movies: DataFrame, title: String): DataFrame =
     operators.ReferenceQueries.titleLevelsOn(movies, title)

@@ -25,6 +25,40 @@ class GraftFacadeSpec extends AnyFunSuite with SparkSpec {
     assert(Graft.actorCoactorsBatch(movies, Seq("x", "z")).count() == 4) // x→{y,z}, z→{x,y}
   }
 
+  test("quarantined movies ingest: planted bad rows surface, good side is the plain read") {
+    import spark.implicits._
+    // a caller CSV with malformed rows planted among the good ones:
+    // a blank-ish all-comma line, a missing title, a missing id —
+    // plus a quoted title containing a comma (must stay GOOD)
+    val dir = java.nio.file.Files.createTempDirectory("graft_movies_q").toString
+    val csv = Seq(
+      "MovieID,Title,Actor1,Actor2",
+      "1,alpha,x,y",
+      ",,,",                    // all-empty → quarantine
+      "2,,x,y",                 // missing title → quarantine
+      ",beta,x,",               // missing id → quarantine
+      "3,\"gamma, the movie\",z,", // quoted comma — good
+      "4,delta,x,z").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "movies.csv"),
+      csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (good, bad) = Graft.readMoviesCsvQuarantined(spark, dir)
+    // good side == the plain front-door read, bit for bit
+    val plain = Graft.readMoviesCsv(spark, dir)
+    assert(good.collect().toSet == plain.collect().toSet)
+    assert(good.count() == 3) // alpha, gamma, delta
+    val gamma = good.filter($"id" === "3").head()
+    assert(gamma.getString(1) == "gamma, the movie")
+    assert(gamma.getSeq[String](2) == Seq("z"))
+    // every planted bad row is in the dead-letter frame with content
+    val q = bad.as[String].collect().sorted.toSeq
+    assert(q.size == 3, s"quarantine rows: $q")
+    assert(q.exists(_.contains("beta")) && q.exists(_.startsWith("2,")))
+    // the split is a partition of the scan: good + bad == raw lines
+    assert(good.count() + bad.count() == 7 - 1) // minus header
+    // downstream reference query runs unchanged on the good side
+    assert(Graft.titleLevels(good, "alpha").count() == 1) // delta shares x
+  }
+
   test("near-dedup pipeline runs on a caller-provided docs frame") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"
