@@ -30,12 +30,18 @@ def canon(cols, rows):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return [c for c in sorted(cols)], sorted(out)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; Spark-written scale
+        # data (ScaleUp) is a directory of part files — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_typewarn = 0
+    results = {}
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -78,6 +84,9 @@ def main(sf_dir, out_dir):
             pass
         sc, sr = canon(scols, s)
         oc, orr = canon(ocols, o)
+        res = {"rows": len(sr), "oracle_rows": len(orr),
+               "schema_match": sc == oc, "hash_match": sr == orr}
+        results[name] = res
         if sc != oc:
             print(f"FAIL {name}: columns spark={sc} oracle={oc}")
             n_fail += 1
@@ -89,7 +98,20 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_typewarn} typewarn ==")
+    if json_out:
+        # artifact form: only queries that produced spark output (a
+        # subset run omits the rest on purpose; the stdout FAILs above
+        # still flag a full run's missing outputs) — counts cover the
+        # recorded queries, not the skipped remainder
+        ok = sum(1 for v in results.values()
+                 if v["schema_match"] and v["hash_match"])
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": ok,
+                       "n_fail": len(results) - ok,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail or n_typewarn else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
