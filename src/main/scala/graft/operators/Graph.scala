@@ -87,14 +87,21 @@ object Graph {
   }
 
   /** Out-neighbor adjacency lists of the oriented frame — the build
-    * side of the triangle-intersection join, session-cached and
-    * shared by the triangle and clustering-coefficient entries (the
-    * collect_list aggregate is the most expensive derivation either
-    * makes). */
+    * side of the triangle-intersection join, ONE construction shared
+    * by the triangle and clustering-coefficient entries.
+    *
+    * Deliberately NOT session-cached (round-12 sf1 lesson): caching
+    * the array-typed frame materializes + columnar-compresses every
+    * adjacency list and blocks both whole-stage fusion of the
+    * aggregate into its joins and Spark's EXCHANGE REUSE — the two
+    * join sides are textually identical aggregates, so the planner
+    * already computes the shuffle once and reads it twice. With the
+    * cache the sf1 triangle went 4.9 s → 12.8 s and the coefficient
+    * 5.7 s → 28.9 s; uncached, both sides reuse one exchange and the
+    * arrays never round-trip through the block store. */
   private def orientedAdj(oriented: DataFrame): DataFrame = {
     import oriented.sparkSession.implicits._
-    cached("tri-adj",
-      oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs")))
+    oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
   }
 
   /** Layout/content card of the materialized co-actor edge table —
