@@ -55,7 +55,15 @@ class AqeRuntimeAuditSpec extends AnyFunSuite with SparkSpec
     "rel_concurrency_peak", "llm_langid_chargram",
     "rel_referential_integrity", "llm_semdedup_atscale")
 
-  private val BroadcastCapBytes = 64L * 1024 * 1024
+  /** The `dataSize` metric of a broadcast hash relation includes the
+    * map's PREALLOCATED page space — empirically a flat 64 MiB floor
+    * on this Spark build (every tiny probe/rank broadcast in the
+    * catalog reports 67,108,864 + a few KB of real rows). The cap is
+    * therefore floor + 64 MiB of actual payload: tight enough that a
+    * corpus-sized frame riding a stale broadcast hint at suite sf
+    * still trips it, loose enough that the allocator floor never
+    * false-positives. */
+  private val BroadcastCapBytes = 128L * 1024 * 1024
   /** numOutputRows cap for an unbounded-looking product node: the
     * library's 1-row-aggregate re-entries emit ≤ |other side| rows and
     * the knn probe set is ≤ 64 probes × k — 1e6 is an order of
@@ -63,9 +71,15 @@ class AqeRuntimeAuditSpec extends AnyFunSuite with SparkSpec
   private val ProductRowsCap = 1000000L
 
   /** Execute and return every node of the FINAL adaptive tree,
-    * including exchange/stage-reused subtrees. */
+    * including exchange/stage-reused subtrees. The action MUST drive
+    * the dataframe's OWN QueryExecution: a `write` (even noop) wraps
+    * the logical plan in a NEW command QueryExecution, leaving
+    * `df.queryExecution` un-executed — its adaptive plan would still
+    * be the initial tree with all metrics zero, and every runtime
+    * assertion would pass vacuously. `collect()` executes exactly the
+    * plan this spec then walks (suite sf keeps results tiny). */
   private def ranPlan(df: DataFrame): Seq[SparkPlan] = {
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     collect(df.queryExecution.executedPlan) { case p => p }
   }
 
@@ -78,6 +92,16 @@ class AqeRuntimeAuditSpec extends AnyFunSuite with SparkSpec
   test("runtime audit covers only registered catalog entries") {
     val unknown = heaviest.filterNot(SparkEntry.queries.contains)
     assert(unknown.isEmpty, s"audited but unregistered: $unknown")
+  }
+
+  test("the walked trees really ran: metrics are populated, not zero") {
+    // guards the audit itself against the vacuous-pass failure mode
+    // (walking an un-executed adaptive plan whose metrics are all 0)
+    val dead = swept.collect { case (name, nodes)
+      if !nodes.exists(_.metrics.get("numOutputRows").exists(_.value > 0)) =>
+      name
+    }.toSeq.sorted
+    assert(dead.isEmpty, s"queries whose walked plan shows no executed rows: $dead")
   }
 
   test("no operator spilled at runtime in any heavy query") {

@@ -40,8 +40,39 @@ def main(sf_dir, out_dir, json_out=None):
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_typewarn = 0
+    n_pass = n_fail = n_typewarn = n_skip = 0
     results = {}
+
+    # Optional per-oracle wall budget (seconds) via GRAFT_CHECK_TIMEOUT:
+    # at the 10x scale a handful of oracles are intractable in DuckDB
+    # (the unrolled pagerank chains); a budget records them as ORACLE
+    # SKIPs instead of hanging the whole differential. 0/unset = off
+    # (the driver-equivalent sf0.01 posture).
+    budget = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0") or 0)
+
+    def run_budgeted(sql):
+        if budget <= 0:
+            rows = con.execute(sql).fetchall()
+            return rows, [d[0] for d in con.description], False
+        import threading
+        out, timed_out = {}, [False]
+        def work():
+            try:
+                out["rows"] = con.execute(sql).fetchall()
+                out["cols"] = [d[0] for d in con.description]
+            except Exception as e:
+                out["err"] = e
+        th = threading.Thread(target=work, daemon=True)
+        th.start(); th.join(budget)
+        if th.is_alive():
+            timed_out[0] = True
+            con.interrupt()
+            th.join(30)
+        if "err" in out and not timed_out[0]:
+            raise out["err"]
+        if timed_out[0]:
+            return None, None, True
+        return out["rows"], out["cols"], False
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -51,8 +82,12 @@ def main(sf_dir, out_dir, json_out=None):
         try:
             s = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
             scols = [d[0] for d in con.description]
-            o = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.description]
+            o, ocols, timed_out = run_budgeted(sql)
+            if timed_out:
+                print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
+                results[name] = {"oracle_timeout": True}
+                n_skip += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -97,17 +132,20 @@ def main(sf_dir, out_dir, json_out=None):
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_typewarn} typewarn ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_typewarn} typewarn, "
+          f"{n_skip} oracle-skip ==")
     if json_out:
         # artifact form: only queries that produced spark output (a
         # subset run omits the rest on purpose; the stdout FAILs above
         # still flag a full run's missing outputs) — counts cover the
         # recorded queries, not the skipped remainder
         ok = sum(1 for v in results.values()
-                 if v["schema_match"] and v["hash_match"])
+                 if v.get("schema_match") and v.get("hash_match"))
+        skipped = sum(1 for v in results.values() if v.get("oracle_timeout"))
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_pass": ok,
-                       "n_fail": len(results) - ok,
+                       "n_fail": len(results) - ok - skipped,
+                       "n_oracle_skip": skipped,
                        "queries": results}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     return 1 if n_fail or n_typewarn else 0
