@@ -393,13 +393,38 @@ object Similarity {
   private val indexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  // full-path-sanitized name, NOT a 32-bit hash: two corpora must
-  // never share an index directory (String.hashCode collisions are
-  // trivially constructible, and a collision here silently serves
-  // neighbors from the wrong corpus)
+  /** Content-version fingerprint of the embeddings input: sorted
+    * (file name, length, mtime) of every data file under the table
+    * path, hashed. The persisted-index contract is build-once per
+    * CORPUS VERSION, not per path — a `_SUCCESS`-exists check alone
+    * served a stale index after the corpus at the same path was
+    * regenerated (caught live by the round-12 sf1 differential:
+    * `llm_knn_ivf_persisted` hash-red against the re-derived 10×
+    * data while the in-session route stayed green). At warehouse
+    * scale this token is the table format's snapshot/version id;
+    * for raw parquet the file census is the same signal. */
+  private[graft] def corpusToken(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+      else Seq(f)
+    val sig = walk(new java.io.File(s"$sfDir/embeddings.parquet"))
+      .sortBy(_.getPath)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    (scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+      .toHexString
+  }
+
+  // full-path-sanitized name, NOT a 32-bit hash of the path: two
+  // corpora must never share an index directory (String.hashCode
+  // collisions are trivially constructible, and a collision here
+  // silently serves neighbors from the wrong corpus); the content
+  // token versions the layout against in-place corpus regeneration
   private[graft] def ivfIndexDir(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_v2_${
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_k${Clustering.K}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_v3_${
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_k${Clustering.K}_${
+      corpusToken(sfDir)}"
 
   /** [[knnIvfKmeans]] through a PERSISTED index: train (session-cached
     * model), write the parquet index once per (corpus, k), then serve
@@ -417,7 +442,10 @@ object Similarity {
   def knnIvfPersisted(spark: SparkSession, sfDir: String,
                       numProbes: Int = 20, k: Int = 5,
                       nprobe: Int = IvfNProbe): DataFrame = {
-    val dir = indexDirs.getOrElseUpdate(sfDir, {
+    // memo key is the token-bearing directory, not the raw path: a
+    // corpus regenerated mid-session resolves to a NEW dir and
+    // triggers a fresh build instead of serving the stale layout
+    val dir = indexDirs.getOrElseUpdate(ivfIndexDir(sfDir), {
       val d = ivfIndexDir(sfDir)
       if (!new java.io.File(s"$d/cells/_SUCCESS").exists()) {
         val stage = s"${d}_stage_${java.lang.ProcessHandle.current().pid()}_${System.nanoTime()}"

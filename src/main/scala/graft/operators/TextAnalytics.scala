@@ -3086,9 +3086,16 @@ object TextAnalytics {
       .select($"b",
         (log(($"ct" + 1.0) / ($"nt" + dims))
           - log(($"cr" + 1.0) / ($"nr" + dims))).as("llr"))
+    // + 0.0 normalizes IEEE negative zero: a document whose llr sum is
+    // a tiny negative rounds to -0.0 in DuckDB but +0.0 in Spark
+    // (HALF_UP via BigDecimal), and the driver's %.9g compare prints
+    // them differently — first seen at sf1, where the bigger corpus
+    // actually lands a sum in (-5e-5, 0). (-0.0) + 0.0 == +0.0 in
+    // both engines and is the identity everywhere else.
     val byDoc = terms.join(broadcast(llr), "b")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(sum($"llr"), 4).as("lw"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(sum($"llr"), 4) + lit(0.0)).as("lw"))
     // distributed exact rank: a bare Window.orderBy would funnel the
     // whole corpus through ONE task at any scale; the GlobalRank tier
     // keeps the window below capacity and range-partitions past it
@@ -3164,7 +3171,8 @@ object TextAnalytics {
        |s AS (SELECT h.doc_id,
        |        ln((ct + 1) / (nt + $dims)) - ln((cr + 1) / (nr + $dims)) AS llr
        |      FROM h JOIN bk USING (b) CROSS JOIN tt),
-       |d AS (SELECT doc_id, COUNT(*) AS n_tokens, round(SUM(llr), 4) AS lw
+       |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |        round(SUM(llr), 4) + 0.0 AS lw
        |      FROM s GROUP BY doc_id),
        |j AS (SELECT doc.doc_id, doc.lang,
        |        COALESCE(d.n_tokens, 0) AS n_tokens, COALESCE(d.lw, 0.0) AS lw

@@ -308,6 +308,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(cells.nonEmpty, "cells layout is not partitioned by cell")
   }
 
+  test("persisted IVF index is versioned by corpus CONTENT, not path") {
+    import graft.operators.Similarity
+    // round-12 sf1 lesson: the index at a path must die with the
+    // corpus at that path — a regenerated table previously kept
+    // serving the old layout because only _SUCCESS-exists was checked
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_tok").toString
+    val table = new java.io.File(s"$dir/embeddings.parquet")
+    assert(table.mkdirs())
+    val part = new java.io.File(table, "part-00000.parquet")
+    java.nio.file.Files.write(part.toPath, Array[Byte](1, 2, 3))
+    val t1 = Similarity.corpusToken(dir)
+    val d1 = Similarity.ivfIndexDir(dir)
+    // same path, regenerated content (different size ⇒ different
+    // census even at coarse mtime granularity)
+    java.nio.file.Files.write(part.toPath, Array[Byte](1, 2, 3, 4))
+    val t2 = Similarity.corpusToken(dir)
+    assert(t1 != t2, "corpus token blind to a regenerated data file")
+    assert(d1 != Similarity.ivfIndexDir(dir))
+    assert(Similarity.ivfIndexDir(dir).endsWith(t2))
+    // adding a new part file also re-versions (compaction, append)
+    java.nio.file.Files.write(
+      new java.io.File(table, "part-00001.parquet").toPath, Array[Byte](9))
+    assert(Similarity.corpusToken(dir) != t2)
+  }
+
   test("embed QA: catches ragged dims and zero vectors on a crafted table") {
     import spark.implicits._
     val e = Seq(
