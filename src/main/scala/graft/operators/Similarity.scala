@@ -251,26 +251,62 @@ object Similarity {
   // llm_embed_neardup — embedding-cosine near-duplicate pairs
   // ---------------------------------------------------------------
 
+  /** Per-band bucket WIDTH (in hyperplane bits) sized from the corpus,
+    * the [[Clustering.kFor]] precedent applied to LSH banding. A FIXED
+    * band width keeps the bucket COUNT constant, so bucket occupancy —
+    * and with it the self-join's candidate-pair count, n²/buckets per
+    * band — grows quadratically with the corpus (measured 17.5× wall
+    * at a 10× data step with the old 4-bit bands). Bucket capacity is
+    * a knob that must grow with n: one extra bit per corpus doubling
+    * keeps expected occupancy near [[NearDupTargetBucket]], so
+    * candidate pairs stay ~n·target/2 per band — linear.
+    *
+    * Integer form (no log2 — bit-for-bit reproducible in SQL):
+    * bits = #{ j ∈ [0, maxBits) : target·2^j < n }, min 1. */
+  val NearDupTargetBucket = 64L
+  val NearDupMaxBits = 16
+  // hash-family offset: the adaptive planes are a family of their own,
+  // disjoint from the fixed 16-plane knnLsh family above
+  private val NearDupPlaneBase = 1000
+
+  def nearDupBitsFor(n: Long, target: Long = NearDupTargetBucket,
+                     maxBits: Int = NearDupMaxBits): Int =
+    math.max(1, (0 until maxBits).count(j => target * (1L << j) < n))
+
   /** All pairs with cosine ≥ `threshold`, candidates from shared LSH
     * band buckets (a < b). The embedding-space sibling of MinHash
     * near-dedup: same banded-bucket candidate structure, cosine
     * instead of Jaccard as the verifier.
     *
+    * Band width is DATA-SIZED ([[nearDupBitsFor]]): the corpus count
+    * is one parquet-metadata-cheap action on the cached normalized
+    * frame, and the oracle derives the identical width from its own
+    * COUNT(*) (integer comparisons, no fp), so both engines bucket
+    * with the same planes. Recall concentrates where near-dups live:
+    * a plane agrees on a pair with prob 1 − θ/π, so at cosine ≥ .95
+    * the 4-band collision rate stays high even at 12-bit bands, while
+    * uncorrelated pairs (the n² mass) collide ~2^-bits per band.
+    *
     * Verify-BEFORE-dedup (round-11 sf1 lesson): the raw candidate
-    * stream is n²/buckets per band and at 10× data it reached ~50M
-    * rows — distinct-ing the IDs first put all 50M through an
-    * exchange and then re-attached both vectors per survivor. Dotting
-    * inside the band join's own codegen stage instead means a
-    * candidate that fails the threshold dies in-loop without ever
-    * being materialized; only the verified pairs (output-sized) reach
-    * the band-collision `distinct`. Cosine is deterministic per pair,
-    * so distinct-after-verify returns the identical set. */
+    * stream is bucket-bounded but still the big side — distinct-ing
+    * the IDs first put all candidates through an exchange and then
+    * re-attached both vectors per survivor. Dotting inside the band
+    * join's own codegen stage instead means a candidate that fails
+    * the threshold dies in-loop without ever being materialized; only
+    * the verified pairs (output-sized) reach the band-collision
+    * `distinct`. Cosine is deterministic per pair, so
+    * distinct-after-verify returns the identical set. */
   def embedNearDups(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
-    val e = embBucketed(spark, sfDir)
+    val e = embNormed(spark, sfDir)
+    val bits = nearDupBitsFor(e.count())
     val banded = (0 until PlaneBands).map { b =>
-      e.select($"vec_id", $"v", lit(b).as("band"), col(s"bucket$b").as("bucket"))
+      val bucket = (0 until bits).map { j =>
+        (dot($"v", planeArray(NearDupPlaneBase + b * NearDupMaxBits + j)) >= 0)
+          .cast("long") * (1L << j)
+      }.reduce(_ + _)
+      e.select($"vec_id", $"v", lit(b).as("band"), bucket.as("bucket"))
     }.reduce(_ union _)
     banded.as("ea")
       .join(banded.as("eb"),
@@ -284,11 +320,25 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Oracle twin: the band width comes from a 1-row COUNT(*) CTE with
+    * the same integer comparisons as [[nearDupBitsFor]]; the bucket is
+    * the full maxBits-term sum with each term masked by `j < bits`
+    * (static SQL cannot vary its term count, so unused planes
+    * contribute 0). */
   def embedNearDupsSql(threshold: Double = 0.4): String = {
+    val bitsExpr = (0 until NearDupMaxBits)
+      .map(j => s"(CASE WHEN ${NearDupTargetBucket * (1L << j)} < cnt THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     val bandSelects = (0 until PlaneBands).map { b =>
-      s"SELECT vec_id, v, $b AS band, ${bucketExprSql(b)} AS bucket FROM e"
+      val bucket = (0 until NearDupMaxBits).map { j =>
+        val p = NearDupPlaneBase + b * NearDupMaxBits + j
+        s"(CASE WHEN $j < bits AND list_dot_product(v, ${planeSqlList(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"SELECT vec_id, v, $b AS band,\n        $bucket AS bucket FROM e, nb"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS ($embNormedSql),
+       |nb AS (SELECT GREATEST(1, $bitsExpr) AS bits
+       |       FROM (SELECT COUNT(*) AS cnt FROM e)),
        |banded AS ($bandSelects)
        |SELECT DISTINCT ea.vec_id AS vec_a, eb.vec_id AS vec_b,
        |  round(list_dot_product(ea.v, eb.v), 6) AS cosine

@@ -479,4 +479,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val mean = rows.values.map(_._2).sum / rows.size
     assert(mean > 0.2, s"IVF mean recall $mean implausibly low")
   }
+
+  test("near-dup band width grows one bit per corpus doubling, clamped") {
+    import Similarity.nearDupBitsFor
+    assert(nearDupBitsFor(0) == 1)     // empty corpus: still a valid key
+    assert(nearDupBitsFor(64) == 1)    // <= target: one bucket split only
+    assert(nearDupBitsFor(65) == 1)    // 64*2^0 < 65 -> 1 bit
+    assert(nearDupBitsFor(129) == 2)
+    assert(nearDupBitsFor(500) == 3)   // sf0.001/sf0.01 corpus
+    assert(nearDupBitsFor(2000) == 5)  // sf0.1
+    assert(nearDupBitsFor(20000) == 9) // sf1 (10x)
+    assert(nearDupBitsFor(Long.MaxValue / 2) == Similarity.NearDupMaxBits)
+    // monotone: capacity never shrinks as the corpus grows
+    val seq = (1L to 21L).map(i => nearDupBitsFor(i * 1000))
+    assert(seq == seq.sorted)
+  }
+
+  test("adaptive near-dup: sound (every pair verified) with usable recall") {
+    import spark.implicits._
+    val got = Similarity.embedNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // soundness: each reported pair really clears the cosine threshold
+    assert(got.forall(_._3 >= 0.4))
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // exhaustive truth at test scale (500 vecs -> 125k pairs)
+    val e = Similarity.normalizeOf(graft.sources.Tables.embeddings(spark, sf))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("c"))
+      .filter($"c" >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = got.map(p => (p._1, p._2)).toSet
+    assert(found.subsetOf(exact), "banded result must be a subset of truth")
+    // random 64-dim data is the adversarial recall case (threshold
+    // pairs sit at ~3 sigma, not at near-dup cosines where the bands
+    // concentrate); 3-bit bands x 4 bands should still recover ~2/3
+    val recall = found.size.toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.3, s"near-dup recall $recall over ${exact.size} true pairs")
+  }
 }
