@@ -478,7 +478,7 @@ object Clustering {
        |ORDER BY cell""".stripMargin
 
   // ---------------------------------------------------------------
-  // llm_semdedup — cluster-scoped semantic near-dedup (SemDeDup shape)
+  // llm_semdedup_demo — cluster-scoped semantic near-dedup (SemDeDup shape)
   // ---------------------------------------------------------------
 
   /** Semantic near-duplicate pairs, candidates scoped to a shared
@@ -585,7 +585,7 @@ object Clustering {
     * capacity rule, k ≈ n / [[TargetCellSize]], evaluated against
     * the corpus at hand. This is the configuration whose cost is
     * linear in the corpus: expected Σ|cell|²/2 ≈ n·target/2 grows
-    * 1:1 with n (the fixed-k=8 demo registered as `llm_semdedup`
+    * 1:1 with n (the fixed-k=8 demo registered as `llm_semdedup_demo`
     * is quadratic — its cells grow with the corpus, and its pair
     * verify read 14× at the round-11 10× sweep), while the
     * [[CellJoinCap]] sub-bucketing keeps any single hot cell from
