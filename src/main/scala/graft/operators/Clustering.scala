@@ -88,7 +88,7 @@ object Clustering {
   private val frameCache = new graft.util.FrameCache()
   private def cached(stage: String, df: DataFrame): DataFrame =
     frameCache.getOrElseUpdate(df.sparkSession,
-      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+      graft.util.FrameCache.key(stage, df))(df.cache())
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dot_product(a, b)
@@ -199,7 +199,8 @@ object Clustering {
   /** Cached trained model for the standard embeddings table. */
   def kmeansModel(spark: SparkSession, sfDir: String,
                   k: Int = K, iters: Int = Iters): Seq[Centroid] =
-    modelCache.getOrElseUpdate(s"$sfDir#$k#$iters",
+    modelCache.getOrElseUpdate(
+      s"$sfDir#${graft.util.ContentToken.ofPath(s"$sfDir/embeddings.parquet")}#$k#$iters",
       trainKmeansOf(Similarity.normalized(spark, sfDir), k, iters))
 
   /** Mean squared distance to the assigned centroid (the Lloyd's

@@ -37,7 +37,7 @@ object CorpusQuality {
 
   private def cached(stage: String, df: DataFrame): DataFrame =
     frameCache.getOrElseUpdate(df.sparkSession,
-      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+      graft.util.FrameCache.key(stage, df))(df.cache())
 
   /** All five marker lists folded together — the Gopher stopword rule
     * only asks "does the document contain common function words in

@@ -46,7 +46,7 @@ object Dedup {
 
   private def cached(stage: String, df: DataFrame): DataFrame =
     frameCache.getOrElseUpdate(df.sparkSession,
-      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+      graft.util.FrameCache.key(stage, df))(df.cache())
 
   // ---------------------------------------------------------------
   // Exact dedup
@@ -954,7 +954,7 @@ object Dedup {
     // plan per session. unpersistOnEvict=false: the labels frame is a
     // localCheckpoint, unrecoverable if unpersisted under a holder
     frameCache.getOrElseUpdate(pairs.sparkSession,
-      s"cc-$maxIter:${pairs.queryExecution.analyzed.semanticHash()}",
+      graft.util.FrameCache.key(s"cc-$maxIter", pairs),
       unpersistOnEvict = false)(computeConnectedComponents(pairs, maxIter))
   }
 

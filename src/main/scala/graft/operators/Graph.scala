@@ -29,7 +29,7 @@ object Graph {
 
   private def cached(stage: String, df: DataFrame): DataFrame =
     frameCache.getOrElseUpdate(df.sparkSession,
-      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+      graft.util.FrameCache.key(stage, df))(df.cache())
 
   /** Distinct directed co-actor edges (a→b and b→a both present) and
     * the all-nodes frame. The edges come from the MATERIALIZED

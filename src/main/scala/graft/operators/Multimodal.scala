@@ -268,7 +268,8 @@ object Multimodal {
   // downstream decode operators then measure decode, not fixture
   // synthesis. Shared bounded session cache (graft.util.FrameCache).
   def assetsWithRealPayloads(spark: SparkSession, sfDir: String): DataFrame =
-    payloadCache.getOrElseUpdate(spark, s"payload:$sfDir")(
+    payloadCache.getOrElseUpdate(spark,
+      s"payload:$sfDir:${graft.util.ContentToken.ofPath(s"$sfDir/documents.parquet")}")(
       encodeRealPayloads(spark, sfDir).cache())
 
   private val payloadCache = new graft.util.FrameCache()

@@ -68,7 +68,7 @@ object Pipeline {
   // restart independently.
   private def cached(stage: String, df: DataFrame): DataFrame =
     frameCache.getOrElseUpdate(df.sparkSession,
-      s"$stage:${df.queryExecution.analyzed.semanticHash()}",
+      graft.util.FrameCache.key(stage, df),
       unpersistOnEvict = false)(df.localCheckpoint())
 
   /** The stage survivor frames, each `(doc_id, lang, text, n_tokens)`

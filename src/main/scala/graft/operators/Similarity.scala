@@ -108,7 +108,7 @@ object Similarity {
     * one array fold per candidate instead of three. The norm is
     * computed once per ROW (not inside the per-element lambda). */
   private def embNormed(spark: SparkSession, sfDir: String): DataFrame =
-    frameCache.getOrElseUpdate(spark, s"norm:$sfDir")(
+    frameCache.getOrElseUpdate(spark, s"norm:$sfDir:${corpusToken(sfDir)}")(
       normalizeOf(Tables.embeddings(spark, sfDir)).cache())
 
   /** Package-level accessors for operators built on the normalized
@@ -118,7 +118,7 @@ object Similarity {
   private[operators] def normalizedSql: String = embNormedSql
 
   private def embBucketed(spark: SparkSession, sfDir: String): DataFrame =
-    frameCache.getOrElseUpdate(spark, s"buckets:$sfDir")(
+    frameCache.getOrElseUpdate(spark, s"buckets:$sfDir:${corpusToken(sfDir)}")(
       withLshBuckets(embNormed(spark, sfDir)).cache())
 
   private val embNormedSql: String =
@@ -453,18 +453,8 @@ object Similarity {
     * data while the in-session route stayed green). At warehouse
     * scale this token is the table format's snapshot/version id;
     * for raw parquet the file census is the same signal. */
-  private[graft] def corpusToken(sfDir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
-      else Seq(f)
-    val sig = walk(new java.io.File(s"$sfDir/embeddings.parquet"))
-      .sortBy(_.getPath)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
-    (scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
-      .toHexString
-  }
+  private[graft] def corpusToken(sfDir: String): String =
+    graft.util.ContentToken.ofPath(s"$sfDir/embeddings.parquet")
 
   // full-path-sanitized name, NOT a 32-bit hash of the path: two
   // corpora must never share an index directory (String.hashCode
@@ -799,7 +789,7 @@ object Similarity {
   }
 
   private def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Clustering.Centroid]] =
-    pqCache.getOrElseUpdate(s"$sfDir#$PqSubspaces#$PqCodes#$PqIters",
+    pqCache.getOrElseUpdate(s"$sfDir#${corpusToken(sfDir)}#$PqSubspaces#$PqCodes#$PqIters",
       trainPqOf(embNormed(spark, sfDir)))
 
   /** [[knnPq]] over any `(vec_id, embedding)` frame with
@@ -1435,13 +1425,13 @@ object Similarity {
         org.apache.spark.sql.types.StructType.fromDDL(pcaSchema))
     val d = firstRow.head.getInt(0)
     val xs = frameCache.getOrElseUpdate(spark,
-      s"pca-x:${x0.queryExecution.analyzed.semanticHash()}")(x0.cache())
+      graft.util.FrameCache.key("pca-x", x0))(x0.cache())
     val mu = xs.select((1 to d).map(k =>
       round(avg(element_at($"x", k)), 6).as(s"m$k")): _*)
       .head().toSeq.map(_.asInstanceOf[Double]).toArray
     val muArr = array(mu.map(lit): _*)
     val centered = frameCache.getOrElseUpdate(spark,
-      s"pca-c:${x0.queryExecution.analyzed.semanticHash()}")(
+      graft.util.FrameCache.key("pca-c", x0))(
       xs.select(zip_with($"x", muArr, (a, b) => a - b).as("cx")).cache())
     val (v, lambda) = powerIterate(centered, d)
     val nv = centered.agg(count(lit(1)).cast("double").as("n"),
@@ -1557,12 +1547,12 @@ object Similarity {
             "explained_frac DOUBLE, isotropy_ratio DOUBLE"))
     val d = firstRow.head.getInt(0)
     val xs = frameCache.getOrElseUpdate(spark,
-      s"pca-x:${x0.queryExecution.analyzed.semanticHash()}")(x0.cache())
+      graft.util.FrameCache.key("pca-x", x0))(x0.cache())
     val mu = xs.select((1 to d).map(k =>
       round(avg(element_at($"x", k)), 6).as(s"m$k")): _*)
       .head().toSeq.map(_.asInstanceOf[Double]).toArray
     val centered = frameCache.getOrElseUpdate(spark,
-      s"pca-c:${x0.queryExecution.analyzed.semanticHash()}")(
+      graft.util.FrameCache.key("pca-c", x0))(
       xs.select(zip_with($"x", array(mu.map(lit): _*), (a, b) => a - b)
         .as("cx")).cache())
     val (l1, l2) = solve(centered, d)

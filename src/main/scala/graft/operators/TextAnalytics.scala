@@ -43,7 +43,7 @@ object TextAnalytics {
 
   private def cached(stage: String, df: DataFrame): DataFrame =
     frameCache.getOrElseUpdate(df.sparkSession,
-      s"$stage:${df.queryExecution.analyzed.semanticHash()}")(df.cache())
+      graft.util.FrameCache.key(stage, df))(df.cache())
 
   // ---------------------------------------------------------------
   // llm_text_stats — per-language corpus statistics

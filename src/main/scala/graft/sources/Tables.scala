@@ -98,6 +98,9 @@ object Tables {
   // never reused by a later one. Entries for stopped sessions are
   // evicted on access so a long-lived JVM embedding the library does
   // not leak storage memory / session objects across sessions.
+  // keyed (session, sfDir, content token): an sfDir regenerated in
+  // place must miss — the memo would otherwise serve a view cached
+  // over the old bytes for the rest of the session
   private val movieCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def evictStopped(): Unit =
@@ -116,7 +119,8 @@ object Tables {
     */
   def movies(spark: SparkSession, sfDir: String): DataFrame = {
     evictStopped()
-    movieCache.getOrElseUpdate((spark, sfDir), {
+    val token = graft.util.ContentToken.ofPath(s"$sfDir/lineitem.parquet")
+    movieCache.getOrElseUpdate((spark, s"$sfDir:$token"), {
       import spark.implicits._
       lineitem(spark, sfDir)
         .select($"l_orderkey", $"l_partkey")
@@ -140,7 +144,8 @@ object Tables {
   def moviesBucketed(spark: SparkSession, sfDir: String, buckets: Int = 16): DataFrame = {
     // bucket count is part of the table identity — asking for a new
     // layout must never silently return an existing different one
-    val name = s"graft_movies_${sfDir.hashCode.toHexString}_b$buckets"
+    val name = s"graft_movies_${sfDir.hashCode.toHexString}_${
+      graft.util.ContentToken.ofPath(s"$sfDir/lineitem.parquet")}_b$buckets"
     if (!spark.catalog.tableExists(name)) {
       // external-table path keyed by the per-JVM RunToken: the
       // in-memory catalog forgets tables across JVMs while their
@@ -168,7 +173,8 @@ object Tables {
     */
   def bucketed(spark: SparkSession, sfDir: String, tbl: String,
                key: String, buckets: Int = 16): DataFrame = {
-    val name = s"graft_${tbl}_${sfDir.hashCode.toHexString}_${key}_b$buckets"
+    val name = s"graft_${tbl}_${sfDir.hashCode.toHexString}_${
+      graft.util.ContentToken.ofPath(s"$sfDir/$tbl.parquet")}_${key}_b$buckets"
     if (!spark.catalog.tableExists(name)) {
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$name"
       table(spark, sfDir, tbl).write
@@ -195,7 +201,8 @@ object Tables {
     * [[moviesBucketed]]. */
   def coActorEdgesBucketed(spark: SparkSession, sfDir: String,
                            buckets: Int = 16): DataFrame = {
-    val name = s"graft_coactor_edges_${sfDir.hashCode.toHexString}_b${buckets}w"
+    val name = s"graft_coactor_edges_${sfDir.hashCode.toHexString}_${
+      graft.util.ContentToken.ofPath(s"$sfDir/lineitem.parquet")}_b${buckets}w"
     if (!spark.catalog.tableExists(name)) {
       import spark.implicits._
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$name"

@@ -22,6 +22,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    caller still holding it, and the ContextCleaner reclaims the
   *    blocks once the RDD is unreachable.
   */
+object FrameCache {
+  /** The canonical cache key for a derived frame: the stage name, the
+    * input plan's semantic hash (WHAT is computed over WHICH plan) and
+    * the [[ContentToken]] of the plan's file inputs (WHICH VERSION of
+    * the data — a corpus regenerated in place at the same path must
+    * miss, or the memo serves frames computed over the old bytes for
+    * the rest of the session; the stale-persisted-index bug class). */
+  def key(stage: String, df: DataFrame): String =
+    s"$stage:${df.queryExecution.analyzed.semanticHash()}:${ContentToken.ofFrame(df)}"
+}
+
 final class FrameCache(maxEntries: Int = 32) {
 
   private case class Entry(df: DataFrame, unpersistOnEvict: Boolean)
