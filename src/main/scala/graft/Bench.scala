@@ -208,8 +208,12 @@ object Bench {
       .sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // "scope" disambiguates the two line shapes: the full line's
+    // "queries" holds ALL entries, this compact line's "queries" only
+    // the ref_* headline subset (n_queries carries the full count) —
+    // a parser keying on metric+queries can tell them apart.
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$headline,"n_queries":${results.size},"errors":$errs,"sf":"$sfDir","full":"graft_bench_last.json"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","scope":"ref_headline","queries":$headline,"n_queries":${results.size},"errors":$errs,"sf":"$sfDir","full":"graft_bench_last.json"}""")
     spark.stop()
   }
 }

@@ -125,13 +125,22 @@ object ScaleUp {
     // past the array and silently fill scaled copies with nulls. The
     // odd-multiplier permutation is only bijective mod a power of
     // two, so assert that too instead of corrupting the output.
-    val d = read("embeddings").select(size($"embedding")).head().getInt(0)
+    // one aggregate probes dim AND raggedness (min==max) in a single
+    // scan; headOption so an empty corpus fails with a message, not a
+    // bare NoSuchElementException
+    val dimProbe = read("embeddings")
+      .agg(min(size($"embedding")), max(size($"embedding"))).collect().headOption
+    val (dMin, dMax) = dimProbe match {
+      case Some(r) if !r.isNullAt(0) => (r.getInt(0), r.getInt(1))
+      case _ => sys.error(s"$src/embeddings.parquet is empty — nothing to scale")
+    }
+    require(dMin == dMax,
+      s"embeddings corpus is ragged: vector dims span [$dMin, $dMax]")
+    val d = dMin
     require(d > 0 && (d & (d - 1)) == 0,
       s"embedding dim $d must be a power of two for the signed-permutation scaler")
-    require(read("embeddings").filter(size($"embedding") =!= d).isEmpty,
-      s"embeddings corpus is ragged: not every vector has dim $d")
     val perm = transform(sequence(lit(0), lit(d - 1)), j => {
-      val a = $"cp" * 2 + 1 // odd ⇒ bijective mod 2^6
+      val a = $"cp" * 2 + 1 // odd ⇒ bijective mod d (d a power of two)
       val idx = pmod(a * j + $"cp" * 17, lit(d))
       val sgn = (lit(1) - lit(2) * pmod(hash($"cp" * 1000 + j), lit(2)))
         .cast("float")

@@ -52,18 +52,23 @@ object Ingest {
     * fixture pioneered ([[csvQuarantine]]), wired into the library's
     * FRONT DOOR (round-11 verdict item 5): rows the S4 blank-line
     * filter would silently discard — a missing movie id or title, an
-    * all-comma line, a blank line inside the file — come back in a
-    * second frame carrying the reconstructed raw content, instead of
-    * vanishing between the scan and the movies view.
+    * all-comma line — come back in a second frame carrying the
+    * reconstructed raw content, instead of vanishing between the scan
+    * and the movies view. (A TRULY blank line is dropped by Spark's
+    * CSV reader before parsing and lands in neither frame — the
+    * quarantine catches every row that produced a RECORD with a null
+    * id/title, which is the reference's S4 semantics.)
     *
     * Returns `(good, quarantined)`: `good` is bit-for-bit
     * [[readMoviesCsv]]'s output (the `ref_*` oracles are unchanged —
-    * both run the same single PERMISSIVE scan and split it with
-    * complementary predicates); `quarantined` is
+    * both run the same single PERMISSIVE scan definition and split it
+    * with complementary predicates); `quarantined` is
     * `(_quarantined: string)`, one row per rejected line, ready for a
-    * dead-letter sink. At 100 TB the split is one pass: the predicate
-    * routes each row to exactly one side, the review side is
-    * anomaly-sized, and nothing is re-read or re-parsed. */
+    * dead-letter sink. The predicate routes each row to exactly one
+    * side and the review side is anomaly-sized; note the two frames
+    * are two JOBS — a consumer that materializes both should cache
+    * the raw scan (or write both sinks from one pass) to avoid
+    * re-reading the file. */
   def readMoviesCsvQuarantined(spark: SparkSession, path: String,
                                hasHeader: Boolean = true): (DataFrame, DataFrame) = {
     val raw = rawMoviesCsv(spark, path, hasHeader)

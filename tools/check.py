@@ -32,13 +32,18 @@ def canon(cols, rows):
 
 def main(sf_dir, out_dir, json_out=None):
     import os
-    con = duckdb.connect()
-    for t in TABLES:
-        # driver testdata is one file per table; Spark-written scale
-        # data (ScaleUp) is a directory of part files — glob those
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            # driver testdata is one file per table; Spark-written
+            # scale data (ScaleUp) is a directory of part files
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return c
+
+    con = connect()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_typewarn = n_skip = 0
     results = {}
@@ -51,11 +56,12 @@ def main(sf_dir, out_dir, json_out=None):
     budget = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0") or 0)
 
     def run_budgeted(sql):
+        nonlocal con
         if budget <= 0:
             rows = con.execute(sql).fetchall()
             return rows, [d[0] for d in con.description], False
         import threading
-        out, timed_out = {}, [False]
+        out = {}
         def work():
             try:
                 out["rows"] = con.execute(sql).fetchall()
@@ -64,19 +70,34 @@ def main(sf_dir, out_dir, json_out=None):
                 out["err"] = e
         th = threading.Thread(target=work, daemon=True)
         th.start(); th.join(budget)
-        if th.is_alive():
-            timed_out[0] = True
+        timed_out = th.is_alive()
+        if timed_out:
             con.interrupt()
             th.join(30)
-        if "err" in out and not timed_out[0]:
+            if th.is_alive():
+                # worker survived the interrupt and still owns the
+                # connection (DuckDB connections are not thread-safe):
+                # abandon it and continue on a fresh one
+                con = connect()
+            else:
+                # the worker may have FINISHED between the is_alive
+                # check and the interrupt, leaving a stale interrupt
+                # flag that would poison the next oracle — clear it
+                # with a sacrificial query
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
+        if "err" in out and not timed_out:
             raise out["err"]
-        if timed_out[0]:
+        if timed_out:
             return None, None, True
         return out["rows"], out["cols"], False
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            results[name] = {"missing_output": True}
             n_fail += 1
             continue
         try:
@@ -90,6 +111,7 @@ def main(sf_dir, out_dir, json_out=None):
                 continue
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            results[name] = {"error": str(e)}
             n_fail += 1
             continue
         # Type-parity guard (round-9 lesson): DuckDB SUM(int) returns
@@ -135,10 +157,10 @@ def main(sf_dir, out_dir, json_out=None):
     print(f"== {n_pass} pass, {n_fail} fail, {n_typewarn} typewarn, "
           f"{n_skip} oracle-skip ==")
     if json_out:
-        # artifact form: only queries that produced spark output (a
-        # subset run omits the rest on purpose; the stdout FAILs above
-        # still flag a full run's missing outputs) — counts cover the
-        # recorded queries, not the skipped remainder
+        # every query gets a results[] entry — value failures, thrown
+        # oracles ({"error"}), and missing spark outputs
+        # ({"missing_output"}) all count in n_fail, so the artifact
+        # can never read cleaner than the stdout above
         ok = sum(1 for v in results.values()
                  if v.get("schema_match") and v.get("hash_match"))
         skipped = sum(1 for v in results.values() if v.get("oracle_timeout"))
@@ -148,7 +170,11 @@ def main(sf_dir, out_dir, json_out=None):
                        "n_oracle_skip": skipped,
                        "queries": results}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
-    return 1 if n_fail or n_typewarn else 0
+    # 0 = all green; 1 = value/schema failures or type warnings;
+    # 3 = green except oracle-budget skips (unproven, not wrong)
+    if n_fail or n_typewarn:
+        return 1
+    return 3 if n_skip else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
