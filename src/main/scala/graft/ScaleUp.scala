@@ -48,8 +48,31 @@ object ScaleUp {
     import spark.implicits._
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // stage-then-rename: Spark's overwrite deletes the live directory
+    // before the new files land, so a reader that lists mid-write sees
+    // a torn table (old+new or partial — the suspected source of the
+    // round-12 pre-fix sf1 artifact's doubled dsir corpus). Writing to
+    // a process-unique sibling and promoting with two quick renames
+    // shrinks the torn window from the whole job to microseconds; a
+    // crashed run leaves only .stage/.old debris, never a half table.
+    def write(df: DataFrame, t: String): Unit = {
+      val live = java.nio.file.Paths.get(s"$dst/$t.parquet")
+      val stage = java.nio.file.Paths.get(
+        s"$dst/.stage-${java.util.UUID.randomUUID().toString.take(8)}-$t.parquet")
+      df.write.mode("overwrite").parquet(stage.toString)
+      val old = stage.resolveSibling(s".old-${stage.getFileName}")
+      if (java.nio.file.Files.exists(live))
+        java.nio.file.Files.move(live, old,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(stage, live,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (java.nio.file.Files.exists(old)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(old.toFile)
+      }
+    }
 
     // fixed dimensions: copied verbatim
     Seq("region", "nation").foreach(t => write(read(t), t))

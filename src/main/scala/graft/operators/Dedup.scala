@@ -274,12 +274,12 @@ object Dedup {
         .map(j => s"h${b * RowsPerBand + j}::VARCHAR").mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band, $sigExpr AS bsig FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""sets AS ($setsSql),
+    s"""sets AS MATERIALIZED ($setsSql),
        |e AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |  $hashes
        |  FROM e GROUP BY doc_id),
-       |buckets AS ($bandSelects)""".stripMargin
+       |buckets AS MATERIALIZED ($bandSelects)""".stripMargin
   }
 
   /** The full candidate→verify CTE chain (through `verified` with
@@ -288,7 +288,7 @@ object Dedup {
   private[operators] def minHashPairsCtes(
       setsSql: String = shingleSetsSql): String =
     s"""${minHashBucketsCtes(setsSql)},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
        |  FROM buckets ba JOIN buckets bb
        |    ON ba.band = bb.band AND ba.bsig = bb.bsig AND ba.doc_id < bb.doc_id
@@ -658,7 +658,7 @@ object Dedup {
        |bits AS (SELECT doc_id,
        |  $bitSums
        |  FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $simhash AS simhash FROM bits),
+       |sig AS MATERIALIZED (SELECT doc_id, $simhash AS simhash FROM bits),
        |bytes AS (
        |  SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS byte
        |  FROM sig, range(4) t(k)

@@ -125,8 +125,8 @@ object Graph {
   }
 
   val coActorEdgeSummarySql: String =
-    s"""WITH movies AS (${Tables.moviesSql}),
-       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+    s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+       |am AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
        |e AS (SELECT DISTINCT x.a AS src, y.a AS dst
        |      FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a)
        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
@@ -368,24 +368,24 @@ object Graph {
     * identities the SQL omits. */
   def pprActorsSql(iters: Int = 5, d: Double = 0.85, k: Int = 20): String = {
     val head =
-      s"""WITH movies AS (${Tables.moviesSql}),
-         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
-         |edges AS (SELECT DISTINCT x.a AS src, y.a AS dst
+      s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+         |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
+         |edges AS MATERIALIZED (SELECT DISTINCT x.a AS src, y.a AS dst
          |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
-         |nodes AS (SELECT DISTINCT a FROM sel),
-         |ed AS (SELECT src, dst, deg FROM edges
+         |nodes AS MATERIALIZED (SELECT DISTINCT a FROM sel),
+         |ed AS MATERIALIZED (SELECT src, dst, deg FROM edges
          |       JOIN (SELECT src AS s2, COUNT(*) AS deg
          |             FROM edges GROUP BY src) ON src = s2),
-         |dangling AS (SELECT a FROM nodes
+         |dangling AS MATERIALIZED (SELECT a FROM nodes
          |             WHERE a NOT IN (SELECT src FROM edges)),
-         |tv AS (SELECT a, CASE WHEN a = (SELECT MIN(a) FROM nodes)
+         |tv AS MATERIALIZED (SELECT a, CASE WHEN a = (SELECT MIN(a) FROM nodes)
          |                      THEN 1.0e0 ELSE 0.0e0 END AS t FROM nodes),
          |r0 AS (SELECT a, ROUND(t, 8) AS r FROM tv)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""m$i AS (
+      s"""m$i AS MATERIALIZED (
          |  SELECT COALESCE(SUM(r), 0.0e0) AS m FROM r${i - 1}
          |  WHERE a IN (SELECT a FROM dangling)),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT tv.a,
          |    ROUND(${1 - d}e0 * tv.t
          |          + ${d}e0 * (COALESCE(s.c, 0.0e0)
@@ -519,15 +519,15 @@ object Graph {
 
   def khopActorsSql(hops: Int = 3): String = {
     val head =
-      s"""WITH movies AS (${Tables.moviesSql}),
-         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
-         |edges AS (SELECT DISTINCT CAST(x.a AS BIGINT) AS src,
+      s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+         |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
+         |edges AS MATERIALIZED (SELECT DISTINCT CAST(x.a AS BIGINT) AS src,
          |                 CAST(y.a AS BIGINT) AS dst
          |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
-         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
+         |nodes AS MATERIALIZED (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
          |d0 AS (SELECT MIN(a) AS a, 0 AS hop FROM nodes)""".stripMargin
     val steps = (1 to hops).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT a, hop FROM d${i - 1}
          |  UNION ALL
          |  SELECT a, $i AS hop FROM (
@@ -541,13 +541,13 @@ object Graph {
   }
 
   val triangleCountSql: String =
-    s"""WITH movies AS (${Tables.moviesSql}),
-       |sel AS (SELECT id, unnest(actors) AS a FROM movies),
-       |edges AS (SELECT DISTINCT x.a AS src, y.a AS dst
+    s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+       |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
+       |edges AS MATERIALIZED (SELECT DISTINCT x.a AS src, y.a AS dst
        |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
-       |nodes AS (SELECT DISTINCT a FROM sel),
-       |deg AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
-       |oriented AS (
+       |nodes AS MATERIALIZED (SELECT DISTINCT a FROM sel),
+       |deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
+       |oriented AS MATERIALIZED (
        |  SELECT e.src, e.dst FROM edges e
        |  JOIN deg s ON e.src = s.v JOIN deg t ON e.dst = t.v
        |  WHERE s.deg < t.deg OR (s.deg = t.deg AND e.src < e.dst)),
@@ -564,23 +564,23 @@ object Graph {
 
   def pagerankActorsSql(iters: Int = 5, d: Double = 0.85, k: Int = 20): String = {
     val head =
-      s"""WITH movies AS (${Tables.moviesSql}),
-         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
-         |edges AS (SELECT DISTINCT x.a AS src, y.a AS dst
+      s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+         |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
+         |edges AS MATERIALIZED (SELECT DISTINCT x.a AS src, y.a AS dst
          |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a),
-         |nodes AS (SELECT DISTINCT a FROM sel),
+         |nodes AS MATERIALIZED (SELECT DISTINCT a FROM sel),
          |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-         |ed AS (SELECT src, dst, deg FROM edges
+         |ed AS MATERIALIZED (SELECT src, dst, deg FROM edges
          |       JOIN (SELECT src AS s2, COUNT(*) AS deg
          |             FROM edges GROUP BY src) ON src = s2),
-         |dangling AS (SELECT a FROM nodes
+         |dangling AS MATERIALIZED (SELECT a FROM nodes
          |             WHERE a NOT IN (SELECT src FROM edges)),
          |r0 AS (SELECT a, ROUND(1.0e0 / (SELECT n FROM nn), 8) AS r FROM nodes)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""m$i AS (
+      s"""m$i AS MATERIALIZED (
          |  SELECT COALESCE(SUM(r), 0.0e0) AS m FROM r${i - 1}
          |  WHERE a IN (SELECT a FROM dangling)),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nd.a,
          |    ROUND(${1 - d}e0 / (SELECT n FROM nn)
          |          + ${d}e0 * (COALESCE(s.c, 0.0e0)
@@ -691,25 +691,25 @@ object Graph {
   def pagerankWeightedActorsSql(iters: Int = 5, d: Double = 0.85,
                                 k: Int = 20): String = {
     val head =
-      s"""WITH movies AS (${Tables.moviesSql}),
-         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
-         |edges AS (SELECT x.a AS src, y.a AS dst,
+      s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+         |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
+         |edges AS MATERIALIZED (SELECT x.a AS src, y.a AS dst,
          |            CAST(COUNT(*) AS BIGINT) AS wt
          |          FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a
          |          GROUP BY 1, 2),
-         |nodes AS (SELECT DISTINCT a FROM sel),
+         |nodes AS MATERIALIZED (SELECT DISTINCT a FROM sel),
          |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-         |ed AS (SELECT src, dst, wt, wdeg FROM edges
+         |ed AS MATERIALIZED (SELECT src, dst, wt, wdeg FROM edges
          |       JOIN (SELECT src AS s2, CAST(SUM(wt) AS BIGINT) AS wdeg
          |             FROM edges GROUP BY src) ON src = s2),
-         |dangling AS (SELECT a FROM nodes
+         |dangling AS MATERIALIZED (SELECT a FROM nodes
          |             WHERE a NOT IN (SELECT src FROM edges)),
          |r0 AS (SELECT a, ROUND(1.0e0 / (SELECT n FROM nn), 8) AS r FROM nodes)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""m$i AS (
+      s"""m$i AS MATERIALIZED (
          |  SELECT COALESCE(SUM(r), 0.0e0) AS m FROM r${i - 1}
          |  WHERE a IN (SELECT a FROM dangling)),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nd.a,
          |    ROUND(${1 - d}e0 / (SELECT n FROM nn)
          |          + ${d}e0 * (COALESCE(s.c, 0.0e0)
@@ -830,13 +830,13 @@ object Graph {
   def connectedComponentsSql(minW: Int = GraphWeightMin,
                              rounds: Int = GraphMaxRounds): String = {
     val head =
-      s"""WITH movies AS (${Tables.moviesSql}),
-         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+      s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+         |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
          |e AS MATERIALIZED (
          |      SELECT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
          |      FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a
          |      GROUP BY 1, 2 HAVING COUNT(*) >= $minW),
-         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
+         |nodes AS MATERIALIZED (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
          |l0 AS (SELECT a, a AS lbl FROM nodes)""".stripMargin
     val steps = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (
@@ -1018,13 +1018,13 @@ object Graph {
     * Feeds both the census oracle and the modularity oracle. */
   private def lpaCtes(minW: Int, rounds: Int): String = {
     val head =
-      s"""movies AS (${Tables.moviesSql}),
-         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+      s"""movies AS MATERIALIZED (${Tables.moviesSql}),
+         |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
          |e AS MATERIALIZED (
          |      SELECT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
          |      FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a
          |      GROUP BY 1, 2 HAVING COUNT(*) >= $minW),
-         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
+         |nodes AS MATERIALIZED (SELECT DISTINCT CAST(a AS BIGINT) AS a FROM sel),
          |l0 AS (SELECT a, a AS lbl FROM nodes)""".stripMargin
     val steps = (1 to rounds).map { i =>
       s"""c$i AS MATERIALIZED (
@@ -1114,7 +1114,7 @@ object Graph {
        |        FROM e JOIN l$rounds p ON e.src = p.a
        |               JOIN l$rounds q ON e.dst = q.a AND p.lbl = q.lbl
        |        GROUP BY 1),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
        |        FROM e GROUP BY 1),
        |dt AS (SELECT p.lbl, CAST(SUM(d.d) AS BIGINT) AS d_tot
        |       FROM deg d JOIN l$rounds p ON d.src = p.a GROUP BY 1),
@@ -1256,12 +1256,12 @@ object Graph {
 
   def linkPredictSql(k: Int = LinkPredTopK,
                      hubCap: Int = LinkPredHubCap): String =
-    s"""WITH movies AS (${Tables.moviesSql}),
-       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+    s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+       |am AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
        |e AS MATERIALIZED (
        |  SELECT DISTINCT x.a AS src, y.a AS dst
        |  FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
        |        FROM e GROUP BY src),
        |e1 AS (SELECT e.src, e.dst FROM e
        |       JOIN deg ON deg.src = e.src AND deg.d <= $hubCap),
@@ -1342,12 +1342,12 @@ object Graph {
       |  END)""".stripMargin
 
   def graphAssortativitySql(): String =
-    s"""WITH movies AS (${Tables.moviesSql}),
-       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+    s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+       |am AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
        |e AS MATERIALIZED (
        |  SELECT DISTINCT x.a AS src, y.a AS dst
        |  FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
        |        FROM e GROUP BY src),
        |mom AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
@@ -1364,8 +1364,8 @@ object Graph {
   def kcoreSummarySql(k: Int = KCoreK, minW: Int = GraphWeightMin,
                       rounds: Int = GraphMaxRounds): String = {
     val head =
-      s"""WITH movies AS (${Tables.moviesSql}),
-         |sel AS (SELECT id, unnest(actors) AS a FROM movies),
+      s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+         |sel AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
          |e0 AS MATERIALIZED (
          |       SELECT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
          |       FROM sel x JOIN sel y ON x.id = y.id AND x.a <> y.a
@@ -1477,12 +1477,12 @@ object Graph {
       |  ELSE CAST(t3 AS DOUBLE) / CAST(w AS DOUBLE) END)""".stripMargin
 
   def graphClusteringCoeffSql(): String =
-    s"""WITH movies AS (${Tables.moviesSql}),
-       |am AS (SELECT id, unnest(actors) AS a FROM movies),
+    s"""WITH movies AS MATERIALIZED (${Tables.moviesSql}),
+       |am AS MATERIALIZED (SELECT id, unnest(actors) AS a FROM movies),
        |e AS MATERIALIZED (
        |  SELECT DISTINCT CAST(x.a AS BIGINT) AS src, CAST(y.a AS BIGINT) AS dst
        |  FROM am x JOIN am y ON x.id = y.id AND x.a <> y.a),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
        |        FROM e GROUP BY src),
        |o AS MATERIALIZED (
        |  SELECT e.src, e.dst FROM e

@@ -218,33 +218,33 @@ object Pipeline {
       s"""SELECT doc_id, list_distinct(${shingles3Sql("ts")}) AS shs
          |FROM tq WHERE doc_id IN (SELECT doc_id FROM s2)
          |  AND len(ts) >= 3""".stripMargin
-    s"""d0 AS (SELECT doc_id, lang, text,
+    s"""d0 AS MATERIALIZED (SELECT doc_id, lang, text,
        |  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
-       |tq AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |tq AS MATERIALIZED (SELECT doc_id, $tokensSql AS ts FROM documents),
        |${TextAnalytics.qualityStatsCtesSql("tq")},
-       |keepids AS (
+       |keepids AS MATERIALIZED (
        |  SELECT tq.doc_id FROM tq JOIN w USING (doc_id)
        |  LEFT JOIN sh3 USING (doc_id)
        |  WHERE ${TextAnalytics.qualityKeepWhereSql}),
-       |s1 AS (SELECT * FROM d0 WHERE doc_id IN (SELECT doc_id FROM keepids)),
-       |ex AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
-       |s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM ex)),
+       |s1 AS MATERIALIZED (SELECT * FROM d0 WHERE doc_id IN (SELECT doc_id FROM keepids)),
+       |ex AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+       |s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM ex)),
        |${Dedup.minHashPairsCtes(pipeSets)},
        |drops AS (SELECT DISTINCT b AS doc_id FROM verified
        |          WHERE jaccard >= $MinHashThreshold),
-       |s3 AS (SELECT * FROM s2
+       |s3 AS MATERIALIZED (SELECT * FROM s2
        |       WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
-       |bench AS (${TextAnalytics.benchIdsSubSql(BenchK)}),
+       |bench AS MATERIALIZED (${TextAnalytics.benchIdsSubSql(BenchK)}),
        |bg AS (SELECT DISTINCT g FROM (
        |  SELECT unnest(list_distinct(${shinglesNSql("ts", DecontamN)})) AS g
        |  FROM tq WHERE doc_id IN (SELECT doc_id FROM bench))),
-       |contam AS (SELECT DISTINCT doc_id FROM (
+       |contam AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
        |    SELECT doc_id,
        |      unnest(list_distinct(${shinglesNSql("ts", DecontamN)})) AS g
        |    FROM tq WHERE doc_id IN (SELECT doc_id FROM s3)
        |      AND doc_id NOT IN (SELECT doc_id FROM bench))
        |  WHERE g IN (SELECT g FROM bg)),
-       |s4 AS (SELECT * FROM s3
+       |s4 AS MATERIALIZED (SELECT * FROM s3
        |       WHERE doc_id NOT IN (SELECT doc_id FROM bench)
        |         AND doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
   }

@@ -3400,10 +3400,10 @@ object Relational {
   }
 
   def marketBasketSql(k: Int = 20): String =
-    s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
        |            FROM lineitem),
        |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM op),
-       |pc AS (SELECT part, COUNT(*) AS cnt FROM op GROUP BY part),
+       |pc AS MATERIALIZED (SELECT part, COUNT(*) AS cnt FROM op GROUP BY part),
        |pr AS (SELECT x.part AS part_a, y.part AS part_b, COUNT(*) AS pair_cnt
        |       FROM op x JOIN op y ON x.okey = y.okey AND x.part < y.part
        |       GROUP BY 1, 2)
