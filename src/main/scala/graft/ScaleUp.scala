@@ -53,10 +53,27 @@ object ScaleUp {
     // a torn table (old+new or partial — the suspected source of the
     // round-12 pre-fix sf1 artifact's doubled dsir corpus). Writing to
     // a process-unique sibling and promoting with two quick renames
-    // shrinks the torn window from the whole job to microseconds; a
-    // crashed run leaves only .stage/.old debris, never a half table.
+    // shrinks the torn window from the whole job to microseconds. A
+    // crash can still leave NO live table (between the live→.old and
+    // .stage→live renames) — but never a HALF table, and the .old
+    // sibling preserves the prior version for manual recovery; the
+    // debris sweep below reclaims .stage-*/.old-* leftovers from any
+    // crashed prior run before this one stages.
     def write(df: DataFrame, t: String): Unit = {
       val live = java.nio.file.Paths.get(s"$dst/$t.parquet")
+      // sweep crashed-run debris for THIS table so repeated crashes
+      // don't accumulate directories (the live table, if present, is
+      // the canonical survivor — any parked .old/.stage is stale)
+      Option(live.getParent.toFile.listFiles()).foreach(_.foreach { f =>
+        val n = f.getName
+        if ((n.startsWith(".stage-") || n.startsWith(".old-")) &&
+            n.endsWith(s"-$t.parquet") && java.nio.file.Files.exists(live)) {
+          def rmAll(g: java.io.File): Unit = {
+            Option(g.listFiles()).foreach(_.foreach(rmAll)); g.delete(); ()
+          }
+          rmAll(f)
+        }
+      })
       val stage = java.nio.file.Paths.get(
         s"$dst/.stage-${java.util.UUID.randomUUID().toString.take(8)}-$t.parquet")
       df.write.mode("overwrite").parquet(stage.toString)

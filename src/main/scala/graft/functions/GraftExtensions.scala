@@ -59,6 +59,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Md5Int32(args.head, prefix, offset)
       }))
     e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(args.head, args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName,
+        "sorted_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_intersect takes exactly 2 arguments")
+        SortedIntersect(args.head, args(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("count_token_eq"),
       new ExpressionInfo(classOf[CountTokenEq].getName, "count_token_eq"),
       (args: Seq[Expression]) => {

@@ -3,13 +3,52 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, NullType, StructType}
 
-/** Codegen'd merge-intersection over two SORTED `array<bigint>`
-  * columns — the triangle-family hot path.
+/** Shared typing/ordering plumbing for the sorted-merge intersection
+  * pair below: both operands must be arrays of the SAME orderable
+  * atomic element type. `array<bigint>` gets a primitive fast path
+  * (zero boxing in both eval and codegen); every other atomic type
+  * (string ids included — the co-actor fixtures use names) rides the
+  * same two-pointer merge through the element type's ordering, still
+  * inside whole-stage codegen via `ctx.genComp`. */
+trait SortedMergeInputs { self: BinaryExpression =>
+
+  protected def fnName: String
+
+  /** Element type of both operands (valid only after type check). */
+  protected lazy val elementType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  protected lazy val isLongFastPath: Boolean = elementType == LongType
+
+  @transient protected lazy val elemOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(elementType)
+
+  private def isOrderableAtomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType | NullType => false
+    case other => RowOrdering.isOrderable(other)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == r && isOrderableAtomic(l) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fnName expects two arrays of the same orderable atomic " +
+            s"element type, got ${left.dataType.simpleString} and " +
+            s"${right.dataType.simpleString}")
+    }
+}
+
+/** Codegen'd merge-intersection over two SORTED atomic-element
+  * arrays — the triangle-family hot path.
   *
   * `array_intersect` is correct here but allocates per ROW: it builds
   * a hash set over one side and materializes the intersection array,
@@ -17,30 +56,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * EDGE (1.2×10⁸ rows at the 100× bench step, ~80-element
   * neighborhoods). With both adjacency arrays built sorted
   * (`array_sort` costs one 80-element sort per VERTEX, not per edge),
-  * the intersection is a two-pointer merge: O(|a|+|b|) primitive long
-  * comparisons, zero allocation for the count form, and the whole
-  * expression stays inside whole-stage codegen.
+  * the intersection is a two-pointer merge: O(|a|+|b|) comparisons,
+  * zero allocation for the count form, and the whole expression stays
+  * inside whole-stage codegen. `array<bigint>` compares primitive
+  * longs; other atomic types (e.g. string node ids) compare through
+  * `ctx.genComp`, still codegen'd.
   *
   * SORTEDNESS IS A PRECONDITION, not checked at runtime (a per-row
   * check would cost the merge itself): both callers build their
-  * arrays with `array_sort`, and the equivalence spec pins the merge
-  * against `array_intersect` on the same inputs. Inputs are treated
-  * as SETS (duplicate-free), which adjacency lists of a DISTINCT edge
-  * frame are by construction.
+  * arrays with `array_sort`, and `SortedIntersectSpec` pins the merge
+  * against `array_intersect` on the same inputs (plus an
+  * unsorted-input negative documenting the precondition). Inputs are
+  * treated as SETS (duplicate-free), which adjacency lists of a
+  * DISTINCT edge frame are by construction.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with SortedMergeInputs {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects two array<bigint> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override protected def fnName: String = "sorted_intersect_count"
 
   override def dataType: DataType = LongType
 
@@ -49,11 +82,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0L
-    while (i < nx && j < ny) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+    if (isLongFastPath) {
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val cmp = elemOrdering.compare(x.get(i, elementType), y.get(j, elementType))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -66,13 +108,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val jt = CodeGenerator.javaType(elementType)
+      val getX = CodeGenerator.getValue(a, elementType, i)
+      val getY = CodeGenerator.getValue(b, elementType, j)
+      val cmp = ctx.freshName("cmp")
+      val body = if (isLongFastPath)
+        s"""
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+         """.stripMargin
+      else
+        s"""
+           |  $jt $xv = $getX; $jt $yv = $getY;
+           |  int $cmp = ${ctx.genComp(elementType, xv, yv)};
+           |  if ($cmp == 0) { $c++; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+         """.stripMargin
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |$body
          |}
          |${ev.value} = $c;
        """.stripMargin
@@ -87,36 +144,41 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * clustering-coefficient path, which needs the closing vertices
   * themselves (exploded into per-vertex triangle counts). Same
   * two-pointer merge; allocates exactly the result (one bounded
-  * long[] per row), never a hash set. Output is sorted ascending. */
+  * buffer per row), never a hash set. Output is sorted ascending in
+  * the element type's ordering (= input order, inputs being sorted). */
 case class SortedIntersect(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with SortedMergeInputs {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect expects two array<bigint> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override protected def fnName: String = "sorted_intersect"
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(elementType, containsNull = false)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (nx, ny) = (x.numElements(), y.numElements())
-    val buf = new Array[Long](math.min(nx, ny))
     var i = 0; var j = 0; var c = 0
-    while (i < nx && j < ny) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+    if (isLongFastPath) {
+      val buf = new Array[Long](math.min(nx, ny))
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(buf, c))
+    } else {
+      val buf = new Array[AnyRef](math.min(nx, ny))
+      while (i < nx && j < ny) {
+        val xv = x.get(i, elementType); val yv = y.get(j, elementType)
+        val cmp = elemOrdering.compare(xv, yv)
+        if (cmp == 0) { buf(c) = xv.asInstanceOf[AnyRef]; c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(buf, c))
     }
-    new GenericArrayData(java.util.Arrays.copyOf(buf, c))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -125,18 +187,37 @@ case class SortedIntersect(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val buf = ctx.freshName("buf")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      s"""
-         |int $nx = $a.numElements(); int $ny = $b.numElements();
-         |long[] $buf = new long[java.lang.Math.min($nx, $ny)];
-         |int $i = 0; int $j = 0; int $c = 0;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $buf[$c++] = $xv; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  java.util.Arrays.copyOf($buf, $c));
-       """.stripMargin
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      if (isLongFastPath)
+        s"""
+           |int $nx = $a.numElements(); int $ny = $b.numElements();
+           |long[] $buf = new long[java.lang.Math.min($nx, $ny)];
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $buf[$c++] = $xv; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = new $gad(java.util.Arrays.copyOf($buf, $c));
+         """.stripMargin
+      else {
+        val jt = CodeGenerator.javaType(elementType)
+        val getX = CodeGenerator.getValue(a, elementType, i)
+        val getY = CodeGenerator.getValue(b, elementType, j)
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |int $nx = $a.numElements(); int $ny = $b.numElements();
+           |Object[] $buf = new Object[java.lang.Math.min($nx, $ny)];
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  $jt $xv = $getX; $jt $yv = $getY;
+           |  int $cmp = ${ctx.genComp(elementType, xv, yv)};
+           |  if ($cmp == 0) { $buf[$c++] = $xv; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = new $gad(java.util.Arrays.copyOf($buf, $c));
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(
@@ -145,13 +226,14 @@ case class SortedIntersect(left: Expression, right: Expression)
 }
 
 object GraphExpressions {
-  /** |a ∩ b| over two sorted duplicate-free `array<bigint>` columns. */
+  /** |a ∩ b| over two sorted duplicate-free same-atomic-type array
+    * columns (primitive fast path for `array<bigint>`). */
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(SortedIntersectCount(
       GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
 
   /** a ∩ b (sorted ascending) over two sorted duplicate-free
-    * `array<bigint>` columns. */
+    * same-atomic-type array columns. */
   def sorted_intersect(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(SortedIntersect(
       GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))

@@ -71,8 +71,10 @@ object Clustering {
 
   // Trained models are tiny (k·d doubles) and depend only on the input
   // path and k, so cache driver-side — no session resources held.
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Centroid]]
+  // Bounded (FIFO, 64): in-place corpus regeneration mints a new
+  // content-token key each time, and an unbounded map would retain
+  // every superseded model for the JVM's lifetime (round-13 ADVICE 3).
+  private val modelCache = new graft.util.BoundedMemo[Seq[Centroid]](64)
 
   // training-run witness for the persisted-index no-retrain spec:
   // incremented once per actual Lloyd's training, never by cache or

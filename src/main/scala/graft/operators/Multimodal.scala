@@ -276,8 +276,17 @@ object Multimodal {
 
   private def encodeRealPayloads(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Codec work is CPU-bound PER ROW, but the metadata frame arrives
+    // in byte-sized scan splits — at sf1 the 50k-asset table is one
+    // 5 MB parquet file, i.e. ONE task carrying the entire PNG/WAV
+    // encode (and, through the cached frame, every downstream decode)
+    // on a 32-core host. Row-repartition to the session's parallelism
+    // before entering the codec: values are per-row so the layout is
+    // semantics-free, and the cached payload frame then feeds every
+    // decode/twin consumer with balanced partitions.
     assets(spark, sfDir)
       .select($"asset_id", $"kind", $"width", $"height", $"sample_rate", $"n_frames")
+      .repartition(spark.sparkContext.defaultParallelism * 2, $"asset_id")
       .as[(Long, String, Int, Int, Int, Int)]
       .mapPartitions { rows =>
         // real pipeline: initialize the encoders ONCE here, close after

@@ -273,8 +273,20 @@ object Similarity {
                      maxBits: Int = NearDupMaxBits): Int =
     math.max(1, (0 until maxBits).count(j => target * (1L << j) < n))
 
-  /** All pairs with cosine ≥ `threshold`, candidates from shared LSH
-    * band buckets (a < b). The embedding-space sibling of MinHash
+  /** Candidate-generation recall of [[embedNearDups]] for a pair of
+    * cosine exactly `t` at corpus size `n`:
+    * r = 1 − (1 − p^bits)^bands with p = 1 − arccos(t)/π. The
+    * documented recall envelope (see [[embedNearDups]]'s contract);
+    * driver-side math only — never part of a query plan. */
+  def nearDupRecallEnvelope(n: Long, t: Double,
+                            bands: Int = PlaneBands): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, t))) / math.Pi
+    val perBand = math.pow(p, nearDupBitsFor(n).toDouble)
+    1.0 - math.pow(1.0 - perBand, bands.toDouble)
+  }
+
+  /** All pairs with cosine ≥ `threshold` AMONG CANDIDATES from shared
+    * LSH band buckets (a < b). The embedding-space sibling of MinHash
     * near-dedup: same banded-bucket candidate structure, cosine
     * instead of Jaccard as the verifier.
     *
@@ -282,10 +294,26 @@ object Similarity {
     * is one parquet-metadata-cheap action on the cached normalized
     * frame, and the oracle derives the identical width from its own
     * COUNT(*) (integer comparisons, no fp), so both engines bucket
-    * with the same planes. Recall concentrates where near-dups live:
-    * a plane agrees on a pair with prob 1 − θ/π, so at cosine ≥ .95
-    * the 4-band collision rate stays high even at 12-bit bands, while
-    * uncorrelated pairs (the n² mass) collide ~2^-bits per band.
+    * with the same planes.
+    *
+    * RECALL CONTRACT ([[nearDupRecallEnvelope]], pinned by spec): a
+    * hyperplane agrees on a pair of cosine t with probability
+    * p(t) = 1 − arccos(t)/π, so a pair collides in ≥1 of the
+    * `PlaneBands` bands with probability
+    * r(n, t) = 1 − (1 − p(t)^bits(n))^bands — candidate-generation
+    * recall DECAYS as the corpus grows (one p(t)× step per corpus
+    * doubling until the 16-bit cap). At true near-dup cosines it
+    * stays usable through the cap (t = .95 → r ≥ .55 at every n);
+    * at the catalog default t = 0.4 (chosen so the synthetic corpus,
+    * whose max pairwise cosine is ~0.51, yields a non-empty oracled
+    * result) the envelope is ~6% at sf1 and shrinks ~0.63× per
+    * further doubling — at that threshold this operator is a
+    * DETERMINISTIC CANDIDATE SAMPLER (the oracle replays the same
+    * buckets bit-for-bit), not a high-recall enumerator. Callers
+    * needing enumerated low-cosine pairs want [[knnExact]]'s
+    * brute-force route; callers at real near-dup thresholds get the
+    * documented envelope. Uncorrelated pairs (the n² mass) collide
+    * ~2^-bits per band, which is what keeps candidates ~linear.
     *
     * Verify-BEFORE-dedup (round-11 sf1 lesson): the raw candidate
     * stream is bucket-bounded but still the big side — distinct-ing
@@ -770,8 +798,10 @@ object Similarity {
   // PQ codebooks are M tiny k-means models (k·d/M doubles each) and
   // depend only on the corpus path — driver-data cache, same idiom as
   // Clustering.modelCache
+  // bounded like Clustering.modelCache: token-keyed entries from
+  // regenerated corpora must not accumulate for the JVM's lifetime
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Clustering.Centroid]]]
+    new graft.util.BoundedMemo[Seq[Seq[Clustering.Centroid]]](64)
 
   /** One sub-codebook per disjoint `PqSubDims`-dim slice: Lloyd's on
     * the SLICED corpus, reusing [[Clustering.trainKmeansOf]] verbatim

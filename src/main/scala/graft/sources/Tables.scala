@@ -98,15 +98,42 @@ object Tables {
   // never reused by a later one. Entries for stopped sessions are
   // evicted on access so a long-lived JVM embedding the library does
   // not leak storage memory / session objects across sessions.
-  // keyed (session, sfDir, content token): an sfDir regenerated in
-  // place must miss — the memo would otherwise serve a view cached
-  // over the old bytes for the rest of the session
-  private val movieCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  // keyed (session, sfDir) with the CONTENT TOKEN in the value: an
+  // sfDir regenerated in place must miss (the memo would otherwise
+  // serve a view cached over the old bytes for the rest of the
+  // session) AND the superseded entry must be reclaimed — token-in-
+  // key left each regeneration's predecessor pinned in the block
+  // store until session stop (round-13 ADVICE item 3)
+  private val movieCache =
+    TrieMap.empty[(SparkSession, String), (String, DataFrame)]
 
   private def evictStopped(): Unit =
     movieCache.keys.foreach { case k @ (s, _) =>
       if (s.sparkContext.isStopped) movieCache.remove(k)
     }
+
+  /** Drops catalog tables that are superseded versions of `keep`
+    * (same name shape, different content token) and reclaims their
+    * external directories — the bucketed-table sibling of the
+    * movieCache token-miss unpersist. Only tables created by THIS
+    * JVM are swept (the path carries RunToken, and only our own
+    * names match the prefix/suffix shape). */
+  private def dropSupersededTables(spark: SparkSession, prefix: String,
+                                   suffix: String, keep: String): Unit =
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith(prefix) && n.endsWith(suffix) && n != keep)
+      .foreach { n =>
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS `$n`")
+          val dir = new java.io.File(
+            s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$n")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          if (dir.exists()) rm(dir)
+        } catch { case _: Throwable => () } // sweep is best-effort
+      }
 
   /** Movies view: `(id: bigint, title: string, actors: array<string>)`.
     *
@@ -120,16 +147,26 @@ object Tables {
   def movies(spark: SparkSession, sfDir: String): DataFrame = {
     evictStopped()
     val token = graft.util.ContentToken.ofPath(s"$sfDir/lineitem.parquet")
-    movieCache.getOrElseUpdate((spark, s"$sfDir:$token"), {
-      import spark.implicits._
-      lineitem(spark, sfDir)
-        .select($"l_orderkey", $"l_partkey")
-        .groupBy($"l_orderkey".as("id"))
-        .agg(collect_set($"l_partkey".cast("string")).as("actors"))
-        .withColumn("title", concat(lit("order-"), $"id"))
-        .select($"id", $"title", $"actors")
-        .cache()
-    })
+    val k = (spark, sfDir)
+    movieCache.get(k) match {
+      case Some((t, df)) if t == token => df
+      case stale =>
+        // token miss: the corpus was regenerated in place — reclaim
+        // the superseded frame's storage before caching the new one
+        stale.foreach { case (_, old) =>
+          try old.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+        import spark.implicits._
+        val df = lineitem(spark, sfDir)
+          .select($"l_orderkey", $"l_partkey")
+          .groupBy($"l_orderkey".as("id"))
+          .agg(collect_set($"l_partkey".cast("string")).as("actors"))
+          .withColumn("title", concat(lit("order-"), $"id"))
+          .select($"id", $"title", $"actors")
+          .cache()
+        movieCache.put(k, (token, df))
+        df
+    }
   }
 
   /** Movies view MATERIALIZED as a bucketed table — the documented
@@ -147,6 +184,8 @@ object Tables {
     val name = s"graft_movies_${sfDir.hashCode.toHexString}_${
       graft.util.ContentToken.ofPath(s"$sfDir/lineitem.parquet")}_b$buckets"
     if (!spark.catalog.tableExists(name)) {
+      dropSupersededTables(spark,
+        s"graft_movies_${sfDir.hashCode.toHexString}_", s"_b$buckets", name)
       // external-table path keyed by the per-JVM RunToken: the
       // in-memory catalog forgets tables across JVMs while their
       // directories survive, so a fixed managed location would
@@ -176,6 +215,8 @@ object Tables {
     val name = s"graft_${tbl}_${sfDir.hashCode.toHexString}_${
       graft.util.ContentToken.ofPath(s"$sfDir/$tbl.parquet")}_${key}_b$buckets"
     if (!spark.catalog.tableExists(name)) {
+      dropSupersededTables(spark,
+        s"graft_${tbl}_${sfDir.hashCode.toHexString}_", s"_${key}_b$buckets", name)
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$name"
       table(spark, sfDir, tbl).write
         .bucketBy(buckets, key)
@@ -204,6 +245,8 @@ object Tables {
     val name = s"graft_coactor_edges_${sfDir.hashCode.toHexString}_${
       graft.util.ContentToken.ofPath(s"$sfDir/lineitem.parquet")}_b${buckets}w"
     if (!spark.catalog.tableExists(name)) {
+      dropSupersededTables(spark,
+        s"graft_coactor_edges_${sfDir.hashCode.toHexString}_", s"_b${buckets}w", name)
       import spark.implicits._
       val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bucketed_${RunToken.value}_$name"
       val sel = movies(spark, sfDir).select($"id", explode($"actors").as("a"))

@@ -495,6 +495,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(seq == seq.sorted)
   }
 
+  test("near-dup recall envelope: documented values, decay, and the contract floor") {
+    import Similarity.nearDupRecallEnvelope
+    // the scaladoc's quoted numbers are the function's actual values
+    val atSf1LowT = nearDupRecallEnvelope(20000L, 0.4)
+    assert(atSf1LowT > 0.05 && atSf1LowT < 0.08,
+      s"documented ~6% at sf1/t=0.4, got $atSf1LowT")
+    // true near-dup territory keeps a usable floor THROUGH the 16-bit
+    // cap (the largest corpus only ever sees 16-bit bands)
+    assert(nearDupRecallEnvelope(Long.MaxValue / 2, 0.95) >= 0.55)
+    // decay is monotone in n (one p(t)x step per corpus doubling
+    // until the cap) and monotone-increasing in t at fixed n
+    val byN = Seq(500L, 2000L, 20000L, 200000L).map(nearDupRecallEnvelope(_, 0.4))
+    assert(byN == byN.sorted.reverse, s"recall must decay with n: $byN")
+    val byT = Seq(0.2, 0.4, 0.6, 0.8, 0.95).map(nearDupRecallEnvelope(20000L, _))
+    assert(byT == byT.sorted, s"recall must grow with t: $byT")
+    // the per-doubling shrink factor past the cap region is p(t)
+    val p = 1.0 - math.acos(0.4) / math.Pi
+    assert(math.abs(p - 0.631) < 0.001)
+  }
+
   test("adaptive near-dup: sound (every pair verified) with usable recall") {
     import spark.implicits._
     val got = Similarity.embedNearDups(spark, sf)
