@@ -10,7 +10,7 @@ column-name-sorted, row-sorted value multisets.
 Dev-only tool (driver-side python); the shipped Scala library does
 not depend on it.
 """
-import sys, json, glob, math
+import sys, os, json, glob, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -164,10 +164,26 @@ def main(sf_dir, out_dir, json_out=None):
         ok = sum(1 for v in results.values()
                  if v.get("schema_match") and v.get("hash_match"))
         skipped = sum(1 for v in results.values() if v.get("oracle_timeout"))
+        # provenance: WHEN this differential ran and against WHICH
+        # commit — a re-run whose results are byte-identical to a
+        # prior artifact must still be distinguishable as a fresh
+        # witness of the current tree (round-13 verdict: the sf1
+        # artifact could not prove it postdated a late source swap)
+        import datetime, subprocess
+        try:
+            head = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10).stdout.strip()
+        except Exception:
+            head = ""
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_pass": ok,
                        "n_fail": len(results) - ok - skipped,
                        "n_oracle_skip": skipped,
+                       "generated_at": datetime.datetime.now(
+                           datetime.timezone.utc).isoformat(timespec="seconds"),
+                       "git_head": head,
                        "queries": results}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     # 0 = all green; 1 = value/schema failures or type warnings;
