@@ -71,6 +71,30 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE wide-start, SIZED FROM THE CORPUS: initialPartitionNum
+      // must grow with the data, not sit at a constant. The round-14
+      // sf10 ablation (triangle family, seconds triangle/coeff):
+      //   initial=cpus:    sf1 3.1/3.8   sf10 164/200  (16 oversized
+      //                    spilling reduce partitions at sf10)
+      //   initial=cpus*8:  sf1 4.9/6.0   sf10 105/117  (sf10 fixed,
+      //                    but sf1 pays ~2 s/query writing 128-bucket
+      //                    shuffle files it then coalesces away)
+      // so the initial count is dirBytes/8MB clamped to [cpus,
+      // cpus*8] — small corpora keep the classic cpus-sized posture,
+      // the 10x corpus fans its corpus-proportional exchanges wide,
+      // and AQE still coalesces any small exchange back down. On a
+      // real cluster this is the same rule: start from input bytes,
+      // let AQE adapt.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.get("SPARK_GRAFT_INITIAL_PARTS").flatMap(v =>
+          scala.util.Try(v.toInt).toOption).getOrElse {
+          val dirBytes = scala.util.Try(
+            java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()).getOrElse(0L)
+          val byData = (dirBytes / (8L << 20)).toInt
+          math.min(math.max(cpus.toInt, byData), cpus.toInt * 8)
+        })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, Codegen
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, NullType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, MapType, NullType, StructType}
 
 /** Shared typing/ordering plumbing for the sorted-merge intersection
   * pair below: both operands must be arrays of the SAME orderable
@@ -25,6 +25,7 @@ trait SortedMergeInputs { self: BinaryExpression =>
     left.dataType.asInstanceOf[ArrayType].elementType
 
   protected lazy val isLongFastPath: Boolean = elementType == LongType
+  protected lazy val isIntFastPath: Boolean = elementType == IntegerType
 
   @transient protected lazy val elemOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(elementType)
@@ -85,6 +86,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     if (isLongFastPath) {
       while (i < nx && j < ny) {
         val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else if (isIntFastPath) {
+      while (i < nx && j < ny) {
+        val xv = x.getInt(i); val yv = y.getInt(j)
         if (xv == yv) { c += 1; i += 1; j += 1 }
         else if (xv < yv) i += 1
         else j += 1
@@ -168,6 +176,15 @@ case class SortedIntersect(left: Expression, right: Expression)
         else j += 1
       }
       new GenericArrayData(java.util.Arrays.copyOf(buf, c))
+    } else if (isIntFastPath) {
+      val buf = new Array[Int](math.min(nx, ny))
+      while (i < nx && j < ny) {
+        val xv = x.getInt(i); val yv = y.getInt(j)
+        if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(buf, c))
     } else {
       val buf = new Array[AnyRef](math.min(nx, ny))
       while (i < nx && j < ny) {
@@ -195,6 +212,18 @@ case class SortedIntersect(left: Expression, right: Expression)
            |int $i = 0; int $j = 0; int $c = 0;
            |while ($i < $nx && $j < $ny) {
            |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $buf[$c++] = $xv; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = new $gad(java.util.Arrays.copyOf($buf, $c));
+         """.stripMargin
+      else if (isIntFastPath)
+        s"""
+           |int $nx = $a.numElements(); int $ny = $b.numElements();
+           |int[] $buf = new int[java.lang.Math.min($nx, $ny)];
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  int $xv = $a.getInt($i); int $yv = $b.getInt($j);
            |  if ($xv == $yv) { $buf[$c++] = $xv; $i++; $j++; }
            |  else if ($xv < $yv) { $i++; } else { $j++; }
            |}

@@ -61,6 +61,38 @@ object Graph {
       .select($"src".cast("long").as("src"), $"dst".cast("long").as("dst")))
   }
 
+  /** Narrows `(src, dst)` long node ids to INT when every id fits —
+    * the triangle family's big intermediate is the edge stream with
+    * adjacency ARRAYS attached (one exchange of Σ outdeg elements per
+    * side), so element width is shuffle bytes 1:1: int ids halve the
+    * exchange. Checked at runtime against the actual data (one cheap
+    * MAX aggregate on the session-cached edge frame), so a corpus
+    * whose keys exceed 2³¹ keeps longs — the narrowing is a measured
+    * optimization, never a correctness assumption. Non-long frames
+    * (string-id fixtures) pass through untouched. */
+  private val narrowMemo = new graft.util.BoundedMemo[Boolean](64)
+
+  private def narrowIds(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val isLong = edges.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (!isLong) edges
+    else {
+      // the fits-int decision costs one MAX action over the edge
+      // frame — memoized per (plan, content) so the triangle and
+      // coefficient entries (and repeated bench passes) pay it once
+      val fitsInt = narrowMemo.getOrElseUpdate(
+        graft.util.FrameCache.key("narrow-ids", edges), {
+          val mx = edges.agg(
+            greatest(max(abs($"src")), max(abs($"dst")))).head()
+          !mx.isNullAt(0) && mx.getLong(0) < Int.MaxValue.toLong
+        })
+      if (!fitsInt) edges
+      else edges.select($"src".cast("int").as("src"),
+        $"dst".cast("int").as("dst"))
+    }
+  }
+
   /** Undirected degree frame `(src, d)` over a both-arcs edge frame —
     * session-cached (keyed by the edge frame's own plan hash), so the
     * triangle / clustering-coefficient / assortativity trio derives
@@ -429,7 +461,7 @@ object Graph {
   def triangleCountOf(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val oriented = orientedEdges(edges)
+    val oriented = orientedEdges(narrowIds(edges))
     val nE = oriented.count()
     // ONE algorithm, capacity-tiered JOIN STRATEGY (round-11 sf1
     // lesson): adjacency intersection — tri = Σ over oriented edges
@@ -1428,11 +1460,14 @@ object Graph {
   private[graft] def clusteringCoeffOf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val deg = cachedDeg(edges)
+    // narrow FIRST so the degree/orientation/adjacency frames (and
+    // their session-cache keys) are shared with triangleCountOf
+    val edgesN = narrowIds(edges)
+    val deg = cachedDeg(edgesN)
     // identical construction (and cache key) to triangleCountOf's
     // orientation, so the two queries share one cached frame —
     // likewise the degree frame and the adjacency build side below
-    val oriented = orientedEdges(edges)
+    val oriented = orientedEdges(edgesN)
     // ONE triangle enumeration, capacity-tiered JOIN STRATEGY (the
     // round-11 triangleCountOf rewrite, carried here): for oriented
     // (u,v), every w ∈ N⁺(u) ∩ N⁺(v) closes exactly one triangle

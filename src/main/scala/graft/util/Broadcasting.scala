@@ -50,4 +50,5 @@ object Broadcasting {
 
   def maybeBroadcast(df: DataFrame, rowBound: => Long): DataFrame =
     if (fits(df.sparkSession, rowBound)) broadcast(df) else df
+
 }

@@ -58,6 +58,23 @@ class SortedIntersectSpec extends SparkSpec {
     }
   }
 
+  test("merge == array_intersect on sorted duplicate-free int arrays") {
+    import spark.implicits._
+    // int is its own fast path (the narrowed-id triangle route)
+    val df = pairs(longSetGen).map { case (a, b) =>
+      (a.map(_.toInt), b.map(_.toInt))
+    }.toDF("a", "b").cache()
+    bothCodegenRoutes {
+      val bad = df.select(
+          sorted_intersect_count($"a", $"b").as("mc"),
+          size(array_intersect($"a", $"b")).cast("long").as("rc"),
+          sorted_intersect($"a", $"b").as("ma"),
+          array_sort(array_intersect($"a", $"b")).as("ra"))
+        .filter($"mc" =!= $"rc" || $"ma" =!= $"ra")
+      assert(bad.count() == 0, bad.collect().mkString("; "))
+    }
+  }
+
   test("merge == array_intersect on sorted duplicate-free string arrays") {
     import spark.implicits._
     val df = pairs(strSetGen).toDF("a", "b").cache()
