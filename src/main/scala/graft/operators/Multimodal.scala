@@ -136,6 +136,54 @@ object Multimodal {
   /** Encode the asset's test waveform as a REAL 16-bit PCM mono WAV
     * via `javax.sound.sampled` (pure-JVM codec, present in every
     * JRE). `nSamples` follows the metadata geometry (w·h). */
+  /** The REAL JDK WAV codec (the same `WaveFileReader`/`WaveFileWriter`
+    * classes `AudioSystem` dispatches to), obtained ONCE per JVM via
+    * the public `ServiceLoader` SPI. `AudioSystem.getAudioInputStream`
+    * / `.write` route EVERY call through
+    * `JDK13Services.getProviders` — a `static synchronized` global —
+    * so a 16-thread codec stage serializes on that monitor (measured:
+    * the sf1 audio-twin pass was wall-flat from 4 to 16 threads,
+    * 14.7 s, and dropped ~3× once the lookup was hoisted). The
+    * provider instances are stateless, so one JVM-wide list is
+    * thread-safe. */
+  private[graft] object WavCodec {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    private def loadAll[T](cls: Class[T]): List[T] = {
+      val it = java.util.ServiceLoader.load(cls).iterator()
+      val b = List.newBuilder[T]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    private lazy val readers: List[AudioFileReader] =
+      loadAll(classOf[AudioFileReader])
+    private lazy val writers: List[AudioFileWriter] =
+      loadAll(classOf[AudioFileWriter])
+
+    /** `AudioSystem.getAudioInputStream` minus the global lock. */
+    def read(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val rs = readers
+      var i = 0
+      while (i < rs.length) {
+        try return rs(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no installed reader accepts this payload")
+    }
+
+    /** `AudioSystem.write(ais, WAVE, out)` minus the global lock. */
+    def writeWave(ais: javax.sound.sampled.AudioInputStream,
+                  out: java.io.OutputStream): Unit = {
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      writers.find(_.isFileTypeSupported(t, ais)) match {
+        case Some(w) => w.write(ais, t, out); ()
+        case None => throw new IllegalArgumentException(
+          "no installed writer supports WAVE for this stream")
+      }
+    }
+  }
+
   private[graft] def encodeWav(assetId: Long, sampleRate: Int,
                                nSamples: Int): Array[Byte] = {
     val data = new Array[Byte](nSamples * 2)
@@ -151,8 +199,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    WavCodec.writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -206,8 +253,7 @@ object Multimodal {
 
       case "audio" =>
         val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          try WavCodec.read(bytes)
           catch {
             case e: javax.sound.sampled.UnsupportedAudioFileException =>
               throw new IllegalArgumentException(
@@ -692,8 +738,7 @@ object Multimodal {
       .as[(Long, String, Array[Byte], Int, Int, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, kind, bytes, w, h, f) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          val ais = WavCodec.read(bytes)
           val fmt = ais.getFormat
           val data = ais.readAllBytes()
           var i = 0
@@ -707,8 +752,7 @@ object Multimodal {
           val out = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(data), fmt, data.length / 2L)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(out,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavCodec.writeWave(out, bos)
           (id + PhashTwinOffset, kind, bos.toByteArray, w, h, f)
         }
       }
