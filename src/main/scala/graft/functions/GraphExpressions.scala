@@ -24,8 +24,32 @@ trait SortedMergeInputs { self: BinaryExpression =>
   protected lazy val elementType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
-  protected lazy val isLongFastPath: Boolean = elementType == LongType
-  protected lazy val isIntFastPath: Boolean = elementType == IntegerType
+  /** Either operand's schema admits NULL ELEMENTS. The internal
+    * adjacency frames never do (collect aggregates declare
+    * containsNull=false), but the SQL registration exposes the
+    * functions to arbitrary inputs — those take the null-aware slow
+    * path below, with `array_intersect` semantics: null elements sort
+    * LAST (matching `array_sort`, the sortedness precondition's
+    * canonical producer) and null == null is a match. */
+  protected lazy val nullableElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  protected lazy val isLongFastPath: Boolean =
+    elementType == LongType && !nullableElems
+  protected lazy val isIntFastPath: Boolean =
+    elementType == IntegerType && !nullableElems
+
+  /** Three-way compare with nulls-last (`array_sort`'s order):
+    * -1/0/1, null > every value, null == null. */
+  protected def nullAwareCompare(x: ArrayData, i: Int,
+                                 y: ArrayData, j: Int): Int = {
+    val xn = x.isNullAt(i); val yn = y.isNullAt(j)
+    if (xn && yn) 0
+    else if (xn) 1
+    else if (yn) -1
+    else elemOrdering.compare(x.get(i, elementType), y.get(j, elementType))
+  }
 
   @transient protected lazy val elemOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(elementType)
@@ -70,6 +94,14 @@ trait SortedMergeInputs { self: BinaryExpression =>
   * unsorted-input negative documenting the precondition). Inputs are
   * treated as SETS (duplicate-free), which adjacency lists of a
   * DISTINCT edge frame are by construction.
+  *
+  * NULL ELEMENTS (round-15, the SQL-registration hardening): when
+  * either input schema has `containsNull=true` the merge takes a
+  * null-aware slow path with `array_intersect` semantics — null
+  * elements sort LAST (matching `array_sort`, the canonical producer
+  * of the sortedness precondition) and null == null is a match. The
+  * internal adjacency frames are containsNull=false, so the hot path
+  * is untouched.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression with SortedMergeInputs {
@@ -98,8 +130,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         else j += 1
       }
     } else {
+      // generic ordering path; null-aware when the schema admits null
+      // elements (nulls-last, null == null — array_intersect parity)
       while (i < nx && j < ny) {
-        val cmp = elemOrdering.compare(x.get(i, elementType), y.get(j, elementType))
+        val cmp = nullAwareCompare(x, i, y, j)
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1
         else j += 1
@@ -108,8 +142,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     c
   }
 
+  /** Public codegen entry for the null-aware slow path (the fast
+    * paths inline their own generated loops). */
+  def mergeEval(a: ArrayData, b: ArrayData): Any = nullSafeEval(a, b)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+    if (nullableElems) {
+      // null-element inputs (SQL-facing only): route through the
+      // interpreted null-aware merge via a reference object — the
+      // CodegenFallback pattern, scoped to just this expression so
+      // the enclosing stage stays codegen'd
+      val ref = ctx.addReferenceObj("sortedIntersectCount", this)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = ((java.lang.Long) $ref.mergeEval($a, $b)).longValue();")
+    } else nullSafeCodeGen(ctx, ev, (a, b) => {
       // fresh names: several of these may land unbraced in one
       // generated scope (the DotProduct lesson)
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
@@ -160,7 +206,7 @@ case class SortedIntersect(left: Expression, right: Expression)
   override protected def fnName: String = "sorted_intersect"
 
   override def dataType: DataType =
-    ArrayType(elementType, containsNull = false)
+    ArrayType(elementType, containsNull = nullableElems)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -186,11 +232,16 @@ case class SortedIntersect(left: Expression, right: Expression)
       }
       new GenericArrayData(java.util.Arrays.copyOf(buf, c))
     } else {
+      // generic ordering path; null-aware when the schema admits null
+      // elements (nulls-last, null == null — array_intersect parity)
       val buf = new Array[AnyRef](math.min(nx, ny))
       while (i < nx && j < ny) {
-        val xv = x.get(i, elementType); val yv = y.get(j, elementType)
-        val cmp = elemOrdering.compare(xv, yv)
-        if (cmp == 0) { buf(c) = xv.asInstanceOf[AnyRef]; c += 1; i += 1; j += 1 }
+        val cmp = nullAwareCompare(x, i, y, j)
+        if (cmp == 0) {
+          buf(c) = if (x.isNullAt(i)) null
+                   else x.get(i, elementType).asInstanceOf[AnyRef]
+          c += 1; i += 1; j += 1
+        }
         else if (cmp < 0) i += 1
         else j += 1
       }
@@ -198,8 +249,19 @@ case class SortedIntersect(left: Expression, right: Expression)
     }
   }
 
+  /** Public codegen entry for the null-aware slow path (the fast
+    * paths inline their own generated loops). */
+  def mergeEval(a: ArrayData, b: ArrayData): Any = nullSafeEval(a, b)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+    if (nullableElems) {
+      // null-element inputs (SQL-facing only): interpreted null-aware
+      // merge via a reference object, scoped to this expression
+      val ref = ctx.addReferenceObj("sortedIntersect", this)
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = ($ad) $ref.mergeEval($a, $b);")
+    } else nullSafeCodeGen(ctx, ev, (a, b) => {
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val buf = ctx.freshName("buf")

@@ -50,16 +50,55 @@ object Graph {
     (edges, nodes)
   }
 
-  /** [[coActorEdges]] with ids as longs — the hash/compare type every
+  /** [[coActorEdges]] with NUMERIC ids — the hash/compare type every
     * numeric graph kernel wants (actor ids are stringified part
     * keys). ONE session-cached frame shared by triangle counting,
     * clustering coefficients, k-hop, and assortativity, instead of
-    * each entry re-deriving its own cast copy. */
+    * each entry re-deriving its own cast copy.
+    *
+    * Ids come out as the NARROWEST integral type the corpus admits —
+    * int when every actor id fits (one memoized min/max aggregate,
+    * [[actorIdsFitInt]]), long otherwise. The round-14 sf10 ablation
+    * measured the edge exchanges byte-proportional to id width, so
+    * the halving transfers to every consumer of this frame; round 15
+    * extends the same decision to [[weightedEdges]]/[[longNodes]] so
+    * the whole iterative family (cc, lpa, kcore, khop, modularity)
+    * shuffles narrow ids too. */
   private[graft] def coActorEdgesLong(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val t = graphIdType(spark, sfDir)
     cached("coactor-edges-long", coActorEdges(spark, sfDir)._1
-      .select($"src".cast("long").as("src"), $"dst".cast("long").as("dst")))
+      .select($"src".cast(t).as("src"), $"dst".cast(t).as("dst")))
   }
+
+  /** True iff every actor id in the corpus fits in an INT — decided
+    * ONCE per (session, corpus version) by a min/max aggregate over
+    * the node frame (every graph edge frame draws its endpoints from
+    * this set, so the node bound covers them all). min/max directly,
+    * never max(abs(id)): under non-ANSI eval abs(Long.MinValue) stays
+    * negative and would let a Long.MinValue id slip past the guard
+    * into a wrapping int cast (round-14 ADVICE). Narrowing is a
+    * measured runtime decision, never a correctness assumption — a
+    * corpus with ids past 2³¹ keeps longs. */
+  private val fitsIntMemo = new graft.util.BoundedMemo[Boolean](64)
+
+  private def actorIdsFitInt(spark: SparkSession, sfDir: String): Boolean = {
+    import spark.implicits._
+    val nodes = longNodesRaw(spark, sfDir)
+    fitsIntMemo.getOrElseUpdate(
+      graft.util.FrameCache.key("ids-fit-int", nodes), {
+        val row = nodes.agg(min($"a"), max($"a")).head()
+        !row.isNullAt(0) &&
+          row.getLong(0) > Int.MinValue.toLong &&
+          row.getLong(1) < Int.MaxValue.toLong
+      })
+  }
+
+  /** The SQL type name graph id columns are cast to — "int" when the
+    * corpus fits, else "long". One decision per corpus, shared by
+    * every numeric edge/node builder below. */
+  private def graphIdType(spark: SparkSession, sfDir: String): String =
+    if (actorIdsFitInt(spark, sfDir)) "int" else "long"
 
   /** Narrows `(src, dst)` long node ids to INT when every id fits —
     * the triangle family's big intermediate is the edge stream with
@@ -81,11 +120,17 @@ object Graph {
       // the fits-int decision costs one MAX action over the edge
       // frame — memoized per (plan, content) so the triangle and
       // coefficient entries (and repeated bench passes) pay it once
+      // min/max directly — max(abs(id)) would let Long.MinValue slip
+      // past the guard (abs stays negative under non-ANSI eval) and
+      // wrap to 0 in the int cast (round-14 ADVICE)
       val fitsInt = narrowMemo.getOrElseUpdate(
         graft.util.FrameCache.key("narrow-ids", edges), {
-          val mx = edges.agg(
-            greatest(max(abs($"src")), max(abs($"dst")))).head()
-          !mx.isNullAt(0) && mx.getLong(0) < Int.MaxValue.toLong
+          val r = edges.agg(
+            least(min($"src"), min($"dst")),
+            greatest(max($"src"), max($"dst"))).head()
+          !r.isNullAt(0) &&
+            r.getLong(0) > Int.MinValue.toLong &&
+            r.getLong(1) < Int.MaxValue.toLong
         })
       if (!fitsInt) edges
       else edges.select($"src".cast("int").as("src"),
@@ -452,7 +497,7 @@ object Graph {
     // stream (the big intermediate) as longs, not strings — via the
     // shared session-cached cast frame
     triangleCountOf(coActorEdgesLong(spark, sfDir),
-      coActorEdges(spark, sfDir)._2.select($"a".cast("long").as("a")))
+      longNodes(spark, sfDir))
   }
 
   /** [[triangleCount]] over any directed edge frame `(src, dst)`
@@ -512,9 +557,10 @@ object Graph {
     * an exhausted component. */
   def khopActors(spark: SparkSession, sfDir: String, hops: Int = 3): DataFrame = {
     import spark.implicits._
-    val nodes = coActorEdges(spark, sfDir)._2
     val e = coActorEdgesLong(spark, sfDir)
-    val seed = nodes.agg(min($"a".cast("long")).as("a"))
+    // seed from the SAME narrowed node frame, so the frontier joins
+    // never re-widen the edge keys with an implicit cast
+    val seed = longNodes(spark, sfDir).agg(min($"a").as("a"))
     khopOf(e, seed, hops)
       .groupBy($"hop")
       .agg(count(lit(1)).as("n_actors"))
@@ -784,21 +830,39 @@ object Graph {
   val GraphMaxRounds = 20
   val KCoreK = 3
 
-  /** Weight-thresholded directed edges (both arcs), actor ids as
-    * longs (label MIN must be numeric: the string min of stringified
-    * part keys would order "10" < "2"). */
+  /** Weight-thresholded directed edges (both arcs), actor ids
+    * numeric (label MIN must be numeric: the string min of
+    * stringified part keys would order "10" < "2") — int when the
+    * corpus fits ([[graphIdType]]), so the per-round label joins of
+    * cc/lpa/kcore shuffle half the key bytes. */
   private def weightedEdges(spark: SparkSession, sfDir: String, minW: Int): DataFrame = {
     import spark.implicits._
+    val t = graphIdType(spark, sfDir)
     cached(s"wedges-$minW", Tables.coActorEdgesBucketed(spark, sfDir)
       .filter($"wt" >= minW)
-      .select($"src".cast("long").as("src"), $"dst".cast("long").as("dst")))
+      .select($"src".cast(t).as("src"), $"dst".cast(t).as("dst")))
   }
 
-  private def longNodes(spark: SparkSession, sfDir: String): DataFrame = {
+  /** All actor ids as longs — the pre-narrowing frame the fits-int
+    * decision aggregates over (so the decision itself never depends
+    * on the narrowing it gates). */
+  private def longNodesRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     cached("coactor-nodes-long", Tables.movies(spark, sfDir)
       .select(explode($"actors").as("s"))
       .select($"s".cast("long").as("a")).distinct())
+  }
+
+  /** All actor ids, numeric, at the corpus' [[graphIdType]] — the
+    * node frame every iterative kernel seeds labels/ranks from; its
+    * id type always matches the edge frames above so no join ever
+    * re-widens the keys with an implicit cast. */
+  private def longNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = longNodesRaw(spark, sfDir)
+    if (actorIdsFitInt(spark, sfDir))
+      cached("coactor-nodes-narrow", raw.select($"a".cast("int").as("a")))
+    else raw
   }
 
   /** Connected components by synchronous min-label propagation:

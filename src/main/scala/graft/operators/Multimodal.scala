@@ -326,13 +326,25 @@ object Multimodal {
     // in byte-sized scan splits — at sf1 the 50k-asset table is one
     // 5 MB parquet file, i.e. ONE task carrying the entire PNG/WAV
     // encode (and, through the cached frame, every downstream decode)
-    // on a 32-core host. Row-repartition to the session's parallelism
-    // before entering the codec: values are per-row so the layout is
-    // semantics-free, and the cached payload frame then feeds every
-    // decode/twin consumer with balanced partitions.
-    assets(spark, sfDir)
+    // on a 32-core host. Row-repartition before entering the codec:
+    // values are per-row so the layout is semantics-free, and the
+    // cached payload frame then feeds every decode/twin consumer with
+    // balanced partitions. The partition count scales WITH THE ASSET
+    // COUNT (round-15, closing the round-14 regression): a fixed
+    // cpus×2 fan-out shuffled sf0.1's ~5k assets into 64 near-empty
+    // partitions whose per-task overhead every downstream decode of
+    // the cached frame re-paid (~2× on audiohash/phash, isolated-
+    // confirmed). ~1k assets per partition keeps small corpora at the
+    // handful of tasks they had before the fix, while sf1's 50k
+    // assets still fan out near the cpus×2 ceiling that fixed the
+    // single-task encode.
+    val meta = assets(spark, sfDir)
       .select($"asset_id", $"kind", $"width", $"height", $"sample_rate", $"n_frames")
-      .repartition(spark.sparkContext.defaultParallelism * 2, $"asset_id")
+    val nAssets = meta.count()
+    val parts = math.min(spark.sparkContext.defaultParallelism * 2,
+      math.max(1L, nAssets / 1024L).toInt)
+    meta
+      .repartition(parts, $"asset_id")
       .as[(Long, String, Int, Int, Int, Int)]
       .mapPartitions { rows =>
         // real pipeline: initialize the encoders ONCE here, close after

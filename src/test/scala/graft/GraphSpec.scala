@@ -193,6 +193,48 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(census.map { case (size, n) => size * n }.sum == totalActors)
   }
 
+  test("int-narrowed ids: iterative kernels agree with the long route; corpus edges narrowed") {
+    import spark.implicits._
+    // the round-15 narrowing extension: cc/lpa/khop must be id-width
+    // agnostic — run each on the SAME fixture with long then int ids
+    // and compare results exactly (the SortedIntersectSpec discipline,
+    // extended to an iterative op per the round-14 verdict ask)
+    val und = Seq((1, 2), (2, 3), (1, 3), (4, 5))
+    val edgesL = (und ++ und.map(_.swap))
+      .map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+    val edgesI = edgesL.select(
+      $"src".cast("int").as("src"), $"dst".cast("int").as("dst"))
+    val nodesL = (1L to 7L).toDF("a")
+    val nodesI = nodesL.select($"a".cast("int").as("a"))
+
+    val ccL = Graph.ccOf(edgesL, nodesL, maxRounds = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ccI = Graph.ccOf(edgesI, nodesI, maxRounds = 10).collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toMap
+    assert(ccI == ccL)
+
+    val lpaL = Graph.lpaOf(edgesL, nodesL, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lpaI = Graph.lpaOf(edgesI, nodesI, rounds = 4).collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toMap
+    assert(lpaI == lpaL)
+
+    val seedL = Seq(1L).toDF("a")
+    val khopL = Graph.khopOf(edgesL, seedL, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val khopI = Graph.khopOf(edgesI, seedL.select($"a".cast("int").as("a")), 3)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toSet
+    assert(khopI == khopL)
+
+    // the corpus decision actually fires: test-sf actor ids are
+    // stringified part keys well inside 2^31, so the shared numeric
+    // edge frame must come out int-typed
+    val corpusTypes = Graph.coActorEdgesLong(spark, sf)
+      .schema.fields.map(_.dataType.typeName).toSet
+    assert(corpusTypes == Set("integer"),
+      s"expected int-narrowed corpus edge ids, got $corpusTypes")
+  }
+
   test("personalized pagerank: exact fixture replay, seed locality on the corpus") {
     import spark.implicits._
     // path 1-2-3-4 plus isolate 5, seeded at "1": teleport and

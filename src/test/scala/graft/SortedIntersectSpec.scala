@@ -34,14 +34,25 @@ class SortedIntersectSpec extends SparkSpec {
       (a, b)
     }
 
-  /** Runs `body` with whole-stage codegen on, then off (interpreted
-    * eval path) — both generated and `nullSafeEval` routes covered. */
+  /** Runs `body` with whole-stage codegen on, then fully interpreted.
+    * Toggling wholeStage alone is NOT enough (round-14 ADVICE): with
+    * whole-stage off, projections still compile expressions through
+    * `doGenCode` (the default factoryMode is FALLBACK), so the
+    * interpreted `nullSafeEval` branches never run. The second pass
+    * therefore also pins factoryMode=NO_CODEGEN, which forces
+    * InterpretedUnsafeProjection and the eval path. */
   private def bothCodegenRoutes(body: => Unit): Unit = {
-    body // default: codegen on
-    val k = "spark.sql.codegen.wholeStage"
-    val prev = spark.conf.get(k)
-    spark.conf.set(k, "false")
-    try body finally spark.conf.set(k, prev)
+    body // default: whole-stage codegen on
+    val ws = "spark.sql.codegen.wholeStage"
+    val fm = "spark.sql.codegen.factoryMode"
+    val prevWs = spark.conf.get(ws)
+    val prevFm = spark.conf.get(fm, "FALLBACK")
+    spark.conf.set(ws, "false")
+    spark.conf.set(fm, "NO_CODEGEN")
+    try body finally {
+      spark.conf.set(ws, prevWs)
+      spark.conf.set(fm, prevFm)
+    }
   }
 
   test("merge == array_intersect on sorted duplicate-free long arrays") {
@@ -105,6 +116,37 @@ class SortedIntersectSpec extends SparkSpec {
     val n = spark.sql(
       "SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) IS NULL")
     assert(n.head().getBoolean(0))
+  }
+
+  test("null ELEMENTS match array_intersect: nulls-last, null == null") {
+    import spark.implicits._
+    // schema containsNull=true — the SQL-facing slow path; semantics
+    // pinned against array_intersect (one shared null survives) and
+    // array_sort's nulls-last order is the sortedness precondition
+    val df = Seq(
+      (Seq(Some(1L), Some(2L), None), Seq(Some(2L), None), 2L),
+      (Seq(Some(1L), None), Seq(Some(2L), Some(3L)), 0L),
+      (Seq[Option[Long]](None), Seq[Option[Long]](None), 1L),
+      (Seq(Some(1L), Some(2L)), Seq(Some(2L), Some(9L)), 1L)
+    ).toDF("a", "b", "want")
+    bothCodegenRoutes {
+      val bad = df.select(
+          sorted_intersect_count($"a", $"b").as("mc"),
+          size(array_intersect($"a", $"b")).cast("long").as("rc"),
+          sorted_intersect($"a", $"b").as("ma"),
+          array_sort(array_intersect($"a", $"b")).as("ra"),
+          $"want")
+        .filter($"mc" =!= $"want" || $"rc" =!= $"want" ||
+          !($"ma" <=> $"ra"))
+      assert(bad.count() == 0, bad.collect().mkString("; "))
+    }
+    // string elements with nulls ride the same null-aware generic path
+    val s = Seq((Seq(Some("a"), Some("b"), None), Seq(Some("b"), None)))
+      .toDF("a", "b")
+    bothCodegenRoutes {
+      assert(s.select(sorted_intersect_count($"a", $"b"))
+        .head().getLong(0) == 2L)
+    }
   }
 
   test("UNSORTED inputs give wrong answers: the precondition is real") {
