@@ -1189,14 +1189,40 @@ object Graph {
                                   labels: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val lab = labels.localCheckpoint()
+    // lbl STAYS LONG here even when node ids are int-narrowed, and
+    // that is a measured requirement, not a leftover: the e_in join's
+    // condition merges `ls = ld` with `dst = dst`, and when BOTH keys
+    // are int Spark packs them into one bigint broadcast key
+    // (`dst<<32 | lbl`) whose LOW 32 bits are the label — a
+    // few-distinct-values column — so the LongToUnsafeRowMap behind
+    // the broadcast degenerates on key collisions: 8.3 s to build a
+    // 200k-row relation vs 0.24 s with an unpackable (int, bigint)
+    // key pair (round-15 probe, sf1). Label width is not exchange
+    // volume here (the label frame is |V|-rows and broadcast), so the
+    // long costs nothing the narrowing was buying.
+    val lab = labels.select($"a", $"lbl".cast("long").as("lbl"))
+      .localCheckpoint()
+    // The scoring joins pair the CORPUS-sized arc list with the
+    // NODE-sized label frame: say which side broadcasts, through the
+    // same capacity tier every other kernel here uses, instead of
+    // leaving it to size estimates. Round-15 lesson: the estimate for
+    // the cached arc frame is the bucketed scan's bytes scaled by
+    // projected row width, and the int-narrowed ids halved that —
+    // dropping the arc frame under the broadcast threshold, so
+    // Catalyst could BROADCAST THE EDGES (unbounded at corpus scale)
+    // and stream the labels. An explicit tier-gated hint on the
+    // label side is scale-correct at any id width: labels are
+    // |V|-rows, arcs never ship.
+    val nL = lab.count()
+    def labB(cols: DataFrame): DataFrame =
+      graft.util.Broadcasting.maybeBroadcast(cols, nL)
     val el = edges
-      .join(lab.select($"a".as("src"), $"lbl".as("ls")), "src")
-      .join(lab.select($"a".as("dst"), $"lbl".as("ld")), "dst")
+      .join(labB(lab.select($"a".as("src"), $"lbl".as("ls"))), "src")
+      .join(labB(lab.select($"a".as("dst"), $"lbl".as("ld"))), "dst")
     val eIn = el.filter($"ls" === $"ld")
       .groupBy($"ls".as("lbl")).agg(count(lit(1)).as("e_in"))
     val dTot = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-      .join(lab.select($"a".as("src"), $"lbl"), "src")
+      .join(labB(lab.select($"a".as("src"), $"lbl")), "src")
       .groupBy($"lbl").agg(sum($"d").as("d_tot"))
     val m = edges.agg(count(lit(1)).as("m"))
     val comm = lab.groupBy($"lbl").agg(count(lit(1)).as("cs"))
@@ -1421,9 +1447,16 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val deg = cachedDeg(edges)
+    // same posture as modularityOf: the degree frame is the
+    // node-sized side — tier-broadcast it explicitly so size
+    // estimates can never elect to broadcast the arc list instead
+    // (deg is cached, so the bound count is one cheap scan)
+    val nD = deg.count()
     edges
-      .join(deg.select($"src", $"d".as("dx")), "src")
-      .join(deg.select($"src".as("dst"), $"d".as("dy")), "dst")
+      .join(graft.util.Broadcasting.maybeBroadcast(
+        deg.select($"src", $"d".as("dx")), nD), "src")
+      .join(graft.util.Broadcasting.maybeBroadcast(
+        deg.select($"src".as("dst"), $"d".as("dy")), nD), "dst")
       .agg(count(lit(1)).as("m"),
         sum($"dx").as("sx"), sum($"dy").as("sy"),
         sum($"dx" * $"dy").as("sxy"),
