@@ -62,8 +62,8 @@ object Graph {
     * measured the edge exchanges byte-proportional to id width, so
     * the halving transfers to every consumer of this frame; round 15
     * extends the same decision to [[weightedEdges]]/[[longNodes]] so
-    * the whole iterative family (cc, lpa, kcore, khop, modularity)
-    * shuffles narrow ids too. */
+    * the whole iterative family (cc, lpa, kcore, khop, modularity,
+    * and all three pagerank walks) shuffles narrow ids too. */
   private[graft] def coActorEdgesLong(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = graphIdType(spark, sfDir)
@@ -230,9 +230,13 @@ object Graph {
   def pagerankActors(spark: SparkSession, sfDir: String,
                      iters: Int = 5, d: Double = 0.85, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val (edges, nodes0) = coActorEdges(spark, sfDir)
-    pagerankOf(edges, nodes0, iters, d)
-      .select($"a".as("actor"), round($"r", 6).as("rank"))
+    // corpus-narrowed numeric ids through every iteration — the five
+    // rank-broadcast joins and dst-sums hash/compare 4-byte keys
+    // instead of variable-width strings; the string id surface (and
+    // its tie-break collation) reappears only on the final k rows
+    pagerankOf(coActorEdgesLong(spark, sfDir), longNodes(spark, sfDir),
+        iters, d)
+      .select($"a".cast("string").as("actor"), round($"r", 6).as("rank"))
       .orderBy($"rank".desc, $"actor")
       .limit(k)
   }
@@ -362,10 +366,16 @@ object Graph {
   def pprActors(spark: SparkSession, sfDir: String,
                 iters: Int = 5, d: Double = 0.85, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val (edges, nodes) = coActorEdges(spark, sfDir)
-    val seed = cached("ppr-seed", nodes.agg(min($"a").as("a")))
-    pprOf(edges, nodes, seed, iters, d)
-      .select($"a".as("actor"), round($"r", 6).as("rank"))
+    // the seed stays the LEXICOGRAPHIC min over the string id
+    // surface (the published oracle contract predates the numeric
+    // narrowing), cast to the narrowed type the iterations run on —
+    // a numeric MIN would pick a different actor whenever string and
+    // numeric order disagree ("10" < "9")
+    val seed = cached("ppr-seed", coActorEdges(spark, sfDir)._2
+      .agg(min($"a").cast(graphIdType(spark, sfDir)).as("a")))
+    pprOf(coActorEdgesLong(spark, sfDir), longNodes(spark, sfDir),
+        seed, iters, d)
+      .select($"a".cast("string").as("actor"), round($"r", 6).as("rank"))
       .orderBy($"rank".desc, $"actor")
       .limit(k)
   }
@@ -700,11 +710,15 @@ object Graph {
                              iters: Int = 5, d: Double = 0.85,
                              k: Int = 20): DataFrame = {
     import spark.implicits._
+    // same narrowing as the unweighted walk: ids at the corpus'
+    // narrowest type, wt untouched, string surface restored on the
+    // final k rows only
+    val t = graphIdType(spark, sfDir)
     val edges = cached("coactor-edges-w",
-      Tables.coActorEdgesBucketed(spark, sfDir).select($"src", $"dst", $"wt"))
-    val (_, nodes) = coActorEdges(spark, sfDir)
-    pagerankWeightedOf(edges, nodes, iters, d)
-      .select($"a".as("actor"), round($"r", 6).as("rank"))
+      Tables.coActorEdgesBucketed(spark, sfDir)
+        .select($"src".cast(t).as("src"), $"dst".cast(t).as("dst"), $"wt"))
+    pagerankWeightedOf(edges, longNodes(spark, sfDir), iters, d)
+      .select($"a".cast("string").as("actor"), round($"r", 6).as("rank"))
       .orderBy($"rank".desc, $"actor")
       .limit(k)
   }

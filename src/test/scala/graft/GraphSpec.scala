@@ -226,6 +226,12 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toSet
     assert(khopI == khopL)
 
+    val prL = Graph.pagerankOf(edgesL, nodesL, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val prI = Graph.pagerankOf(edgesI, nodesI, iters = 4).collect()
+      .map(r => (r.getInt(0).toLong, r.getDouble(1))).toMap
+    assert(prI == prL)
+
     // the corpus decision actually fires: test-sf actor ids are
     // stringified part keys well inside 2^31, so the shared numeric
     // edge frame must come out int-typed
