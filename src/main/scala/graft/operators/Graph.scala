@@ -1364,8 +1364,16 @@ object Graph {
   def linkPredict(spark: SparkSession, sfDir: String,
                   k: Int = LinkPredTopK,
                   hubCap: Int = LinkPredHubCap): DataFrame = {
-    val (edges, _) = coActorEdges(spark, sfDir)
-    linkPredictOf(edges, k, hubCap)
+    import spark.implicits._
+    // the two-path join's wedge stream (Σ sub-hub d² rows keyed by
+    // the candidate pair) is the operator's big exchange — run it on
+    // the corpus-narrowed numeric ids every other kernel shares, and
+    // restore the string surface on the final k rows. Pairs are
+    // canonicalized (and k-boundary ties broken) in NUMERIC id order,
+    // matching [[linkPredictSql]]'s casts.
+    linkPredictOf(coActorEdgesLong(spark, sfDir), k, hubCap)
+      .select($"a".cast("string").as("a"), $"b".cast("string").as("b"),
+        $"cn", $"jaccard")
   }
 
   /** [[linkPredict]] over any distinct directed symmetric edge frame
@@ -1408,7 +1416,8 @@ object Graph {
        |e1 AS (SELECT e.src, e.dst FROM e
        |       JOIN deg ON deg.src = e.src AND deg.d <= $hubCap),
        |tp AS (SELECT p.dst AS a, q.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
-       |       FROM e1 p JOIN e1 q ON p.src = q.src AND p.dst < q.dst
+       |       FROM e1 p JOIN e1 q ON p.src = q.src
+       |         AND CAST(p.dst AS BIGINT) < CAST(q.dst AS BIGINT)
        |       GROUP BY 1, 2),
        |na AS (SELECT tp.a, tp.b, tp.cn FROM tp
        |       WHERE NOT EXISTS (SELECT 1 FROM e
@@ -1418,7 +1427,8 @@ object Graph {
        |    / 1000000.0 AS jaccard
        |FROM na JOIN deg d1 ON d1.src = na.a
        |        JOIN deg d2 ON d2.src = na.b
-       |ORDER BY jaccard DESC, a, b LIMIT $k""".stripMargin
+       |ORDER BY jaccard DESC, CAST(a AS BIGINT), CAST(b AS BIGINT)
+       |LIMIT $k""".stripMargin
 
   // ---------------------------------------------------------------
   // rel_graph_assortativity — degree-mixing coefficient
