@@ -632,9 +632,17 @@ object CorpusQuality {
     */
   def charEntropyOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
+    // chars in ONE linear split pass instead of running the regex
+    // engine once per character (and NOT a per-position substring
+    // window, which is O(i) per UTF8String call ⇒ quadratic per doc
+    // — measured 4→23 s at sf1 before this form). split('') keeps
+    // ALL characters (newlines included, unlike the '.' regex) plus
+    // one trailing "" that the length-sized slice drops; the oracle
+    // replays the same per-char list. Empty docs yield no rows
+    // either way.
     documents
       .select($"doc_id",
-        explode(regexp_extract_all($"text", lit("."), lit(0))).as("ch"))
+        explode(expr("slice(split(text, ''), 1, length(text))")).as("ch"))
       .groupBy($"doc_id", $"ch")
       .agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
@@ -650,7 +658,8 @@ object CorpusQuality {
     charEntropyOf(docs(spark, sfDir))
 
   val charEntropySql: String =
-    """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+    """WITH ch AS (SELECT doc_id,
+      |              unnest([text[i] for i in range(1, length(text) + 1)]) AS ch
       |            FROM documents),
       |h AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars, COUNT(*) AS uniq_chars,
@@ -767,10 +776,21 @@ object CorpusQuality {
     */
   def langIdChargramOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    val grams = cached("langIdGrams",
-      documents.select($"doc_id", $"lang",
-        explode(shingles(regexp_extract_all(lower($"text"), lit("."), lit(0)), 3))
-          .as("g")))
+    // chars in ONE linear split pass (a per-position substring window
+    // is O(i) per UTF8String call ⇒ quadratic per doc, and the
+    // per-CHARACTER regex of regexp_extract_all(text, '.') paid the
+    // regex engine once per char), trigrams via the codegen'd native
+    // [[graft.functions.Shingles]]. split('') keeps ALL characters
+    // (newlines included, unlike the '.' regex) plus one trailing ""
+    // that the length-sized slice drops; the oracle replays the same
+    // per-char list. Gram count per doc is exactly max(len−2, 0), so
+    // the per-doc totals come straight off the document frame with NO
+    // exchange over the corpus-sized exploded gram stream.
+    val withGrams = cached("langIdGrams", documents
+      .select($"doc_id", $"lang",
+        expr("slice(split(lower(text), ''), 1, length(text))").as("cs"))
+      .select($"doc_id", $"lang", shingles($"cs", 3).as("gs")))
+    val grams = withGrams.select($"doc_id", $"lang", explode($"gs").as("g"))
     val prof = grams.groupBy($"lang".as("plang"), $"g")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
@@ -778,7 +798,11 @@ object CorpusQuality {
           .partitionBy($"plang").orderBy($"cnt".desc, $"g")))
       .filter($"rk" <= LangIdProfile)
       .select($"plang", $"g")
-    val docTotals = grams.groupBy($"doc_id").agg(count(lit(1)).as("total"))
+    // len−2 BY CONSTRUCTION of the substring window — an O(docs)
+    // projection, not a groupBy over corpus-many gram rows; hitless
+    // docs carry total 0 but never reach the score join (hits ⊆
+    // docs-with-grams)
+    val docTotals = withGrams.select($"doc_id", size($"gs").as("total"))
     val hits = grams.join(broadcast(prof), "g")
       .groupBy($"doc_id", $"lang", $"plang")
       .agg(count(lit(1)).as("hits"))
@@ -800,7 +824,7 @@ object CorpusQuality {
     langIdChargramOf(docs(spark, sfDir))
 
   def langIdChargramSql(p: Int = LangIdProfile): String = {
-    val chars = "regexp_extract_all(lower(text), '.')"
+    val chars = "[lower(text)[i] for i in range(1, length(text) + 1)]"
     s"""WITH t AS (SELECT doc_id, lang, $chars AS cs FROM documents),
        |g AS MATERIALIZED (SELECT doc_id, lang,
        |       unnest(${shinglesNSql("cs", 3)}) AS g FROM t),

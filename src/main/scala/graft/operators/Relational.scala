@@ -3381,22 +3381,34 @@ object Relational {
     * co-occurrence beats independence. Ranked by pair count with
     * integer tie-breaks so the top-k set is deterministic.
     *
-    * Scale: the pair generator self-joins the per-order DISTINCT part
-    * list on the order key — pairs per order are C(parts/order, 2),
-    * a SMALL constant (TPC-H ships ~4–7 lines/order), so the blowup
-    * is bounded per key and the join is a co-partitioned equi-join,
-    * never a cross product; the top-k is a bounded TakeOrdered. Lift
-    * ratios are raw divisions of exact longs (bit-identical across
-    * engines, no rounding involved). */
+    * Scale: ONE exchange on the order key replaces the classic
+    * distinct → okey self-join → pair-groupBy chain — each order
+    * collapses to its sorted distinct part set (a SMALL array,
+    * TPC-H ships ~4–7 lines/order), and the C(parts/order, 2) pairs
+    * expand per-row from that array, never through a join. The
+    * per-order set frame is localCheckpoint'ed so the order census,
+    * the per-part counts and the pair stream all read one
+    * materialization; the only corpus-sized exchanges are the okey
+    * aggregation and the pair count, and the top-k is a bounded
+    * TakeOrdered. Lift ratios are raw divisions of exact longs
+    * (bit-identical across engines, no rounding involved). */
   def marketBasket(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val op = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey".as("okey"), $"l_partkey".as("part")).distinct()
-    val nOrders = op.select($"okey").distinct().count()
-    val partCnt = op.groupBy($"part").agg(count(lit(1)).as("cnt"))
-    val pairs = op.as("x").join(op.as("y"),
-        col("x.okey") === col("y.okey") && col("x.part") < col("y.part"))
-      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+    val sets = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .localCheckpoint()
+    val nOrders = sets.count()
+    val partCnt = sets.select(explode($"ps").as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("cnt"))
+    // ascending array + slice past the current position ≡ the old
+    // x.part < y.part numeric canonicalization (slice is 1-based:
+    // the 0-based element i pairs with positions i+2..size)
+    val pairs = sets
+      .select(posexplode($"ps").as(Seq("i", "part_a")), $"ps")
+      .select($"part_a",
+        explode(expr("slice(ps, i + 2, size(ps))")).as("part_b"))
+      .groupBy($"part_a", $"part_b")
       .agg(count(lit(1)).as("pair_cnt"))
     pairs
       .join(partCnt.select($"part".as("part_a"), $"cnt".as("cnt_a")), "part_a")
