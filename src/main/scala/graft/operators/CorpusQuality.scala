@@ -1058,6 +1058,11 @@ object CorpusQuality {
         $"digit_words" * 10L <= $"n_words" * 3L &&
         $"stop_hits" >= GopherMinStop.toLong
     val weights = trainedWeights(documents)
+    // the three census stages below reference this frame once each,
+    // but they live in ONE union plan: Catalyst's ReusedExchange
+    // dedups the identical join subplan across the branches, so no
+    // explicit materialization is needed (a localCheckpoint here
+    // measured SLOWER at sf1 — it only added a round-trip)
     val scored = base
       .withColumn("g_pass", gopherPass)
       .join(classifierScores(documents, weights)

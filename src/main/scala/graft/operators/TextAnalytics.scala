@@ -3337,10 +3337,19 @@ object TextAnalytics {
     import documents.sparkSession.implicits._
     val terms = cached("cms-terms",
       documents.select(explode(tokens($"text")).as("term")))
-    def saltCells = array((0 until depth).map(s =>
-      struct(lit(s).as("salt"),
-        pmod(graft.functions.Hashing.md5i32($"term", s), lit(width.toLong))
-          .as("cell"))): _*)
+    // affine row family from ONE digest (the MinHash discipline):
+    // the depth per-token hashes were depth separately salted md5
+    // passes over the term stream; the i-th row hash is now two
+    // arithmetic ops on the shared digest words
+    def saltCells = {
+      val p = graft.functions.Hashing.md5Pair($"term")
+      val a = p.getField("a")
+      val b = p.getField("b").bitwiseOR(lit(1L))
+      array((0 until depth).map(s =>
+        struct(lit(s).as("salt"),
+          pmod(graft.functions.Hashing.affine32(a, b, s), lit(width.toLong))
+            .as("cell"))): _*)
+    }
     val cells = terms
       .select(explode(saltCells).as("sc"))
       .select($"sc.salt".as("salt"), $"sc.cell".as("cell"))
@@ -3365,7 +3374,9 @@ object TextAnalytics {
 
   def countMinReplaySql(depth: Int = CmsDepth, width: Int = CmsWidth,
                         k: Int = CmsTopK): String = {
-    val h = graft.functions.Hashing.md5i32Sql("term", "CAST(salt AS VARCHAR)")
+    val a = "('0x' || substr(md5(term), 1, 8))::BIGINT"
+    val b = "(('0x' || substr(md5(term), 9, 8))::BIGINT | 1)"
+    val h = s"((($a + salt * $b) & 4294967295))"
     s"""WITH terms AS (SELECT unnest($tokensSql) AS term FROM documents),
        |salts AS (SELECT unnest(range($depth)) AS salt),
        |cells AS (
