@@ -100,14 +100,23 @@ object Relational {
     import spark.implicits._
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
-    val l = Tables.lineitem(spark, sfDir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // aggregate the fact side BELOW the joins (the left-outer
+    // histogram discipline): lineitem collapses to one (okey, rev,
+    // items) row per order on the SAME key the join shuffles on, so
+    // the join probes and the segment aggregate consume order-many
+    // rows instead of item-many. Decimal partials add exactly
+    // (associative), counts sum; inner-join drops happen at order
+    // granularity either way because okey/custkey are keys.
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+        .as("rev"), count(lit(1)).as("items"))
+    rev.join(o, rev("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy($"c_mktsegment")
       .agg(
-        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum($"rev").cast("double").as("revenue"),
+        sum($"items").as("n_items"))
       .orderBy($"c_mktsegment")
   }
 
