@@ -71,14 +71,18 @@ object Bench {
   }
 
   /** Minimal extraction of {"queries":{...},"sf":"..."} from our own
-    * one-line bench JSON — no JSON library in the shipped classpath,
-    * and the format is self-authored. */
+    * bench JSON — no JSON library in the shipped classpath, and the
+    * format is self-authored. Whitespace-tolerant (round-15 ADVICE:
+    * a pretty-printed BENCH_prior.json made both compact-pinned
+    * regexes miss, silently disabling the isolated re-run tripwire),
+    * so both the writer's one-line form and a hand- or tool-
+    * pretty-printed prior parse identically. */
   private[graft] def parsePrior(line: String): (Map[String, Double], String) = {
-    val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(line)
+    val sf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(line)
       .map(_.group(1)).getOrElse("")
-    val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(line)
+    val qs = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(line)
       .map(_.group(1)).getOrElse("")
-    val pairs = "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(qs)
+    val pairs = "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(qs)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     (pairs, sf)
   }

@@ -2,6 +2,84 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Dev tool (round-15 verdict item 3): enumerate hash joins whose
+  * equi-key list Spark PACKS into one long — more than one key, all
+  * integral, total width ≤ 8 bytes ([[org.apache.spark.sql.execution.joins.HashJoin]]
+  * `rewriteKeyExpr`). A packed key whose LOW word is a
+  * few-distinct-values column collapses the LongToUnsafeRowMap
+  * behind a broadcast (the round-15 modularity finding: 8.3 s → 0.24 s
+  * by keeping one key wide, Graph.scala modularityOf). This audit
+  * runs every catalog query at a small sf, walks the FINAL adaptive
+  * plan, and for every packed-key hash join reports the key
+  * expressions and their types — the human then bounds the low-word
+  * distinct count for each hit (keys pack in order; the LAST key
+  * lands in the LOW bits). */
+object PackedKeyAudit {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+
+  private def integralBits(e: Expression): Option[Int] = e.dataType match {
+    case ByteType => Some(8); case ShortType => Some(16)
+    case IntegerType => Some(32); case LongType => Some(64); case _ => None
+  }
+
+  /** keys that HashJoin.rewriteKeyExpr would pack into ONE long */
+  private def packed(keys: Seq[Expression]): Boolean =
+    keys.length > 1 && keys.forall(integralBits(_).isDefined) &&
+      keys.flatMap(integralBits).sum <= 64
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    var hits = 0
+    names.foreach { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val joins = flatten(df.queryExecution.executedPlan).collect {
+          case j: BroadcastHashJoinExec if packed(j.leftKeys) =>
+            ("broadcast", j.leftKeys, j.rightKeys)
+          case j: ShuffledHashJoinExec if packed(j.leftKeys) =>
+            ("shuffled-hash", j.leftKeys, j.rightKeys)
+        }
+        joins.foreach { case (kind, lk, rk) =>
+          hits += 1
+          println(s"PACKED $n [$kind] left=${lk.map(k =>
+            s"${k.sql}:${k.dataType.simpleString}").mkString(", ")} right=${
+            rk.map(k => s"${k.sql}:${k.dataType.simpleString}").mkString(", ")}")
+        }
+      } catch { case e: Throwable =>
+        println(s"ERROR $n: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    println(s"packed-key hash joins: $hits")
+    spark.stop()
+  }
+}
+
 /** Dev tool: print formatted physical plans of selected queries for
   * the scale audit (shuffle count, pushdown, codegen spans). */
 object PlanAudit {

@@ -786,6 +786,13 @@ object CorpusQuality {
     // per-char list. Gram count per doc is exactly max(len−2, 0), so
     // the per-doc totals come straight off the document frame with NO
     // exchange over the corpus-sized exploded gram stream.
+    // ASCII-only assumption (like the \w regex note above): the slice
+    // bound is length(text), but lower() can CHANGE character count
+    // under full-case mappings (e.g. U+0130 → i + combining dot), and
+    // DuckDB's simple-mapping lower() can disagree with the JVM's on
+    // such points — both fine on this corpus (ASCII TPC-H-derived
+    // text), either would need the slice re-based on length(lower())
+    // for general Unicode.
     val withGrams = cached("langIdGrams", documents
       .select($"doc_id", $"lang",
         expr("slice(split(lower(text), ''), 1, length(text))").as("cs"))

@@ -28,6 +28,11 @@ object Relational {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Previous [[marketBasket]] invocation's per-order-set
+    * localCheckpoint, released when the next invocation supersedes
+    * it (at most one pinned at a time). */
+  @volatile private var lastBasketSets: DataFrame = null
+
   /** TPC-H Q1-shaped pricing summary: the canonical partial+final
     * hash aggregate. At scale: one shuffle of (flag,status) partials —
     * 6 groups regardless of input size; AQE coalesces the tiny
@@ -3418,6 +3423,17 @@ object Relational {
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("ps"))
       .localCheckpoint()
+    // release the PREVIOUS invocation's checkpoint (its consumers
+    // were materialized by that caller; the returned frame is lazy,
+    // so in-call unpersist would recompute) — the pagerank
+    // superseded-checkpoint discipline. Without this every bench
+    // pass pinned another corpus-sized set frame for the session
+    // (round-15 ADVICE).
+    synchronized {
+      if (lastBasketSets != null && !(lastBasketSets eq sets))
+        scala.util.Try(lastBasketSets.unpersist(blocking = false))
+      lastBasketSets = sets
+    }
     val nOrders = sets.count()
     val partCnt = sets.select(explode($"ps").as("part"))
       .groupBy($"part").agg(count(lit(1)).as("cnt"))

@@ -226,11 +226,19 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toSet
     assert(khopI == khopL)
 
+    // tolerance, not exact Map equality: rank sums accumulate in
+    // shuffle-partition order, and int- vs long-key murmur hashes
+    // partition differently, so the two runs may differ by an ulp on
+    // another partition count / Spark version (round-15 ADVICE)
     val prL = Graph.pagerankOf(edgesL, nodesL, iters = 4).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     val prI = Graph.pagerankOf(edgesI, nodesI, iters = 4).collect()
       .map(r => (r.getInt(0).toLong, r.getDouble(1))).toMap
-    assert(prI == prL)
+    assert(prI.keySet == prL.keySet)
+    prL.foreach { case (a, r) =>
+      assert(math.abs(prI(a) - r) <= 1e-12 * math.max(1.0, math.abs(r)),
+        s"rank mismatch at node $a: ${prI(a)} vs $r")
+    }
 
     // the corpus decision actually fires: test-sf actor ids are
     // stringified part keys well inside 2^31, so the shared numeric
