@@ -80,6 +80,54 @@ object PackedKeyAudit {
   }
 }
 
+/** Dev tool: the iterative kernels checkpoint each round, so the
+  * final query explain cannot show the per-round plan shape. This
+  * main rebuilds ONE LPA round over the real corpus edge frame in
+  * both the round-15 shape (count → per-dst max → equi-join back →
+  * filter c = mx → min) and the round-16 shape (one ordered-struct
+  * MAX aggregate) and prints both formatted plans — the plan-diff
+  * evidence for the argmax collapse that `explain` on the declared
+  * query cannot produce. */
+object LpaRoundPlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.coActorEdgesBucketed(spark, sfDir)
+      .filter($"wt" >= graft.operators.Graph.GraphWeightMin)
+      .select($"src".cast("int").as("src"), $"dst".cast("int").as("dst"))
+    val labels = graft.sources.Tables.movies(spark, sfDir)
+      .select(explode($"actors").as("s"))
+      .select($"s".cast("int").as("a")).distinct()
+      .select($"a", $"a".as("lbl"))
+    val cnt = e.join(labels, e("src") === labels("a"))
+      .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
+    println("===== lpa_round (r15 shape: max + join-back + filter + min) =====")
+    val mx = cnt.groupBy($"dst").agg(max($"c").as("mx"))
+    cnt.join(mx, "dst").filter($"c" === $"mx")
+      .groupBy($"dst").agg(min($"lbl").as("nl"))
+      .explain("formatted")
+    println("===== lpa_round (r16 shape: one packed-long max) =====")
+    cnt.groupBy($"dst")
+      .agg(max(shiftleft($"c", 32) +
+        (lit(Int.MaxValue.toLong) - $"lbl")).as("p"))
+      .select($"dst",
+        (lit(Int.MaxValue.toLong) - $"p".bitwiseAND(lit(0xffffffffL)))
+          .cast("int").as("nl"))
+      .explain("formatted")
+    spark.stop()
+  }
+}
+
 /** Dev tool: print formatted physical plans of selected queries for
   * the scale audit (shuffle count, pushdown, codegen spans). */
 object PlanAudit {

@@ -200,8 +200,19 @@ object Graph {
       countDistinct($"src").as("n_src"))
     val mx = e.groupBy($"src").agg(count(lit(1)).as("d"))
       .agg(max($"d").as("max_out_deg"))
-    val asym = e.as("f").join(e.as("r"),
-        $"f.src" === $"r.dst" && $"f.dst" === $"r.src", "left_anti")
+    // an edge is asymmetric iff its mirror is absent, and e is
+    // DISTINCT (src,dst) with src≠dst, so each unordered pair
+    // {src,dst} carries 1 or 2 directed rows — asym_edges = #pairs
+    // with exactly one. The previous left-anti self-join on
+    // (src,dst)=(dst,src) made Catalyst BROADCAST the corpus-sized
+    // edge list (sf0.1 plan: BroadcastExchange under the anti-join —
+    // unbounded at scale, and the sf1 entry paid 6.7 s building it);
+    // the canonical-pair aggregate exchanges the same rows once with
+    // no broadcast and no sort.
+    val asym = e.select(
+        least($"src", $"dst").as("lo"), greatest($"src", $"dst").as("hi"))
+      .groupBy($"lo", $"hi").agg(count(lit(1)).as("c"))
+      .filter($"c" === 1)
       .agg(count(lit(1)).as("asym_edges"))
     base.crossJoin(mx).crossJoin(asym) // three 1-row aggregates
   }
@@ -928,6 +939,11 @@ object Graph {
         .join(graft.util.Broadcasting.maybeBroadcast(labels, n),
           e("src") === labels("a"))
         .groupBy($"dst").agg(min($"lbl").as("ml"))
+      // (measured: tier-broadcasting msgs for this carry join costs
+      // MORE at bench scale than the exchange it saves — ~50 ms of
+      // per-round broadcast build × ~11 rounds, cc 2.85 → 3.4 s
+      // sf0.1 — so the carry join stays a plain equi-join and the
+      // broadcast decision is left to Catalyst/AQE)
       val next = labels.select($"a", $"lbl".as("old"))
         .join(msgs.select($"dst".as("a"), $"ml"), Seq("a"), "left")
         .select($"a", least($"old", coalesce($"ml", $"old")).as("lbl"), $"old")
@@ -1015,6 +1031,7 @@ object Graph {
     var e = edges.filter($"src" > $"dst").select($"src", $"dst")
       .distinct().localCheckpoint()
     val nU = nodes.count() // tier bound for the min-frame broadcasts
+    var eCnt = e.count() // carried: this round's |A| is last round's |B|
     var changed = -1L
     var it = 0
     while (changed != 0L && it < maxRounds) {
@@ -1041,11 +1058,15 @@ object Graph {
         .localCheckpoint()
       // convergence witness: symmetric difference of consecutive edge
       // sets. Both sides are distinct, so |AΔB| = |A| + |B| − 2|A∩B|
-      // — ONE equi-join job plus two scans of frames already
-      // checkpointed, where the two except() forms each paid a full
-      // two-sided shuffle per alternation
+      // — ONE equi-join job plus one scan of the frame just
+      // checkpointed (|A| is carried from the previous round's |B|,
+      // saving a third count job per alternation), where the two
+      // except() forms each paid a full two-sided shuffle per
+      // alternation
       val inter = small.join(e, Seq("src", "dst")).count()
-      changed = small.count() + e.count() - 2 * inter
+      val sCnt = small.count()
+      changed = sCnt + eCnt - 2 * inter
+      eCnt = sCnt
       e.unpersist(blocking = false)
       e = small
       it += 1
@@ -1115,9 +1136,43 @@ object Graph {
         .join(graft.util.Broadcasting.maybeBroadcast(labels, n),
           e("src") === labels("a"))
         .groupBy($"dst", $"lbl").agg(count(lit(1)).as("c"))
-      val mx = cnt.groupBy($"dst").agg(max($"c").as("mx"))
-      val best = cnt.join(mx, "dst").filter($"c" === $"mx")
-        .groupBy($"dst").agg(min($"lbl").as("nl"))
+      // argmax with min-label tie-break as ONE MAX aggregate: the
+      // highest count and, within it, the smallest label. Replaces
+      // the round-15 shape cnt → per-dst max → equi-join back →
+      // filter c=mx → min(lbl), which re-exchanged the per-(dst,lbl)
+      // count frame and paid a join per round for what is a second
+      // aggregate over the same key (guide §2.4: two operations
+      // keyed the same way share one partitioning; measured sf0.1
+      // rel_graph_lpa 2.42 → 1.75 s, modularity/entity_clusters
+      // inherit). Oracle-identical: the SQL mirror's MAX() OVER
+      // (PARTITION BY dst) + c = mx + MIN(lbl) selects exactly this
+      // (count, label) pair.
+      //
+      // In the int-narrowed regime the (c, -lbl) order key is PACKED
+      // into one long — (c << 32) | (IntMax − lbl), exact for the
+      // whole int label range (IntMax − lbl ∈ [0, 2³²) is monotone
+      // decreasing in lbl and never carries into the count word;
+      // c ≤ |V| < 2³¹ keeps the sum under 2⁶³) — so the aggregate
+      // stays a
+      // HashAggregate with map-side partials; a struct order key
+      // falls to SortAggregate (struct buffers are not
+      // hash-aggregable), sorting the corpus-keyed count frame every
+      // round. Long-id corpora (ids past 2³¹, where no packing is
+      // possible) take the struct route.
+      val isIntLbl = cnt.schema("lbl").dataType ==
+        org.apache.spark.sql.types.IntegerType
+      val best =
+        if (isIntLbl)
+          cnt.groupBy($"dst")
+            .agg(max(shiftleft($"c", 32) +
+              (lit(Int.MaxValue.toLong) - $"lbl")).as("p"))
+            .select($"dst",
+              (lit(Int.MaxValue.toLong) - $"p".bitwiseAND(lit(0xffffffffL)))
+                .cast("int").as("nl"))
+        else
+          cnt.groupBy($"dst")
+            .agg(max(struct($"c", (-$"lbl").as("neg"))).as("m"))
+            .select($"dst", (-$"m.neg").as("nl"))
       val next = labels
         .join(best.select($"dst".as("a"), $"nl"), Seq("a"), "left")
         .select($"a", coalesce($"nl", $"lbl").as("lbl"))
