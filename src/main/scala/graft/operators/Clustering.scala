@@ -537,13 +537,23 @@ object Clustering {
     // block — pair (a,b) with a.vec_id < b.vec_id matches exactly
     // once, on key (cell, b.blk). For cells under the cap g == 1 and
     // this is bit-for-bit the plain cell self-join.
+    // the cell JOIN key stays wide (long) while the carried cell
+    // column keeps its narrow type: an (int cell, int blk) key pair
+    // packs into one long whose hash-map slots come from the LOW
+    // word — blk, which is 0 for every under-cap cell — collapsing
+    // the build map into a handful of chains (the round-15
+    // modularity degeneracy, confirmed for this join by the
+    // PackedKeyAudit sweep). A (long, int) pair is unpackable, so
+    // the map hashes the full row key.
     val left = blocked
       .withColumn("peer", explode(sequence(lit(0), $"g" - 1)))
-      .select($"cell", $"peer", $"vec_id", $"v")
-    val right = blocked.select($"cell", $"blk", $"vec_id", $"v")
+      .select($"cell", $"cell".cast("long").as("cellk"), $"peer",
+        $"vec_id", $"v")
+    val right = blocked.select($"cell".cast("long").as("cellk"), $"blk",
+      $"vec_id", $"v")
     val pairs = left.as("a")
       .join(right.as("b"),
-        col("a.cell") === col("b.cell") && col("a.peer") === col("b.blk") &&
+        col("a.cellk") === col("b.cellk") && col("a.peer") === col("b.blk") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cell").as("cell"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

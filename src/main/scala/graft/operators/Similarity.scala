@@ -889,7 +889,18 @@ object Similarity {
     val parts = (0 until PqSubspaces).map(m =>
       sum(when($"m" === m, $"pdot")).as(s"p$m"))
     val approx = (0 until PqSubspaces).map(m => col(s"p$m")).reduce(_ + _)
-    codes.join(broadcast(lut), Seq("m", "code"))
+    // join on the DENSE self-packed key m·K + code (∈ [0, M·K), K =
+    // PqCodes) instead of the (m, code) pair: Spark packs a two-int
+    // key into one long whose broadcast hash map slots on the LOW
+    // word — here `code`, only K distinct values, so every build row
+    // crowded into K slot chains (the round-15 modularity
+    // degeneracy). The dense packed key keys the map on M·K
+    // consecutive values — its dense-array mode — and every
+    // corpus-row probe is one index load. Same match set: (m, code)
+    // ↔ m·K + code is a bijection on the code range.
+    codes.withColumn("mc", $"m" * lit(PqCodes) + $"code")
+      .join(broadcast(lut.withColumn("mc", $"m" * lit(PqCodes) + $"code")
+        .drop("m", "code")), Seq("mc"))
       .filter($"vec_id" =!= $"probe_id")
       .groupBy($"probe_id", $"vec_id")
       .agg(parts.head, parts.tail: _*)
@@ -1086,7 +1097,11 @@ object Similarity {
     val cb = spark.createDataFrame(cbRows).toDF("m", "code", "cv")
     slices
       .join(pqCodesLong(e, books), Seq("vec_id", "m"))
-      .join(broadcast(cb), Seq("m", "code"))
+      // dense self-packed codebook key (see pqAdcRank): the (m, code)
+      // pair would pack into a long slotted on the K-valued low word
+      .withColumn("mc", $"m" * lit(PqCodes) + $"code")
+      .join(broadcast(cb.withColumn("mc", $"m" * lit(PqCodes) + $"code")
+        .drop("m", "code")), Seq("mc"))
       .withColumn("se",
         dot($"vm", $"vm") - lit(2.0) * dot($"vm", $"cv") + dot($"cv", $"cv"))
       .groupBy($"m")

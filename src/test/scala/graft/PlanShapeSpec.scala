@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, TimeSeries}
+import graft.operators.{Clustering, Relational, Similarity, TimeSeries}
 import graft.sources.Ingest
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -265,6 +265,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(opt.contains("(d <= 64)") || opt.contains("(d#") ||
       plan.contains("d <= 64"),
       s"hub-degree gate missing from the plan:\n$opt")
+  }
+
+  test("PQ/semdedup hash joins carry no packable int-int key (r16 packed-key audit)") {
+    // Spark packs an all-integral ≤8-byte equi-key list into ONE long
+    // whose broadcast map slots on the LOW word; a few-distinct-values
+    // low word (PQ's 16-valued `code`, semdedup's mostly-zero `blk`)
+    // collapses the map into a handful of chains (the round-15
+    // modularity degeneracy, 8.3 s → 0.24 s when unpacked). The fixed
+    // joins key on a dense self-packed int (PQ: m·K + code) or keep
+    // one key wide (semdedup: long cell + int blk) — assert no hash
+    // join in their plans has a packable multi-int key list.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def bits(e: Expression): Option[Int] = e.dataType match {
+      case ByteType => Some(8); case ShortType => Some(16)
+      case IntegerType => Some(32); case LongType => Some(64); case _ => None
+    }
+    def packable(keys: Seq[Expression]): Boolean =
+      keys.length > 1 && keys.forall(bits(_).isDefined) &&
+        keys.flatMap(bits).sum <= 64
+    for ((name, df) <- Seq(
+      "llm_knn_pq" -> Similarity.knnPq(spark, sf),
+      "llm_pq_error" -> Similarity.pqError(spark, sf),
+      "llm_semdedup_atscale" -> Clustering.semDedupAtScale(spark, sf))) {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+          case _ => p.children.flatMap(walk)
+        })
+      val bad = walk(df.queryExecution.executedPlan).collect {
+        case j: BroadcastHashJoinExec if packable(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if packable(j.leftKeys) => j
+      }
+      assert(bad.isEmpty,
+        s"$name: hash join with packable int-int key list:\n${bad.map(_.verboseString(2)).mkString("\n")}")
+    }
   }
 
   // an adaptive plan's toString repeats the tree under "== Initial
