@@ -797,6 +797,16 @@ object CorpusQuality {
       .select($"doc_id", $"lang",
         expr("slice(split(lower(text), ''), 1, length(text))").as("cs"))
       .select($"doc_id", $"lang", shingles($"cs", 3).as("gs")))
+    // Measured negative result (round 16): collapsing the gram
+    // stream ONCE to per-(doc, lang, gram) counts for both consumers
+    // (profile aggregate + hits probe, sharing the exchange via
+    // ReusedExchange) is 2× SLOWER at sf1 (6.6 → 12.9 s): the
+    // doc-keyed gram grouping is nearly collapse-free (distinct
+    // (doc, gram) ≈ gram occurrences on this corpus), so it pays a
+    // corpus-sized hash aggregate AND exchange where the two explode
+    // scans pay neither — both downstream aggregates collapse
+    // map-side to profile-/doc-bounded rows on their own. The double
+    // explode of the cached gram arrays stays.
     val grams = withGrams.select($"doc_id", $"lang", explode($"gs").as("g"))
     val prof = grams.groupBy($"lang".as("plang"), $"g")
       .agg(count(lit(1)).as("cnt"))

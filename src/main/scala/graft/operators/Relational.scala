@@ -1369,6 +1369,16 @@ object Relational {
     import spark.implicits._
     val l = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
+    // measured negative result (round 16): pre-aggregating the three
+    // pivot cells per ORDER below the join (the left-outer-hist move)
+    // is SLOWER here — 5.0 → 6.3 s sf1 — because the flat pivot's
+    // 5-group aggregate already collapses map-side to ~15 rows per
+    // task (o_orderpriority × returnflag), so the only real cost is
+    // the fact-fact join either way, and the per-order pre-aggregate
+    // adds a 1.5M-group hash table for nothing. The aggregate-below-
+    // join move needs the BELOW aggregate to be coarser than the
+    // fact table AND the join to shrink — here the join shrinks but
+    // the aggregate is order-grained, the opposite trade.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy($"o_orderpriority")
       .pivot("l_returnflag", Seq("A", "N", "R"))
@@ -2823,13 +2833,23 @@ object Relational {
       .orderBy($"fd")
   }
 
-  /** One candidate dependency's audit row. */
+  /** One candidate dependency's audit row. The violation predicate
+    * "dep takes MORE than one value in the det group" is computed as
+    * min(dep) ≠ max(dep), not COUNT(DISTINCT dep) > 1: min/max
+    * partials collapse map-side to one row per (task, det), so the
+    * exchange carries ~|distinct det| narrow rows, where the distinct
+    * count shipped every distinct (det, dep) PAIR (≈ the whole fact
+    * table for the lineitem branches — guide §2.3, aggregate before
+    * you shuffle). Identical verdicts, nulls included: aggregates
+    * skip nulls on both routes, so all-null and single-valued groups
+    * read non-violating either way. */
   private[graft] def fdAuditOf(name: String, df: DataFrame,
                                det: String, dep: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+    df.groupBy(col(det))
+      .agg(min(col(dep)).as("lo"), max(col(dep)).as("hi"))
       .agg(count(lit(1)).as("n_groups"),
-        coalesce(sum(when($"nd" > 1L, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when($"lo" =!= $"hi", 1L).otherwise(0L)), lit(0L))
           .as("n_violating"))
       .select(lit(name).as("fd"), $"n_groups", $"n_violating",
         ($"n_violating" === 0L).as("holds"),

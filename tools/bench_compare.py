@@ -12,9 +12,19 @@ not a regression signal. Dev-only tool (driver-side python).
 import sys, json
 
 
+def warn_dirty(path, d):
+    # round-15 verdict item 5: a clean:false artifact self-identifies
+    # as dirty-host — comparisons against it are attribution hazards
+    if d.get("clean") is False or (d.get("host_loadavg1") or 0) > 2.0:
+        print(f"WARNING: {path} is a DIRTY-HOST artifact "
+              f"(clean={d.get('clean')}, loadavg1={d.get('host_loadavg1')}) "
+              "— prefer a quiesced clean:true run", file=sys.stderr)
+
+
 def queries_of(path):
     d = json.load(open(path))
     if "queries" in d:
+        warn_dirty(path, d)
         return d["queries"], d.get("value")
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         p = d["parsed"]
