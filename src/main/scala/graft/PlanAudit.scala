@@ -80,6 +80,41 @@ object PackedKeyAudit {
   }
 }
 
+/** Dev tool: work-volume census for the scale sweeps (the
+  * BENCH_sf10_r14 discipline) — arcs/nodes/max-degree/Σdeg² for the
+  * full co-actor graph and the weight-thresholded graph the
+  * iterative family runs on, so wall-clock ratios sit next to
+  * measured WORK ratios in the committed artifact. */
+object GraphCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def census(name: String, e: org.apache.spark.sql.DataFrame): Unit = {
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
+      val r = deg.agg(sum($"d").as("arcs"), count(lit(1)).as("nodes"),
+        max($"d").as("maxdeg"), sum($"d" * $"d").as("sumdeg2")).head()
+      println(s"""CENSUS {"graph":"$name","sf":"$sfDir","arcs":${r.getLong(0)},"nodes":${r.getLong(1)},"max_degree":${r.getLong(2)},"sum_deg2":${r.getLong(3)}}""")
+    }
+    val full = graft.sources.Tables.coActorEdgesBucketed(spark, sfDir)
+    census("full", full.select($"src", $"dst"))
+    census("weighted_wt2", full
+      .filter($"wt" >= graft.operators.Graph.GraphWeightMin)
+      .select($"src", $"dst"))
+    spark.stop()
+  }
+}
+
 /** Dev tool: the iterative kernels checkpoint each round, so the
   * final query explain cannot show the per-round plan shape. This
   * main rebuilds ONE LPA round over the real corpus edge frame in
