@@ -632,14 +632,39 @@ object CorpusQuality {
     */
   def charEntropyOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    // chars in ONE linear split pass instead of running the regex
-    // engine once per character (and NOT a per-position substring
-    // window, which is O(i) per UTF8String call ⇒ quadratic per doc
-    // — measured 4→23 s at sf1 before this form). split('') keeps
-    // ALL characters (newlines included, unlike the '.' regex) plus
-    // one trailing "" that the length-sized slice drops; the oracle
-    // replays the same per-char list. Empty docs yield no rows
-    // either way.
+    // the per-doc histogram is doc-local by definition, so the whole
+    // explode → (doc, char) hash aggregate → per-doc fold pipeline
+    // (kept as [[charEntropyExplodeOf]], the equivalence-spec
+    // reference) collapses to ONE codegen'd pass per document
+    // ([[graft.functions.CharEntropyStats]]): no exchange carries
+    // character rows at any scale — the operator is scan → projection
+    // → docs-sized sort. round() stays Spark-side (HALF_UP BigDecimal,
+    // the cross-engine ln ulp guard at 4 dp). Empty docs are filtered
+    // (parity with explode-of-empty dropping the doc); null text
+    // nulls the struct and the filter drops it.
+    documents
+      // length(text) > 0 ⟺ st.n_chars > 0 (both count code points;
+      // null text nulls both) — filtering on the INPUT keeps the
+      // pushed-down Filter from evaluating the fold a second time
+      .filter(length($"text") > 0)
+      .select($"doc_id",
+        graft.functions.CharEntropyStats.char_entropy_stats($"text").as("st"))
+      .select($"doc_id", $"st.n_chars".as("n_chars"),
+        $"st.uniq_chars".as("uniq_chars"),
+        round($"st.entropy_raw", 4).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** The aggregate formulation [[charEntropyOf]] replaced — chars in
+    * ONE linear split pass (NOT a per-position substring window,
+    * which is O(i) per UTF8String call ⇒ quadratic per doc — measured
+    * 4→23 s at sf1). split('') keeps ALL characters (newlines
+    * included, unlike the '.' regex) plus one trailing "" that the
+    * length-sized slice drops. Kept as the equivalence-spec reference
+    * implementation (the [[graft.functions.TextAnalysis.shinglesHof]]
+    * convention). */
+  private[graft] def charEntropyExplodeOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
     documents
       .select($"doc_id",
         explode(expr("slice(split(text, ''), 1, length(text))")).as("ch"))
@@ -776,27 +801,27 @@ object CorpusQuality {
     */
   def langIdChargramOf(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    // chars in ONE linear split pass (a per-position substring window
-    // is O(i) per UTF8String call ⇒ quadratic per doc, and the
-    // per-CHARACTER regex of regexp_extract_all(text, '.') paid the
-    // regex engine once per char), trigrams via the codegen'd native
-    // [[graft.functions.Shingles]]. split('') keeps ALL characters
-    // (newlines included, unlike the '.' regex) plus one trailing ""
-    // that the length-sized slice drops; the oracle replays the same
-    // per-char list. Gram count per doc is exactly max(len−2, 0), so
-    // the per-doc totals come straight off the document frame with NO
+    // trigrams via the codegen'd native
+    // [[graft.functions.CharNgrams]]: one lead-byte walk over the
+    // lowered UTF8String, no regex split into per-char strings, no
+    // slice copy, no per-gram concatWs (the split('')+slice+shingles
+    // composition it replaced — equivalence spec-pinned — paid all
+    // three per document; before THAT, a per-position substring
+    // window was O(i) per UTF8String call ⇒ quadratic per doc, and
+    // regexp_extract_all(text, '.') paid the regex engine once per
+    // char). Gram count per doc is exactly max(len−2, 0), so the
+    // per-doc totals come straight off the document frame with NO
     // exchange over the corpus-sized exploded gram stream.
-    // ASCII-only assumption (like the \w regex note above): the slice
-    // bound is length(text), but lower() can CHANGE character count
-    // under full-case mappings (e.g. U+0130 → i + combining dot), and
-    // DuckDB's simple-mapping lower() can disagree with the JVM's on
-    // such points — both fine on this corpus (ASCII TPC-H-derived
-    // text), either would need the slice re-based on length(lower())
-    // for general Unicode.
+    // ASCII-only assumption (like the \w regex note above), now only
+    // in the oracle mirror: the native walk grams the lowered
+    // string's own length (the old slice was bounded by length(text),
+    // which full-case mappings like U+0130 → i + combining dot can
+    // disagree with), but DuckDB's simple-mapping lower() can still
+    // disagree with the JVM's full mapping on such points — both fine
+    // on this corpus (ASCII TPC-H-derived text).
     val withGrams = cached("langIdGrams", documents
       .select($"doc_id", $"lang",
-        expr("slice(split(lower(text), ''), 1, length(text))").as("cs"))
-      .select($"doc_id", $"lang", shingles($"cs", 3).as("gs")))
+        graft.functions.CharNgrams.char_ngrams(lower($"text"), 3).as("gs")))
     // Measured negative result (round 16): collapsing the gram
     // stream ONCE to per-(doc, lang, gram) counts for both consumers
     // (profile aggregate + hits probe, sharing the exchange via
@@ -815,10 +840,62 @@ object CorpusQuality {
           .partitionBy($"plang").orderBy($"cnt".desc, $"g")))
       .filter($"rk" <= LangIdProfile)
       .select($"plang", $"g")
-    // len−2 BY CONSTRUCTION of the substring window — an O(docs)
-    // projection, not a groupBy over corpus-many gram rows; hitless
-    // docs carry total 0 but never reach the score join (hits ⊆
-    // docs-with-grams)
+    // the profile is bounded by contract (|langs| × LangIdProfile
+    // rows): collect it (the BPE-merge-table bounded-collect
+    // discipline) and fold the probe side into ONE per-doc scan
+    // ([[graft.functions.CountInGramSets]]) — the second corpus-sized
+    // explode, its broadcast hash probe, and the (doc, lang)
+    // re-aggregate (kept as [[langIdChargramJoinOf]], the
+    // equivalence-spec reference) all collapse into the expression;
+    // no corpus-sized operator remains downstream of the profile
+    // aggregate. Per-doc totals are len−2 by construction of the
+    // gram window — size(gs), an O(docs) projection.
+    val profRows = prof.collect()
+    val plangs = profRows.map(_.getString(0)).distinct.sorted.toSeq
+    val best =
+      if (plangs.isEmpty) withGrams.select($"doc_id", lit("x").as("plang")).limit(0)
+      else {
+        val sets = plangs.map(p => profRows.toSeq
+          .collect { case r if r.getString(0) == p => r.getString(1) })
+        withGrams
+          .select($"doc_id", size($"gs").as("total"),
+            posexplode(graft.functions.CountInGramSets
+              .count_in_gram_sets($"gs", sets)).as(Seq("idx", "hits")))
+          .filter($"hits" > 0)
+          .select($"doc_id",
+            element_at(array(plangs.map(lit): _*), $"idx" + 1).as("plang"),
+            ($"hits".cast("double") / $"total").as("score"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"doc_id").orderBy($"score".desc, $"plang")))
+          .filter($"rk" === 1)
+      }
+    documents.select($"doc_id", $"lang")
+      .join(best.select($"doc_id", $"plang"), Seq("doc_id"), "left")
+      .na.fill(Map("plang" -> "unknown"))
+      .groupBy($"lang", $"plang".as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** The join formulation [[langIdChargramOf]]'s probe side replaced
+    * — exploded gram stream ⋈ broadcast profile ⋈ per-doc totals.
+    * Kept as the equivalence-spec reference implementation (the
+    * [[charEntropyExplodeOf]] convention); gram build inlined so the
+    * reference never touches the session frame cache. */
+  private[graft] def langIdChargramJoinOf(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val withGrams = documents
+      .select($"doc_id", $"lang",
+        graft.functions.CharNgrams.char_ngrams(lower($"text"), 3).as("gs"))
+    val grams = withGrams.select($"doc_id", $"lang", explode($"gs").as("g"))
+    val prof = grams.groupBy($"lang".as("plang"), $"g")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"plang").orderBy($"cnt".desc, $"g")))
+      .filter($"rk" <= LangIdProfile)
+      .select($"plang", $"g")
     val docTotals = withGrams.select($"doc_id", size($"gs").as("total"))
     val hits = grams.join(broadcast(prof), "g")
       .groupBy($"doc_id", $"lang", $"plang")

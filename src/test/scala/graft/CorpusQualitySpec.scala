@@ -121,6 +121,24 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === 1.0549)
   }
 
+  test("char entropy: expression fold == explode/aggregate reference") {
+    // the one-pass CharEntropyStats operator must reproduce the old
+    // explode → (doc, char) count → per-doc fold pipeline exactly —
+    // on the corpus and on a multi-byte/empty/null fixture
+    val fixture = Seq(
+      (1L, "aaaa"), (2L, "ab ab"), (3L, ""),
+      (4L, "日本語の文章を書くのは楽しいです"),
+      (5L, "héllo wörld 😀😀"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    for (docs <- Seq(fixture, corpus)) {
+      val a = CorpusQuality.charEntropyOf(docs).collect().toSeq
+      val b = CorpusQuality.charEntropyExplodeOf(docs).collect().toSeq
+      assert(a === b)
+    }
+  }
+
   test("dataset card: hand-computed values on a two-doc corpus") {
     val docs = Seq(
       (1L, "en", "s1", "the cat sat on the mat", 22L),
@@ -153,6 +171,30 @@ class CorpusQualitySpec extends AnyFunSuite with SparkSpec {
       assert(lang === pred, s"misclassified: $lang predicted as $pred")
     }
     assert(conf.map(_._3).sum === 6L)
+  }
+
+  test("chargram langid: expression probe == join/aggregate reference") {
+    // the collected-profile + CountInGramSets scorer must reproduce
+    // the exploded-stream ⋈ broadcast-profile route exactly — same
+    // hits, same tie-breaks, same 'unknown' fills — on the corpus and
+    // on a fixture with hitless, empty, and null documents
+    val fixture = Seq(
+      (1L, "aa", "karhu metsä järvi talvi karhu metsä"),
+      (2L, "aa", "metsä järvi talvi karhu järvi metsä"),
+      (3L, "bb", "dragon montagne rivière chateau dragon"),
+      (4L, "bb", "montagne rivière chateau dragon rivière"),
+      (5L, "cc", "日本語の文章を書くのは楽しいです"),
+      (6L, "cc", "言語を学ぶことはとても楽しいです"),
+      (7L, "dd", "zq"), // too short for any trigram ⇒ unknown
+      (8L, "dd", ""), (9L, "dd", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+    for (docs <- Seq(fixture, corpus)) {
+      val a = CorpusQuality.langIdChargramOf(docs).collect().toSeq
+      val b = CorpusQuality.langIdChargramJoinOf(docs).collect().toSeq
+      assert(a === b)
+    }
   }
 
   test("quality classifier: deterministic weights that beat the majority class") {

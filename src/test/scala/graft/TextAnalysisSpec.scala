@@ -109,6 +109,59 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("CharNgrams expression == split/slice/shingles composition, incl. unicode") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // the native char-gram walk must produce byte-identical arrays
+      // to the split('')+slice+Shingles composition it replaced, for
+      // the per-char (n=1) and trigram (n=3) forms both — across
+      // multi-byte UTF-8 (CJK, combining, emoji/surrogate pairs),
+      // newlines, empties, and null
+      val fixture = Seq(Some("abc"), Some(""), Some("héllo wörld"),
+        Some("的是在了我"), Some("a b  c"), Some("x" * 500),
+        Some("日本語の文章 😀 emoji"), Some("\nnew\nlines\n"),
+        None).toDF("text")
+      val corpus = graft.sources.Tables.documents(spark, sf).select($"text")
+      for (data <- Seq(fixture, corpus)) {
+        val comp = expr("slice(split(text, ''), 1, length(text))")
+        val bad = data.select(
+          graft.functions.CharNgrams.char_ngrams($"text", 1).as("n1"),
+          comp.as("o1"),
+          graft.functions.CharNgrams.char_ngrams($"text", 3).as("n3"),
+          shingles(comp, 3).as("o3"))
+          .filter(!($"n1" <=> $"o1") || !($"n3" <=> $"o3"))
+          .count()
+        assert(bad == 0)
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("CharEntropyStats: hand values, empty and null text") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val got = Seq(Some("aaaa"), Some("ab ab"), Some(""), None)
+        .toDF("text")
+        .select(graft.functions.CharEntropyStats
+          .char_entropy_stats($"text").as("st"))
+        .select($"st.n_chars", $"st.uniq_chars", $"st.entropy_raw")
+        .collect()
+      assert(got(0).getLong(0) == 4L && got(0).getLong(1) == 1L
+        && got(0).getDouble(2) == 0.0)
+      // a,b,' ' with counts 2,2,1: ln5 - (2ln2 + 2ln2 + 1ln1)/5
+      assert(got(1).getLong(0) == 5L && got(1).getLong(1) == 3L
+        && math.abs(got(1).getDouble(2)
+          - (math.log(5) - 4 * math.log(2) / 5)) < 1e-12)
+      assert(got(2).getLong(0) == 0L && got(2).getLong(1) == 0L)
+      assert(got(3).isNullAt(0) && got(3).isNullAt(2))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("shingles: 3-grams in order, duplicates kept, short docs empty") {
     import spark.implicits._
     val got = Seq("a b c d a b c", "a b", "").toDF("text")
