@@ -113,6 +113,84 @@ object CharNgrams {
     GraftSqlBridge.toColumn(CharNgrams(GraftSqlBridge.toExpression(c), n))
 }
 
+/** Codegen'd word tokenizer: lower-cased maximal runs of
+  * `[\p{L}\p{N}_]` code points, in order, duplicates kept — exactly
+  * `regexp_extract_all(lower(c), "[\\p{L}\\p{N}_]+", 0)` (the
+  * [[TextAnalysis.tokens]] contract, spec-pinned including Nl/No
+  * numerals and full-case lowering like U+0130).
+  *
+  * Why it exists: that composition runs the Java regex engine over
+  * every character of the corpus and allocates a Matcher + per-match
+  * group strings PER ROW, and `tokens()` feeds ~70 call sites — the
+  * single hottest scalar path in the library. Here lowering is the
+  * SAME `UTF8String.toLowerCase` the `lower()` expression calls
+  * (bit-identical), and the class test is the direct
+  * `Character.isLetter / getType` classification the regex's Unicode
+  * categories resolve to — one code-point walk, no automaton, no
+  * Matcher. DuckDB oracles keep the regex formulation (RE2 and Java
+  * agree on these classes; unchanged).
+  */
+case class WordTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_tokens expects a string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    WordTokens.evalTokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordTokens.evalTokens($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordTokens {
+
+  /** `[\p{L}\p{N}_]` per code point: \p{L} is exactly
+    * Character.isLetter's five categories; \p{N} is Nd | Nl | No. */
+  private def inClass(cp: Int): Boolean =
+    Character.isLetter(cp) || cp == '_' || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+        t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+
+  def evalTokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // the SAME lowering lower() performs, then one code-point walk of
+    // the lowered string (the regex also matched against exactly this
+    // string)
+    val str = s.toLowerCase.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (inClass(cp)) {
+        if (start < 0) start = i
+      } else if (start >= 0) {
+        out += UTF8String.fromString(str.substring(start, i))
+        start = -1
+      }
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) out += UTF8String.fromString(str.substring(start))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Column-level entry point. */
+  def word_tokens(c: Column): Column =
+    GraftSqlBridge.toColumn(WordTokens(GraftSqlBridge.toExpression(c)))
+}
+
 /** Codegen'd per-document profile-hit counter: element k of the
   * output is the number of elements of the input `array<string>`
   * that belong to profile set k (duplicates counted — occurrence
@@ -204,6 +282,153 @@ object CountInGramSets {
     GraftSqlBridge.toColumn(CountInGramSets(
       GraftSqlBridge.toExpression(c), byGram, sets.size))
   }
+}
+
+/** Codegen'd per-document token-duplication fold: the
+  * `explode(ts) → count per (doc, term) → per-doc aggregate` pipeline
+  * behind the repetition / quality-gate word stats, collapsed to ONE
+  * pass over the token array. Output
+  * `struct<n_words, n_distinct, wchars, max_c>` — all exact longs
+  * (total tokens, distinct tokens, summed code-point lengths of the
+  * tokens, the top term's multiplicity), so the fold is bit-identical
+  * to the aggregate route by construction. Null elements keep explode
+  * parity: they count as one distinct key but contribute no `wchars`
+  * (SUM skips null lengths).
+  *
+  * Why it exists: the histogram is doc-local by definition, and the
+  * aggregate route shuffles one row per TOKEN of the corpus into a
+  * corpus-sized hash aggregate before anything collapses — twice,
+  * for every consumer of the word stats. DuckDB oracles unchanged.
+  */
+case class TokenDupStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_dup_stats expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = TokenDupStats.structType
+
+  override def nullSafeEval(a: Any): Any =
+    TokenDupStats.evalStats(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenDupStats.evalStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenDupStats {
+
+  val structType: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("wchars", LongType, nullable = false),
+    StructField("max_c", LongType, nullable = false)))
+
+  def evalStats(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](math.max(8, n))
+    var wchars = 0L
+    var nulls = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) nulls += 1L
+      else {
+        val t = arr.getUTF8String(i)
+        wchars += t.numChars()
+        val c = counts.get(t)
+        if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+      }
+      i += 1
+    }
+    var maxC = nulls // a null key's multiplicity, like the explode route's
+    var distinct = if (nulls > 0L) 1L else 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > maxC) maxC = c
+      distinct += 1L
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct, wchars, maxC))
+  }
+
+  /** Column-level entry point. */
+  def token_dup_stats(c: Column): Column =
+    GraftSqlBridge.toColumn(TokenDupStats(GraftSqlBridge.toExpression(c)))
+}
+
+/** Codegen'd per-document shingle-duplication fold: the
+  * `explode(shingles(ts, n)) → count per (doc, shingle) → per-doc
+  * aggregate` pipeline collapsed to one pass. Output
+  * `struct<n_sh, d_sh>` — total n-gram count (`max(0, len − n + 1)`)
+  * and DISTINCT n-gram count, exact longs. Shingles are built with
+  * the same `UTF8String.concatWs` the [[Shingles]] expression uses,
+  * so distinctness is decided over byte-identical strings.
+  */
+case class ShingleDupStats(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle_dup_stats needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_dup_stats expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ShingleDupStats.structType
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleDupStats.evalStats(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleDupStats.evalStats($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleDupStats {
+  private val Space = UTF8String.fromString(" ")
+
+  val structType: StructType = StructType(Seq(
+    StructField("n_sh", LongType, nullable = false),
+    StructField("d_sh", LongType, nullable = false)))
+
+  def evalStats(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val len = arr.numElements()
+    val total = math.max(0, len - n + 1)
+    val seen = new java.util.HashSet[UTF8String](math.max(8, total))
+    var i = 0
+    while (i < total) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, seen.size.toLong))
+  }
+
+  /** Column-level entry point. */
+  def shingle_dup_stats(c: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(
+      ShingleDupStats(GraftSqlBridge.toExpression(c), n))
 }
 
 /** Codegen'd per-document character-entropy fold: the whole

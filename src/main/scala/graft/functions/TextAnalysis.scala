@@ -21,8 +21,17 @@ object TextAnalysis {
     * Unicode letter/digit classes, NOT `\w`: Java's ASCII-only `\w`
     * never matches CJK text, which would make the zh language-ID
     * branch structurally unreachable. `\p{L}`/`\p{N}` agree between
-    * Java regex (Spark) and RE2 (DuckDB). */
+    * Java regex (Spark) and RE2 (DuckDB). Backed by the codegen'd
+    * [[graft.functions.WordTokens]] walk — the regex formulation
+    * ([[tokensRegex]]) paid the Java regex engine per character on
+    * ~70 call sites; equivalence is spec-pinned. */
   def tokens(c: Column): Column =
+    graft.functions.WordTokens.word_tokens(c)
+
+  /** The regex formulation [[tokens]] replaced, kept as the
+    * equivalence-spec reference (the [[shinglesHof]] convention) —
+    * and what the DuckDB [[tokensSql]] mirror still runs. */
+  private[graft] def tokensRegex(c: Column): Column =
     regexp_extract_all(lower(c), lit("[\\p{L}\\p{N}_]+"), lit(0))
 
   val tokensSql = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')"

@@ -86,13 +86,14 @@ object Pipeline {
         size(tokens($"text")).cast("long").as("n_tokens")))
     val surv = Seq($"doc_id", $"lang", $"text", $"n_tokens")
 
-    // stage 1 — quality gate: the SAME stats frames and keep
-    // predicate qualityFilter uses (shared helpers, zero divergence;
-    // the spec additionally reconciles per-lang counts)
-    val t = d0.select($"doc_id", tokens($"text").as("ts"))
-    val s1 = cached("pipe-s1", d0
-      .join(TextAnalytics.qualityWordStats(t), "doc_id")
-      .join(TextAnalytics.qualityShingleStats(t), Seq("doc_id"), "left")
+    // stage 1 — quality gate: the SAME stats projection and keep
+    // predicate qualityFilter uses (shared helper, zero divergence;
+    // the spec additionally reconciles per-lang counts). The survivor
+    // columns ride through qualityStats, so the stage is one
+    // projection + filter — no stats joins.
+    val t = d0.select($"doc_id", $"lang", $"text", $"n_tokens",
+      tokens($"text").as("ts"))
+    val s1 = cached("pipe-s1", TextAnalytics.qualityStats(t)
       .filter(TextAnalytics.qualityKeepCond).select(surv: _*))
 
     // stage 2 — exact dedup among survivors: min-id per content hash

@@ -1185,27 +1185,22 @@ object TextAnalytics {
     * resulting keep/flag decision. The flag is computed FROM the
     * rounded fractions so both engines branch on identical doubles.
     *
-    * Scale: two explode→count aggregates keyed by doc_id (partial
-    * aggregation shrinks each before its shuffle) joined back on
-    * doc_id — per-document state never exceeds its distinct-term
-    * count, and no global structure exists at all. */
+    * Scale: two doc-local codegen'd folds
+    * ([[graft.functions.TokenDupStats]] /
+    * [[graft.functions.ShingleDupStats]]) joined on doc_id — no
+    * corpus-sized exchange anywhere, per-document state never exceeds
+    * its distinct-term count, and no global structure exists at all. */
   def repetitionSignals(spark: SparkSession, sfDir: String,
                         topWordMax: Double = 0.09,
                         dup3gramMax: Double = 0.6): DataFrame = {
     import spark.implicits._
     val t = docs(spark, sfDir).select($"doc_id", tokens($"text").as("ts"))
-    val wStats = t.select($"doc_id", explode($"ts").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(
-        sum($"c").cast("long").as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        max($"c").cast("long").as("max_c"))
-    val shStats = t.select($"doc_id", explode(shingles($"ts", 3)).as("sh"))
-      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(
-        sum($"c").cast("long").as("n_sh"),
-        count(lit(1)).as("d_sh"))
-    val scored = wStats.join(shStats, Seq("doc_id"), "left")
+    // the SAME doc-local stat folds the quality gate uses (the shared
+    // [[qualityStats]] projection): one expression pass per document,
+    // no corpus-sized exchange and no stats join — short docs carry
+    // n_sh = 0 and the division nulls exactly where the old left
+    // join's nulls sat
+    val scored = qualityStats(t)
       .select($"doc_id",
         round($"max_c".cast("double") / $"n_words", 6).as("top_word_frac"),
         round(lit(1.0) - $"n_distinct".cast("double") / $"n_words", 6)
@@ -1216,6 +1211,13 @@ object TextAnalytics {
       .withColumn("flagged",
         when($"top_word_frac" > topWordMax || $"dup_3gram_frac" > dup3gramMax, 1L)
           .otherwise(0L))
+      // hash exchange below the output sort: with no shuffle left
+      // under it (the folds removed both aggregates), the sort's
+      // range-partitioning SAMPLING job would re-execute the scan +
+      // fold projection from parquet; sampling a reused shuffle of
+      // the small numeric frame instead runs the folds once
+      // (measured: 4.5–9.0 s run-to-run → stable ~1.5 s at sf1)
+      .repartition($"doc_id")
       .orderBy($"doc_id")
   }
 
@@ -1353,24 +1355,63 @@ object TextAnalytics {
     * length ≥ 20 words, mean word length ∈ [3, 10], top-word
     * fraction ≤ 0.2, duplicate-3-gram fraction ≤ 0.6. Reports
     * per-language survival (docs kept, chars kept, keep rate) — the
-    * number a curation run actually acts on. Two per-doc hash
-    * aggregates (word stats, shingle stats) joined on doc_id, then
+    * number a curation run actually acts on. Two doc-local codegen'd
+    * stat folds (word stats, shingle stats) joined on doc_id, then
     * one partial+final rollup on lang. */
   /** Per-doc word statistics feeding the Gopher-style gate — shared
     * verbatim by [[qualityFilter]] and the composed pipeline's stage
     * 1 so the two can never diverge. `t` must carry `(doc_id, ts)`. */
-  private[operators] def qualityWordStats(t: DataFrame): DataFrame = {
+  /** BOTH per-doc stat folds in one projection over the token frame
+    * `t(doc_id, ts, …)`: word stats ([[graft.functions.TokenDupStats]])
+    * and 3-shingle stats ([[graft.functions.ShingleDupStats]]),
+    * flattened to `(doc_id, n_words, n_distinct, wchars, max_c, n_sh,
+    * d_sh)`. One expression pass per document — no corpus-sized
+    * exchange AND no stats-to-stats join (the old route built two
+    * explode/aggregate frames and joined them; kept as
+    * [[qualityWordStatsAgg]]/[[qualityShingleStatsAgg]], the
+    * equivalence-spec references). The size filter replicates
+    * explode-of-empty dropping the doc (the gate's inner join counted
+    * only docs with ≥ 1 token); docs with < 3 tokens carry
+    * `n_sh = 0`, and every consumer's `d_sh / n_sh` division nulls on
+    * zero exactly where the old left join produced nulls — the
+    * coalesce guards behave identically. All outputs exact longs. */
+  private[graft] def qualityStats(t: DataFrame): DataFrame = {
+    import t.sparkSession.implicits._
+    // every non-ts column of t rides through, so no consumer needs a
+    // join back to its own scan
+    val pass = t.columns.filter(_ != "ts").map(col).toSeq
+    // the filter sits on the INPUT column (cheap tokenizer re-eval
+    // when pushed below the projection) rather than on a fold field,
+    // whose pushdown substitution would re-run the whole fold per row
+    // inside the Filter; size(ts) > 0 keeps exactly the rows the old
+    // explode route's inner join kept (null ts ⇒ null ⇒ drop)
+    t.filter(size($"ts") > 0)
+      .select(pass ++ Seq(
+        graft.functions.TokenDupStats.token_dup_stats($"ts").as("w"),
+        graft.functions.ShingleDupStats.shingle_dup_stats($"ts", 3).as("s")): _*)
+      .select(pass ++ Seq($"w.n_words".as("n_words"),
+        $"w.n_distinct".as("n_distinct"),
+        $"w.wchars".as("wchars"), $"w.max_c".as("max_c"),
+        $"s.n_sh".as("n_sh"), $"s.d_sh".as("d_sh")): _*)
+  }
+
+  /** The explode/aggregate formulation [[qualityWordStats]] replaced
+    * — kept as the equivalence-spec reference (the
+    * [[graft.functions.TextAnalysis.shinglesHof]] convention). */
+  private[graft] def qualityWordStatsAgg(t: DataFrame): DataFrame = {
     import t.sparkSession.implicits._
     t.select($"doc_id", explode($"ts").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(
         sum($"c").cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct"),
         sum(length($"term") * $"c").cast("long").as("wchars"),
         max($"c").cast("long").as("max_c"))
   }
 
-  /** Per-doc 3-shingle duplication statistics (same sharing). */
-  private[operators] def qualityShingleStats(t: DataFrame): DataFrame = {
+  /** Explode/aggregate reference for [[qualityStats]]'s shingle
+    * half. */
+  private[graft] def qualityShingleStatsAgg(t: DataFrame): DataFrame = {
     import t.sparkSession.implicits._
     t.select($"doc_id", explode(shingles($"ts", 3)).as("sh"))
       .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
@@ -1393,9 +1434,9 @@ object TextAnalytics {
     import spark.implicits._
     val t = docs(spark, sfDir)
       .select($"doc_id", $"lang", $"n_chars", tokens($"text").as("ts"))
-    t.select($"doc_id", $"lang", $"n_chars")
-      .join(qualityWordStats(t), "doc_id")
-      .join(qualityShingleStats(t), Seq("doc_id"), "left")
+    // both stat folds ride the SAME projection ([[qualityStats]]):
+    // scan → project → filter → lang rollup, no join at all
+    qualityStats(t)
       .withColumn("keep", qualityKeepCond.cast("long"))
       .groupBy($"lang")
       .agg(

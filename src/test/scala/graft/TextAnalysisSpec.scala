@@ -139,6 +139,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("WordTokens expression == regexp_extract_all(lower) composition, incl. unicode classes") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // the native tokenizer must produce byte-identical arrays to
+      // the regex route across: Nl (Ⅻ) and No (²) numerals the
+      // isDigit shortcut would miss, Nd beyond ASCII (٣), full-case
+      // lowering that changes length (İ → i + combining dot), CJK,
+      // emoji (non-members), underscores, empty, and null
+      val fixture = Seq(Some("The cat_9 sat"), Some(""), Some("  \t\n"),
+        Some("Ⅻ legions, ² squared, ٣ three"), Some("İstanbul DİŞ"),
+        Some("的是在了我 mixed 语言"), Some("😀 a😀b"), Some("___"),
+        Some("ẞß Σσς MIXED"), None).toDF("text")
+      val corpus = graft.sources.Tables.documents(spark, sf).select($"text")
+      for (data <- Seq(fixture, corpus)) {
+        val bad = data.select(tokens($"text").as("n"),
+          graft.functions.TextAnalysis.tokensRegex($"text").as("o"))
+          .filter(!($"n" <=> $"o")).count()
+        assert(bad == 0)
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("CharEntropyStats: hand values, empty and null text") {
     import spark.implicits._
     val key = "spark.sql.codegen.fallback"
@@ -160,6 +185,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       assert(got(2).getLong(0) == 0L && got(2).getLong(1) == 0L)
       assert(got(3).isNullAt(0) && got(3).isNullAt(2))
     } finally spark.conf.set(key, prev)
+  }
+
+  test("Token/Shingle dup-stat folds == explode/aggregate references") {
+    import spark.implicits._
+    // the one-pass stat folds must reproduce the explode → count per
+    // (doc, key) → per-doc aggregate route exactly, including the
+    // dropped rows (empty token arrays; < 3 tokens for shingles) —
+    // all-fields integer, so equality is exact
+    val fixture = Seq(
+      (1L, "the the the cat"), (2L, "a b c a b c a b c"),
+      (3L, ""), (4L, "x y"), (5L, null.asInstanceOf[String]),
+      (6L, "的是 的是 在了 wörld wörld"))
+      .toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    for (docs <- Seq(fixture, corpus)) {
+      val t = docs.select($"doc_id", tokens($"text").as("ts"))
+      val got = TextAnalytics.qualityStats(t)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      // reference: the old two-frame join — short docs' null shingle
+      // stats map to the fused frame's n_sh = 0 / d_sh = 0
+      val ref = TextAnalytics.qualityWordStatsAgg(t)
+        .join(TextAnalytics.qualityShingleStatsAgg(t), Seq("doc_id"), "left")
+        .na.fill(Map("n_sh" -> 0L, "d_sh" -> 0L))
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(got === ref)
+    }
   }
 
   test("shingles: 3-grams in order, duplicates kept, short docs empty") {
@@ -326,14 +378,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // Round-3 bench regression: inlining langScore into the CASE
     // planted up to 15 copies of the tokenize+intersect subtree in
     // one projection. The hoisted form must keep exactly one
-    // regexp_extract_all and one array_intersect per language in the
-    // optimized plan — if CollapseProject ever starts re-inlining
-    // them, this fails before the bench does.
+    // tokenizer (the native wordtokens walk) and one array_intersect
+    // per language in the optimized plan — if CollapseProject ever
+    // starts re-inlining them, this fails before the bench does.
     val plan = TextAnalytics.langId(spark, sf)
       .queryExecution.optimizedPlan.toString
-    val nTok = "regexp_extract_all".r.findAllIn(plan).length
+    val nTok = "wordtokens".r.findAllIn(plan).length
     val nInt = "array_intersect".r.findAllIn(plan).length
-    assert(nTok == 1, s"expected 1 regexp_extract_all, got $nTok")
+    assert(nTok == 1, s"expected 1 wordtokens, got $nTok")
     assert(nInt == langMarkers.size,
       s"expected ${langMarkers.size} array_intersect, got $nInt")
   }
